@@ -1,0 +1,64 @@
+"""Vector math over ``array<float>`` columns — pure Catalyst builtins.
+
+The reference's FLAT index computes cosine distance in TileDB's C++
+kernel (reference vector_db_creator.py:337-344, vector_db_query.py:163).
+Here the same math is expressed with Spark higher-order functions
+(`zip_with` + `aggregate`), which run JVM-side per row with no Python
+transfer — the idiomatic "exact scan" on a DataFrame. Embeddings are
+L2-normalized at write time (reference embedding_models.py:437) so
+cosine reduces to a dot product on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ as a double. JVM-side: aggregate(zip_with(a,b,*), 0.0, +)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    """‖a‖₂ as a double."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def l2_normalize(a: Column | str, eps: float = 1e-12) -> Column:
+    """a / max(‖a‖₂, eps) as array<double>; keeps zero vectors finite.
+
+    Mirrors the reference's write-time F.normalize(p=2, dim=1)
+    (reference embedding_models.py:437).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    norm = F.greatest(l2_norm(a), F.lit(eps))
+    return F.transform(a, lambda x: x / norm)
+
+
+def cosine_similarity(a: Column | str, b: Column | str, eps: float = 1e-12) -> Column:
+    """cos(a,b) = a·b / (‖a‖‖b‖), guarded against zero vectors.
+
+    Use :func:`dot_product` directly when both sides are known to be
+    L2-normalized (the engine's write-path invariant) — one pass
+    instead of three.
+    """
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return dot_product(a, b) / (
+        F.greatest(l2_norm(a), F.lit(eps)) * F.greatest(l2_norm(b), F.lit(eps))
+    )
+
+
+def cosine_distance(a: Column | str, b: Column | str) -> Column:
+    """1 - cosine similarity (the reference's metric at query time,
+    converted back via sim = clip(1-d, 0, 1), reference
+    vector_db_query.py:186-192)."""
+    return F.lit(1.0) - cosine_similarity(a, b)

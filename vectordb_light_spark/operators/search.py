@@ -1,0 +1,140 @@
+"""The read path: exact top-k cosine search with the reference's
+post-top-k filter semantics.
+
+Reference pipeline (vector_db_query.py:140-263) in order:
+  Q1 embed query → Q2 FLAT top-k cosine → Q4 dist→sim clip →
+  Q5 similarity threshold (AFTER top-k — results may shrink below k) →
+  Q8 case-insensitive search-term substring filter →
+  Q9 document-type equality filter → Q10 rank-ordered projection.
+
+Order is semantics, not optimization: the threshold and post-filters
+are applied to the top-k result, so pushing them below the limit would
+be WRONG (they can only shrink the k rows, never admit replacements).
+We encode that by materializing the top-k with a row_number rank
+before filtering — the limit is a hard barrier Catalyst cannot (and
+must not) push filters through.
+
+Scale notes (100 TB): the top-k itself is a TakeOrderedAndProject —
+each task keeps a k-sized heap, the driver merges per-partition heaps;
+no shuffle of the full table, no sort. The scan prunes to
+(id, vector[, filter cols]) via Parquet column pruning. For repeated
+queries, batch them via :func:`topk_cosine_batch` (one scan for Q
+queries) rather than Q scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.functions.vector import cosine_similarity, dot_product
+
+
+@dataclass(frozen=True)
+class SearchParams:
+    """Query-time knobs, mirroring the reference's config
+    (reference config.py:28-32): k ('contexts') default 6, similarity
+    threshold default 0.4, optional substring search term and
+    document-type equality filter."""
+
+    k: int = 6
+    threshold: float = 0.4
+    search_term: str | None = None
+    document_type: str | None = None
+    assume_normalized: bool = False  # write-path vectors are L2-normalized
+
+
+def similarity_column(vec_col: Column | str, query: list[float], *, assume_normalized: bool) -> Column:
+    """Cosine similarity of a vector column against one literal query
+    vector, clipped to [0,1] like the reference's
+    sim = clip(1 - distance, 0, 1) (vector_db_query.py:186-192)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = dot_product(vec_col, q) if assume_normalized else cosine_similarity(vec_col, q)
+    return F.least(F.greatest(sim, F.lit(0.0)), F.lit(1.0))
+
+
+def topk_cosine(
+    vectors: DataFrame,
+    query: list[float],
+    params: SearchParams = SearchParams(),
+    *,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Exact brute-force top-k cosine search (reference Q2,
+    vector_db_query.py:148-163) with rank, then the reference's
+    post-top-k filters (Q5/Q8/Q9).
+
+    Returns the input columns (minus the vector) plus
+    ``similarity_score`` (double, clipped) and ``rank`` (1..≤k).
+    Ties break on ``id_col`` ascending so results are deterministic
+    (the reference's numpy argpartition tie order is unspecified;
+    SURVEY §2.8 requires an explicit tiebreaker).
+    """
+    sim = similarity_column(vec_col, query, assume_normalized=params.assume_normalized)
+    scored = vectors.withColumn("similarity_score", sim)
+
+    # TakeOrderedAndProject: per-partition k-heaps, no full sort/shuffle.
+    topk = (
+        scored.orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
+        .limit(params.k)
+    )
+
+    # Rank within the materialized top-k (window over ≤k rows — cheap),
+    # assigned BEFORE post-filters so surviving rows keep their original
+    # rank, matching the reference's ordered-list semantics.
+    w = Window.orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
+    ranked = topk.withColumn("rank", F.row_number().over(w))
+
+    out = ranked.where(F.col("similarity_score") >= F.lit(params.threshold))
+    if params.search_term:
+        # Q8: case-insensitive substring containment on chunk text
+        # (vector_db_query.py:243-250).
+        out = out.where(
+            F.contains(F.lower(F.col("text")), F.lit(params.search_term.lower()))
+        )
+    if params.document_type:
+        # Q9: exact equality on document_type (vector_db_query.py:252-257).
+        out = out.where(F.col("document_type") == F.lit(params.document_type))
+    return out.drop(vec_col).orderBy("rank")
+
+
+def topk_cosine_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 6,
+    threshold: float = 0.0,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Top-k for MANY queries in one scan: broadcast the (small) query
+    set, crossJoin against the vectors table, window-rank per query.
+
+    This is the scale path for query throughput benchmarks and for
+    N×M similarity joins with a small N: one pass over 100 TB serves
+    thousands of queries. For large×large, use
+    operators.similarity.lsh_similarity_join instead.
+    """
+    sim = (
+        dot_product(vec_col, query_vec_col)
+        if assume_normalized
+        else cosine_similarity(vec_col, query_vec_col)
+    )
+    sim = F.least(F.greatest(sim, F.lit(0.0)), F.lit(1.0))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("similarity_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        vectors.crossJoin(F.broadcast(queries))
+        .withColumn("similarity_score", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .where(F.col("similarity_score") >= F.lit(threshold))
+        .drop(vec_col, query_vec_col)
+    )

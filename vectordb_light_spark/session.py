@@ -1,0 +1,84 @@
+"""SparkSession construction and test-table loading.
+
+The engine targets a large multi-executor cluster; locally we run
+``local[N]`` with the same conf surface so plans (shuffle partition
+counts, AQE, broadcast thresholds) translate 1:1.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes at each scale factor (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def get_spark(app_name: str = "vectordb_light_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard conf.
+
+    - AQE on: runtime coalescing + skew-join handling stand in for the
+      reference's hand-tuned "wave" parallelism presets
+      (reference stage_split.py:286-296, constants.py:74-110).
+    - Arrow on: all pandas UDF stages (normalize, extract, embed) move
+      data in Arrow record batches.
+    - shuffle.partitions sized to the local core count; on a real
+      cluster this is overridden per-deploy (or left to AQE).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores timestamp[ns]; Spark timestamps are
+        # micros — read nanos as long and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided parquet table.
+
+    ``events.ts`` is stored as parquet timestamp[ns]; with
+    ``nanosAsLong`` Spark surfaces it as a long which we convert to a
+    proper (microsecond) timestamp, matching what DuckDB reads.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every driver-provided table at ``sf_dir`` into a dict."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
