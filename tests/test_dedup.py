@@ -1,0 +1,122 @@
+"""Dedup operator tests (exact / minhash LSH / simhash / jaccard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.operators.dedup import (
+    add_minhash_signature,
+    add_simhash64,
+    char_shingles,
+    duplicate_groups,
+    exact_dedup,
+    hamming64,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    word_shingles,
+)
+
+CORPUS = [
+    (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the  quick Brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1 (canonical)
+    (3, "The quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+    (4, "Completely different content about databases and distributed query engines"),
+    (5, "Another unrelated text discussing machine learning model training at scale"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_exact_dedup_min_id_survives(spark):
+    out = exact_dedup(_df(spark)).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3, 4, 5]  # 2 is the canonical dup of 1
+
+
+def test_duplicate_groups(spark):
+    groups = duplicate_groups(_df(spark)).collect()
+    assert len(groups) == 1
+    assert (groups[0]["min_id"], groups[0]["max_id"], groups[0]["n_dups"]) == (1, 2, 2)
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "abcdef")], "id long, text string")
+    row = df.select(
+        char_shingles("text", 3).alias("cs"), word_shingles("text", 2).alias("ws")
+    ).first()
+    assert row["cs"] == ["abc", "bcd", "cde", "def"]
+    assert row["ws"] == ["abcdef"]  # single word → whole-text shingle
+    row2 = (
+        spark.createDataFrame([(1, "a b c")], "id long, text string")
+        .select(word_shingles("text", 2).alias("ws"))
+        .first()
+    )
+    assert row2["ws"] == ["a b", "b c"]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    cand = minhash_lsh_candidates(_df(spark), num_hashes=64, bands=16).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cand}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # canonical-identical
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert (4, 5) not in pairs
+
+
+def test_minhash_dedup_drops_higher_ids(spark):
+    out = minhash_dedup(_df(spark), threshold=0.8).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert 1 in ids and 4 in ids and 5 in ids
+    assert 2 not in ids  # est_jaccard 1.0 with id 1
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    sig = add_minhash_signature(_df(spark), num_hashes=32)
+    rows = {r["doc_id"]: r["minhash"] for r in sig.collect()}
+    assert all(len(v) == 32 for v in rows.values())
+    assert rows[1] == rows[2]  # canonical-identical → identical signature
+    rows2 = {r["doc_id"]: r["minhash"] for r in add_minhash_signature(_df(spark), num_hashes=32).collect()}
+    assert rows == rows2  # deterministic across runs
+
+
+def test_simhash_identical_and_hamming(spark):
+    df = _df(spark)
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in add_simhash64(df).collect()
+    }
+    assert sims[1] == sims[2]  # canonical-identical text → same simhash
+    d13 = (
+        spark.range(1)
+        .select(hamming64(F.lit(sims[1]), F.lit(sims[3])).alias("h"))
+        .first()["h"]
+    )
+    d14 = (
+        spark.range(1)
+        .select(hamming64(F.lit(sims[1]), F.lit(sims[4])).alias("h"))
+        .first()["h"]
+    )
+    assert d13 < d14  # near-dup closer than unrelated
+
+
+def test_simhash_near_dups_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(_df(spark), max_hamming=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_exact_verification(spark):
+    df = _df(spark)
+    cand = minhash_lsh_candidates(df, num_hashes=64, bands=16)
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, cand).collect()
+    }
+    assert verified[(1, 2)] == 1.0
+    assert 0.5 < verified[(1, 3)] < 1.0

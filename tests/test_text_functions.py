@@ -1,0 +1,117 @@
+"""normalize_text parity + text-analysis function tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.functions.text import (
+    fingerprint64,
+    make_normalize_udf,
+    normalize_query_text_py,
+    normalize_text_py,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    whitespace_token_count,
+    word_token_count,
+)
+
+
+def test_normalize_basics():
+    assert normalize_text_py(None) is None
+    assert normalize_text_py("") is None
+    assert normalize_text_py("   ") is None
+    assert normalize_text_py("hello  world") == "hello world"
+
+
+def test_normalize_preserves_newlines_in_whitespace_mode():
+    assert normalize_text_py("a \n b", True) == "a\nb"  # spaces around \n stripped
+    assert normalize_text_py("a\n\n\n\nb", True) == "a\n\nb"  # squeeze 3+ → 2
+    assert normalize_text_py("a\tb", True) == "a\tb"  # tabs survive whitespace mode
+    assert normalize_text_py("a\nb", False) == "a b"  # flat mode
+
+
+def test_normalize_drops_controls_invisibles_and_astral():
+    assert normalize_text_py("a\x00b\x7fc\x9fd") == "abcd"
+    assert normalize_text_py("x​y­y﻿z") == "xyyz"
+    assert normalize_text_py("emoji\U0001f600gone") == "emojigone"
+    assert normalize_text_py("priv") == "priv"
+    assert normalize_text_py("re�pl") == "repl"
+
+
+def test_normalize_nfkc():
+    assert normalize_text_py("ＡＢＣ１２３") == "ABC123"  # fullwidth → ASCII
+    assert normalize_text_py("ﬁne") == "fine"  # ligature expansion
+
+
+def test_normalize_crlf():
+    assert normalize_text_py("a\r\nb", True) == "a\nb"  # \r→space, stripped at \n
+
+
+def test_query_normalize_empty_is_space():
+    assert normalize_query_text_py("") == " "
+    assert normalize_query_text_py("  \n ") == " "
+    assert normalize_query_text_py("a\nb") == "a b"
+
+
+def test_normalize_udf_matches_python(spark):
+    rows = [
+        (1, "hello  world"),
+        (2, "a\n\n\n\nb"),
+        (3, None),
+        (4, "ＡＢＣ ﬁne​"),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["norm"]
+        for r in df.withColumn("norm", make_normalize_udf(True)(F.col("text"))).collect()
+    }
+    for i, t in rows:
+        assert out[i] == normalize_text_py(t, True), (i, t)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, ""), (3, "don't stop!")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["ws"], r["wt"])
+        for r in df.select(
+            "id",
+            whitespace_token_count("text").alias("ws"),
+            word_token_count("text").alias("wt"),
+        ).collect()
+    }
+    assert got[1] == (3, 3)
+    assert got[2] == (0, 0)
+    assert got[3][0] == 2
+    assert got[3][1] == 5  # don ' t stop !
+
+
+def test_quality_and_ratios(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills " * 8
+    bad = "!!! ??? *** $$$ %%%"
+    df = spark.createDataFrame([(1, good), (2, bad)], "id long, text string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            punct_ratio("text").alias("pr"),
+            stopword_ratio("text").alias("sr"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert got[1]["pr"] < 0.05 and got[1]["sr"] > 0.2
+    assert got[2]["pr"] > 0.5 and got[2]["sr"] == 0.0
+    assert got[1]["q"] > got[2]["q"]
+
+
+def test_fingerprint_ws_and_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["fp"] for r in df.select("id", fingerprint64("text").alias("fp")).collect()}
+    assert got[1] == got[2] != got[3]

@@ -48,6 +48,9 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
+    import functools
+    global print
+    print = functools.partial(print, flush=True)
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = set(a for a in args if "/" not in a)

@@ -1,0 +1,176 @@
+"""Text chunking — the reference's write-path splitters re-expressed
+on DataFrames.
+
+T3 FixedSizeTextSplitter (reference document_processor.py:368-408):
+  - step = chunk_size - chunk_overlap, clamped to ≥1 if overlap≥size
+    (reference :375-377, config validator config.py:35-39)
+  - whole text .strip()'d first; empty docs dropped (:393-397)
+  - window starts at 0, len(text), step — i.e. range(0, len, step)
+  - each piece [start : start+chunk_size] is .strip()'d BEFORE the
+    emptiness check; empty pieces dropped silently (:400-403)
+  - parent metadata copied onto every chunk
+
+Implemented with pure Catalyst builtins: posexplode(sequence(...)) +
+substr + trim. No Python in the loop → whole-stage codegen, linear
+scan, embarrassingly parallel across documents at any scale. The
+explode multiplies rows ~len/step ×, which is exactly the data
+amplification the pipeline needs — no shuffle until a downstream agg.
+
+T4 PDF page-aware splitter (reference document_processor.py:411-477):
+  marker-offset bookkeeping is inherently sequential per document →
+  one Arrow-batched pandas UDF returning array<struct<chunk,page>>,
+  exploded JVM-side afterwards.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_CHUNK_SIZE = 1200  # reference config.py:26
+DEFAULT_CHUNK_OVERLAP = 600  # reference config.py:27
+
+
+def chunk_step(chunk_size: int, chunk_overlap: int) -> int:
+    """step = size - overlap, clamped ≥1 (reference
+    document_processor.py:375-377)."""
+    return max(chunk_size - chunk_overlap, 1)
+
+
+def pystrip(col: Column) -> Column:
+    """Python-``str.strip()`` equivalent: F.trim only removes spaces,
+    but the reference strips all whitespace (document_processor.py:393,
+    400). ``\\s`` covers the ASCII whitespace the normalizer can leave
+    behind (space, tab, newline)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def split_fixed_size(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
+    partition_cols: list[str] | None = None,
+    out_col: str = "chunk",
+    index_col: str = "chunk_index",
+) -> DataFrame:
+    """Explode each row into overlapping fixed-size character chunks.
+
+    Returns the input columns (text_col dropped) plus ``out_col`` (the
+    stripped chunk), ``chunk_start`` (offset into the stripped text)
+    and ``index_col`` (0-based among this row's kept chunks, ordered
+    by offset — computed with a per-document window, cheap because a
+    document's chunks are narrow).
+    """
+    step = chunk_step(chunk_size, chunk_overlap)
+    part = partition_cols or [c for c in df.columns if c != text_col]
+
+    stripped = pystrip(F.col(text_col))
+    base = df.withColumn("__text", stripped).where(F.length("__text") > 0)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("__text") - 1, F.lit(0)), F.lit(step)
+    )
+    piece = pystrip(F.col("__text").substr(F.col("chunk_start") + 1, F.lit(chunk_size)))
+
+    exploded = (
+        base.select("*", F.explode(starts).alias("chunk_start"))
+        .withColumn(out_col, piece)
+        .where(F.col(out_col) != "")
+    )
+    w = Window.partitionBy(*part).orderBy("chunk_start")
+    return (
+        exploded.withColumn(index_col, F.row_number().over(w) - 1)
+        .drop("__text", text_col)
+    )
+
+
+_PAGE_CHUNK_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("chunk", T.StringType()),
+            T.StructField("page_number", T.IntegerType()),
+        ]
+    )
+)
+
+
+def make_page_split_udf(chunk_size: int = DEFAULT_CHUNK_SIZE, chunk_overlap: int = DEFAULT_CHUNK_OVERLAP):
+    """Pandas UDF for the PDF page-aware splitter (reference T4,
+    document_processor.py:411-477).
+
+    Semantics replicated exactly:
+      - ``[[pageN]]`` markers located; positions recorded against the
+        marker-free text (cumulative marker-length offset subtraction)
+      - text chunked WITHOUT a leading global strip (unlike T3)
+      - iteration: start = 0; while start < len; start += size-overlap
+        (no ≥1 clamp here — caller must validate overlap < size, as
+        the reference's config does at config.py:35-39)
+      - chunk attributed to the last marker at-or-before its start;
+        no marker before it → page 1 (:440-448)
+      - empty-after-strip chunks dropped
+    """
+    step = chunk_size - chunk_overlap
+    if step <= 0:
+        raise ValueError("chunk_overlap must be < chunk_size")
+
+    marker_re = re.compile(r"\[\[page(\d+)\]\]")
+
+    def split_one(text: str | None) -> list[tuple[str, int]] | None:
+        if text is None:
+            return None
+        markers: list[tuple[int, int]] = []
+        offset = 0
+        for m in marker_re.finditer(text):
+            markers.append((m.start() - offset, int(m.group(1))))
+            offset += len(m.group(0))
+        clean = marker_re.sub("", text)
+        out: list[tuple[str, int]] = []
+        start = 0
+        while start < len(clean):
+            piece = clean[start : start + chunk_size].strip()
+            if piece:
+                page = 1
+                for pos, pg in reversed(markers):
+                    if pos <= start:
+                        page = pg
+                        break
+                out.append((piece, page))
+            start += step
+        return out
+
+    @pandas_udf(_PAGE_CHUNK_SCHEMA)
+    def page_split(texts: pd.Series) -> pd.Series:
+        return texts.map(split_one)
+
+    return page_split
+
+
+def split_pdf_pages(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply the page-aware splitter and explode to one row per chunk
+    with ``chunk``, ``page_number`` and ``chunk_index`` columns."""
+    part = partition_cols or [c for c in df.columns if c != text_col]
+    udf = make_page_split_udf(chunk_size, chunk_overlap)
+    exploded = (
+        df.withColumn("__chunks", udf(F.col(text_col)))
+        .select("*", F.posexplode("__chunks").alias("chunk_index", "__c"))
+        .select(
+            *part,
+            "chunk_index",
+            F.col("__c.chunk").alias("chunk"),
+            F.col("__c.page_number").alias("page_number"),
+        )
+    )
+    return exploded

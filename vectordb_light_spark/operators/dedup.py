@@ -1,0 +1,455 @@
+"""Deduplication operators for large-corpus training-data pipelines.
+
+The reference records a sha-256 content hash per document but never
+dedups on it (reference document_processor.py:45-54, hash consumed
+only as an id→hash mapping at vector_db_creator.py:293-296) — SURVEY
+§4.1 flags dedup as the engine's north-star addition. Four tiers,
+cheapest→strongest, all shuffle-conscious:
+
+  exact       one hash-partitioned shuffle on a 64-bit key
+  simhash     near-dup via Hamming-close 64-bit sketches
+  minhash+LSH shingle → minhash signature → banded bucket join
+  ngram       pairwise n-gram Jaccard within candidate buckets only
+
+Scale design: every candidate-generation step keys on a small
+fixed-width value (hash / band signature), so the shuffle volume is
+O(rows × signature bytes), never O(text bytes). Pairwise verification
+joins happen only WITHIN buckets (the LSH guarantee), avoiding the
+O(N²) crossJoin at 100 TB.
+
+Performance note (hard-won): higher-order-function lambdas re-evaluate
+any non-attribute subtree PER ELEMENT, and a 64-way transform
+re-evaluates its argument per iteration. A naive
+``minhash(shingles(canonical(text)))`` single expression therefore
+costs 64 × |shingles| × O(regex over text) per row. Every sketch here
+is built as STAGED projections — canonical text, then shingle-hash
+array, then signature, then band keys — each stage materializing a
+column that later stages reference ≥2 times, which keeps Catalyst's
+CollapseProject from inlining the expensive subtree back into the
+lambdas. Per-row cost drops to one pass over the text plus
+64 × |shingles| cheap long-hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE_N = 5
+DEFAULT_NUM_HASHES = 64
+DEFAULT_BANDS = 16
+DEFAULT_SEED = 42
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization & shingling
+# ---------------------------------------------------------------------------
+
+
+def canonical_text(col: Column | str) -> Column:
+    """Whitespace-collapsed, lowercased text — the canonical form keys
+    are computed over. Collapse-then-trim: collapsing first turns
+    \\n\\t into plain spaces, so the space-only trim is a full
+    Python-style strip."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def char_shingles(col: Column | str, n: int = DEFAULT_SHINGLE_N) -> Column:
+    """Distinct character n-gram array of the canonical text.
+
+    NOTE: apply this to an already-materialized (attribute) column —
+    e.g. ``df.withColumn("t", canonical_text("text"))`` then
+    ``char_shingles("t")`` — otherwise the canonicalization regex
+    re-runs per shingle (see module docstring). Texts shorter than n
+    yield a single whole-text shingle."""
+    t = F.col(col) if isinstance(col, str) else col
+    starts = F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0)))
+    return F.array_distinct(F.transform(starts, lambda s: t.substr(s + 1, F.lit(n))))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram array (space-joined) of an attribute
+    column holding canonical text (same materialization caveat as
+    :func:`char_shingles`)."""
+    t = F.col(col) if isinstance(col, str) else col
+    words = F.split(t, " ")
+    k = F.greatest(F.size(words) - n + 1, F.lit(1))
+    starts = F.sequence(F.lit(0), k - 1)
+    return F.array_distinct(
+        F.transform(starts, lambda s: F.array_join(F.slice(words, s + 1, n), " "))
+    )
+
+
+def _staged_shingle_hashes(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """(id, __h: array<long>) — xxhash64 of each char shingle, built in
+    three collapse-safe stages. Duplicates are kept: min/vote sketches
+    are invariant (min) or frequency-weighted (vote) under multisets,
+    and skipping array_distinct avoids its quadratic scan."""
+    keep = keep or []
+    canon = df.select(
+        F.col(id_col).alias("__id"), *keep, canonical_text(text_col).alias("__t")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("__t") - shingle_n, F.lit(0))
+    )
+    return canon.select(
+        "__id",
+        *keep,
+        F.transform(
+            F.transform(starts, lambda s: F.col("__t").substr(s + 1, F.lit(shingle_n))),
+            lambda sh: F.xxhash64(sh),
+        ).alias("__h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Keep one row per distinct text (min id wins — deterministic,
+    unlike dropDuplicates whose survivor is partition-order dependent).
+
+    Plan: sha2 key → hash-partition shuffle on the key → min(id) per
+    group → join winners back. The aggregation exchange carries only
+    (key, id); wide text columns never shuffle."""
+    key = F.sha2(canonical_text(text_col) if canonicalize else F.col(text_col), 256)
+    keyed = df.withColumn("__key", key)
+    winners = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["__key", id_col], "inner").drop("__key")
+
+
+def duplicate_groups(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Report exact-duplicate clusters: (text_hash, n_dups, min/max id).
+    The observability companion to :func:`exact_dedup`."""
+    key = F.sha2(canonical_text(text_col), 256)
+    return (
+        df.withColumn("text_hash", key)
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def add_minhash_signature(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = DEFAULT_SHINGLE_N,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    seed: int = DEFAULT_SEED,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """(id, minhash: array<long>[num_hashes]) per row.
+
+    h_i(s) = xxhash64(xxhash64(shingle), i+seed) — the shingle string
+    is hashed ONCE, then num_hashes cheap long-pair hashes derive the
+    family (Broder 1997: P[min h_i(A) = min h_i(B)] = Jaccard(A,B)).
+    All JVM-side; zero shuffle."""
+    hashed = _staged_shingle_hashes(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n, keep=keep
+    )
+    # ONE traversal of the shingle-hash array updating all num_hashes
+    # minima per element. Expressed as aggregate so the array argument
+    # is evaluated exactly once per row even if Catalyst's
+    # CollapseProject inlines it (a k-way transform would re-evaluate
+    # its argument k times — see module docstring).
+    seeds = F.array(*[F.lit(seed + i) for i in range(num_hashes)])
+    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * num_hashes)
+    sig = F.aggregate(
+        F.col("__h"),
+        init,
+        lambda acc, h: F.zip_with(acc, seeds, lambda a, s: F.least(a, F.xxhash64(h, s))),
+    )
+    return hashed.select(
+        F.col("__id").alias(id_col), *(keep or []), sig.alias("minhash")
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Split a minhash signature into ``bands`` keys (hash of each
+    band's rows). Two sets sharing ANY band key become candidates —
+    the standard S-curve tradeoff: P[candidate] = 1-(1-j^r)^b.
+    Apply to a materialized signature column."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
+            ),
+            b,
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = DEFAULT_SHINGLE_N,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash
+    LSH, annotated with the signature-estimated Jaccard.
+
+    Plan: per-row signature (narrow, no shuffle) → explode band keys →
+    self-equi-join on (band_idx, band_key) — shuffle carries only
+    (band key, id, signature) — → pair dedup across bands. Band keys
+    are uniform 64-bit hashes → no join skew at any scale.
+    """
+    rows_per_band = num_hashes // bands
+    with_sig = add_minhash_signature(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        seed=seed,
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col("minhash").alias("__sig"),
+    )
+    banded = with_sig.select(
+        "__id",
+        "__sig",
+        F.posexplode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias(
+            "__band_idx", "__band_key"
+        ),
+    )
+    a = banded.select(
+        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
+        "__band_idx", "__band_key",
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
+        "__band_idx", "__band_key",
+    )
+    pairs = (
+        a.join(b, ["__band_idx", "__band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return pairs.withColumn("est_jaccard", est).drop("sig_a", "sig_b")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: any row whose estimated Jaccard with a
+    LOWER-id row exceeds ``threshold`` is removed (greedy min-id
+    survivor — direct pairs, one pass; iterate for transitive
+    closure if chains matter)."""
+    cand = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    losers = (
+        cand.where(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def add_simhash64(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 4,
+    out_col: str = "simhash",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash (Charikar 2002) of the
+    shingle multiset: per-bit ±1 votes over shingle hashes, sign →
+    bit. Hamming-close outputs ⇔ similar shingle sets. Staged so the
+    shingle-hash array is computed once and referenced by all 64 bit
+    votes (bit 63's mask is min-long; bits are disjoint so summing
+    selected masks ≡ OR-ing them)."""
+    hashed = _staged_shingle_hashes(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n, keep=keep
+    )
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    # ONE traversal: per shingle hash, update all 64 bit-votes via
+    # zip_with (same single-pass rationale as add_minhash_signature).
+    votes = F.aggregate(
+        F.col("__h"),
+        F.array(*[F.lit(0)] * 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return hashed.select(
+        F.col("__id").alias(id_col), *(keep or []), sim.alias(out_col)
+    )
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit keys: popcount(a XOR b)
+    via bit_count (Spark 3.3+ builtin)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit sub-keys (any
+    pair within Hamming ≤3 of a 64-bit key shares at least one exact
+    16-bit quarter — pigeonhole; wider max_hamming trades recall),
+    then verify Hamming within blocks.
+
+    The block join is an equi-join on (quarter_idx, quarter_value);
+    shuffle volume is 4 rows × 16 bytes per document."""
+    keyed = add_simhash64(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sim"))
+    quarters = keyed.select(
+        "__id",
+        "__sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sim"), s).bitwiseAND(
+                        F.lit(0xFFFF).cast("long")
+                    )
+                    for s in (0, 16, 32, 48)
+                ]
+            )
+        ).alias("__q_idx", "__q_val"),
+    )
+    a = quarters.select(
+        F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"), "__q_idx", "__q_val"
+    )
+    b = quarters.select(
+        F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"), "__q_idx", "__q_val"
+    )
+    return (
+        a.join(b, ["__q_idx", "__q_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64("sim_a", "sim_b"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact verification)
+# ---------------------------------------------------------------------------
+
+
+def add_char_shingles(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = DEFAULT_SHINGLE_N,
+    out_col: str = "shingles",
+) -> DataFrame:
+    """(id, shingles: array<string>) with the canonical text staged as
+    a materialized column first (see module docstring)."""
+    canon = df.select(
+        F.col(id_col).alias(id_col), canonical_text(text_col).alias("__t")
+    )
+    return canon.select(
+        id_col, char_shingles(F.col("__t"), shingle_n).alias(out_col)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (id_a, id_b): join the
+    shingle arrays back and compute |A∩B| / |A∪B| with array builtins.
+    Run AFTER LSH/SimHash blocking — never pairwise over the corpus.
+    """
+    sh = add_char_shingles(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n, out_col="__sh"
+    )
+    out = (
+        candidates.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
+        ).join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), "id_b"
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.withColumn(
+        "jaccard",
+        F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union),
+    ).drop("sh_a", "sh_b")

@@ -208,6 +208,287 @@ def vq_postfilters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Write-path operators (SURVEY §2.3 T1-T3) — chunking, hashing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_chunk_fixed",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t,
+               CAST(UNNEST(generate_series(0, greatest(length(t) - 1, 0), 200)) AS INT)
+                   AS chunk_start
+        FROM base WHERE length(t) > 0
+    ),
+    pieces AS (
+        SELECT doc_id, chunk_start,
+               regexp_replace(substring(t, chunk_start + 1, 300),
+                              '^\s+|\s+$', '', 'g') AS chunk
+        FROM starts
+    )
+    SELECT doc_id, chunk_start, chunk,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_start) - 1 AS INT)
+               AS chunk_index
+    FROM pieces
+    WHERE chunk != ''
+    ORDER BY doc_id, chunk_index
+    """,
+)
+def pipe_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 fixed-size overlapping chunker (size=300, overlap=100) as
+    pure builtins: explode(sequence) + substr + strip. Row-parallel,
+    no shuffle except the per-doc chunk_index window (reference
+    document_processor.py:368-408)."""
+    from vectordb_light_spark.operators.chunker import split_fixed_size
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = split_fixed_size(
+        docs, chunk_size=300, chunk_overlap=100, partition_cols=["doc_id"]
+    )
+    return out.select("doc_id", "chunk_start", "chunk", "chunk_index").orderBy(
+        "doc_id", "chunk_index"
+    )
+
+
+@register(
+    "pipe_doc_hash",
+    oracle="""
+    SELECT doc_id, sha256(text) AS doc_hash, length(text) AS text_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def pipe_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 content hash: sha-256 of document text (reference
+    document_processor.py:45-54) — JVM builtin sha2."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("doc_hash"),
+        F.length("text").alias("text_len"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (beyond-reference north star; BASELINE.json)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_text_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INT)
+           END AS n_ws_tokens,
+           CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_word_tokens,
+           ROUND(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text)
+                 END, 6) AS punct_ratio,
+           length(text) AS n_chars_actual
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def ts_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation ratio per document — all JVM-side
+    regexp builtins (north-star text-analysis surface)."""
+    from vectordb_light_spark.functions.text import (
+        punct_ratio,
+        whitespace_token_count,
+        word_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_ws_tokens"),
+        word_token_count("text").cast("int").alias("n_word_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (beyond-reference north star; BASELINE.json)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd_exact_dedup",
+    oracle=r"""
+    WITH keyed AS (
+        SELECT doc_id, lang, source,
+               sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS k
+        FROM documents
+    ),
+    winners AS (SELECT k, MIN(doc_id) AS doc_id FROM keyed GROUP BY k)
+    SELECT keyed.doc_id AS doc_id, lang, source
+    FROM keyed JOIN winners ON keyed.k = winners.k AND keyed.doc_id = winners.doc_id
+    ORDER BY keyed.doc_id
+    """,
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on canonicalized text, deterministic min-id
+    survivor. One narrow-key shuffle (SURVEY §4.1 north star)."""
+    from vectordb_light_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    return exact_dedup(docs).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@register(
+    "dd_duplicate_groups",
+    oracle=r"""
+    SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+           COUNT(*) AS n_dups, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+    ORDER BY text_hash
+    """,
+)
+def dd_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster report (observability companion)."""
+    from vectordb_light_spark.operators.dedup import duplicate_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_groups(docs).orderBy("text_hash")
+
+
+@register(
+    "dd_jaccard_pairs",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(0, greatest(length(t) - 5, 0)),
+                   x -> substring(t, x + 1, 5))) AS sh
+        FROM (SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+              FROM documents WHERE doc_id < 250)
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-5-gram Jaccard near-dup pairs (threshold 0.5) on the
+    doc_id<250 slice — the exact-verification tier of the dedup stack.
+    The slice keeps the oracle's O(N²) tractable; at scale the engine
+    runs this only within LSH candidate buckets
+    (operators.dedup.minhash_lsh_candidates)."""
+    from vectordb_light_spark.operators.dedup import add_char_shingles
+
+    docs = add_char_shingles(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 250),
+        shingle_n=5,
+        out_col="sh",
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("dd_minhash_candidates")  # rows-only: xxhash64 has no DuckDB twin
+def dd_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (64 hashes, 16 bands) —
+    the scale path for N×N near-dedup: shuffle carries only
+    (band_key, id, signature), never text. No oracle: signatures
+    depend on Spark's xxhash64, which DuckDB lacks; the exact-Jaccard
+    tier (dd_jaccard_pairs) oracle-checks the same semantics."""
+    from vectordb_light_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_candidates(docs, num_hashes=64, bands=16)
+        .where(F.col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("dd_simhash_near_dups")  # rows-only: xxhash64-based sketch
+def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 12 on 64-bit sketches,
+    pigeonhole-blocked on 16-bit quarters)."""
+    from vectordb_light_spark.operators.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=12).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Citation aggregation (SURVEY §2.5 Q14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vq_citations",
+    oracle="""
+    WITH topk AS (
+        SELECT e.vec_id, d.source,
+               LEAST(GREATEST(list_cosine_similarity(
+                   e.embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+               ), 0.0), 1.0) AS sim
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ORDER BY sim DESC, e.vec_id ASC
+        LIMIT 100
+    )
+    SELECT source,
+           ROUND(MIN(sim), 6) AS min_score,
+           ROUND(MAX(sim), 6) AS max_score,
+           COUNT(*) AS n_chunks
+    FROM topk
+    GROUP BY source
+    ORDER BY min_score, source
+    """,
+)
+def vq_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 citation aggregation: group top-k hits by source, min/max
+    similarity per group, ordered by min score asc (reference
+    utilities.py:24-77; 'source' plays file_path)."""
+    from vectordb_light_spark.operators.search import similarity_column
+
+    q = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    topk = (
+        emb.join(F.broadcast(docs), emb.vec_id == docs.doc_id)
+        .withColumn("sim", similarity_column("embedding", q, assume_normalized=False))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(100)
+    )
+    return (
+        topk.groupBy("source")
+        .agg(
+            F.round(F.min("sim"), 6).alias("min_score"),
+            F.round(F.max("sim"), 6).alias("max_score"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .orderBy("min_score", "source")
+    )
+
+
 @register(
     "rel_pricing_summary",
     oracle="""
