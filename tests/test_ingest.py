@@ -1,0 +1,249 @@
+"""End-to-end write-path tests: extract → chunk → normalize → embed →
+write → open → search (SURVEY §5.3 golden-path test with the
+deterministic hashing encoder)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.engine import VectorDB
+from vectordb_light_spark.functions.embedding import HashingEmbedder, embed_documents
+from vectordb_light_spark.operators.ingest import (
+    IngestConfig,
+    create_database,
+    delete_database,
+    list_databases,
+)
+from vectordb_light_spark.operators.search import SearchParams
+from vectordb_light_spark.sources.extract import extract_bytes, load_directory, strip_html
+
+
+# ---------------------------------------------------------------------------
+# Extractors (pure functions)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_txt_and_md():
+    assert extract_bytes("a.txt", b"hello world") == ("hello world", None)
+    assert extract_bytes("a.md", b"# title")[0] == "# title"
+    # latin-1 fallback: 0xe9 is not valid utf-8
+    text, reason = extract_bytes("a.txt", b"caf\xe9")
+    assert reason is None and text == b"caf\xe9".decode("latin-1")
+
+
+def test_extract_csv_flattens_to_prose():
+    text, reason = extract_bytes("t.csv", b"a,b,c\n1,2,3\n")
+    assert reason is None
+    assert text == "a b c\n1 2 3"
+
+
+def test_extract_html_strips_tags_and_script():
+    html = b"<html><head><script>var x=1;</script></head><body><p>Hi <b>there</b></p></body></html>"
+    text, reason = extract_bytes("p.html", html)
+    assert reason is None
+    assert "var x" not in text and "Hi" in text and "there" in text
+
+
+def test_strip_html_separator():
+    assert strip_html("<p>a</p><p>b</p>").split() == ["a", "b"]
+
+
+def test_extract_eml_subject_and_body():
+    eml = (
+        b"From: x@example.com\r\nTo: y@example.com\r\n"
+        b"Subject: Test mail\r\nContent-Type: text/plain\r\n\r\n"
+        b"The body text.\r\n"
+    )
+    text, reason = extract_bytes("m.eml", eml)
+    assert reason is None
+    assert text.startswith("Subject: Test mail")
+    assert "The body text." in text
+
+
+def test_extract_drop_policies():
+    assert extract_bytes("a.xyz", b"x") == (None, "unsupported_extension")
+    assert extract_bytes("a.txt", b"   ") == (None, "no_content")
+    # pdf parser not installed in this container → gated drop
+    assert extract_bytes("a.pdf", b"%PDF-1.4") == (None, "missing_parser")
+
+
+# ---------------------------------------------------------------------------
+# Embedding stage
+# ---------------------------------------------------------------------------
+
+
+def test_hashing_embedder_deterministic_unit_norm():
+    e = HashingEmbedder(dim=32, seed=7)
+    v1 = e.encode(["hello world", "other text"])
+    v2 = e.encode(["hello world", "other text"])
+    np.testing.assert_array_equal(v1, v2)
+    assert v1.shape == (2, 32) and v1.dtype == np.float32
+    np.testing.assert_allclose(np.linalg.norm(v1, axis=1), 1.0, atol=1e-5)
+    # similar token multisets are closer than disjoint ones
+    a, b, c = e.encode(["the cat sat", "the cat sat down", "xylophone quartz"])
+    assert float(a @ b) > float(a @ c)
+
+
+def test_embed_documents_stage(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, None)], "id long, text string"
+    )
+    out = embed_documents(df, {"encoder": "hashing", "dim": 16, "seed": 0})
+    rows = {r["id"]: r["vector"] for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert len(rows[1]) == 16
+    # same text → same vector as the driver-side encoder
+    expected = HashingEmbedder(dim=16, seed=0).encode(["alpha beta"])[0]
+    np.testing.assert_allclose(rows[1], expected, atol=1e-6)
+    # null text embeds as the zero vector (kept finite by eps-norm)
+    assert np.linalg.norm(rows[3]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Full write path + engine API
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def doc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs")
+    (d / "alpha.txt").write_text(
+        "The quick brown fox jumps over the lazy dog. " * 40
+    )
+    (d / "beta.md").write_text("Spark engines process data in parallel. " * 40)
+    (d / "gamma.csv").write_text("name,role\nada,engineer\nalan,scientist\n")
+    (d / "page.html").write_text("<html><body><p>Hypertext content here.</p></body></html>")
+    (d / "bad.xyz").write_text("unsupported")
+    (d / "empty.txt").write_text("   ")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def built_db(spark, doc_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dbroot"))
+    docs, rejects = load_directory(spark, doc_dir)
+    cfg = IngestConfig(
+        chunk_size=200,
+        chunk_overlap=50,
+        embedder_spec={"encoder": "hashing", "dim": 32, "seed": 1},
+        target_files=2,
+    )
+    meta = create_database(spark, docs, root, "testdb", cfg)
+    return root, meta, rejects
+
+
+def test_load_directory_rejects(spark, doc_dir):
+    docs, rejects = load_directory(spark, doc_dir)
+    names = {r["file_name"] for r in docs.select("file_name").collect()}
+    assert names == {"alpha.txt", "beta.md", "gamma.csv", "page.html"}
+    rej = {r["file_path"].split("/")[-1]: r["reject_reason"] for r in rejects.collect()}
+    assert rej.get("empty.txt") == "no_content"
+    # unsupported extension is excluded by the scan's glob filter
+    assert "bad.xyz" not in rej
+
+
+def test_create_database_layout_and_meta(built_db, spark):
+    root, meta, _ = built_db
+    assert list_databases(root) == ["testdb"]
+    assert meta["distance_metric"] == "cosine"
+    assert meta["index_type"] == "FLAT"
+    assert meta["dimensions"] == 32
+    assert meta["num_vectors"] > 0
+    db = VectorDB.open(spark, root, "testdb", cache=False)
+    vec = db.vectors
+    assert {"id", "doc_hash", "chunk_index", "page_number", "text", "vector"} <= set(
+        vec.columns
+    )
+    # ids are deterministic: xxhash64(doc_hash, chunk_index)
+    recomputed = vec.where(
+        F.xxhash64(F.col("doc_hash"), F.col("chunk_index")) != F.col("id")
+    ).count()
+    assert recomputed == 0
+    # write-path invariant: all vectors unit-norm
+    norms = [
+        float(np.linalg.norm(r["vector"])) for r in vec.select("vector").collect()
+    ]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+
+
+def test_exists_guard(built_db, spark):
+    root, _, _ = built_db
+    docs = spark.createDataFrame(
+        [("h", "text", ".txt", "f", "/f")],
+        "hash string, text string, file_type string, file_name string, file_path string",
+    )
+    with pytest.raises(FileExistsError):
+        create_database(spark, docs, root, "testdb")
+
+
+def test_search_end_to_end(built_db, spark):
+    root, _, _ = built_db
+    db = VectorDB.open(spark, root, "testdb", cache=False)
+    res = db.search("quick brown fox", params=SearchParams(k=4, threshold=0.0))
+    rows = res.collect()
+    assert 0 < len(rows) <= 4
+    # the fox document should win
+    assert rows[0]["file_name"] == "alpha.txt"
+    assert rows[0]["rank"] == 1
+    sims = [r["similarity_score"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in sims)
+
+
+def test_search_threshold_and_term_filters(built_db, spark):
+    root, _, _ = built_db
+    db = VectorDB.open(spark, root, "testdb", cache=False)
+    # absurd threshold → empty result, not an error
+    assert db.search("fox", params=SearchParams(k=4, threshold=0.999)).count() in (0, 1, 2, 3, 4)
+    hi = db.search("fox", params=SearchParams(k=4, threshold=1.01))
+    assert hi.count() == 0
+    # search term filter: only chunks containing 'spark' (case-insensitive)
+    res = db.search(
+        "engines parallel", params=SearchParams(k=6, threshold=0.0, search_term="SPARK")
+    )
+    assert all("spark" in r["text"].lower() for r in res.collect())
+
+
+def test_chunks_only_formatting(built_db, spark):
+    root, _, _ = built_db
+    db = VectorDB.open(spark, root, "testdb", cache=False)
+    out = db.chunks_only("quick brown fox", params=SearchParams(k=2, threshold=0.0))
+    assert "CONTEXT 1 | alpha.txt" in out
+    assert out.count("-" * 80) >= 2
+
+
+def test_rag_prompt(built_db, spark):
+    root, _, _ = built_db
+    db = VectorDB.open(spark, root, "testdb", cache=False)
+    prompt = db.rag_prompt("quick brown fox", params=SearchParams(k=2, threshold=0.0))
+    assert prompt.startswith("Here are the contexts")
+    assert prompt.rstrip().endswith("quick brown fox")
+    with pytest.raises(ValueError):
+        db.rag_prompt("fox", params=SearchParams(k=2, threshold=1.01))
+
+
+def test_citations_over_search(built_db, spark):
+    root, _, _ = built_db
+    db = VectorDB.open(spark, root, "testdb", cache=False)
+    res = db.search("quick brown fox parallel data", params=SearchParams(k=6, threshold=0.0))
+    cites = db.citations(res).collect()
+    assert len(cites) >= 1
+    mins = [r["min_score"] for r in cites]
+    assert mins == sorted(mins)
+
+
+def test_delete_database(built_db, spark, doc_dir, tmp_path_factory):
+    root2 = str(tmp_path_factory.mktemp("dbroot2"))
+    docs, _ = load_directory(spark, doc_dir)
+    create_database(
+        spark, docs, root2, "tmpdb",
+        IngestConfig(chunk_size=200, chunk_overlap=50, target_files=1),
+    )
+    assert list_databases(root2) == ["tmpdb"]
+    delete_database(root2, "tmpdb")
+    assert list_databases(root2) == []
+    assert not os.path.exists(os.path.join(root2, "tmpdb"))

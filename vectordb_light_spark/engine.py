@@ -1,0 +1,147 @@
+"""VectorDB — the engine's user-facing API: open a built database,
+search it, format results (SURVEY §3.2/§3.3 entry points B and C).
+
+Read path per query (reference QueryVectorDB.search,
+vector_db_query.py:140-263):
+
+    Q1 embed query (driver-side, with the DB's own stored embedder)
+    Q2 exact top-k cosine over the vectors table (dot product — the
+       write path L2-normalizes every vector)
+    Q4 clip to [0,1]
+    Q5 threshold AFTER top-k (may return < k rows)
+    Q8 case-insensitive search-term substring post-filter
+    Q9 document-type equality post-filter
+    Q10 rank-ordered DataFrame out
+
+plus the three presentation operators:
+    Q11 chunks-only banner formatting (vector_db_query.py:54-78)
+    Q12 RAG prompt assembly (chat_llm.py:30-51)
+    Q14 citation aggregation (operators.citations)
+
+The per-database warm cache (Q15, vector_db_query.py:289-317) maps to
+``DataFrame.cache()`` on the vectors table: first search materializes
+the columnar scan, later searches skip I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.functions.embedding import embed_query
+from vectordb_light_spark.operators.citations import format_citations
+from vectordb_light_spark.operators.ingest import META_FILE
+from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+
+#: Reference prompt strings (constants.py:207-208), reproduced for
+#: Q12 parity.
+RAG_STRING = (
+    "Here are the contexts to base your answer on.  However, I need to "
+    "reiterate that I only want you to base your response on these contexts "
+    "and do not use outside knowledge that you may have been trained with."
+)
+SYSTEM_MESSAGE = (
+    "You are a helpful person who clearly and directly answers questions in "
+    "a succinct fashion based on contexts provided to you. If you cannot "
+    "find the answer within the contexts simply tell me that the contexts "
+    "do not provide an answer. However, if the contexts partially address "
+    "my question I still want you to answer based on what the contexts say "
+    "and then briefly summarize the parts of my question that the contexts "
+    "didn't provide an answer."
+)
+
+
+class VectorDB:
+    """An opened database: vectors + documents tables + _meta."""
+
+    def __init__(self, spark: SparkSession, path: str, *, cache: bool = True):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, META_FILE)) as f:
+            self.meta = json.load(f)
+        self.vectors = spark.read.parquet(os.path.join(path, "vectors"))
+        if cache:
+            # Q15 warm cache: keep the columnar scan hot across queries.
+            self.vectors = self.vectors.cache()
+        self.documents = spark.read.parquet(os.path.join(path, "documents"))
+
+    @classmethod
+    def open(cls, spark: SparkSession, db_root: str, name: str, **kw) -> "VectorDB":
+        return cls(spark, os.path.join(db_root, name), **kw)
+
+    # -- search ---------------------------------------------------------
+
+    def embed(self, query_text: str) -> list[float]:
+        """Q1: embed with the database's own stored embedder spec."""
+        return embed_query(query_text, self.meta["embedder"])
+
+    def search(
+        self,
+        query_text: str | None = None,
+        *,
+        query_vector: list[float] | None = None,
+        params: SearchParams = SearchParams(),
+    ) -> DataFrame:
+        """Q1-Q10; returns a rank-ordered DataFrame of surviving hits
+        with similarity_score, text and the chunk metadata columns."""
+        if query_vector is None:
+            if query_text is None:
+                raise ValueError("need query_text or query_vector")
+            query_vector = self.embed(query_text)
+        # Write-path invariant: stored vectors are L2-normalized.
+        params = replace(params, assume_normalized=True)
+        return topk_cosine(
+            self.vectors, query_vector, params, id_col="id", vec_col="vector"
+        )
+
+    # -- presentation ---------------------------------------------------
+
+    @staticmethod
+    def format_chunks(hits: list[tuple[str, str]]) -> str:
+        """Q11 chunks-only formatting: numbered CONTEXT banners
+        (reference vector_db_query.py:61-74). ``hits`` is
+        [(text, file_name)] in rank order."""
+        formatted = []
+        for index, (context, file_name) in enumerate(hits, start=1):
+            cleaned = re.sub(r"\n[ \t]+\n", "\n\n", context)
+            cleaned = re.sub(r"\n\s*\n\s*\n*", "\n\n", cleaned.strip())
+            formatted.append(
+                f"{'-' * 80}\nCONTEXT {index} | {file_name}\n{'-' * 80}\n{cleaned}\n"
+            )
+        return "\n".join(formatted)
+
+    def chunks_only(self, query_text: str, params: SearchParams = SearchParams()) -> str:
+        """Entry point B (SURVEY §3.2): search + Q11 formatting."""
+        rows = (
+            self.search(query_text, params=params)
+            .select("text", "file_name")
+            .collect()
+        )
+        return self.format_chunks([(r["text"], r["file_name"]) for r in rows])
+
+    def rag_prompt(self, query_text: str, params: SearchParams = SearchParams()) -> str:
+        """Q12: assemble the augmented RAG prompt (reference
+        chat_llm.py:45-50). Raises if no contexts survive, like the
+        reference."""
+        contexts = [
+            r["text"] for r in self.search(query_text, params=params).select("text").collect()
+        ]
+        if not contexts:
+            raise ValueError("No relevant contexts found.")
+        return (
+            f"{RAG_STRING}\n\n---\n\n"
+            + "\n\n---\n\n".join(contexts)
+            + f"\n\n-----\n\n{query_text}"
+        )
+
+    def citations(self, results: DataFrame) -> DataFrame:
+        """Q14 over a search() result."""
+        return format_citations(results)
+
+    def close(self) -> None:
+        self.vectors.unpersist()

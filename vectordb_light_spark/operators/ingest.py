@@ -1,0 +1,217 @@
+"""The write path: documents → chunks → vectors database (SURVEY
+§3.1 / §2.2).
+
+The reference's 6-stage subprocess pipeline (vector_db_creator.py:
+368-526) collapses into one declarative Spark job:
+
+    scan binaryFile → extract (sources.extract) → chunk (T3/T4)
+    → normalize (T5 pandas UDF) → embed (mapInPandas, E1-E10)
+    → write parquet vectors + documents + _meta sidecar (K1-K6)
+
+Sink-semantics parity:
+  K1  batched TileDB write            → partitioned parquet write
+  K2  random uint64 ids               → xxhash64(doc_hash, chunk_index)
+      (deterministic by design — SURVEY §7 hard-parts list; the
+      reference's random ids at vector_db_creator.py:288-291 are a
+      testability bug we do not reproduce)
+  K4  FLAT index ingest               → no-op: FLAT ≡ full scan of the
+      vectors table (index = the L2-normalized vector column)
+  K5  index metadata sidecar          → _meta.json with the same keys
+      (vector_db_creator.py:346-354) + the embedder spec
+  K6  SQLite documents/hash tables    → documents parquet; id→hash is
+      the doc_hash column on vectors (no separate join table)
+  K7  exists guard                    → mkdir(exist_ok=False) parity
+  K8  failed-write cleanup            → write to <db>.tmp-…, atomic
+      rename on success, rmtree on failure
+  K10 backup / restore / delete       → directory copy / rename / rm
+
+Layout per database (all relative to a ``db_root``):
+    <db_root>/<name>/vectors/   parquet: id, doc_hash, chunk_index,
+                                page_number, text, vector, metadata
+    <db_root>/<name>/documents/ parquet: one row per source document
+    <db_root>/<name>/_meta.json index + embedder + chunk config
+
+Scale: chunks inherit the scan's partitioning (narrow explode), the
+embed stage is map-only, and the final write repartitions to a target
+file count (K3's consolidate analogue) — no shuffle anywhere except
+that optional repartition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.functions.embedding import DEFAULT_DIM, embed_documents
+from vectordb_light_spark.functions.text import make_normalize_udf
+from vectordb_light_spark.operators.chunker import (
+    DEFAULT_CHUNK_OVERLAP,
+    DEFAULT_CHUNK_SIZE,
+    split_fixed_size,
+    split_pdf_pages,
+)
+
+META_FILE = "_meta.json"
+
+
+@dataclass(frozen=True)
+class IngestConfig:
+    """Build-time knobs (reference config.py:26-39 defaults)."""
+
+    chunk_size: int = DEFAULT_CHUNK_SIZE
+    chunk_overlap: int = DEFAULT_CHUNK_OVERLAP
+    embedder_spec: dict = field(
+        default_factory=lambda: {"encoder": "hashing", "dim": DEFAULT_DIM, "seed": 0}
+    )
+    target_files: int = 32  # K3 consolidate analogue
+
+    def __post_init__(self) -> None:
+        if self.chunk_overlap >= self.chunk_size:
+            # reference config validator (config.py:35-39)
+            raise ValueError("chunk_overlap must be < chunk_size")
+
+
+def build_chunks(documents: DataFrame, cfg: IngestConfig) -> DataFrame:
+    """T3/T4 + T5: split every document into normalized chunks.
+
+    ``documents`` needs (hash, text, file_type); all other columns
+    pass through (the reference copies parent metadata onto every
+    chunk, document_processor.py:404-406). PDFs (by ``file_type``) go
+    through the page-aware splitter; everything else through the
+    fixed-size builtin splitter. Output adds chunk_index, page_number
+    (null for non-PDF), chunk text in ``text``.
+    """
+    meta_cols = [c for c in documents.columns if c != "text"]
+    is_pdf = F.col("file_type") == ".pdf"
+
+    plain = split_fixed_size(
+        documents.where(~is_pdf),
+        chunk_size=cfg.chunk_size,
+        chunk_overlap=cfg.chunk_overlap,
+        partition_cols=["hash"],
+    ).select(*meta_cols, "chunk_index", F.col("chunk"), F.lit(None).cast("int").alias("page_number"))
+
+    pdf = split_pdf_pages(
+        documents.where(is_pdf),
+        chunk_size=cfg.chunk_size,
+        chunk_overlap=cfg.chunk_overlap,
+        partition_cols=meta_cols,
+    ).select(*meta_cols, "chunk_index", F.col("chunk"), "page_number")
+
+    chunks = plain.unionByName(pdf)
+
+    # T5 normalize (whitespace mode, reference stage_split.py:60-63);
+    # empty-after-normalize chunks drop (normalize returns null).
+    normalize = make_normalize_udf(preserve_whitespace=True)
+    return (
+        chunks.withColumn("text", normalize(F.col("chunk")))
+        .drop("chunk")
+        .where(F.col("text").isNotNull())
+    )
+
+
+def build_vectors(chunks: DataFrame, cfg: IngestConfig) -> DataFrame:
+    """E-stage + K2: embed chunks, assign deterministic 64-bit ids.
+
+    id = xxhash64(doc_hash, chunk_index) — stable across runs and
+    executors; collision odds at 100 TB (~2^40 chunks) stay below the
+    reference's own random-uint64 scheme.
+    """
+    embedded = embed_documents(chunks, cfg.embedder_spec, text_col="text")
+    return embedded.withColumn(
+        "id", F.xxhash64(F.col("hash"), F.col("chunk_index"))
+    ).withColumnRenamed("hash", "doc_hash")
+
+
+def _meta_payload(cfg: IngestConfig, num_vectors: int) -> dict:
+    # K5 sidecar keys (reference vector_db_creator.py:346-354).
+    return {
+        "distance_metric": "cosine",
+        "dimensions": int(cfg.embedder_spec.get("dim", DEFAULT_DIM)),
+        "vector_type": "float32",
+        "index_type": "FLAT",
+        "num_vectors": num_vectors,
+        "embedder": cfg.embedder_spec,
+        "chunk_size": cfg.chunk_size,
+        "chunk_overlap": cfg.chunk_overlap,
+    }
+
+
+def create_database(
+    spark: SparkSession,
+    documents: DataFrame,
+    db_root: str,
+    name: str,
+    cfg: IngestConfig = IngestConfig(),
+) -> dict:
+    """Full write path into <db_root>/<name>; returns the _meta dict.
+
+    Atomic: stages into <name>.tmp-<uuid>, renames on success, removes
+    on any failure (K8). Raises FileExistsError if the database exists
+    (K7, reference vector_db_creator.py:464-471).
+    """
+    final_dir = os.path.join(db_root, name)
+    if os.path.exists(final_dir):
+        raise FileExistsError(f"database '{name}' already exists at {final_dir}")
+    os.makedirs(db_root, exist_ok=True)
+    tmp_dir = os.path.join(db_root, f"{name}.tmp-{uuid.uuid4().hex[:8]}")
+
+    try:
+        chunks = build_chunks(documents, cfg)
+        vectors = build_vectors(chunks, cfg)
+        (
+            vectors.repartition(cfg.target_files)
+            .write.mode("error")
+            .parquet(os.path.join(tmp_dir, "vectors"))
+        )
+        documents.write.mode("error").parquet(os.path.join(tmp_dir, "documents"))
+
+        written = spark.read.parquet(os.path.join(tmp_dir, "vectors"))
+        meta = _meta_payload(cfg, num_vectors=written.count())
+        with open(os.path.join(tmp_dir, META_FILE), "w") as f:
+            json.dump(meta, f, indent=2)
+
+        os.rename(tmp_dir, final_dir)
+        return meta
+    except BaseException:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise
+
+
+def delete_database(db_root: str, name: str) -> None:
+    """K10 delete (reference gui_tabs_manage_databases.py:153-197)."""
+    shutil.rmtree(os.path.join(db_root, name))
+
+
+def backup_database(db_root: str, name: str, backup_root: str) -> str:
+    """K10 backup: directory copy (reference utilities.py:79-105)."""
+    dst = os.path.join(backup_root, name)
+    shutil.copytree(os.path.join(db_root, name), dst, dirs_exist_ok=True)
+    return dst
+
+
+def restore_database(backup_root: str, name: str, db_root: str) -> str:
+    """K10 restore from backup (reference initialize.py:55-81)."""
+    dst = os.path.join(db_root, name)
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(os.path.join(backup_root, name), dst)
+    return dst
+
+
+def list_databases(db_root: str) -> list[str]:
+    """Registry scan: every subdirectory with a _meta.json (the
+    reference's config.yaml created_databases map, config.py:64-67)."""
+    if not os.path.isdir(db_root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(db_root)
+        if os.path.isfile(os.path.join(db_root, d, META_FILE))
+    )

@@ -275,6 +275,89 @@ def pipe_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "pipe_chunk_normalized",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t,
+               CAST(UNNEST(generate_series(0, greatest(length(t) - 1, 0), 200)) AS INT)
+                   AS chunk_start
+        FROM base WHERE length(t) > 0
+    ),
+    pieces AS (
+        SELECT doc_id, chunk_start,
+               regexp_replace(substring(t, chunk_start + 1, 300),
+                              '^\s+|\s+$', '', 'g') AS chunk
+        FROM starts
+    ),
+    normed AS (
+        SELECT doc_id, chunk_start,
+               trim(regexp_replace(chunk, '\s+', ' ', 'g')) AS text
+        FROM pieces WHERE chunk != ''
+    )
+    SELECT doc_id, chunk_start, text,
+           length(text) AS n_chars
+    FROM normed WHERE text != ''
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def pipe_chunk_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T5: chunk (300/100) then Unicode-normalize each chunk via the
+    pandas UDF (reference stage_split.py:60-63). The oracle's regex
+    chain is equivalent on this corpus because the driver testdata is
+    pure ASCII with no newlines (NFKC = identity there); the UDF's full
+    char-class behavior is covered unit-side in test_text_functions."""
+    from vectordb_light_spark.functions.text import make_normalize_udf
+    from vectordb_light_spark.operators.chunker import split_fixed_size
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = split_fixed_size(
+        docs, chunk_size=300, chunk_overlap=100, partition_cols=["doc_id"]
+    )
+    normalize = make_normalize_udf(preserve_whitespace=True)
+    return (
+        chunks.withColumn("text", normalize(F.col("chunk")))
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "chunk_start", "text", F.length("text").alias("n_chars"))
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+@register("pipe_hash_embed_topk")  # rows-only: blake2b hashing has no DuckDB twin
+def pipe_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path embed stage + read-path top-k in one plan: embed
+    every document with the deterministic hashing encoder
+    (mapInPandas, E1-E6 shape), then exact top-10 cosine against doc 0
+    as the query — the full engine round-trip the driver can smoke
+    at any scale factor."""
+    from vectordb_light_spark.functions.embedding import (
+        HashingEmbedder,
+        embed_documents,
+    )
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embedded = embed_documents(
+        docs, {"encoder": "hashing", "dim": 64, "seed": 0}
+    ).drop("text")
+    qtext = docs.where(F.col("doc_id") == 0).select("text").first()[0]
+    q = [float(x) for x in HashingEmbedder(dim=64, seed=0).encode([qtext])[0]]
+    out = topk_cosine(
+        embedded,
+        q,
+        SearchParams(k=10, threshold=0.0, assume_normalized=True),
+        id_col="doc_id",
+        vec_col="vector",
+    )
+    return out.select(
+        "doc_id", F.round("similarity_score", 6).alias("similarity_score"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (beyond-reference north star; BASELINE.json)
 # ---------------------------------------------------------------------------
