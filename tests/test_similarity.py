@@ -1,0 +1,136 @@
+"""ANN (SRP-LSH, IVF) and embedding near-dup tests, including recall
+against the exact scan on the driver's embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.operators.similarity import (
+    add_ivf_cluster,
+    add_srp_signature,
+    ann_topk_ivf,
+    ann_topk_srp,
+    cosine_pairs_exact,
+    embedding_near_dup_pairs,
+    srp_planes,
+    srp_signature_of,
+    train_ivf_centroids,
+)
+from vectordb_light_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    row = emb.where(F.col("vec_id") == 3).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def exact_topk_ids(emb, query, k):
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+
+    out = topk_cosine(
+        emb, query, SearchParams(k=k, threshold=0.0, assume_normalized=True),
+        id_col="vec_id", vec_col="embedding",
+    )
+    return [r["vec_id"] for r in out.select("vec_id").collect()]
+
+
+def test_srp_signature_driver_matches_cluster(spark, emb):
+    indexed = add_srp_signature(emb, n_planes=16, seed=7)
+    rows = indexed.select("vec_id", "embedding", "srp_sig").limit(20).collect()
+    planes = srp_planes(64, 16, 7)
+    for r in rows:
+        assert srp_signature_of([float(x) for x in r["embedding"]], planes) == r["srp_sig"]
+
+
+def test_srp_full_radius_equals_exact(spark, emb, query):
+    indexed = add_srp_signature(emb, n_planes=16)
+    ann = ann_topk_srp(indexed, query, k=10, probe_hamming=16, n_planes=16)
+    assert [r["vec_id"] for r in ann.select("vec_id").collect()] == exact_topk_ids(
+        emb, query, 10
+    )
+
+
+def test_srp_recall_at_modest_radius(spark, emb, query):
+    indexed = add_srp_signature(emb, n_planes=16)
+    ann = ann_topk_srp(indexed, query, k=10, probe_hamming=6, n_planes=16)
+    got = {r["vec_id"] for r in ann.select("vec_id").collect()}
+    exact = set(exact_topk_ids(emb, query, 10))
+    recall = len(got & exact) / 10
+    assert recall >= 0.5, f"SRP recall@10 too low: {recall}"
+    # and the candidate filter actually pruned something
+    n_cand = indexed.where(
+        F.bit_count(
+            F.col("srp_sig").bitwiseXOR(
+                F.lit(srp_signature_of(query, srp_planes(64, 16, 42)))
+            )
+        )
+        <= 6
+    ).count()
+    assert n_cand < emb.count()
+
+
+def test_ivf_roundtrip_and_recall(spark, emb, query):
+    cents = train_ivf_centroids(emb, n_centroids=8, n_iters=3)
+    assert cents.shape == (8, 64)
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-6)
+    indexed = add_ivf_cluster(emb, cents).cache()
+    # every row gets a cluster in range
+    assert indexed.where(~F.col("ivf_cluster").between(0, 7)).count() == 0
+    # full probe == exact
+    ann_full = ann_topk_ivf(indexed, cents, query, k=10, nprobe=8)
+    assert [r["vec_id"] for r in ann_full.select("vec_id").collect()] == exact_topk_ids(
+        emb, query, 10
+    )
+    # partial probe: decent recall, strictly pruned scan
+    ann4 = ann_topk_ivf(indexed, cents, query, k=10, nprobe=3)
+    got = {r["vec_id"] for r in ann4.select("vec_id").collect()}
+    recall = len(got & set(exact_topk_ids(emb, query, 10))) / 10
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+
+
+def test_cosine_pairs_exact_symmetric_threshold(spark, emb):
+    pairs = cosine_pairs_exact(emb, threshold=0.3).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert all(r["cosine"] >= 0.3 for r in pairs)
+
+
+def test_embedding_near_dup_subset_of_exact(spark):
+    """Near-dup pairs on hash-embedded documents: every reported pair
+    must appear in the exact O(N²) pair set, and for a generous block
+    radius most exact pairs are recovered."""
+    from vectordb_light_spark.functions.embedding import embed_documents
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb_docs = embed_documents(docs, {"encoder": "hashing", "dim": 64, "seed": 0}).drop(
+        "text"
+    ).cache()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_exact(
+            emb_docs, id_col="doc_id", vec_col="vector", threshold=0.8
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb_docs,
+            id_col="doc_id",
+            vec_col="vector",
+            threshold=0.8,
+            n_planes=16,
+            max_hamming=3,
+        ).collect()
+    }
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.5

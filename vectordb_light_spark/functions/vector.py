@@ -16,10 +16,14 @@ from pyspark.sql import functions as F
 
 
 def dot_product(a: Column | str, b: Column | str) -> Column:
-    """Σ aᵢ·bᵢ as a double. JVM-side: aggregate(zip_with(a,b,*), 0.0, +)."""
+    """Σ aᵢ·bᵢ as a double. JVM-side: aggregate(zip_with(a,b,*), 0.0, +).
+
+    Elements are promoted to double BEFORE the multiply: float*float
+    stays float in Spark, which loses ~3 decimal digits per product
+    and breaks value-parity with engines that compute in double."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -29,7 +33,9 @@ def l2_norm(a: Column | str) -> Column:
     """‖a‖₂ as a double."""
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
     )
 
 

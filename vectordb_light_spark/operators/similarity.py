@@ -1,0 +1,347 @@
+"""Approximate similarity search at scale: SRP-LSH and IVF indexes
+over an ``array<float>`` embedding column, plus embedding-cosine
+near-duplicate detection.
+
+The reference's FLAT index is an exact scan (SURVEY §2.5 Q2) — fine
+for one machine, linear-in-N per query. These operators are the
+100 TB path SURVEY §4.3.2 sketches: cut the scanned fraction with a
+cheap JVM-side prefilter, then run the exact dot-product ranking only
+inside the surviving candidate set. Both index types are plain
+DataFrame columns — no native index structure, so they inherit
+Parquet partition pruning, predicate pushdown, and AQE for free:
+
+  SRP (signed random projections, Charikar 2002): sign-bit signature
+    of V·P for a seeded Gaussian plane set P. sig is ONE long column;
+    P[bit match] = 1 - angle/π. Candidates = rows whose signature
+    Hamming-distance to the query signature ≤ probe radius — a
+    bit_count(xor) <= r scan, no vector math. Persist the table
+    partitioned/z-ordered by signature prefix and the scan prunes
+    whole files.
+
+  IVF (inverted file, à la FAISS IVF-Flat): k-means centroids learned
+    with Lloyd iterations expressed as Spark aggregations (element-
+    wise avg per cluster — dim × avg() columns, all JVM); each row
+    stores its nearest centroid id. Query probes the nprobe nearest
+    centroids and scans only those clusters — at scale, cluster id is
+    the partition key, so a probe is a partition-pruned read of
+    nprobe/k of the data.
+
+Recall is tunable (probe radius / nprobe); tests measure it against
+the exact scan on the driver's embeddings table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.functions.vector import dot_product
+
+DEFAULT_PLANES = 16
+DEFAULT_SEED = 42
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH
+# ---------------------------------------------------------------------------
+
+
+def srp_planes(dim: int, n_planes: int = DEFAULT_PLANES, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes [n_planes, dim] — same on
+    driver and in literals, so query- and build-side signatures agree."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def srp_signature_col(vec_col: Column | str, planes: np.ndarray) -> Column:
+    """Sign-bit signature as one long: bit i = 1 iff V·Pᵢ ≥ 0.
+    Pure Catalyst: one dot product per plane, summed bit weights."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        weight = -(1 << 63) if i == 63 else (1 << i)
+        bits.append(
+            F.when(dot_product(v, p) >= 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def srp_signature_of(vec: list[float], planes: np.ndarray) -> int:
+    """Driver-side signature of one vector (query side)."""
+    sig = 0
+    dots = planes @ np.asarray(vec, dtype=np.float64)
+    for i, d in enumerate(dots):
+        if d >= 0:
+            sig += -(1 << 63) if i == 63 else (1 << i)
+    return sig
+
+
+def add_srp_signature(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "srp_sig",
+    n_planes: int = DEFAULT_PLANES,
+    seed: int = DEFAULT_SEED,
+    dim: int | None = None,
+) -> DataFrame:
+    """Index build: add the signature column (map-only, no shuffle).
+    At scale, follow with ``.write.partitionBy(prefix(out_col))`` so
+    query-time candidate filters prune files."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = srp_planes(dim, n_planes, seed)
+    return df.withColumn(out_col, srp_signature_col(vec_col, planes))
+
+
+def ann_topk_srp(
+    indexed: DataFrame,
+    query: list[float],
+    *,
+    k: int = 10,
+    probe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sig_col: str = "srp_sig",
+    n_planes: int = DEFAULT_PLANES,
+    seed: int = DEFAULT_SEED,
+    assume_normalized: bool = True,
+) -> DataFrame:
+    """ANN top-k: Hamming-ball candidate filter on the signature, then
+    exact cosine rank within candidates.
+
+    The filter is ``bit_count(sig XOR qsig) <= probe_hamming`` — a
+    long-int scan with zero vector math on pruned rows. Expected
+    candidate fraction at radius r: Σ_{i≤r} C(n,i)·pⁱ(1-p)ⁿ⁻ⁱ over the
+    per-bit match probability p (angle-dependent); raise the radius
+    for recall, lower it for speed.
+    """
+    planes = srp_planes(len(query), n_planes, seed)
+    qsig = srp_signature_of(query, planes)
+    cand = indexed.where(
+        F.bit_count(F.col(sig_col).bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    )
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = dot_product(vec_col, q)
+    if not assume_normalized:
+        from vectordb_light_spark.functions.vector import cosine_similarity
+
+        sim = cosine_similarity(vec_col, q)
+    return (
+        cand.withColumn("similarity_score", F.least(F.greatest(sim, F.lit(0.0)), F.lit(1.0)))
+        .orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop(vec_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Lloyd's k-means on the embedding column, Spark-side.
+
+    Init: the n_centroids lowest-id vectors (deterministic; at real
+    scale swap in a seeded sample). Each iteration: assign to nearest
+    centroid (JVM dot products against broadcast centroid literals) →
+    element-wise mean per cluster (dim avg() aggregates — one shuffle
+    of (cluster, vector), no Python). Returns [n_centroids, dim].
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    init = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.array([list(r[0]) for r in init], dtype=np.float64)
+
+    for _ in range(n_iters):
+        assigned = df.select(
+            vec_col, _nearest_centroid_col(vec_col, centroids).alias("__c")
+        )
+        means = (
+            assigned.groupBy("__c")
+            .agg(
+                *[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        for r in means:
+            centroids[r["__c"]] = [r[f"m{i}"] for i in range(dim)]
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        np.maximum(norms, 1e-12, out=norms)
+        centroids = centroids / norms  # unit inputs → spherical k-means
+    return centroids
+
+
+def _nearest_centroid_col(vec_col: str, centroids: np.ndarray) -> Column:
+    """argmax dot(v, cᵢ) over broadcast centroid literals (unit vectors
+    ⇒ max dot ≡ min L2). Expressed as a literal array of structs +
+    array_max; all JVM-side."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot_product(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    # array_max on struct<d,i> orders lexicographically: max d, then max i.
+    return F.array_max(scored)["i"]
+
+
+def add_ivf_cluster(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Index build: attach nearest-centroid id (map-only). At scale,
+    ``.write.partitionBy(out_col)`` makes every probe a partition-
+    pruned read."""
+    return df.withColumn(out_col, _nearest_centroid_col(vec_col, centroids))
+
+
+def ann_topk_ivf(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """IVF probe: rank centroids against the query driver-side (tiny),
+    scan only the nprobe nearest clusters, exact-rank within them."""
+    qv = np.asarray(query, dtype=np.float64)
+    order = np.argsort(-(centroids @ qv))
+    probes = [int(c) for c in order[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        indexed.where(F.col(cluster_col).isin(probes))
+        .withColumn(
+            "similarity_score",
+            F.least(F.greatest(dot_product(vec_col, q), F.lit(0.0)), F.lit(1.0)),
+        )
+        .orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop(vec_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine pair joins / embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    assume_normalized: bool = True,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (id_a < id_b). O(N²) —
+    verification tier for small N or within LSH buckets; the scale
+    path is :func:`embedding_near_dup_pairs`."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = dot_product("va", "vb")
+    if not assume_normalized:
+        from vectordb_light_spark.functions.vector import cosine_similarity
+
+        sim = cosine_similarity("va", "vb")
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", sim)
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = DEFAULT_PLANES,
+    seed: int = DEFAULT_SEED,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: SRP block join
+    (equi-join on signature quarters within Hamming ≤ max_hamming via
+    pigeonhole blocks) → exact cosine verify.
+
+    Shuffle carries (block key, id, signature, vector); the O(N²)
+    verify runs only inside blocks. cos θ ≥ 0.9 ⇒ angle ≤ 25.8° ⇒
+    expected sig Hamming ≤ n_planes·angle/π ≈ 2.3 bits at 16 planes —
+    the default block radius is matched to the default threshold.
+    """
+    n_blocks = max_hamming + 1  # pigeonhole: ≤h differing bits ⇒ ≥1 equal block
+    bits_per_block = n_planes // n_blocks
+    indexed = add_srp_signature(
+        df, vec_col=vec_col, out_col="__sig", n_planes=n_planes, seed=seed
+    ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__sig")
+
+    mask = (1 << bits_per_block) - 1
+    blocks = indexed.select(
+        "__id",
+        "__v",
+        "__sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sig"), i * bits_per_block)
+                    .bitwiseAND(F.lit(mask).cast("long"))
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("__b_idx", "__b_val"),
+    )
+    a = blocks.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("va"),
+        F.col("__sig").alias("sig_a"), "__b_idx", "__b_val",
+    )
+    b = blocks.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
+        F.col("__sig").alias("sig_b"), "__b_idx", "__b_val",
+    )
+    pairs = (
+        a.join(b, ["__b_idx", "__b_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("cosine", dot_product("va", "vb"))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

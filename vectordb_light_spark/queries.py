@@ -520,6 +520,97 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Similarity search at scale (ANN; beyond-reference north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_cosine_pairs_exact",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def sim_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ 0.35 — the verification tier of the
+    similarity-join stack (run within LSH buckets at scale)."""
+    from vectordb_light_spark.operators.similarity import cosine_pairs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_pairs_exact(emb, threshold=0.35, assume_normalized=False)
+    return (
+        out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("ann_srp_topk")  # rows-only: seeded-Gaussian planes have no SQL twin
+def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k: Hamming-ball candidate prefilter on
+    a 16-bit sign signature (bit_count(xor) scan, no vector math),
+    exact cosine rank within candidates. Recall vs the exact scan is
+    asserted in tests/test_similarity.py."""
+    from vectordb_light_spark.operators.similarity import add_srp_signature, ann_topk_srp
+
+    q = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed = add_srp_signature(emb, n_planes=16)
+    out = ann_topk_srp(indexed, q, k=10, probe_hamming=6, n_planes=16)
+    return out.select(
+        "vec_id", F.round("similarity_score", 6).alias("similarity_score")
+    ).orderBy(F.col("similarity_score").desc(), "vec_id")
+
+
+@register("ann_ivf_topk")  # rows-only: k-means training is iterative, non-SQL
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: spherical k-means centroids (Lloyd
+    iterations as Spark aggregations), nprobe-pruned cluster scan,
+    exact rank within probes. With cluster-partitioned storage each
+    probe is a partition-pruned read."""
+    from vectordb_light_spark.operators.similarity import (
+        add_ivf_cluster,
+        ann_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    q = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, n_iters=3)
+    indexed = add_ivf_cluster(emb, cents)
+    out = ann_topk_ivf(indexed, cents, q, k=10, nprobe=4)
+    return out.select(
+        "vec_id", F.round("similarity_score", 6).alias("similarity_score")
+    ).orderBy(F.col("similarity_score").desc(), "vec_id")
+
+
+@register("dd_embedding_near_dups")  # rows-only: hashing embedder is engine-side
+def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over hash-embedded
+    documents: SRP pigeonhole block join → exact cosine verify ≥ 0.8.
+    The containment property (approx ⊆ exact pairs) is asserted in
+    tests/test_similarity.py."""
+    from vectordb_light_spark.functions.embedding import embed_documents
+    from vectordb_light_spark.operators.similarity import embedding_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb_docs = embed_documents(docs, {"encoder": "hashing", "dim": 64, "seed": 0}).drop(
+        "text"
+    )
+    out = embedding_near_dup_pairs(
+        emb_docs, id_col="doc_id", vec_col="vector",
+        threshold=0.8, n_planes=16, max_hamming=3,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # Citation aggregation (SURVEY §2.5 Q14)
 # ---------------------------------------------------------------------------
 
