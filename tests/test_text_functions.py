@@ -115,3 +115,61 @@ def test_fingerprint_ws_and_case_insensitive(spark):
     )
     got = {r["id"]: r["fp"] for r in df.select("id", fingerprint64("text").alias("fp")).collect()}
     assert got[1] == got[2] != got[3]
+
+
+def test_lang_id(spark):
+    from vectordb_light_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of that house for it was"),
+            (2, "der Hund und die Katze ist nicht mit den anderen"),
+            (3, "el perro y los gatos es que por con una del"),
+            (4, "le chien et les chats est dans pour qui pas sur"),
+            (5, "zzz qqq xxx"),
+            (6, ""),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang"] for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und", 6: "und"}
+
+
+def test_winnow_fingerprints_properties(spark):
+    from vectordb_light_spark.functions.text import (
+        FP_BASE,
+        FP_MOD,
+        rolling_kgram_hashes,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "short"), (4, "totally different text")],
+        "id long, t string",
+    )
+    out = df.select(
+        "id",
+        rolling_kgram_hashes("t").alias("hs"),
+        winnow_fingerprints(rolling_kgram_hashes("t")).alias("fp"),
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    # identical text -> identical hashes and fingerprints
+    assert rows[1]["hs"] == rows[2]["hs"]
+    assert rows[1]["fp"] == rows[2]["fp"]
+    # k-gram count = len - k + 1 (len 10, k 8 -> 3 grams)
+    assert len(rows[1]["hs"]) == 3
+    # shorter than k -> one whole-text hash
+    assert len(rows[3]["hs"]) == 1
+    # the hash recurrence matches a reference python computation
+    def poly(s):
+        h = 0
+        for ch in s:
+            h = (h * FP_BASE + ord(ch)) % FP_MOD
+        return h
+
+    assert rows[1]["hs"][0] == poly("abcdefgh")
+    assert rows[3]["hs"][0] == poly("short")
+    # fingerprints are sorted distinct subsets of the hash multiset
+    for r in rows.values():
+        assert r["fp"] == sorted(set(r["fp"]))
+        assert set(r["fp"]) <= set(r["hs"])

@@ -171,6 +171,88 @@ def quality_score(col: Column | str) -> Column:
     return (len_score * 0.4 + punct_ok * 0.3 + sw_ok * 0.3).cast("double")
 
 
+# Per-language function-word profiles for the n-gram/stopword lang-ID
+# heuristic. Word-boundary regex counts are cheap JVM scans and the
+# scoring is pure arithmetic — ANSI-SQL-mirrorable for the oracle.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "den", "von", "sich"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "it", "was"],
+    "es": ["el", "los", "las", "es", "que", "por", "con", "para", "una", "del"],
+    "fr": ["le", "les", "est", "dans", "pour", "qui", "pas", "sur", "une", "avec"],
+}
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language evidence: count of function-word matches
+    (word-boundary regex, case-insensitive via lower)."""
+    t = F.lower(_c(col))
+    return {
+        lang: F.regexp_count(t, F.lit(r"\b(" + "|".join(words) + r")\b"))
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of function-word counts, ties
+    broken by language-code order, zero evidence → 'und' (the BCP-47
+    undetermined tag). Deterministic and builtin-only — the
+    training-pipeline lang filter that runs JVM-side at 100 TB."""
+    scores = lang_scores(col)
+    gmax = F.greatest(*scores.values())
+    out = F.lit("und")
+    # Build the CASE in reverse so earlier languages win ties.
+    for lang in sorted(scores, reverse=True):
+        out = F.when(scores[lang] == gmax, F.lit(lang)).otherwise(out)
+    return F.when(gmax == 0, F.lit("und")).otherwise(out)
+
+
+# Rabin-Karp / winnowing fingerprint parameters. The modulus fits
+# intermediate products in a long (M*B + 255 < 2^39); both sides of
+# the oracle compute the identical integer recurrence.
+FP_BASE = 257
+FP_MOD = 2_147_483_647  # 2^31 - 1
+FP_K = 8  # k-gram length (chars)
+FP_WINDOW = 4  # winnowing window (Schleimer et al. 2003)
+
+
+def rolling_kgram_hashes(col: Column | str, k: int = FP_K) -> Column:
+    """Polynomial hash of every char k-gram: h = Σ code·B^i mod M.
+
+    Apply to a materialized canonical-text column (same staging caveat
+    as the dedup sketches). Texts shorter than k yield one hash of the
+    whole text. All JVM-side higher-order functions.
+    """
+    t = _c(col)
+    n = F.length(t)
+    span = F.least(F.lit(k), n)
+    starts = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.transform(
+        starts,
+        lambda s: F.aggregate(
+            F.sequence(F.lit(0), span - 1),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * FP_BASE + F.ascii(t.substr(s + j, F.lit(1)))) % FP_MOD,
+        ),
+    )
+
+
+def winnow_fingerprints(hashes: Column | str, window: int = FP_WINDOW) -> Column:
+    """Winnowing: the sorted distinct set of per-window minimum hashes
+    — a position-robust document fingerprint (MOSS scheme). ≤window
+    hashes → single global min."""
+    h = _c(hashes)
+    n = F.size(h)
+    windowed = F.transform(
+        F.sequence(F.lit(1), n - window + 1),
+        lambda i: F.array_min(F.slice(h, i, window)),
+    )
+    return F.array_sort(
+        F.array_distinct(
+            F.when(n <= window, F.array(F.array_min(h))).otherwise(windowed)
+        )
+    )
+
+
 def fingerprint64(col: Column | str) -> Column:
     """64-bit content fingerprint of normalized-whitespace, lowercased
     text — the engine's cheap exact-dup key (xxhash64 builtin)."""

@@ -398,6 +398,144 @@ def ts_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "ts_lang_id",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id, lang AS label,
+            len(regexp_extract_all(lower(text),
+                '\b(der|die|das|und|ist|nicht|mit|den|von|sich)\b')) AS s_de,
+            len(regexp_extract_all(lower(text),
+                '\b(the|and|of|to|in|is|that|for|it|was)\b')) AS s_en,
+            len(regexp_extract_all(lower(text),
+                '\b(el|los|las|es|que|por|con|para|una|del)\b')) AS s_es,
+            len(regexp_extract_all(lower(text),
+                '\b(le|les|est|dans|pour|qui|pas|sur|une|avec)\b')) AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, label,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS detected_lang
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (function-word evidence, argmax with
+    code-order tie-break) — the corpus lang filter, all JVM regex
+    counts. The testdata's lang labels are synthetic token soup, so
+    the oracle checks the scoring function itself, not label recovery."""
+    from vectordb_light_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        lang_id("text").alias("detected_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ts_quality_score",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               length(text) AS n,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE
+                         / length(text) END AS pr,
+               CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0
+                    THEN 0.0
+                    ELSE len(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\s+'),
+                        x -> list_contains(
+                            ['the','a','an','and','or','of','to','in','is','it',
+                             'that','for','on','with','as','was','at','by','be'],
+                            regexp_replace(x, '[^\w]', '', 'g'))))::DOUBLE
+                         / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+               END AS swr
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(least(n / 500.0, 1.0) * 0.4
+                 + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.3
+                 + (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.3,
+                 6) AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality heuristic (length band + punctuation
+    sanity + stopword presence) — the Gopher/C4-style corpus filter,
+    builtin-only."""
+    from vectordb_light_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    ).orderBy("doc_id")
+
+
+@register(
+    "ts_winnow_fingerprints",
+    oracle=r"""
+    WITH c AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(length(t) - 8 + 1, 1)),
+                   s -> list_reduce(
+                       list_prepend(0::BIGINT,
+                           list_transform(
+                               generate_series(0, least(8, length(t)) - 1),
+                               j -> ord(substring(t, s + j, 1))::BIGINT)),
+                       (acc, x) -> (acc * 257 + x) % 2147483647)) AS hs
+        FROM c WHERE length(t) > 0
+    ),
+    w AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                    ELSE list_transform(generate_series(1, len(hs) - 4 + 1),
+                                        i -> list_min(list_slice(hs, i, i + 3)))
+               END AS mins
+        FROM h
+    )
+    SELECT doc_id, UNNEST(list_sort(list_distinct(mins))) AS fp
+    FROM w
+    ORDER BY doc_id, fp
+    """,
+)
+def ts_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et
+    al. 2003): polynomial k-gram hashes (k=8, base 257, mod 2^31-1)
+    → per-window minima (w=4) → sorted distinct set, exploded to
+    (doc_id, fp) rows. Both sides compute the identical integer
+    recurrence, so values — not just shapes — must match."""
+    from vectordb_light_spark.functions.text import (
+        rolling_kgram_hashes,
+        winnow_fingerprints,
+    )
+    from vectordb_light_spark.operators.dedup import canonical_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select("doc_id", canonical_text("text").alias("t")).where(
+        F.length("t") > 0
+    )
+    hashed = canon.select("doc_id", rolling_kgram_hashes("t").alias("hs"))
+    return (
+        hashed.select(
+            "doc_id", F.explode(winnow_fingerprints("hs")).alias("fp")
+        ).orderBy("doc_id", "fp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (beyond-reference north star; BASELINE.json)
 # ---------------------------------------------------------------------------
