@@ -1,0 +1,97 @@
+"""Structured Streaming tests: incremental watch-folder ingest and
+event-time windowed aggregations (streaming ≡ batch on the same
+input — the observable form of exactly-once)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.operators.ingest import IngestConfig
+from vectordb_light_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionized_user_activity,
+    windowed_event_counts,
+)
+from vectordb_light_spark.streaming.ingest_stream import start_incremental_ingest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_ingest_appends_vectors(spark, tmp_path):
+    src = tmp_path / "watched"
+    src.mkdir()
+    (src / "one.txt").write_text("alpha bravo charlie delta " * 30)
+    (src / "two.md").write_text("echo foxtrot golf hotel " * 30)
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+
+    cfg = IngestConfig(chunk_size=200, chunk_overlap=50, target_files=1)
+    q = start_incremental_ingest(spark, str(src), db, cfg, available_now=True)
+    q.awaitTermination(120)
+
+    vec = spark.read.parquet(os.path.join(db, "vectors"))
+    n1 = vec.count()
+    assert n1 > 0
+    names = {r["file_name"] for r in vec.select("file_name").distinct().collect()}
+    assert names == {"one.txt", "two.md"}
+    # vectors are unit-norm like the batch path
+    v = vec.select("vector").first()[0]
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+    # second trigger with one NEW file: only the new file is processed
+    # (checkpoint dedup), and existing rows are untouched (append-only)
+    (src / "three.txt").write_text("india juliett kilo lima " * 30)
+    q2 = start_incremental_ingest(spark, str(src), db, cfg, available_now=True)
+    q2.awaitTermination(120)
+    vec2 = spark.read.parquet(os.path.join(db, "vectors"))
+    assert vec2.where(F.col("file_name") == "three.txt").count() > 0
+    n_one = vec2.where(F.col("file_name") == "one.txt").count()
+    assert vec2.count() == n1 + vec2.where(F.col("file_name") == "three.txt").count()
+    assert n_one == vec.where(F.col("file_name") == "one.txt").count()
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    from vectordb_light_spark.session import load_table
+
+    return load_table(spark, SF, "events").cache()
+
+
+def _rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_batch):
+    stream = read_events_stream(spark, SF)
+    agg_stream = windowed_event_counts(stream, window="6 hours")
+    got = run_stream_to_memory(agg_stream, "ev_win_test")
+    expected = windowed_event_counts(events_batch, window="6 hours")
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows_set(got.select(*cols), cols) == _rows_set(
+        expected.select(*cols), cols
+    )
+
+
+def test_session_windows_stream_equals_batch(spark, events_batch):
+    stream = read_events_stream(spark, SF)
+    agg_stream = sessionized_user_activity(stream, gap="45 minutes")
+    got = run_stream_to_memory(agg_stream, "ev_sess_test")
+    expected = sessionized_user_activity(events_batch, gap="45 minutes")
+    cols = ["session_start", "session_end", "user_id", "n_events", "total_value"]
+    assert _rows_set(got.select(*cols), cols) == _rows_set(
+        expected.select(*cols), cols
+    )
+    # sessions are disjoint per user: a session's end is its last
+    # event + gap, and the next session's first event lies beyond it
+    rows = sorted(
+        expected.select(*cols).collect(), key=lambda r: (r["user_id"], r["session_start"])
+    )
+    for a, b in zip(rows, rows[1:]):
+        if a["user_id"] == b["user_id"]:
+            assert b["session_start"] >= a["session_end"]

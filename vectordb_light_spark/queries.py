@@ -943,6 +943,72 @@ def rel_window_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_events_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def st_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour event-time windows per event_type — the exact
+    aggregation streaming/events.windowed_event_counts runs under a
+    watermark on the live stream; batch and streaming results are
+    asserted identical in tests/test_streaming.py."""
+    from vectordb_light_spark.streaming.events import windowed_event_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(e, window="6 hours").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "st_events_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 45 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 45 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def st_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (45-minute gap) per user via the session_window
+    builtin — the stateful streaming operator's batch twin; the oracle
+    is the classic gaps-and-islands formulation (session end = last
+    event + gap, matching Spark's session_window semantics)."""
+    from vectordb_light_spark.streaming.events import sessionized_user_activity
+
+    e = load_table(spark, sf_dir, "events")
+    return sessionized_user_activity(e, gap="45 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@register(
     "rel_events_json",
     oracle="""
     SELECT event_type,

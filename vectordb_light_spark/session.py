@@ -75,7 +75,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer division: nano longs exceed double's 2^53 mantissa,
+        # so `/ 1000` + cast would round the microsecond.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,122 @@
+"""Event-time windowed aggregations over the events stream.
+
+The reference has no true streaming operators (SURVEY §2.9) — these
+are the engine's beyond-reference streaming surface, built on the
+canonical Structured Streaming pattern:
+
+    readStream (parquet file source)
+      → withWatermark(ts, …)           late-data bound / state GC
+      → groupBy(window(ts, …), keys)   tumbling event-time windows
+      → agg(count, sum, avg)
+      → sink (append/update)
+
+The SAME aggregation expression runs in batch mode (it's just a
+DataFrame), which is how the tests and the DuckDB oracle check it:
+batch result ≡ streaming availableNow result on identical input — the
+exactly-once guarantee made observable.
+
+Scale: watermark bounds the state store to (windows in flight ×
+keys); partial aggregation happens map-side per micro-batch; the
+shuffle carries only (window, key) partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Schema of the driver's events table, with ts as long (nanos) per
+#: the session's nanosAsLong setting — converted on read.
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, *, glob: str = "events.parquet"
+) -> DataFrame:
+    """Streaming parquet source over an events directory (file
+    streaming sources require a directory; ``glob`` narrows it);
+    normalizes the nano-timestamp column exactly like the batch
+    loader."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+    )
+    # Integer division: nano longs exceed double's 2^53 mantissa.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window per event_type: count, total value,
+    average value. Works on a batch OR streaming events DataFrame —
+    the watermark is applied only when streaming (it is a no-op
+    annotation in batch mode)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+def sessionized_user_activity(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: activity runs separated by ≥gap of
+    silence collapse into one session (session_window builtin — state
+    merges adjacent windows as events arrive)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming aggregate into an in-memory table with an
+    availableNow trigger and return the result as a batch DataFrame
+    (test/backfill harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
