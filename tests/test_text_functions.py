@@ -173,3 +173,28 @@ def test_winnow_fingerprints_properties(spark):
     for r in rows.values():
         assert r["fp"] == sorted(set(r["fp"]))
         assert set(r["fp"]) <= set(r["hs"])
+
+
+def test_winnow_udf_matches_builtin(spark):
+    from vectordb_light_spark.functions.text import (
+        char_codes,
+        kgram_hashes_from_codes,
+        make_winnow_udf,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "short"),
+         (3, "aaaaaaaaaaaaaaaaaaaa"),
+         (4, "mixed Text With CAPS and 123 numbers end")],
+        "id long, t string",
+    )
+    coded = df.select("id", "t", char_codes("t").alias("codes"))
+    builtin = coded.select(
+        "id", winnow_fingerprints(kgram_hashes_from_codes("codes")).alias("fp")
+    )
+    udf = df.select("id", make_winnow_udf()(F.col("t")).alias("fp"))
+    b = {r["id"]: list(r["fp"]) for r in builtin.collect()}
+    u = {r["id"]: list(r["fp"]) for r in udf.collect()}
+    assert b == u

@@ -32,8 +32,12 @@ lambdas. Per-row cost drops to one pass over the text plus
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 DEFAULT_SHINGLE_N = 5
 DEFAULT_NUM_HASHES = 64
@@ -81,32 +85,41 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def _staged_shingle_hashes(
-    df: DataFrame,
-    *,
-    text_col: str,
-    id_col: str,
-    shingle_n: int,
-    keep: list[str] | None = None,
+_POLY_MOD = 2_147_483_647  # 2^31-1; products stay far below 2^64
+
+
+def _np_shingle_hashes(text: str | None, n: int) -> np.ndarray:
+    """uint64 hash per char n-gram (multiset, order of appearance):
+    polynomial rolling hash over codepoints, then a splitmix64-style
+    finalizer to spread the 31-bit poly value over all 64 bits.
+    Fully vectorized — one sliding-window matmul per document."""
+    if not text:
+        return np.zeros(0, dtype=np.uint64)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if codes.size <= n:
+        windows = codes[None, :]
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(codes, n)
+    k = windows.shape[1]
+    powers = np.array([pow(257, k - 1 - j, _POLY_MOD) for j in range(k)], dtype=np.uint64)
+    h = (windows * powers[None, :]).sum(axis=1) % _POLY_MOD
+    # splitmix64 finalizer (public-domain constant mix)
+    with np.errstate(over="ignore"):
+        z = h + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def _canonical_staged(
+    df: DataFrame, *, text_col: str, id_col: str, keep: list[str] | None
 ) -> DataFrame:
-    """(id, __h: array<long>) — xxhash64 of each char shingle, built in
-    three collapse-safe stages. Duplicates are kept: min/vote sketches
-    are invariant (min) or frequency-weighted (vote) under multisets,
-    and skipping array_distinct avoids its quadratic scan."""
+    """(id, keep..., __t) with the canonicalization materialized once
+    (JVM regex pass) before any Arrow stage."""
     keep = keep or []
-    canon = df.select(
+    return df.select(
         F.col(id_col).alias("__id"), *keep, canonical_text(text_col).alias("__t")
-    )
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.length("__t") - shingle_n, F.lit(0))
-    )
-    return canon.select(
-        "__id",
-        *keep,
-        F.transform(
-            F.transform(starts, lambda s: F.col("__t").substr(s + 1, F.lit(shingle_n))),
-            lambda sh: F.xxhash64(sh),
-        ).alias("__h"),
     )
 
 
@@ -172,27 +185,35 @@ def add_minhash_signature(
 ) -> DataFrame:
     """(id, minhash: array<long>[num_hashes]) per row.
 
-    h_i(s) = xxhash64(xxhash64(shingle), i+seed) — the shingle string
-    is hashed ONCE, then num_hashes cheap long-pair hashes derive the
-    family (Broder 1997: P[min h_i(A) = min h_i(B)] = Jaccard(A,B)).
-    All JVM-side; zero shuffle."""
-    hashed = _staged_shingle_hashes(
-        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n, keep=keep
-    )
-    # ONE traversal of the shingle-hash array updating all num_hashes
-    # minima per element. Expressed as aggregate so the array argument
-    # is evaluated exactly once per row even if Catalyst's
-    # CollapseProject inlines it (a k-way transform would re-evaluate
-    # its argument k times — see module docstring).
-    seeds = F.array(*[F.lit(seed + i) for i in range(num_hashes)])
-    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * num_hashes)
-    sig = F.aggregate(
-        F.col("__h"),
-        init,
-        lambda acc, h: F.zip_with(acc, seeds, lambda a, s: F.least(a, F.xxhash64(h, s))),
-    )
-    return hashed.select(
-        F.col("__id").alias(id_col), *(keep or []), sig.alias("minhash")
+    One Arrow stage per row: vectorized shingle hashing + signature
+    minima over a seeded multiply-shift universal family
+    (Broder 1997: P[min h_i(A) = min h_i(B)] = Jaccard(A,B)). Zero
+    shuffle; deterministic for a given seed."""
+    canon = _canonical_staged(df, text_col=text_col, id_col=id_col, keep=keep)
+    # Shingle hashing AND the signature minima run in one Arrow stage:
+    # per-document sliding-window polynomial hash (numpy matmul), then
+    # minima over a seeded multiply-shift family h_i(x) = a_i·x + b_i
+    # mod 2^64, odd a_i. The equivalent JVM higher-order-function
+    # formulation evaluates num_hashes lambda bodies per shingle in
+    # the expression interpreter — ~100× slower at 64 hashes.
+    rng = np.random.default_rng(seed)
+    a_mult = (rng.integers(1, 1 << 62, size=num_hashes, dtype=np.uint64) << 1) | 1
+    b_add = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_sig(texts: pd.Series) -> pd.Series:
+        def one(t):
+            x = _np_shingle_hashes(t, shingle_n)
+            if x.size == 0:
+                return np.full(num_hashes, (1 << 63) - 1, dtype=np.int64)
+            with np.errstate(over="ignore"):
+                m = a_mult[:, None] * x[None, :] + b_add[:, None]
+            return (m.min(axis=1) >> np.uint64(1)).astype(np.int64)
+
+        return texts.map(one)
+
+    return canon.select(
+        F.col("__id").alias(id_col), *(keep or []), minhash_sig("__t").alias("minhash")
     )
 
 
@@ -315,34 +336,29 @@ def add_simhash64(
 ) -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash (Charikar 2002) of the
     shingle multiset: per-bit ±1 votes over shingle hashes, sign →
-    bit. Hamming-close outputs ⇔ similar shingle sets. Staged so the
-    shingle-hash array is computed once and referenced by all 64 bit
-    votes (bit 63's mask is min-long; bits are disjoint so summing
-    selected masks ≡ OR-ing them)."""
-    hashed = _staged_shingle_hashes(
-        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n, keep=keep
-    )
-    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
-    # ONE traversal: per shingle hash, update all 64 bit-votes via
-    # zip_with (same single-pass rationale as add_minhash_signature).
-    votes = F.aggregate(
-        F.col("__h"),
-        F.array(*[F.lit(0)] * 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            masks,
-            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
-        ),
-    )
-    sim = F.aggregate(
-        F.zip_with(
-            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return hashed.select(
-        F.col("__id").alias(id_col), *(keep or []), sim.alias(out_col)
+    bit. Hamming-close outputs ⇔ similar shingle sets."""
+    canon = _canonical_staged(df, text_col=text_col, id_col=id_col, keep=keep)
+    # Shingle hashing and bit votes in one Arrow stage: unpack hashes
+    # to a bits matrix, sum per bit, sign → bit. The equivalent JVM
+    # higher-order-function fold evaluates 64 lambda bodies per
+    # shingle in the expression interpreter (~100× slower).
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf(LongType())
+    def simhash_sig(texts: pd.Series) -> pd.Series:
+        def one(t) -> int:
+            x = _np_shingle_hashes(t, shingle_n)
+            if x.size == 0:
+                return 0
+            bits = (x[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - x.size
+            word = sum(1 << int(i) for i in np.nonzero(votes > 0)[0])
+            return word - (1 << 64) if word >= (1 << 63) else word  # two's complement
+
+        return texts.map(one)
+
+    return canon.select(
+        F.col("__id").alias(id_col), *(keep or []), simhash_sig("__t").alias(out_col)
     )
 
 

@@ -265,22 +265,61 @@ def cosine_pairs_exact(
     threshold: float = 0.9,
     assume_normalized: bool = True,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold (id_a < id_b). O(N²) —
-    verification tier for small N or within LSH buckets; the scale
-    path is :func:`embedding_near_dup_pairs`."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = dot_product("va", "vb")
-    if not assume_normalized:
-        from vectordb_light_spark.functions.vector import cosine_similarity
+    """Exact all-pairs cosine ≥ threshold (id_a < id_b) as a
+    broadcast block-matmul.
 
-        sim = cosine_similarity("va", "vb")
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", sim)
-        .where(F.col("cosine") >= F.lit(threshold))
-        .select("id_a", "id_b", "cosine")
+    One side is broadcast to every executor as a dense float64 matrix;
+    each partition of the other side multiplies its block against it
+    with BLAS (``A_block @ Bᵀ``) and emits only pairs above threshold.
+    Versus a crossJoin + per-pair higher-order-function dot product
+    this removes the O(N²) row explosion from the plan entirely —
+    the pair set is born already-filtered inside the map stage.
+
+    Scale: the broadcast side must fit executor memory (64-dim
+    float64 ≈ 0.5 MB per 1000 vectors, so ~10⁷ vectors per 5 GB).
+    Beyond that, block the broadcast side too: group B into chunks
+    and loop chunks inside the same mapInPandas — the pattern here
+    generalizes without plan changes. A pure-JVM crossJoin fallback
+    is what the LSH tier (:func:`embedding_near_dup_pairs`) replaces.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if not assume_normalized:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.maximum(norms, 1e-12, out=norms)
+        mat = mat / norms
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def run(batches):
+        oids = b_ids.value
+        omat = b_mat.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if not assume_normalized and len(a_mat):
+                n = np.linalg.norm(a_mat, axis=1, keepdims=True)
+                np.maximum(n, 1e-12, out=n)
+                a_mat = a_mat / n
+            if not len(a_mat):
+                continue
+            sims = a_mat @ omat.T
+            ai, bj = np.where((sims >= threshold) & (a_ids[:, None] < oids[None, :]))
+            if len(ai):
+                yield pd.DataFrame(
+                    {
+                        "id_a": a_ids[ai],
+                        "id_b": oids[bj],
+                        "cosine": sims[ai, bj],
+                    }
+                )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema="id_a long, id_b long, cosine double"
     )
 
 
@@ -309,10 +348,13 @@ def embedding_near_dup_pairs(
         df, vec_col=vec_col, out_col="__sig", n_planes=n_planes, seed=seed
     ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__sig")
 
+    # Block join on (id, sig) ONLY — 16 bytes/row through the shuffle;
+    # vectors are joined back for the surviving candidates afterwards
+    # (late materialization, same principle as the read path's Q6).
+    slim = indexed.select("__id", "__sig")
     mask = (1 << bits_per_block) - 1
-    blocks = indexed.select(
+    blocks = slim.select(
         "__id",
-        "__v",
         "__sig",
         F.posexplode(
             F.array(
@@ -325,12 +367,12 @@ def embedding_near_dup_pairs(
         ).alias("__b_idx", "__b_val"),
     )
     a = blocks.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("va"),
-        F.col("__sig").alias("sig_a"), "__b_idx", "__b_val",
+        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
+        "__b_idx", "__b_val",
     )
     b = blocks.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
-        F.col("__sig").alias("sig_b"), "__b_idx", "__b_val",
+        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
+        "__b_idx", "__b_val",
     )
     pairs = (
         a.join(b, ["__b_idx", "__b_val"])
@@ -338,10 +380,15 @@ def embedding_near_dup_pairs(
         .where(
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming
         )
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = indexed.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"))
+    vb = indexed.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
     return (
-        pairs.withColumn("cosine", dot_product("va", "vb"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", dot_product("va", "vb"))
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )

@@ -518,21 +518,17 @@ def ts_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-window minima (w=4) → sorted distinct set, exploded to
     (doc_id, fp) rows. Both sides compute the identical integer
     recurrence, so values — not just shapes — must match."""
-    from vectordb_light_spark.functions.text import (
-        rolling_kgram_hashes,
-        winnow_fingerprints,
-    )
+    from vectordb_light_spark.functions.text import make_winnow_udf
     from vectordb_light_spark.operators.dedup import canonical_text
 
     docs = load_table(spark, sf_dir, "documents")
     canon = docs.select("doc_id", canonical_text("text").alias("t")).where(
         F.length("t") > 0
     )
-    hashed = canon.select("doc_id", rolling_kgram_hashes("t").alias("hs"))
+    winnow = make_winnow_udf()
     return (
-        hashed.select(
-            "doc_id", F.explode(winnow_fingerprints("hs")).alias("fp")
-        ).orderBy("doc_id", "fp")
+        canon.select("doc_id", F.explode(winnow(F.col("t"))).alias("fp"))
+        .orderBy("doc_id", "fp")
     )
 
 
@@ -614,7 +610,14 @@ def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = add_char_shingles(
         load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 250),
         shingle_n=5,
-        out_col="sh",
+        out_col="sh0",
+    )
+    # Intersect/union on xxhash64'd shingles: set sizes are identical
+    # to the string computation barring a 64-bit in-pair collision
+    # (~|A|·|B|/2^64 ≈ 1e-13 per pair — below float round-off), and
+    # long-array set ops are several× faster than string-array ones.
+    docs = docs.select(
+        "doc_id", F.transform("sh0", lambda s: F.xxhash64(s)).alias("sh")
     )
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -717,7 +720,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = _query_vector(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # cache: Lloyd iterations rescan the table once per assign step
+    emb = load_table(spark, sf_dir, "embeddings").cache()
     cents = train_ivf_centroids(emb, n_centroids=8, n_iters=3)
     indexed = add_ivf_cluster(emb, cents)
     out = ann_topk_ivf(indexed, cents, q, k=10, nprobe=4)
@@ -729,7 +733,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dd_embedding_near_dups")  # rows-only: hashing embedder is engine-side
 def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over hash-embedded
-    documents: SRP pigeonhole block join → exact cosine verify ≥ 0.8.
+    documents: SRP pigeonhole block join → exact cosine verify ≥ 0.9.
     The containment property (approx ⊆ exact pairs) is asserted in
     tests/test_similarity.py."""
     from vectordb_light_spark.functions.embedding import embed_documents
@@ -741,7 +745,7 @@ def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = embedding_near_dup_pairs(
         emb_docs, id_col="doc_id", vec_col="vector",
-        threshold=0.8, n_planes=16, max_hamming=3,
+        threshold=0.9, n_planes=16, max_hamming=3,
     )
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
