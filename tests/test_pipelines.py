@@ -1,0 +1,89 @@
+"""Pipeline-plan composition tests + Q7 JSON-metadata semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from vectordb_light_spark.plans.pipelines import (
+    corpus_report_plan,
+    rag_ingest_plan,
+    training_corpus_plan,
+)
+from vectordb_light_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_training_corpus_plan_filters_and_dedups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on the mat for it was warm " * 20),
+            (2, "the cat and the dog sat on the mat for it was warm " * 20),  # dup
+            (3, "x"),  # low quality (too short)
+            (4, "the quick brown fox jumps over the lazy dog again and again " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    out = training_corpus_plan(docs, min_quality=0.5, near_dup_threshold=None)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == [1, 4]  # dup 2 dropped (min-id wins), 3 quality-gated
+    cols = set(out.columns)
+    assert {"quality", "detected_lang"} <= cols
+
+
+def test_training_corpus_near_dup_tier(spark):
+    base = "the cat and the dog sat on the mat for it was warm and sunny today "
+    docs = spark.createDataFrame(
+        [(1, base * 20), (2, (base * 20) + " tiny tail change"), (3, "completely different words about spark engines and parallel data processing systems " * 10)],
+        "doc_id long, text string",
+    )
+    out = training_corpus_plan(docs, min_quality=0.0, near_dup_threshold=0.7)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 1 in ids and 3 in ids
+    assert 2 not in ids  # near-dup of 1 removed (min-id survives)
+
+
+def test_corpus_report_plan(spark):
+    docs = load_table(spark, SF, "documents")
+    rep = corpus_report_plan(docs).collect()
+    assert sum(r["n_docs"] for r in rep) == docs.count()
+    for r in rep:
+        assert 0.0 <= r["avg_quality"] <= 1.0
+        assert r["n_exact_dups"] >= 0
+
+
+def test_rag_ingest_plan_shape(spark):
+    docs = spark.createDataFrame(
+        [("h1", "alpha beta gamma " * 50, ".txt", "a.txt", "/a.txt")],
+        "hash string, text string, file_type string, file_name string, file_path string",
+    )
+    from vectordb_light_spark.operators.ingest import IngestConfig
+
+    out = rag_ingest_plan(docs, IngestConfig(chunk_size=100, chunk_overlap=20))
+    rows = out.collect()
+    assert len(rows) > 1
+    assert {"id", "doc_hash", "chunk_index", "vector", "text"} <= set(out.columns)
+
+
+def test_q7_malformed_json_rows_skipped(spark):
+    """Q7 semantics (reference vector_db_query.py:236-238): rows whose
+    metadata JSON fails to parse are silently skipped, not errored."""
+    schema = StructType(
+        [StructField("file_name", StringType()), StructField("page", StringType())]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, '{"file_name": "a.txt", "page": "3"}'),
+            (2, "not json at all {{{"),
+            (3, '{"file_name": "b.txt"}'),
+        ],
+        "id long, metadata string",
+    )
+    from vectordb_light_spark.engine import with_parsed_metadata
+
+    parsed = with_parsed_metadata(df, "metadata", schema)
+    rows = {r["id"]: r["meta"] for r in parsed.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["file_name"] == "a.txt"
+    assert rows[3]["page"] is None

@@ -56,6 +56,29 @@ SYSTEM_MESSAGE = (
 )
 
 
+def with_parsed_metadata(df, json_col: str, schema, *, out_col: str = "meta"):
+    """Q7: parse a JSON metadata string column into a typed struct,
+    SILENTLY DROPPING rows whose JSON is malformed (reference
+    vector_db_query.py:236-238 skips them, never errors).
+
+    Spark's PERMISSIVE from_json yields an all-null struct for bad
+    input (not a null), so malformed rows are detected via a corrupt-
+    record field appended to the schema."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    probe = StructType(list(schema.fields) + [StructField("_corrupt", StringType())])
+    parsed = df.withColumn(
+        out_col,
+        F.from_json(
+            F.col(json_col), probe, {"columnNameOfCorruptRecord": "_corrupt"}
+        ),
+    )
+    return (
+        parsed.where(F.col(f"{out_col}._corrupt").isNull())
+        .withColumn(out_col, F.col(out_col).dropFields("_corrupt"))
+    )
+
+
 class VectorDB:
     """An opened database: vectors + documents tables + _meta."""
 

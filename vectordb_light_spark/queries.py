@@ -752,6 +752,60 @@ def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "pipe_training_corpus",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE
+                             / length(text) END) <= 0.2
+                  THEN 1.0 ELSE 0.5 END) * 0.3
+               + (CASE WHEN (CASE
+                        WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0
+                        THEN 0.0
+                        ELSE len(list_filter(
+                            regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> list_contains(
+                                ['the','a','an','and','or','of','to','in','is','it',
+                                 'that','for','on','with','as','was','at','by','be'],
+                                regexp_replace(x, '[^\w]', '', 'g'))))::DOUBLE
+                             / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                        END) >= 0.05
+                  THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
+        FROM documents
+    ),
+    gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+    keyed AS (
+        SELECT *, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS k
+        FROM gated
+    ),
+    winners AS (SELECT k, MIN(doc_id) AS doc_id FROM keyed GROUP BY k)
+    SELECT keyed.doc_id AS doc_id, lang, ROUND(quality, 6) AS quality
+    FROM keyed JOIN winners
+      ON keyed.k = winners.k AND keyed.doc_id = winners.doc_id
+    ORDER BY keyed.doc_id
+    """,
+)
+def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition: the training-data curation pipeline
+    (quality gate ≥ 0.5 → exact dedup, min-id survivor) as ONE
+    Catalyst plan — predicates run in the scan stage, the dedup
+    shuffle carries a 64-bit key. Near-dup tier disabled here so the
+    whole pipeline stays ANSI-SQL-mirrorable for the oracle; the LSH
+    tier is oracle-checked separately (dd_jaccard_pairs)."""
+    from vectordb_light_spark.plans.pipelines import training_corpus_plan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = training_corpus_plan(
+        docs, min_quality=0.5, languages=None, near_dup_threshold=None
+    )
+    return out.select(
+        "doc_id", "lang", F.round("quality", 6).alias("quality")
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (beyond-reference; decode stubbed, plumbing real)
 # ---------------------------------------------------------------------------
