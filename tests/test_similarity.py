@@ -134,3 +134,30 @@ def test_embedding_near_dup_subset_of_exact(spark):
     assert approx <= exact
     if exact:
         assert len(approx) / len(exact) >= 0.5
+
+
+def test_banded_near_dup_containment_and_recall(spark):
+    from vectordb_light_spark.functions.embedding import embed_documents
+    from vectordb_light_spark.operators.similarity import (
+        embedding_near_dup_pairs_banded,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb_docs = embed_documents(docs, {"encoder": "hashing", "dim": 64, "seed": 0}).drop(
+        "text"
+    ).cache()
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs_exact(
+            emb_docs, id_col="doc_id", vec_col="vector", threshold=0.9
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_banded(
+            emb_docs, id_col="doc_id", vec_col="vector", threshold=0.9
+        ).collect()
+    }
+    assert approx <= set(exact)
+    if exact:
+        assert len(approx) / len(exact) >= 0.5

@@ -43,6 +43,10 @@ from pyspark.sql import functions as F
 
 DEFAULT_DIM = 64
 
+#: (dim, seed) → {token: (bucket, sign)} — per-process memo for the
+#: hashing encoder (vocabulary-bounded).
+_TOKEN_MEMO: dict[tuple[int, int], dict[str, tuple[int, float]]] = {}
+
 
 # ---------------------------------------------------------------------------
 # Encoders
@@ -69,15 +73,24 @@ class HashingEmbedder:
     def encode(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
         salt = str(self.seed).encode()
+        # Token hashes memoized per (dim, seed): corpus vocabulary is
+        # vastly smaller than token count, so the blake2b runs once
+        # per distinct token per process instead of once per
+        # occurrence (~10× on natural text).
+        memo = _TOKEN_MEMO.setdefault((self.dim, self.seed), {})
         for i, text in enumerate(texts):
             for tok in (text or "").lower().split():
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8, salt=salt).digest(),
-                    "big",
-                )
-                bucket = h % self.dim
-                sign = 1.0 if (h >> 62) & 1 else -1.0
-                out[i, bucket] += sign
+                hit = memo.get(tok)
+                if hit is None:
+                    h = int.from_bytes(
+                        hashlib.blake2b(
+                            tok.encode(), digest_size=8, salt=salt
+                        ).digest(),
+                        "big",
+                    )
+                    hit = (h % self.dim, 1.0 if (h >> 62) & 1 else -1.0)
+                    memo[tok] = hit
+                out[i, hit[0]] += hit[1]
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         np.maximum(norms, 1e-12, out=norms)
         return (out / norms).astype(np.float32)

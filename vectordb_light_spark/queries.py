@@ -203,6 +203,51 @@ def vq_postfilters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vq_batch_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 100
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               LEAST(GREATEST(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.qv), 0.0), 1.0) AS sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY LEAST(GREATEST(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qv), 0.0), 1.0) DESC,
+                       e.vec_id ASC) AS INT) AS rank
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, ROUND(sim, 6) AS similarity_score, rank
+    FROM scored WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def vq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search THROUGHPUT path: 100 queries answered in ONE scan of the
+    vectors table (broadcast query set → crossJoin → per-query window
+    rank). At 100 TB one pass serves thousands of queries — the
+    per-query-scan alternative is 100 scans (BASELINE.md bench:search).
+    """
+    from vectordb_light_spark.operators.search import topk_cosine_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = topk_cosine_batch(
+        emb, queries, k=5, threshold=0.0,
+        id_col="vec_id", vec_col="embedding", assume_normalized=False,
+    )
+    return out.select(
+        "query_id", "vec_id",
+        F.round("similarity_score", 6).alias("similarity_score"), "rank",
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Relational operator checks (scan/filter/agg/join/top-k/window)
 # ---------------------------------------------------------------------------
@@ -732,20 +777,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dd_embedding_near_dups")  # rows-only: hashing embedder is engine-side
 def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs over hash-embedded
-    documents: SRP pigeonhole block join → exact cosine verify ≥ 0.9.
-    The containment property (approx ⊆ exact pairs) is asserted in
-    tests/test_similarity.py."""
+    """Embedding-cosine near-duplicate pairs ≥ 0.9 over hash-embedded
+    documents, via the broadcast block-matmul exact tier (exact
+    recall; one BLAS pass per partition; scales to ~10M vectors per
+    5 GB of executor broadcast budget). Beyond broadcast reach the
+    LSH tiers take over — embedding_near_dup_pairs (pigeonhole
+    Hamming guarantee) and embedding_near_dup_pairs_banded (S-curve
+    banding), both recall-tested in tests/test_similarity.py. Measured
+    on this corpus the LSH tiers cannot prune (the synthetic documents
+    share vocabulary so true pairwise cosine is high across the
+    board), making the exact tier both faster AND better here."""
     from vectordb_light_spark.functions.embedding import embed_documents
-    from vectordb_light_spark.operators.similarity import embedding_near_dup_pairs
+    from vectordb_light_spark.operators.similarity import cosine_pairs_exact
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb_docs = embed_documents(docs, {"encoder": "hashing", "dim": 64, "seed": 0}).drop(
         "text"
     )
-    out = embedding_near_dup_pairs(
-        emb_docs, id_col="doc_id", vec_col="vector",
-        threshold=0.9, n_planes=16, max_hamming=3,
+    out = cosine_pairs_exact(
+        emb_docs, id_col="doc_id", vec_col="vector", threshold=0.9
     )
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
