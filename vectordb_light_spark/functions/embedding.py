@@ -182,6 +182,7 @@ def embed_documents(
     out_col: str = "vector",
     length_sort: bool = True,
     encode_batch_size: int = 256,
+    rebalance: bool = True,
 ) -> DataFrame:
     """Add an L2-normalized float32 ``array<float>`` embedding column.
 
@@ -190,10 +191,21 @@ def embed_documents(
     ``length_sort`` (E2) rows are pre-sorted within partitions by text
     length so real transformer batches pad near-rectangularly; for the
     hashing encoder it's a no-op cost-wise either way.
+
+    ``rebalance`` widens narrow inputs (e.g. one small parquet file →
+    one partition) to the cluster's full core count before the embed
+    stage: encoding is the expensive stage of the write path, and a
+    narrow scan would otherwise serialize it on one core. The shuffle
+    moves only the pre-embed rows (id + text), never vectors.
     """
     in_schema = df.schema
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema)
     out_schema = f"{fields}, `{out_col}` array<float>"
+
+    if rebalance and not df.isStreaming:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
 
     if length_sort:
         df = df.sortWithinPartitions(F.length(text_col).desc())

@@ -42,6 +42,17 @@ DEFAULT_PLANES = 16
 DEFAULT_SEED = 42
 
 
+def _persist_if_batch(df: DataFrame) -> DataFrame:
+    """MEMORY_AND_DISK-persist a DataFrame consumed by multiple
+    downstream branches, so a derived input pipeline (e.g. a document-
+    embedding stage) computes once instead of once per branch."""
+    if df.isStreaming:
+        return df
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 # ---------------------------------------------------------------------------
 # SRP-LSH
 # ---------------------------------------------------------------------------
@@ -155,38 +166,40 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     n_iters: int = 5,
     dim: int | None = None,
+    max_train: int = 25_000,
 ) -> np.ndarray:
-    """Lloyd's k-means on the embedding column, Spark-side.
+    """Spherical k-means centroids trained on a deterministic hash
+    sample of ≤ ``max_train`` vectors, Lloyd-iterated locally in numpy.
 
-    Init: the n_centroids lowest-id vectors (deterministic; at real
-    scale swap in a seeded sample). Each iteration: assign to nearest
-    centroid (JVM dot products against broadcast centroid literals) →
-    element-wise mean per cluster (dim avg() aggregates — one shuffle
-    of (cluster, vector), no Python). Returns [n_centroids, dim].
+    This is the FAISS-style scale design: k-means needs only a sample
+    (≈ hundreds of points per centroid), so training is ONE partition-
+    parallel sampled scan + a driver-local BLAS loop — not n_iters
+    full-table Spark jobs. The sample predicate ``xxhash64(id) %% B <
+    keep`` is partition-independent and reproducible at any scale.
+    Init: the n_centroids lowest-id sampled vectors (deterministic).
+    Empty clusters keep their previous centroid. Returns unit-norm
+    [n_centroids, dim] (unit inputs ⇒ max-dot assignment ≡ min-L2).
     """
+    proj = df.select(id_col, vec_col)
+    n = proj.count()
+    if n > max_train:
+        bound = int(max_train / n * 1_000_000)
+        proj = proj.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(bound)
+        )
+    rows = proj.collect()
+    rows.sort(key=lambda r: r[0])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    init = (
-        df.orderBy(id_col)
-        .limit(n_centroids)
-        .select(vec_col)
-        .collect()
-    )
-    centroids = np.array([list(r[0]) for r in init], dtype=np.float64)
+        dim = mat.shape[1]
+    centroids = mat[:n_centroids].copy()
 
     for _ in range(n_iters):
-        assigned = df.select(
-            vec_col, _nearest_centroid_col(vec_col, centroids).alias("__c")
-        )
-        means = (
-            assigned.groupBy("__c")
-            .agg(
-                *[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)],
-            )
-            .collect()
-        )
-        for r in means:
-            centroids[r["__c"]] = [r[f"m{i}"] for i in range(dim)]
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
         norms = np.linalg.norm(centroids, axis=1, keepdims=True)
         np.maximum(norms, 1e-12, out=norms)
         centroids = centroids / norms  # unit inputs → spherical k-means
@@ -285,7 +298,11 @@ def cosine_pairs_exact(
     import pandas as pd
 
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
+    # Persist the projection: the broadcast-side collect below and the
+    # distributed map side both consume it. The tier already requires
+    # this projection to fit cluster memory.
+    proj = _persist_if_batch(df.select(id_col, vec_col))
+    rows = proj.collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     if not assume_normalized:
@@ -318,9 +335,7 @@ def cosine_pairs_exact(
                     }
                 )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        run, schema="id_a long, id_b long, cosine double"
-    )
+    return proj.mapInPandas(run, schema="id_a long, id_b long, cosine double")
 
 
 def embedding_near_dup_pairs_banded(
@@ -354,9 +369,11 @@ def embedding_near_dup_pairs_banded(
     h_max = math.ceil(n_planes * theta / math.pi * hamming_slack)
     bits_per_band = n_planes // bands
 
-    indexed = add_srp_signature(
-        df, vec_col=vec_col, out_col="__sig", n_planes=n_planes, seed=seed
-    ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__sig")
+    indexed = _persist_if_batch(
+        add_srp_signature(
+            df, vec_col=vec_col, out_col="__sig", n_planes=n_planes, seed=seed
+        ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__sig")
+    )
 
     mask = (1 << bits_per_band) - 1 if bits_per_band < 64 else -1
     banded = indexed.select(
@@ -419,9 +436,11 @@ def embedding_near_dup_pairs(
     """
     n_blocks = max_hamming + 1  # pigeonhole: ≤h differing bits ⇒ ≥1 equal block
     bits_per_block = n_planes // n_blocks
-    indexed = add_srp_signature(
-        df, vec_col=vec_col, out_col="__sig", n_planes=n_planes, seed=seed
-    ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__sig")
+    indexed = _persist_if_batch(
+        add_srp_signature(
+            df, vec_col=vec_col, out_col="__sig", n_planes=n_planes, seed=seed
+        ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__sig")
+    )
 
     # Block join on (id, sig) ONLY — 16 bytes/row through the shuffle;
     # vectors are joined back for the surviving candidates afterwards

@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vectordb_light_spark.session import load_table
+from vectordb_light_spark.session import load_table, rebalance
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -48,6 +48,17 @@ def register(name: str, oracle: str | None = None):
 # driver's seeded testdata, and expressible in the oracle as a scalar
 # subquery. k=6 / threshold=0.4 are the reference defaults
 # (reference config.py:28-29).
+
+
+def load_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """The documents table, widened to full parallelism. A small local
+    parquet table is ONE scan partition, which would serialize every
+    downstream text/UDF stage on one core; the 0.6 MB round-robin
+    shuffle is noise next to any of those stages (session.rebalance)."""
+    df = load_table(spark, sf_dir, "documents")
+    if cols:
+        df = df.select(*cols)
+    return rebalance(df)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
@@ -178,7 +189,7 @@ def vq_postfilters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = _query_vector(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     scored = (
         emb.join(F.broadcast(docs), emb.vec_id == docs.doc_id)
         .withColumn(
@@ -292,7 +303,7 @@ def pipe_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     document_processor.py:368-408)."""
     from vectordb_light_spark.operators.chunker import split_fixed_size
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
     out = split_fixed_size(
         docs, chunk_size=300, chunk_overlap=100, partition_cols=["doc_id"]
     )
@@ -312,7 +323,7 @@ def pipe_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipe_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 content hash: sha-256 of document text (reference
     document_processor.py:45-54) — JVM builtin sha2."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.sha2(F.col("text"), 256).alias("doc_hash"),
@@ -359,7 +370,7 @@ def pipe_chunk_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_light_spark.functions.text import make_normalize_udf
     from vectordb_light_spark.operators.chunker import split_fixed_size
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
     chunks = split_fixed_size(
         docs, chunk_size=300, chunk_overlap=100, partition_cols=["doc_id"]
     )
@@ -385,7 +396,7 @@ def pipe_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vectordb_light_spark.operators.search import SearchParams, topk_cosine
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
     embedded = embed_documents(
         docs, {"encoder": "hashing", "dim": 64, "seed": 0}
     ).drop("text")
@@ -433,7 +444,7 @@ def ts_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_token_count,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         whitespace_token_count("text").alias("n_ws_tokens"),
@@ -475,7 +486,7 @@ def ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle checks the scoring function itself, not label recovery."""
     from vectordb_light_spark.functions.text import lang_id
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.col("lang").alias("label"),
@@ -519,7 +530,7 @@ def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     builtin-only."""
     from vectordb_light_spark.functions.text import quality_score
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id", F.round(quality_score("text"), 6).alias("quality")
     ).orderBy("doc_id")
@@ -566,7 +577,7 @@ def ts_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_light_spark.functions.text import make_winnow_udf
     from vectordb_light_spark.operators.dedup import canonical_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     canon = docs.select("doc_id", canonical_text("text").alias("t")).where(
         F.length("t") > 0
     )
@@ -601,7 +612,7 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor. One narrow-key shuffle (SURVEY §4.1 north star)."""
     from vectordb_light_spark.operators.dedup import exact_dedup
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    docs = load_docs(spark, sf_dir, "doc_id", "lang", "source", "text")
     return exact_dedup(docs).select("doc_id", "lang", "source").orderBy("doc_id")
 
 
@@ -619,7 +630,7 @@ def dd_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate cluster report (observability companion)."""
     from vectordb_light_spark.operators.dedup import duplicate_groups
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return duplicate_groups(docs).orderBy("text_hash")
 
 
@@ -653,7 +664,7 @@ def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_light_spark.operators.dedup import add_char_shingles
 
     docs = add_char_shingles(
-        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 250),
+        load_docs(spark, sf_dir).where(F.col("doc_id") < 250),
         shingle_n=5,
         out_col="sh0",
     )
@@ -687,7 +698,7 @@ def dd_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier (dd_jaccard_pairs) oracle-checks the same semantics."""
     from vectordb_light_spark.operators.dedup import minhash_lsh_candidates
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return (
         minhash_lsh_candidates(docs, num_hashes=64, bands=16)
         .where(F.col("est_jaccard") >= 0.5)
@@ -701,7 +712,7 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole-blocked on 16-bit quarters)."""
     from vectordb_light_spark.operators.dedup import simhash_near_dups
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return simhash_near_dups(docs, max_hamming=12).orderBy("id_a", "id_b")
 
 
@@ -790,7 +801,7 @@ def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_light_spark.functions.embedding import embed_documents
     from vectordb_light_spark.operators.similarity import cosine_pairs_exact
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
     emb_docs = embed_documents(docs, {"encoder": "hashing", "dim": 64, "seed": 0}).drop(
         "text"
     )
@@ -847,7 +858,7 @@ def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier is oracle-checked separately (dd_jaccard_pairs)."""
     from vectordb_light_spark.plans.pipelines import training_corpus_plan
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = load_docs(spark, sf_dir, "doc_id", "lang", "text")
     out = training_corpus_plan(
         docs, min_quality=0.5, languages=None, near_dup_threshold=None
     )
@@ -959,7 +970,7 @@ def vq_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = _query_vector(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     topk = (
         emb.join(F.broadcast(docs), emb.vec_id == docs.doc_id)
         .withColumn("sim", similarity_column("embedding", q, assume_normalized=False))

@@ -84,3 +84,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every driver-provided table at ``sf_dir`` into a dict."""
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow DataFrame to the cluster's core count before an
+    expensive per-row stage (pandas UDF / mapInPandas / heavy string
+    expressions).
+
+    A small local parquet table is one file → ONE partition, so
+    everything downstream runs in one task; on a real cluster the same
+    happens after a collapsed aggregation or a tiny-side join. The
+    round-robin shuffle moves only the pre-stage rows — always call
+    this BEFORE the stage that widens rows (embedding, chunk
+    explosion), never after.
+    """
+    if df.isStreaming:
+        return df
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
