@@ -259,6 +259,123 @@ def vq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+#: Scores embeddings against the vec_id=0 query vector and joins
+#: document text — shared CTE for the presentation-path oracles.
+_SCORED_HITS_CTE = """
+    scored AS (
+        SELECT e.vec_id, d.source, d.text,
+               LEAST(GREATEST(list_cosine_similarity(
+                   e.embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+               ), 0.0), 1.0) AS sim
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    topk AS (
+        SELECT vec_id, source, text, sim,
+               CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS INT)
+                   AS rank
+        FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 6
+    )
+"""
+
+#: The fixed RAG preamble (reference constants.py:207-208) and the
+#: literal user question used by the vq_rag_prompt check.
+_RAG_STRING = (
+    "Here are the contexts to base your answer on.  However, I need to "
+    "reiterate that I only want you to base your response on these contexts "
+    "and do not use outside knowledge that you may have been trained with."
+)
+_RAG_QUESTION = "What do the sample documents describe?"
+
+
+@register(
+    "vq_chunks_only",
+    oracle="WITH" + _SCORED_HITS_CTE + r"""
+    SELECT rank, vec_id,
+           repeat('-', 80) || chr(10) ||
+           'CONTEXT ' || rank || ' | ' || source || chr(10) ||
+           repeat('-', 80) || chr(10) ||
+           regexp_replace(
+               trim(regexp_replace(text, '\n[ \t]+\n',
+                                   chr(10) || chr(10), 'g')),
+               '\n\s*\n\s*\n*', chr(10) || chr(10), 'g') || chr(10)
+               AS formatted
+    FROM topk ORDER BY rank
+    """,
+)
+def vq_chunks_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 chunks-only formatting (reference vector_db_query.py:54-78):
+    top-k hits → whitespace-cleanup regex chain → numbered
+    ``CONTEXT i | source`` banner per hit, in rank order. Runs as a
+    DataFrame projection (regexp_replace + format_string), so the
+    formatting scales with the hits, not the driver. Spark/DuckDB
+    ``trim`` strips spaces where Python ``str.strip`` strips all
+    whitespace — equivalent on this no-newline corpus; the exact
+    Python chain lives in engine.VectorDB.format_chunks."""
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+
+    q = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_docs(spark, sf_dir, "doc_id", "source", "text")
+    out = topk_cosine(
+        emb, q, SearchParams(k=6, threshold=0.0, assume_normalized=False),
+        id_col="vec_id", vec_col="embedding",
+    )
+    hits = out.join(F.broadcast(docs), out.vec_id == docs.doc_id)
+    cleaned = F.regexp_replace(F.col("text"), r"\n[ \t]+\n", "\n\n")
+    cleaned = F.regexp_replace(F.trim(cleaned), r"\n\s*\n\s*\n*", "\n\n")
+    banner = F.concat(
+        F.lit("-" * 80 + "\n"),
+        F.format_string("CONTEXT %d | %s\n", F.col("rank"), F.col("source")),
+        F.lit("-" * 80 + "\n"),
+        cleaned,
+        F.lit("\n"),
+    )
+    return hits.select("rank", "vec_id", banner.alias("formatted")).orderBy("rank")
+
+
+@register(
+    "vq_rag_prompt",
+    oracle="WITH" + _SCORED_HITS_CTE + f"""
+    SELECT '{_RAG_STRING}' || chr(10) || chr(10) || '---' || chr(10) || chr(10)
+           || string_agg(text, chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                         ORDER BY rank ASC)
+           || chr(10) || chr(10) || '-----' || chr(10) || chr(10)
+           || '{_RAG_QUESTION}' AS prompt
+    FROM topk
+    """,
+)
+def vq_rag_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 RAG prompt assembly (reference chat_llm.py:30-51): the fixed
+    preamble, the rank-ordered contexts joined by ``---`` dividers, and
+    the user question — as a one-row aggregation (ordered collect_list
+    → array_join), the driver-side string build's distributed twin."""
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+
+    q = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    out = topk_cosine(
+        emb, q, SearchParams(k=6, threshold=0.0, assume_normalized=False),
+        id_col="vec_id", vec_col="embedding",
+    )
+    hits = out.join(F.broadcast(docs), out.vec_id == docs.doc_id)
+    contexts = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "text"))),
+            lambda x: x["text"],
+        ),
+        "\n\n---\n\n",
+    )
+    return hits.agg(
+        F.concat(
+            F.lit(_RAG_STRING + "\n\n---\n\n"),
+            contexts,
+            F.lit("\n\n-----\n\n" + _RAG_QUESTION),
+        ).alias("prompt")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational operator checks (scan/filter/agg/join/top-k/window)
 # ---------------------------------------------------------------------------
@@ -380,6 +497,63 @@ def pipe_chunk_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())
         .select("doc_id", "chunk_start", "text", F.length("text").alias("n_chars"))
         .orderBy("doc_id", "chunk_start")
+    )
+
+
+@register(
+    "pipe_pdf_page_chunks",
+    oracle=r"""
+    WITH starts AS (
+        SELECT doc_id, text AS t,
+               CAST(UNNEST(generate_series(0, greatest(length(text) - 1, 0), 200))
+                   AS INT) AS s
+        FROM documents WHERE length(text) > 0
+    ),
+    pieces AS (
+        SELECT doc_id, s,
+               regexp_replace(substring(t, s + 1, 300), '^\s+|\s+$', '', 'g')
+                   AS chunk,
+               CASE WHEN s >= 400 THEN 2 ELSE 1 END AS page_number
+        FROM starts
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT)
+               AS chunk_index,
+           chunk, page_number
+    FROM pieces WHERE chunk != ''
+    ORDER BY doc_id, chunk_index
+    """,
+)
+def pipe_pdf_page_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 PDF page-aware splitter (reference
+    document_processor.py:411-477): ``[[pageN]]`` markers are located
+    against marker-free offsets, stripped, the clean text is chunked
+    (300/100), and each chunk attributed to the last marker at-or-
+    before its start (default page 1).
+
+    The page markers are synthesized at known positions — ``[[page1]]``
+    at 0 and ``[[page2]]`` after 400 clean chars — so the oracle can
+    state the attribution in closed form (``s >= 400 → page 2``) while
+    the Spark side runs the real marker-parsing UDF on the marked text.
+    Chunk values AND page attribution must both match."""
+    from vectordb_light_spark.operators.chunker import split_pdf_pages
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text").where(F.length("text") > 0)
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("[[page1]]"),
+            F.substring("text", 1, 400),
+            F.lit("[[page2]]"),
+            F.expr("substring(text, 401)"),
+        ).alias("text"),
+    )
+    out = split_pdf_pages(
+        marked, text_col="text", chunk_size=300, chunk_overlap=100,
+        partition_cols=["doc_id"],
+    )
+    return out.select("doc_id", "chunk_index", "chunk", "page_number").orderBy(
+        "doc_id", "chunk_index"
     )
 
 
