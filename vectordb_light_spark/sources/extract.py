@@ -330,8 +330,17 @@ def extract_documents(scanned: DataFrame) -> DataFrame:
 
 
 def load_directory(spark: SparkSession, source_dir: str) -> tuple[DataFrame, DataFrame]:
-    """End-to-end S1→S12: (documents, rejects) DataFrames."""
-    extracted = extract_documents(scan_documents(spark, source_dir))
+    """End-to-end S1→S12: (documents, rejects) DataFrames.
+
+    The extraction output is persisted before the docs/rejects split —
+    both branches consume it, and without the persist each branch
+    would re-read and re-parse every source file.
+    """
+    from pyspark import StorageLevel
+
+    extracted = extract_documents(scan_documents(spark, source_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     docs = extracted.where(F.col("reject_reason").isNull()).drop("reject_reason")
     rejects = extracted.where(F.col("reject_reason").isNotNull()).select(
         "file_path", "file_type", "reject_reason"
