@@ -255,17 +255,23 @@ def minhash_lsh_candidates(
     (band key, id, signature) — → pair dedup across bands. Band keys
     are uniform 64-bit hashes → no join skew at any scale.
     """
+    from vectordb_light_spark.session import persist_if_batch
+
     rows_per_band = num_hashes // bands
-    with_sig = add_minhash_signature(
-        df,
-        text_col=text_col,
-        id_col=id_col,
-        shingle_n=shingle_n,
-        num_hashes=num_hashes,
-        seed=seed,
-    ).select(
-        F.col(id_col).alias("__id"),
-        F.col("minhash").alias("__sig"),
+    # Persisted: both self-join sides consume the signature stage, and
+    # without it the shingle+minhash UDF would run once per side.
+    with_sig = persist_if_batch(
+        add_minhash_signature(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            seed=seed,
+        ).select(
+            F.col(id_col).alias("__id"),
+            F.col("minhash").alias("__sig"),
+        )
     )
     banded = with_sig.select(
         "__id",
@@ -385,9 +391,14 @@ def simhash_near_dups(
 
     The block join is an equi-join on (quarter_idx, quarter_value);
     shuffle volume is 4 rows × 16 bytes per document."""
-    keyed = add_simhash64(
-        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
-    ).select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sim"))
+    from vectordb_light_spark.session import persist_if_batch
+
+    # Persisted: both self-join sides consume the sketch stage.
+    keyed = persist_if_batch(
+        add_simhash64(
+            df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+        ).select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sim"))
+    )
     quarters = keyed.select(
         "__id",
         "__sim",
@@ -411,9 +422,12 @@ def simhash_near_dups(
     return (
         a.join(b, ["__q_idx", "__q_val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        # Hamming verify BEFORE the pair-dedup: one bit_count per
+        # candidate is far cheaper than shuffling non-pairs through
+        # the distinct exchange.
         .withColumn("hamming", hamming64("sim_a", "sim_b"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 

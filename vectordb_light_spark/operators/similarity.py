@@ -38,19 +38,10 @@ from pyspark.sql import functions as F
 
 from vectordb_light_spark.functions.vector import dot_product
 
+from vectordb_light_spark.session import persist_if_batch as _persist_if_batch
+
 DEFAULT_PLANES = 16
 DEFAULT_SEED = 42
-
-
-def _persist_if_batch(df: DataFrame) -> DataFrame:
-    """MEMORY_AND_DISK-persist a DataFrame consumed by multiple
-    downstream branches, so a derived input pipeline (e.g. a document-
-    embedding stage) computes once instead of once per branch."""
-    if df.isStreaming:
-        return df
-    from pyspark import StorageLevel
-
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 # ---------------------------------------------------------------------------

@@ -86,6 +86,18 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+def persist_if_batch(df: DataFrame) -> DataFrame:
+    """MEMORY_AND_DISK-persist a DataFrame consumed by multiple
+    downstream branches (e.g. both sides of a self-join), so a derived
+    input pipeline — a signature UDF, an embedding stage — computes
+    once instead of once per branch. No-op for streaming inputs."""
+    if df.isStreaming:
+        return df
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Widen a narrow DataFrame to the cluster's core count before an
     expensive per-row stage (pandas UDF / mapInPandas / heavy string
