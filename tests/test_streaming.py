@@ -95,3 +95,50 @@ def test_session_windows_stream_equals_batch(spark, events_batch):
     for a, b in zip(rows, rows[1:]):
         if a["user_id"] == b["user_id"]:
             assert b["session_start"] >= a["session_end"]
+
+
+def test_stateful_running_totals_incremental(spark, events_batch, tmp_path):
+    """applyInPandasWithState carries per-user state ACROSS micro-
+    batches: split the events over 3 files, stream one file per
+    trigger, and the final emitted state per user must equal the batch
+    aggregate over all events. n_events is strictly increasing per
+    user, so the final state is the row with max n_events."""
+    from vectordb_light_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        running_user_totals,
+        user_totals_batch,
+    )
+
+    src = str(tmp_path / "ev_parts")
+    spark.read.parquet(SF + "/events.parquet").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    got = run_stream_to_memory(
+        running_user_totals(stream), "ev_state_test", output_mode="update"
+    )
+    rows = got.collect()
+    # at least one user must have been emitted in more than one batch,
+    # or the test degenerates to the single-batch case
+    from collections import Counter
+
+    emits = Counter(r["user_id"] for r in rows)
+    assert max(emits.values()) > 1
+    final: dict = {}
+    for r in rows:  # final state = row with max n_events (monotone)
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    expected = user_totals_batch(events_batch)
+    g = {
+        (r["user_id"], r["n_events"], round(r["total_value"], 4))
+        for r in final.values()
+    }
+    e = {
+        (r["user_id"], r["n_events"], round(r["total_value"], 4))
+        for r in expected.collect()
+    }
+    assert g == e

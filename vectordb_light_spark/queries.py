@@ -1407,6 +1407,38 @@ def st_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_user_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def st_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cumulative per-user totals. This entry RUNS the real streaming
+    query (availableNow trigger → memory sink); on one batch the
+    emitted state equals the batch aggregate, which is what the SQL
+    oracle states. Multi-batch incremental behavior is covered in
+    tests/test_streaming.py."""
+    from vectordb_light_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        running_user_totals,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        running_user_totals(stream), "st_user_totals_q", output_mode="update"
+    )
+    return out.select(
+        "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+    ).orderBy("user_id")
+
+
+@register(
     "rel_events_json",
     oracle="""
     SELECT event_type,

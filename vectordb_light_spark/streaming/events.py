@@ -105,6 +105,49 @@ def sessionized_user_activity(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): cumulative
+    per-user event count and value total, emitted on every micro-batch
+    a user appears in.
+
+    This is the operator class Structured Streaming's builtin apparatus
+    can't express — arbitrary per-key state carried across batches
+    (builtin windowed aggs bound state by event time; this state lives
+    for the key's lifetime). State is two scalars per user; the emitted
+    row is the state after the batch, so on a single availableNow batch
+    the output equals the batch groupBy aggregate — which is exactly
+    how the oracle checks it (st_user_running_totals).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`running_user_totals` — the final state per
+    user is definitionally this aggregate."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, *, output_mode: str = "complete"
 ) -> DataFrame:
