@@ -1,0 +1,151 @@
+"""Hypothesis property tests (SURVEY §5.4): normalizer invariants,
+chunker ≡ reference loop on arbitrary inputs, top-k/threshold
+monotonicity, embedder invariants.
+
+Spark-backed properties batch all generated inputs into ONE job per
+example and cap example counts — a Spark action per hypothesis example
+would dominate the suite.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from vectordb_light_spark.functions.text import normalize_text_py
+
+# Reuse the reference splitter loop the unit tests compare against.
+from test_chunker import _ref_fixed_split
+
+
+# ---------------------------------------------------------------------------
+# Normalizer (T5) — pure python, cheap: many examples
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_normalize_idempotent(s):
+    once = normalize_text_py(s)
+    assert normalize_text_py(once) == once
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_normalize_output_charclasses(s):
+    out = normalize_text_py(s)
+    if out is None:
+        return
+    assert out == out.strip()
+    assert out != ""
+    for ch in out:
+        code = ord(ch)
+        assert code <= 0xFFFF  # astral dropped
+        assert not (0xE000 <= code <= 0xF8FF)  # private use dropped
+        assert code != 0xFFFD
+        if unicodedata.category(ch).startswith("C"):
+            assert ch in ("\n", "\t")  # only these controls survive
+    # whitespace-mode: no runs of non-newline whitespace, ≤2 newlines
+    assert "  " not in out and "\t\t" not in out and " \n" not in out
+    assert "\n\n\n" not in out
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_query_normalize_flattens(s):
+    from vectordb_light_spark.functions.text import normalize_query_text_py
+
+    out = normalize_query_text_py(s)
+    assert out == " " or ("\n" not in out and "\t" not in out and "  " not in out)
+
+
+# ---------------------------------------------------------------------------
+# Chunker (T3) — Spark; one job per example, few examples
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs")),
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_texts, size=st.integers(2, 40), overlap=st.integers(0, 39))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunker_matches_reference_loop(spark, texts, size, overlap):
+    from vectordb_light_spark.operators.chunker import split_fixed_size
+
+    overlap = min(overlap, size - 1)  # config validator: overlap < size
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = split_fixed_size(df, chunk_size=size, chunk_overlap=overlap)
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_index"]] = r["chunk"]
+    for doc_id, text in enumerate(texts):
+        expected = _ref_fixed_split(text, size, overlap)
+        chunks = got.get(doc_id, {})
+        actual = [chunks[i] for i in sorted(chunks)]
+        assert actual == expected, (doc_id, size, overlap)
+        for c in actual:  # length bound + non-emptiness
+            assert 1 <= len(c) <= size
+
+
+# ---------------------------------------------------------------------------
+# Top-k monotonicity (Q2/Q5) — deterministic, single Spark jobs
+# ---------------------------------------------------------------------------
+
+
+def test_topk_prefix_and_threshold_monotonicity(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+    from vectordb_light_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    q = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+
+    def ids(k, threshold):
+        out = topk_cosine(
+            emb, q, SearchParams(k=k, threshold=threshold, assume_normalized=True),
+            id_col="vec_id", vec_col="embedding",
+        )
+        return [r["vec_id"] for r in out.select("vec_id").collect()]
+
+    full = ids(20, 0.0)
+    for k in (1, 5, 10):
+        assert ids(k, 0.0) == full[:k]  # k' ≤ k ⇒ prefix
+    lo, hi = ids(10, 0.2), ids(10, 0.6)
+    assert set(hi) <= set(lo)  # higher threshold ⇒ subset
+    # threshold applies AFTER top-k: never more than k rows, possibly fewer
+    assert len(ids(10, 0.99)) <= 10
+
+
+# ---------------------------------------------------------------------------
+# Hashing embedder invariants (E5 test double)
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_hashing_embedder_unit_norm_and_deterministic(texts):
+    from vectordb_light_spark.functions.embedding import HashingEmbedder
+
+    a = HashingEmbedder(dim=32, seed=3).encode(texts)
+    b = HashingEmbedder(dim=32, seed=3).encode(texts)
+    np.testing.assert_array_equal(a, b)
+    norms = np.linalg.norm(a, axis=1)
+    for i, t in enumerate(texts):
+        if (t or "").split():
+            # unit norm — or exactly zero when the ±1 token votes
+            # cancel bucket-by-bucket (legal for token multisets)
+            assert abs(norms[i] - 1.0) < 1e-5 or norms[i] == 0.0
+        else:
+            assert norms[i] == 0.0  # empty text → zero vector

@@ -161,3 +161,29 @@ def test_banded_near_dup_containment_and_recall(spark):
     assert approx <= set(exact)
     if exact:
         assert len(approx) / len(exact) >= 0.5
+
+
+def test_ivf_partitioned_layout_prunes_scan(spark, emb, query, tmp_path):
+    """The 100 TB IVF design made observable: the indexed table written
+    partitionBy(ivf_cluster) turns a probe into a partition-pruned
+    read — the scan's PartitionFilters carry the cluster predicate and
+    only nprobe directories are touched — and the pruned probe returns
+    exactly what the unpartitioned probe returns."""
+    cents = train_ivf_centroids(emb, n_centroids=8, n_iters=3)
+    indexed = add_ivf_cluster(emb, cents)
+    path = str(tmp_path / "ivf_table")
+    indexed.write.partitionBy("ivf_cluster").parquet(path)
+
+    table = spark.read.parquet(path)
+    ann = ann_topk_ivf(table, cents, query, k=10, nprobe=3)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+    got = [(r["vec_id"], round(r["similarity_score"], 6)) for r in ann.collect()]
+    base = ann_topk_ivf(indexed, cents, query, k=10, nprobe=3)
+    expected = [
+        (r["vec_id"], round(r["similarity_score"], 6)) for r in base.collect()
+    ]
+    assert got == expected

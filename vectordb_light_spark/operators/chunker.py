@@ -42,12 +42,18 @@ def chunk_step(chunk_size: int, chunk_overlap: int) -> int:
     return max(chunk_size - chunk_overlap, 1)
 
 
+#: Python-str.strip() whitespace class for Java regex: the Unicode
+#: White_Space property (NBSP, NEL, U+2000 block, …) plus \x1c-\x1f,
+#: which Python treats as whitespace but Unicode does not. Java's \s
+#: alone is ASCII-only and would keep e.g. a lone NBSP chunk that the
+#: reference drops (found by hypothesis, tests/test_properties.py).
+_PY_WS = r"[\p{IsWhite_Space}\x1c-\x1f]"
+
+
 def pystrip(col: Column) -> Column:
-    """Python-``str.strip()`` equivalent: F.trim only removes spaces,
-    but the reference strips all whitespace (document_processor.py:393,
-    400). ``\\s`` covers the ASCII whitespace the normalizer can leave
-    behind (space, tab, newline)."""
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    """Python-``str.strip()`` equivalent (reference
+    document_processor.py:393,400 strips all Python whitespace)."""
+    return F.regexp_replace(col, f"^{_PY_WS}+|{_PY_WS}+$", "")
 
 
 def split_fixed_size(
