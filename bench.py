@@ -27,14 +27,21 @@ def main() -> None:
     # numbers measure the query, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # Per query: one warm-up run (python-worker spawn, parquet footer
+    # cache), then best-of-2 timed runs. The host VM shows heavy
+    # transient CPU steal, so a single sample can read 3-5× high;
+    # min-of-2 after warm-up reports the engine's steady-state cost.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
-        t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            df.collect()
-            dt = time.time() - t0
+            fn(spark, sf_dir).collect()  # warm-up, untimed
+            dt = float("inf")
+            for _ in range(repeats):
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                dt = min(dt, time.time() - t0)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             dt = float("nan")
