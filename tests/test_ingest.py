@@ -247,3 +247,37 @@ def test_delete_database(built_db, spark, doc_dir, tmp_path_factory):
     delete_database(root2, "tmpdb")
     assert list_databases(root2) == []
     assert not os.path.exists(os.path.join(root2, "tmpdb"))
+
+
+def test_backup_restore_roundtrip(built_db, spark, tmp_path_factory):
+    """K10 backup → delete → restore: the restored database answers the
+    same search with identical results (reference utilities.py:79-105,
+    initialize.py:55-81)."""
+    from vectordb_light_spark.operators.ingest import (
+        backup_database,
+        restore_database,
+    )
+
+    root, _, _ = built_db
+    backup_root = str(tmp_path_factory.mktemp("backups"))
+
+    db = VectorDB.open(spark, root, "testdb", cache=False)
+    before = [
+        (r["id"], round(r["similarity_score"], 6))
+        for r in db.search("quick brown fox").select("id", "similarity_score").collect()
+    ]
+    db.close()
+
+    backup_database(root, "testdb", backup_root)
+    delete_database(root, "testdb")
+    assert "testdb" not in list_databases(root)
+    restore_database(backup_root, "testdb", root)
+    assert "testdb" in list_databases(root)
+
+    db2 = VectorDB.open(spark, root, "testdb", cache=False)
+    after = [
+        (r["id"], round(r["similarity_score"], 6))
+        for r in db2.search("quick brown fox").select("id", "similarity_score").collect()
+    ]
+    db2.close()
+    assert before == after and before
