@@ -281,3 +281,22 @@ def test_backup_restore_roundtrip(built_db, spark, tmp_path_factory):
     ]
     db2.close()
     assert before == after and before
+
+
+def test_observability_metrics(built_db, spark):
+    """Stage counters ride the jobs as observe() metrics: the _meta
+    records docs/chunks counted during the build, and each search
+    exposes the reference's per-query similarity distribution
+    (vector_db_creator.py:397,438; vector_db_query.py:184-201)."""
+    root, meta, _ = built_db
+    obs = meta["observed"]
+    assert obs["n_docs"] == 4
+    assert obs["n_chunks"] > 0 and obs["avg_chunk_chars"] > 0
+
+    db = VectorDB.open(spark, root, "testdb", cache=False)
+    hits = db.search("quick brown fox").collect()
+    stats = db.last_search_stats
+    assert stats["n_scanned"] == meta["num_vectors"]
+    assert 0.0 <= stats["min_sim"] <= stats["avg_sim"] <= stats["max_sim"] <= 1.0
+    assert stats["n_passing_threshold"] >= len(hits)
+    db.close()

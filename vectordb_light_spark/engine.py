@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 from vectordb_light_spark.functions.embedding import embed_query
 from vectordb_light_spark.operators.citations import format_citations
 from vectordb_light_spark.operators.ingest import META_FILE
-from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+from vectordb_light_spark.operators.search import (
+    SearchParams,
+    similarity_column,
+    topk_cosine,
+)
 
 #: Reference prompt strings (constants.py:207-208), reproduced for
 #: Q12 parity.
@@ -118,9 +122,37 @@ class VectorDB:
             query_vector = self.embed(query_text)
         # Write-path invariant: stored vectors are L2-normalized.
         params = replace(params, assume_normalized=True)
+        # Per-query similarity distribution as observe() metrics — the
+        # reference logs min/max/mean distance and threshold-pass
+        # counts per search (vector_db_query.py:184-201). Computed in
+        # the same scan; read from .last_search_stats after an action.
+        from pyspark.sql import Observation
+
+        self._last_obs = Observation("search_stats")
+        vectors = self.vectors.withColumn(
+            "__sim",
+            similarity_column("vector", query_vector, assume_normalized=True),
+        ).observe(
+            self._last_obs,
+            F.count(F.lit(1)).alias("n_scanned"),
+            F.min("__sim").alias("min_sim"),
+            F.max("__sim").alias("max_sim"),
+            F.avg("__sim").alias("avg_sim"),
+            F.sum((F.col("__sim") >= params.threshold).cast("long")).alias(
+                "n_passing_threshold"
+            ),
+        ).drop("__sim")
         return topk_cosine(
-            self.vectors, query_vector, params, id_col="id", vec_col="vector"
+            vectors, query_vector, params, id_col="id", vec_col="vector"
         )
+
+    @property
+    def last_search_stats(self) -> dict:
+        """Metrics of the most recent search AFTER its action ran:
+        n_scanned, min/max/avg similarity, n_passing_threshold."""
+        if getattr(self, "_last_obs", None) is None:
+            raise ValueError("no search has run yet")
+        return dict(self._last_obs.get)
 
     # -- presentation ---------------------------------------------------
 

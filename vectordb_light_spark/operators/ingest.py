@@ -168,7 +168,20 @@ def create_database(
     tmp_dir = os.path.join(db_root, f"{name}.tmp-{uuid.uuid4().hex[:8]}")
 
     try:
+        # Stage counters as observe() metrics — the reference's stage
+        # logs (docs extracted vector_db_creator.py:397, chunks after
+        # split+normalize :438, stage_split.py:429-431) computed inside
+        # the SAME job as the write, no extra scan.
+        from pyspark.sql import Observation
+
+        obs_docs, obs_chunks = Observation("ingest_docs"), Observation("ingest_chunks")
+        documents = documents.observe(obs_docs, F.count(F.lit(1)).alias("n_docs"))
         chunks = build_chunks(documents, cfg)
+        chunks = chunks.observe(
+            obs_chunks,
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.avg(F.length("text")).alias("avg_chunk_chars"),
+        )
         vectors = build_vectors(chunks, cfg)
         (
             vectors.repartition(cfg.target_files)
@@ -179,6 +192,12 @@ def create_database(
 
         written = spark.read.parquet(os.path.join(tmp_dir, "vectors"))
         meta = _meta_payload(cfg, num_vectors=written.count())
+        stats = {**obs_docs.get, **obs_chunks.get}
+        meta["observed"] = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in stats.items()
+            if v is not None
+        }
         with open(os.path.join(tmp_dir, META_FILE), "w") as f:
             json.dump(meta, f, indent=2)
 
