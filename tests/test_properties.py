@@ -46,8 +46,13 @@ def test_normalize_output_charclasses(s):
         assert code <= 0xFFFF  # astral dropped
         assert not (0xE000 <= code <= 0xF8FF)  # private use dropped
         assert code != 0xFFFD
-        if unicodedata.category(ch).startswith("C"):
-            assert ch in ("\n", "\t")  # only these controls survive
+        # Cc controls: only \n and \t survive (reference drops C0/C1/
+        # DEL; \r → space). Other C* categories (Cn unassigned, Cf
+        # format) pass through unless in the explicit invisible list —
+        # the reference strips by explicit class, not by category.
+        if unicodedata.category(ch) == "Cc":
+            assert ch in ("\n", "\t")
+        assert ch not in "​‌‍‎‏⁠⁡⁢⁣⁤﻿"
     # whitespace-mode: no runs of non-newline whitespace, ≤2 newlines
     assert "  " not in out and "\t\t" not in out and " \n" not in out
     assert "\n\n\n" not in out

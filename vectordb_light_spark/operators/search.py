@@ -113,28 +113,79 @@ def topk_cosine_batch(
     query_vec_col: str = "query_vec",
     assume_normalized: bool = False,
 ) -> DataFrame:
-    """Top-k for MANY queries in one scan: broadcast the (small) query
-    set, crossJoin against the vectors table, window-rank per query.
+    """Top-k for MANY queries in one scan of the vectors table.
 
-    This is the scale path for query throughput benchmarks and for
-    N×M similarity joins with a small N: one pass over 100 TB serves
-    thousands of queries. For large×large, use
-    operators.similarity.lsh_similarity_join instead.
+    The query set (small by contract — it is broadcast) is collected
+    into a dense matrix and shipped to executors; every vectors
+    partition computes its block × queriesᵀ with ONE BLAS matmul per
+    Arrow batch and emits only its per-query local top-k, so the
+    shuffle to the final per-query window rank carries ≤ k rows per
+    query per partition — the O(N·M) similarity matrix never exists as
+    rows. (A crossJoin + per-row higher-order-function dot product
+    computes the same thing ~20× slower: the HOF lambda runs in the
+    expression interpreter per row; measured in tools/scale_probe.py.)
+    Local and global orderings are identical (similarity desc, id asc),
+    which makes the two-phase top-k exact, ties included.
+
+    This is the scale path for query throughput and for N×M similarity
+    joins with a small N: one pass over 100 TB serves thousands of
+    queries. For large×large, use the LSH tiers in
+    operators.similarity instead.
     """
-    sim = (
-        dot_product(vec_col, query_vec_col)
-        if assume_normalized
-        else cosine_similarity(vec_col, query_vec_col)
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    if not assume_normalized and len(qmat):
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        np.maximum(qn, 1e-12, out=qn)
+        qmat = qmat / qn
+    b_q = spark.sparkContext.broadcast((qids, qmat))
+
+    def run(batches):
+        qids_, qmat_ = b_q.value
+        for pdf in batches:
+            if not len(pdf) or not len(qids_):
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if not assume_normalized:
+                n = np.linalg.norm(a_mat, axis=1, keepdims=True)
+                np.maximum(n, 1e-12, out=n)
+                a_mat = a_mat / n
+            sims = np.clip(a_mat @ qmat_.T, 0.0, 1.0)  # [n_block, n_queries]
+            kk = min(k, sims.shape[0])
+            out_q, out_i, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                idx = (
+                    np.argpartition(-col, kk - 1)[:kk]
+                    if kk < col.shape[0]
+                    else np.arange(col.shape[0])
+                )
+                idx = idx[np.lexsort((a_ids[idx], -col[idx]))]
+                out_q.append(np.full(len(idx), qids_[j], dtype=np.int64))
+                out_i.append(a_ids[idx])
+                out_s.append(col[idx])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "similarity_score": np.concatenate(out_s),
+                }
+            )
+
+    local = vectors.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{query_id_col} long, {id_col} long, similarity_score double"
     )
-    sim = F.least(F.greatest(sim, F.lit(0.0)), F.lit(1.0))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("similarity_score").desc(), F.col(id_col).asc()
     )
     return (
-        vectors.crossJoin(F.broadcast(queries))
-        .withColumn("similarity_score", sim)
-        .withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.lit(k))
         .where(F.col("similarity_score") >= F.lit(threshold))
-        .drop(vec_col, query_vec_col)
     )
