@@ -250,6 +250,27 @@ def _nearest_centroid_col(vec_col: str, centroids: np.ndarray) -> Column:
     return F.array_max(scored)["i"]
 
 
+def make_ivf_assign_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment: one block matmul +
+    argmax per batch. Tie behavior matches the expression form
+    (:func:`_nearest_centroid_col`, array_max → LARGEST index on equal
+    dots): argmax runs on the reversed column order."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dots = mat @ cents.T
+        k = dots.shape[1]
+        best = k - 1 - np.argmax(dots[:, ::-1], axis=1)
+        return pd.Series(best.astype(np.int32))
+
+    return assign
+
+
 def add_ivf_cluster(
     df: DataFrame,
     centroids: np.ndarray,
@@ -257,10 +278,10 @@ def add_ivf_cluster(
     vec_col: str = "embedding",
     out_col: str = "ivf_cluster",
 ) -> DataFrame:
-    """Index build: attach nearest-centroid id (map-only). At scale,
-    ``.write.partitionBy(out_col)`` makes every probe a partition-
-    pruned read."""
-    return df.withColumn(out_col, _nearest_centroid_col(vec_col, centroids))
+    """Index build: attach nearest-centroid id (map-only, vectorized).
+    At scale, ``.write.partitionBy(out_col)`` makes every probe a
+    partition-pruned read."""
+    return df.withColumn(out_col, make_ivf_assign_udf(centroids)(F.col(vec_col)))
 
 
 def ann_topk_ivf(
