@@ -187,3 +187,45 @@ def test_ivf_partitioned_layout_prunes_scan(spark, emb, query, tmp_path):
         (r["vec_id"], round(r["similarity_score"], 6)) for r in base.collect()
     ]
     assert got == expected
+
+
+def test_ann_topk_join_lsh_recall(spark, emb):
+    """Large×large LSH top-k join: ranked output is a subset of real
+    cosine neighbors (exact values, correct per-left ordering) and
+    recall@5 vs the exact batch join stays high at 64 planes/16
+    bands."""
+    from vectordb_light_spark.operators.search import topk_cosine_batch
+    from vectordb_light_spark.operators.similarity import ann_topk_join_lsh
+
+    left = emb.where(F.col("vec_id") < 60).select(
+        F.col("vec_id").alias("l_id"), F.col("embedding").alias("l_vec")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("r_id"), F.col("embedding").alias("r_vec")
+    )
+    got = ann_topk_join_lsh(left, right, k=5, bands=16).collect()
+    by_left: dict = {}
+    for r in got:
+        by_left.setdefault(r["l_id"], []).append((r["rank"], r["r_id"], r["cosine"]))
+    # per-left ranks are 1..n and ordered by cosine desc
+    for rows in by_left.values():
+        rows.sort()
+        assert [x[0] for x in rows] == list(range(1, len(rows) + 1))
+        assert all(rows[i][2] >= rows[i + 1][2] for i in range(len(rows) - 1))
+
+    exact = topk_cosine_batch(
+        emb, left.select(F.col("l_id").alias("query_id"),
+                         F.col("l_vec").alias("query_vec")),
+        k=5, threshold=0.0, id_col="vec_id", vec_col="embedding",
+        assume_normalized=True,
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for lid, want in exact_sets.items():
+        have = {x[1] for x in by_left.get(lid, [])}
+        hits += len(want & have)
+        total += len(want)
+    recall = hits / total
+    assert recall >= 0.7, f"LSH join recall@5 too low: {recall:.2f}"

@@ -34,10 +34,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vectordb_light_spark.functions.vector import dot_product
+from vectordb_light_spark.functions.vector import cosine_similarity, dot_product
 
 from vectordb_light_spark.session import persist_if_batch as _persist_if_batch
 
@@ -382,6 +382,77 @@ def cosine_pairs_exact(
                 )
 
     return proj.mapInPandas(run, schema="id_a long, id_b long, cosine double")
+
+
+def ann_topk_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    k: int = 10,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    left_vec: str = "l_vec",
+    right_vec: str = "r_vec",
+    n_planes: int = 64,
+    bands: int = 16,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Approximate top-k similarity JOIN for large×large inputs:
+    every left row gets its ≤k most-cosine-similar right rows.
+
+    Neither side is collected or broadcast — this is the tier past
+    :func:`~vectordb_light_spark.operators.search.topk_cosine_batch`'s
+    broadcastable-queries contract. Both sides are SRP-signed
+    (vectorized matmul stage), banded into ``bands`` exact-match keys,
+    and candidates meet in a band equi-join whose keys are uniform
+    hash values (no skew); the exact dot product runs only on
+    candidates, and a per-left window keeps the top-k. Recall is the
+    LSH S-curve P[meet] = 1-(1-p^r)^b with p = 1-θ/π — at 64 planes /
+    16 bands ≈ .97 for cos ≥ .8 pairs; raise ``bands`` (smaller r) for
+    more recall / more candidates. Output: (left id, right id, cosine,
+    rank). Vectors ride the banded rows (one exploded copy per band);
+    for very wide vectors trade that for a late re-join on id as in
+    :func:`embedding_near_dup_pairs_banded`.
+    """
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1 if bits_per_band < 64 else -1
+    # posexplode keeps (band index, band value) so different bands
+    # never collide in the join key.
+    dim = len(left.select(left_vec).first()[0])
+    planes = srp_planes(dim, n_planes, seed)
+
+    def banded(df, id_col, vec_col):
+        sig = make_srp_udf(planes)(F.col(vec_col))
+        with_sig = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+        return with_sig.select(
+            id_col,
+            vec_col,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("__sig"), i * bits_per_band)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("__b_idx", "__b_val"),
+        )
+
+    a = banded(left, left_id, left_vec)
+    b = banded(right, right_id, right_vec)
+    cand = (
+        a.join(b, ["__b_idx", "__b_val"])
+        .dropDuplicates([left_id, right_id])
+        .withColumn("cosine", cosine_similarity(left_vec, right_vec))
+    )
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("cosine").desc(), F.col(right_id).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .select(left_id, right_id, "cosine", "rank")
+    )
 
 
 def embedding_near_dup_pairs_banded(

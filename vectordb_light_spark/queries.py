@@ -997,6 +997,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("similarity_score").desc(), "vec_id")
 
 
+@register("ann_topk_join")  # rows-only: SRP-banded LSH join, recall-tested
+def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large approximate top-k similarity JOIN: every left
+    vector gets its ≤5 most-similar right vectors via SRP band
+    equi-join + exact verify + per-left window rank — the tier past
+    broadcastable queries (neither side collected). Recall vs the
+    exact batch join is asserted in tests/test_similarity.py."""
+    from vectordb_light_spark.operators.similarity import ann_topk_join_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("l_id"), F.col("embedding").alias("l_vec")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("r_id"), F.col("embedding").alias("r_vec")
+    )
+    out = ann_topk_join_lsh(left, right, k=5, bands=16)
+    return out.select(
+        "l_id", "r_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("l_id", "rank")
+
+
 @register("dd_embedding_near_dups")  # rows-only: hashing embedder is engine-side
 def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ 0.9 over hash-embedded
