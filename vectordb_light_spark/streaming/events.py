@@ -66,7 +66,9 @@ def windowed_event_counts(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # round(4): an average over hundreds of doubles differs
+            # from an independent engine's sum order at the 1e-6 digit
+            F.round(F.avg("value"), 4).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
