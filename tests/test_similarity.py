@@ -229,3 +229,18 @@ def test_ann_topk_join_lsh_recall(spark, emb):
         total += len(want)
     recall = hits / total
     assert recall >= 0.7, f"LSH join recall@5 too low: {recall:.2f}"
+
+
+def test_cosine_pairs_blocked_equals_unblocked(spark, emb):
+    """block_rows bounds the per-batch similarity block without
+    changing the result: blocked and unblocked runs emit the same
+    pair set and values."""
+    full = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in cosine_pairs_exact(emb, threshold=0.3).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in cosine_pairs_exact(emb, threshold=0.3, block_rows=37).collect()
+    }
+    assert full == blocked and full

@@ -325,6 +325,7 @@ def cosine_pairs_exact(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     assume_normalized: bool = True,
+    block_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold (id_a < id_b) as a
     broadcast block-matmul.
@@ -338,10 +339,11 @@ def cosine_pairs_exact(
 
     Scale: the broadcast side must fit executor memory (64-dim
     float64 ≈ 0.5 MB per 1000 vectors, so ~10⁷ vectors per 5 GB).
-    Beyond that, block the broadcast side too: group B into chunks
-    and loop chunks inside the same mapInPandas — the pattern here
-    generalizes without plan changes. A pure-JVM crossJoin fallback
-    is what the LSH tier (:func:`embedding_near_dup_pairs`) replaces.
+    ``block_rows`` bounds the PEAK: the similarity block per batch is
+    [arrow_batch × block_rows] instead of [arrow_batch × N], looping
+    B-chunks inside the same stage — same output, same plan, O(N·d +
+    batch·block) working set. Past driver-collect reach, the LSH tier
+    (:func:`embedding_near_dup_pairs` / ``_banded``) takes over.
     """
     spark = df.sparkSession
     # Persist the projection: the broadcast-side collect below and the
@@ -361,6 +363,7 @@ def cosine_pairs_exact(
     def run(batches):
         oids = b_ids.value
         omat = b_mat.value
+        step = block_rows or len(oids) or 1
         for pdf in batches:
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
             a_mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
@@ -370,16 +373,20 @@ def cosine_pairs_exact(
                 a_mat = a_mat / n
             if not len(a_mat):
                 continue
-            sims = a_mat @ omat.T
-            ai, bj = np.where((sims >= threshold) & (a_ids[:, None] < oids[None, :]))
-            if len(ai):
-                yield pd.DataFrame(
-                    {
-                        "id_a": a_ids[ai],
-                        "id_b": oids[bj],
-                        "cosine": sims[ai, bj],
-                    }
+            for lo in range(0, len(oids), step):
+                o_ids = oids[lo : lo + step]
+                sims = a_mat @ omat[lo : lo + step].T
+                ai, bj = np.where(
+                    (sims >= threshold) & (a_ids[:, None] < o_ids[None, :])
                 )
+                if len(ai):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": a_ids[ai],
+                            "id_b": o_ids[bj],
+                            "cosine": sims[ai, bj],
+                        }
+                    )
 
     return proj.mapInPandas(run, schema="id_a long, id_b long, cosine double")
 
