@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,10 +51,38 @@ class SearchParams:
 def similarity_column(vec_col: Column | str, query: list[float], *, assume_normalized: bool) -> Column:
     """Cosine similarity of a vector column against one literal query
     vector, clipped to [0,1] like the reference's
-    sim = clip(1 - distance, 0, 1) (vector_db_query.py:186-192)."""
+    sim = clip(1 - distance, 0, 1) (vector_db_query.py:186-192).
+    Pure Catalyst expression form — fine for oracle queries and
+    derived columns; the hot scan path uses :func:`make_query_sim_udf`
+    (one BLAS matvec per Arrow batch instead of an interpreted lambda
+    fold per row)."""
     q = F.array(*[F.lit(float(x)) for x in query])
     sim = dot_product(vec_col, q) if assume_normalized else cosine_similarity(vec_col, q)
     return F.least(F.greatest(sim, F.lit(0.0)), F.lit(1.0))
+
+
+def make_query_sim_udf(query: list[float], *, assume_normalized: bool):
+    """Arrow-batched twin of :func:`similarity_column`: [n,d] batch @
+    query with BLAS, clip to [0,1]. Same doubles up to summation
+    order."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query, dtype=np.float64)
+    if not assume_normalized:
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+
+    @pandas_udf("double")
+    def sim(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="float64")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if not assume_normalized and len(mat):
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            np.maximum(n, 1e-12, out=n)
+            mat = mat / n
+        return pd.Series(np.clip(mat @ q, 0.0, 1.0))
+
+    return sim
 
 
 def topk_cosine(
@@ -73,8 +103,8 @@ def topk_cosine(
     (the reference's numpy argpartition tie order is unspecified;
     SURVEY §2.8 requires an explicit tiebreaker).
     """
-    sim = similarity_column(vec_col, query, assume_normalized=params.assume_normalized)
-    scored = vectors.withColumn("similarity_score", sim)
+    sim_udf = make_query_sim_udf(query, assume_normalized=params.assume_normalized)
+    scored = vectors.withColumn("similarity_score", sim_udf(F.col(vec_col)))
 
     # TakeOrderedAndProject: per-partition k-heaps, no full sort/shuffle.
     topk = (
@@ -132,9 +162,6 @@ def topk_cosine_batch(
     queries. For large×large, use the LSH tiers in
     operators.similarity instead.
     """
-    import numpy as np
-    import pandas as pd
-
     spark = vectors.sparkSession
     qrows = queries.select(query_id_col, query_vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
