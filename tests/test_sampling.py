@@ -1,0 +1,110 @@
+"""Deterministic sampling / split / mixing operators
+(operators/sampling.py) — beyond-reference training-data surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.operators.sampling import (
+    assign_split,
+    deterministic_sample,
+    fraction_threshold,
+    mix_corpora,
+    split_thresholds,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(2000).withColumnRenamed("id", "doc_id")
+
+
+def test_fraction_threshold_bounds():
+    assert fraction_threshold(0.0) == "00000000"
+    assert fraction_threshold(1.0) == "g"
+    assert fraction_threshold(0.5) == "80000000"
+    # clipping out-of-range inputs
+    assert fraction_threshold(-3.0) == "00000000"
+    assert fraction_threshold(7.0) == "g"
+
+
+def test_split_thresholds_normalize_and_exhaust():
+    ts = split_thresholds({"a": 2, "b": 1, "c": 1})
+    assert [n for n, _ in ts] == ["a", "b", "c"]
+    assert ts[0][1] == "80000000"  # 2/4
+    assert ts[-1][1] == "g"  # last split always catches the tail
+    with pytest.raises(ValueError):
+        split_thresholds({})
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.0})
+
+
+def test_assign_split_exhaustive_and_near_weights(ids_df):
+    out = assign_split(ids_df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # every row exactly one split
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    assert abs(counts["test"] / 2000 - 0.1) < 0.03
+
+
+def test_assignment_is_partition_invariant(ids_df):
+    a = assign_split(ids_df, {"train": 0.9, "val": 0.1})
+    b = assign_split(ids_df.repartition(7), {"train": 0.9, "val": 0.1})
+    rows_a = {(r["doc_id"], r["split"]) for r in a.collect()}
+    rows_b = {(r["doc_id"], r["split"]) for r in b.collect()}
+    assert rows_a == rows_b
+
+
+def test_deterministic_sample_reproducible_nested_and_seeded(ids_df):
+    s30 = {r["doc_id"] for r in deterministic_sample(ids_df, 0.3).collect()}
+    s30_again = {r["doc_id"] for r in deterministic_sample(ids_df, 0.3).collect()}
+    s60 = {r["doc_id"] for r in deterministic_sample(ids_df, 0.6).collect()}
+    assert s30 == s30_again  # reproducible
+    assert s30 <= s60  # same seed ⇒ nested fractions (ablation sweeps)
+    assert abs(len(s30) / 2000 - 0.3) < 0.05
+    other_seed = {r["doc_id"] for r in deterministic_sample(ids_df, 0.3, seed=1).collect()}
+    assert other_seed != s30  # seed shifts to an independent hash
+    assert deterministic_sample(ids_df, 0.0).count() == 0
+    assert deterministic_sample(ids_df, 1.0).count() == 2000
+
+
+def test_stratified_sample_rates_and_default(spark):
+    df = (
+        spark.range(3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, "en")
+            .when(F.col("doc_id") % 3 == 1, "de")
+            .otherwise("xx"),
+        )
+    )
+    out = stratified_sample(
+        df, {"en": 1.0, "de": 0.2}, strata_col="lang", id_col="doc_id"
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == 1000  # rate 1.0 keeps every row
+    assert abs(counts.get("de", 0) / 1000 - 0.2) < 0.05
+    assert "xx" not in counts  # default rate 0.0 drops unlisted strata
+
+
+def test_mix_corpora_tags_and_weights(spark):
+    a = spark.range(1000).withColumnRenamed("id", "doc_id")
+    b = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = mix_corpora({"web": (a, 1.0), "books": (b, 0.25)})
+    counts = {r["corpus"]: r["n"] for r in out.groupBy("corpus").agg(F.count("*").alias("n")).collect()}
+    assert counts["web"] == 1000
+    assert abs(counts["books"] / 1000 - 0.25) < 0.06
+    assert set(out.columns) == {"doc_id", "corpus"}
+
+
+def test_split_plan_has_no_shuffle_before_agg(ids_df):
+    # The split assignment itself must be a map-side expression: no
+    # Exchange below the (single) aggregate pair's exchange.
+    out = assign_split(ids_df, {"train": 0.8, "test": 0.2}).groupBy("split").count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # only the partial→final agg shuffle

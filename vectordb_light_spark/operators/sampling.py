@@ -1,0 +1,196 @@
+"""Deterministic sampling, train/val/test splits, and corpus mixing.
+
+Training-data pipelines need reproducible row-level routing: assign
+every document to a split, downsample a corpus to a target rate, or
+mix several corpora at chosen weights — and get the SAME answer on
+every run, on any cluster size, in any engine. (The reference has no
+split/sampling stage — its pipeline ingests whole directories,
+vector_db_create.py:1 — so this module is part of the beyond-reference
+training-data surface the task brief asks for.)
+
+Design: hash-threshold routing. The routing key for a row is the
+first 8 hex chars of ``md5(f"{id}:{seed}")`` — uniform over the 32-bit
+keyspace — and a fraction ``f`` maps to the literal hex threshold
+``format(round(f * 16**8), '08x')``; membership is a plain string
+comparison against that literal (equal-length lowercase hex compares
+lexicographically exactly like the number it encodes). This keeps the
+whole operator a map-side Catalyst expression:
+
+- **No shuffle, no RNG state, no UDF.** ``md5``/``substring``/``<``
+  are whole-stage-codegen builtins; sampling 100 TB is a pure scan.
+- **Partition- and order-invariant**, unlike ``DataFrame.sample``:
+  assignment depends only on (id, seed), so repartitioning, AQE
+  re-planning, or a different executor count cannot change it.
+- **Cross-engine replayable**: any engine with md5 reproduces the
+  assignment bit-for-bit — the DuckDB oracle SQL in queries.py is
+  built from the same thresholds via :func:`bucket_sql` /
+  :func:`split_case_sql`.
+
+Fraction granularity is 1/2**32 — far below anything a corpus split
+cares about. A fraction of exactly 1.0 uses the sentinel threshold
+``'g'`` (every hex string sorts below it), so "keep everything"
+needs no special casing in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_SPACE = 16**8  # 8 hex chars = 32 bits of the md5
+
+
+# ---------------------------------------------------------------------------
+# Routing-key primitives (shared by the Spark exprs and the oracle SQL)
+# ---------------------------------------------------------------------------
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex threshold literal for a keep-fraction in [0, 1].
+
+    ``bucket < threshold`` keeps ~fraction of uniformly-hashed rows;
+    1.0 returns the sentinel ``'g'`` which every 8-char hex string
+    sorts below.
+    """
+    f = min(max(float(fraction), 0.0), 1.0)
+    n = round(f * HEX_SPACE)
+    return "g" if n >= HEX_SPACE else format(n, "08x")
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, cumulative upper-bound hex) per split, in dict order.
+
+    Weights are normalized; the last split's bound is forced to the
+    ``'g'`` sentinel so the splits are exhaustive regardless of
+    float rounding in the cumulative sum.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive number")
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        out.append((name, fraction_threshold(cum)))
+    out.append((names[-1], "g"))
+    return out
+
+
+def hash_bucket_column(id_col: Column | str, seed: int = 0) -> Column:
+    """32-bit routing key as an 8-char lowercase hex string."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(
+        F.md5(F.concat_ws(":", c.cast("string"), F.lit(str(int(seed))))), 1, 8
+    )
+
+
+def bucket_sql(id_expr: str, seed: int = 0) -> str:
+    """ANSI-SQL twin of :func:`hash_bucket_column` (same bytes)."""
+    return f"substr(md5(concat_ws(':', CAST({id_expr} AS VARCHAR), '{int(seed)}')), 1, 8)"
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+
+def split_column(
+    id_col: Column | str, weights: dict[str, float], *, seed: int = 0
+) -> Column:
+    """Split-name CASE expression over the routing key."""
+    b = hash_bucket_column(id_col, seed=seed)
+    expr = None
+    for name, thr in split_thresholds(weights):
+        cond = b < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr
+
+
+def split_case_sql(id_expr: str, weights: dict[str, float], *, seed: int = 0) -> str:
+    """ANSI-SQL twin of :func:`split_column`, for oracle queries."""
+    b = bucket_sql(id_expr, seed=seed)
+    whens = "".join(
+        f" WHEN {b} < '{thr}' THEN '{name}'" for name, thr in split_thresholds(weights)
+    )
+    return f"CASE{whens} END"
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split column (e.g. train/val/test).
+
+    Weights need not sum to 1 (normalized). Every row gets exactly
+    one split; assignment is a pure function of (id, seed).
+    """
+    return df.withColumn(out_col, split_column(id_col, weights, seed=seed))
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, *, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by id hash — reproducible
+    across runs/partitionings, and disjoint samples come free:
+    ``seed`` shifts to an independent hash, while the SAME seed at
+    fractions f1 < f2 gives nested samples (f1 ⊂ f2), which is what
+    corpus-ablation sweeps want.
+    """
+    b = hash_bucket_column(id_col, seed=seed)
+    return df.where(b < F.lit(fraction_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum keep-rates (e.g. downweight one language): the
+    threshold becomes a CASE over the stratum value; still a single
+    map-side filter, no shuffle, no per-stratum passes.
+    """
+    b = hash_bucket_column(id_col, seed=seed)
+    s = F.col(strata_col)
+    thr = None
+    for name, frac in fractions.items():
+        t = F.lit(fraction_threshold(frac))
+        thr = F.when(s == name, t) if thr is None else thr.when(s == name, t)
+    default = F.lit(fraction_threshold(default_fraction))
+    thr = default if thr is None else thr.otherwise(default)
+    return df.where(b < thr)
+
+
+def mix_corpora(
+    corpora: dict[str, tuple[DataFrame, float]],
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    source_col: str = "corpus",
+) -> DataFrame:
+    """Weighted union of corpora: sample each at its rate, tag with
+    its name. Union is plan-level (no shuffle); each branch keeps its
+    own pushed-down scan.
+    """
+    if not corpora:
+        raise ValueError("corpora must be non-empty")
+    parts = [
+        deterministic_sample(df, frac, id_col=id_col, seed=seed).withColumn(
+            source_col, F.lit(name)
+        )
+        for name, (df, frac) in corpora.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

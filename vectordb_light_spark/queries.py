@@ -1489,3 +1489,81 @@ def rel_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits / sampling / corpus mixing (beyond-reference;
+# operators/sampling.py). The oracle SQL is BUILT FROM THE SAME hex
+# thresholds as the Spark expression (split_case_sql / bucket_sql), so
+# the two sides agree bit-for-bit, not just statistically.
+# ---------------------------------------------------------------------------
+
+from vectordb_light_spark.operators.sampling import (  # noqa: E402
+    bucket_sql,
+    fraction_threshold,
+    split_case_sql,
+)
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MIX_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.1}
+
+
+@register(
+    "pipe_corpus_split",
+    oracle=f"""
+    SELECT {split_case_sql("doc_id", _SPLIT_WEIGHTS)} AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def pipe_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by doc_id
+    hash) summarized per split. Map-side CASE over md5 hex — no
+    shuffle until the 3-group aggregate; reproducible across runs,
+    partitionings, and engines."""
+    from vectordb_light_spark.operators.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, _SPLIT_WEIGHTS, id_col="doc_id", seed=0)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "pipe_corpus_mix",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents
+    WHERE {bucket_sql("doc_id")} < CASE lang
+        {" ".join(f"WHEN '{k}' THEN '{fraction_threshold(v)}'" for k, v in _MIX_FRACTIONS.items())}
+        ELSE '{fraction_threshold(0.0)}' END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pipe_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing via stratified deterministic sampling:
+    per-language keep-rates (en 1.0 … zh 0.1) applied as ONE map-side
+    filter (threshold is a CASE over the stratum), then counted. The
+    100 TB shape: a full-corpus reweighting pass with zero shuffle
+    before the final tiny aggregate."""
+    from vectordb_light_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = stratified_sample(
+        docs, _MIX_FRACTIONS, strata_col="lang", id_col="doc_id", seed=0
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
