@@ -1,0 +1,144 @@
+"""As-of join operator (operators/joins.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.operators.joins import asof_join
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts(10), 100.0),
+            (1, _ts(20), 101.0),
+            (1, _ts(5), 99.0),
+            (2, _ts(10), 50.0),
+        ],
+        "user_id long, ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts(8), 1001),
+            (1, _ts(10), 1002),
+            (1, _ts(15), 1003),
+            (2, _ts(30), 2001),
+        ],
+        "user_id long, ts timestamp, quote_id long",
+    )
+    return trades, quotes
+
+
+def _pairs(df):
+    return {
+        (r["user_id"], r["ts"].second, r["r_quote_id"]) for r in df.collect()
+    }
+
+
+def test_backward_inclusive(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="user_id", right_id_col="quote_id")
+    assert _pairs(out) == {
+        (1, 5, None),  # no quote at-or-before 5 → LEFT semantics keep it
+        (1, 10, 1002),  # equal ts visible when inclusive
+        (1, 20, 1003),
+        (2, 10, None),  # user 2's only quote is later
+    }
+
+
+def test_backward_strict_excludes_equal_ts(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="user_id", strict=True, right_id_col="quote_id")
+    assert _pairs(out) == {
+        (1, 5, None),
+        (1, 10, 1001),  # equal-ts quote hidden → falls back to t=8
+        (1, 20, 1003),
+        (2, 10, None),
+    }
+
+
+def test_forward_direction(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="user_id", direction="forward", right_id_col="quote_id")
+    assert _pairs(out) == {
+        (1, 5, 1001),  # nearest at-or-after
+        (1, 10, 1002),
+        (1, 20, None),  # nothing after 20 for user 1
+        (2, 10, 2001),
+    }
+
+
+def test_tolerance_nulls_far_matches(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="user_id", tolerance_us=2_000_000, right_id_col="quote_id"
+    )
+    # t=20's nearest quote is t=15 → 5s lag > 2s tolerance → nulled.
+    assert _pairs(out) == {
+        (1, 5, None),
+        (1, 10, 1002),
+        (1, 20, None),
+        (2, 10, None),
+    }
+
+
+def test_left_rows_and_payload_preserved(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="user_id", right_id_col="quote_id")
+    assert out.count() == trades.count()
+    assert {r["price"] for r in out.collect()} == {99.0, 100.0, 101.0, 50.0}
+    assert set(out.columns) == {"user_id", "ts", "price", "r_quote_id", "r_ts"}
+
+
+def test_matches_bruteforce_on_events(spark):
+    """Union+window result ≡ brute-force (equi-join + max-predecessor)
+    on real testdata: every click joined to its latest prior-or-equal
+    purchase per user."""
+    from vectordb_light_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "user_id", "ts"
+    )
+
+    got = asof_join(clicks, buys, on="user_id", right_id_col="buy_id").select(
+        "event_id", "r_buy_id"
+    )
+
+    from pyspark.sql.window import Window
+
+    cand = clicks.join(
+        buys.withColumnRenamed("ts", "bts"), on="user_id", how="left"
+    ).where(F.col("bts").isNull() | (F.col("bts") <= F.col("ts")))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("bts").desc_nulls_last(), F.col("buy_id").desc_nulls_last()
+    )
+    want = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", F.col("buy_id").alias("r_buy_id"))
+    )
+    # left rows whose every candidate was filtered out disappear from
+    # cand — reinstate them as null matches
+    want = clicks.select("event_id").join(want, "event_id", "left")
+
+    grows = {(r["event_id"], r["r_buy_id"]) for r in got.collect()}
+    wrows = {(r["event_id"], r["r_buy_id"]) for r in want.collect()}
+    assert grows == wrows
+
+
+def test_single_shuffle_plan(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="user_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one shuffle on the equi-key
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

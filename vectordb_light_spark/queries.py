@@ -1491,6 +1491,39 @@ def rel_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_events_asof",
+    oracle="""
+    SELECT l.event_id, l.user_id,
+           r.event_id AS buy_event_id,
+           date_diff('microsecond', r.ts, l.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): every click matched to the
+    same user's most recent prior-or-equal purchase, LEFT semantics.
+    Union+window form — one shuffle of clicks∪purchases on user_id,
+    no pair explosion — vs DuckDB's native ASOF LEFT JOIN."""
+    from vectordb_light_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "user_id", "ts"
+    )
+    out = asof_join(clicks, buys, on="user_id", right_id_col="buy_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("r_buy_id").alias("buy_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("lag_us"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic splits / sampling / corpus mixing (beyond-reference;
 # operators/sampling.py). The oracle SQL is BUILT FROM THE SAME hex
