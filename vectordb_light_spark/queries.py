@@ -1492,6 +1492,52 @@ def rel_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_sequence_pack",
+    oracle="""
+    WITH laid AS (
+        SELECT doc_id, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS tok_start
+        FROM documents
+    )
+    SELECT tok_start // 4096 AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM laid
+    GROUP BY 1
+    ORDER BY seq_id
+    """,
+)
+def pipe_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-cut sequence packing (operators/packing.py):
+    documents laid end-to-end in doc_id order, cut every 4096 chars;
+    summarized per sequence. The Spark side uses the two-phase
+    parallel prefix sum (ONE range shuffle + N-integer offsets), not a
+    single-partition global window — the oracle's OVER (ORDER BY)
+    states the same math DuckDB-side."""
+    from vectordb_light_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_sequences(
+        docs, token_col="n_chars", order_col="doc_id", budget=4096
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+@register(
     "rel_events_asof",
     oracle="""
     SELECT l.event_id, l.user_id,
