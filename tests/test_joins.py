@@ -7,7 +7,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from vectordb_light_spark.operators.joins import asof_join
+from vectordb_light_spark.operators.joins import asof_join, interval_join
 
 
 def _ts(s: int):
@@ -142,3 +142,84 @@ def test_single_shuffle_plan(trades_quotes):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # one shuffle on the equi-key
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def points_intervals(spark):
+    points = spark.createDataFrame(
+        [(i, 1 + (i % 2), _ts(i * 13 % 300)) for i in range(60)],
+        "pt_id long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, 1, _ts(0), _ts(50)),
+            (101, 1, _ts(40), _ts(200)),  # overlaps 100 → points match both
+            (102, 2, _ts(10), _ts(11)),  # sub-bucket interval
+            (103, 2, _ts(250), _ts(600)),  # spans many buckets
+        ],
+        "w_id long, user_id long, w_start timestamp, w_end timestamp",
+    )
+    return points, intervals
+
+
+def _brute(points, intervals, keys):
+    cond = (F.col("p.ts") >= F.col("i.w_start")) & (F.col("p.ts") <= F.col("i.w_end"))
+    for k in keys:
+        cond = cond & (F.col(f"p.{k}") == F.col(f"i.{k}"))
+    return {
+        (r["pt_id"], r["w_id"])
+        for r in points.alias("p").join(intervals.alias("i"), cond).select("p.pt_id", "i.w_id").collect()
+    }
+
+
+@pytest.mark.parametrize("bucket_s", [7, 60, 3600])
+def test_interval_join_matches_bruteforce(points_intervals, bucket_s):
+    points, intervals = points_intervals
+    got = interval_join(
+        points, intervals, on="user_id", bucket_s=bucket_s
+    ).select("pt_id", "w_id")
+    pairs = [(r["pt_id"], r["w_id"]) for r in got.collect()]
+    assert len(pairs) == len(set(pairs))  # no dup rows from multi-bucket spans
+    assert set(pairs) == _brute(points, intervals, ["user_id"])
+
+
+def test_interval_join_without_equi_keys(points_intervals):
+    points, intervals = points_intervals
+    got = interval_join(
+        points.drop("user_id"), intervals.drop("user_id"), bucket_s=30
+    ).select("pt_id", "w_id")
+    pairs = {(r["pt_id"], r["w_id"]) for r in got.collect()}
+    assert pairs == _brute(
+        points.drop("user_id"), intervals.drop("user_id"), []
+    )
+
+
+def test_interval_join_boundary_inclusive(spark):
+    p = spark.createDataFrame(
+        [(1, _ts(10)), (2, _ts(20)), (3, _ts(21))], "pt_id long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(9, _ts(10), _ts(20))], "w_id long, w_start timestamp, w_end timestamp"
+    )
+    got = {r["pt_id"] for r in interval_join(p, iv, bucket_s=5).collect()}
+    assert got == {1, 2}  # both endpoints inclusive, outside excluded
+
+
+def test_interval_join_rejects_ambiguous_and_bad_bucket(points_intervals):
+    points, intervals = points_intervals
+    with pytest.raises(ValueError):
+        interval_join(points, intervals.withColumnRenamed("w_id", "pt_id"), on="user_id")
+    with pytest.raises(ValueError):
+        interval_join(points, intervals, on="user_id", bucket_s=0)
+
+
+def test_interval_join_plans_equi_join(points_intervals):
+    points, intervals = points_intervals
+    out = interval_join(points, intervals, on="user_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -133,3 +133,60 @@ def asof_join(
         out = out.drop("_side")
 
     return out.withColumnRenamed("_ts", left_ts)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    on: str | list[str] | None = None,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Range (interval-containment) join: each point row pairs with
+    every interval row whose ``[start_col, end_col]`` contains its
+    timestamp (inclusive both ends), optionally also matching equi
+    ``on`` keys.
+
+    Spark-first shape: a raw ``p.ts BETWEEN i.start AND i.end``
+    predicate gives Catalyst no equi-key, so it plans a broadcast
+    nested-loop / cartesian — O(|points| * |intervals|) compares. We
+    bucketize instead: a point lands in ONE bucket of width
+    ``bucket_s``; an interval explodes into the buckets it covers;
+    the join becomes a plain hash equi-join on (keys, bucket) with
+    the exact BETWEEN as a post-filter. A point meets a given
+    interval in at most one bucket, so no dedup step is needed.
+
+    Pick ``bucket_s`` near the typical interval length: the
+    explosion factor is ~len(interval)/bucket_s per interval row,
+    while false candidates per point shrink as buckets narrow.
+    Same technique DuckDB/Trino docs call a "binned range join".
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
+    bucket_us = int(bucket_s) * 1_000_000
+    if bucket_us <= 0:
+        raise ValueError("bucket_s must be positive")
+
+    p = points.withColumn("_bucket", F.expr(f"unix_micros({point_ts}) div {bucket_us}"))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start_col}) div {bucket_us}"),
+                F.expr(f"unix_micros({end_col}) div {bucket_us}"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, on=[*keys, "_bucket"], how="inner")
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )

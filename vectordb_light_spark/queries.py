@@ -1492,6 +1492,49 @@ def rel_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_events_interval",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, MIN(ts) AS w_start,
+               MIN(ts) + INTERVAL 1 DAY AS w_end
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e
+    JOIN w ON e.user_id = w.user_id
+          AND e.ts >= w.w_start AND e.ts <= w.w_end
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def rel_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/joins.py:interval_join): every event
+    matched into its user's first-24h activity window. Bucketized to
+    an hash equi-join on (user_id, time bucket) with the exact
+    BETWEEN as post-filter — no nested-loop join in the plan."""
+    from vectordb_light_spark.operators.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.groupBy("user_id").agg(F.min("ts").alias("w_start"))
+    windows = windows.withColumn(
+        "w_end", F.col("w_start") + F.expr("INTERVAL 1 DAY")
+    )
+    pts = ev.select("user_id", "ts", "value")
+    joined = interval_join(
+        pts, windows, on="user_id", bucket_s=6 * 3600
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "pipe_sequence_pack",
     oracle="""
     WITH laid AS (
