@@ -1689,3 +1689,134 @@ def pipe_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword retrieval + hybrid fusion (beyond-reference; operators/keyword.py)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "vector", "stream"]
+_BM25_SQL_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+# The exact BM25 pipeline, as one reusable SQL text (the hybrid oracle
+# embeds it again with a different k).
+_BM25_ORACLE_CTE = rf"""
+    toks AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             LATERAL unnest(regexp_split_to_array(lower(text), '\s+')) AS t(term)
+        WHERE t.term <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term IN ({_BM25_SQL_TERMS})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    bm25 AS (
+        SELECT tf.doc_id,
+               SUM(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               ) AS score
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN dfreq USING (term)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+"""
+
+
+@register(
+    "kw_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_ORACLE_CTE}
+    SELECT doc_id, ROUND(score, 4) AS bm25,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(score, 6) DESC, doc_id ASC) AS INT) AS rank
+    FROM bm25
+    ORDER BY rank
+    LIMIT 10
+    """,
+)
+def kw_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-10 (operators/keyword.py) for a 3-term query.
+    All builtins; the query-term filter hits the exploded token stream
+    pre-shuffle, so only matching postings aggregate."""
+    from vectordb_light_spark.operators.keyword import bm25_topk
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    out = bm25_topk(docs, _BM25_TERMS, k=10)
+    return out.select(
+        "doc_id", F.round("bm25", 4).alias("bm25"), "rank"
+    ).orderBy("rank")
+
+
+@register(
+    "kw_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_ORACLE_CTE},
+    lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY ROUND(score, 6) DESC, doc_id ASC) AS INT) AS rank
+        FROM bm25 ORDER BY rank LIMIT 20
+    ),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY LEAST(GREATEST(list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+                   ), 0.0), 1.0) DESC, vec_id ASC) AS INT) AS rank
+        FROM embeddings ORDER BY rank LIMIT 20
+    ),
+    fused AS (
+        SELECT doc_id, SUM(1.0 / (60.0 + rank)) AS rrf_score,
+               CAST(COUNT(*) AS INT) AS n_systems
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(rrf_score, 6) AS rrf_score, n_systems,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(rrf_score, 6) DESC, doc_id ASC) AS INT) AS rank
+    FROM fused
+    ORDER BY rank
+    LIMIT 10
+    """,
+)
+def kw_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 + dense cosine top-20 (query =
+    embedding of vec_id 0; doc_id ≡ vec_id in the testdata), fused by
+    reciprocal rank (c=60) as union + ONE groupBy — no outer-join
+    chain — then top-10. The production RAG read path the vector-only
+    reference lacks."""
+    from vectordb_light_spark.operators.keyword import bm25_topk, rrf_fuse
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20).select("doc_id", "rank")
+
+    q = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = (
+        topk_cosine(
+            emb, q, SearchParams(k=20, threshold=0.0),
+            id_col="vec_id", vec_col="embedding",
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+
+    fused = rrf_fuse([lex, dense], id_col="doc_id", c=60.0)
+    key = F.round(F.col("rrf_score"), 6)
+    topk = fused.orderBy(key.desc(), F.col("doc_id").asc()).limit(10)
+    w = Window.orderBy(key.desc(), F.col("doc_id").asc())
+    return topk.select(
+        "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        "n_systems",
+        F.row_number().over(w).alias("rank"),
+    ).orderBy("rank")
