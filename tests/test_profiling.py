@@ -1,0 +1,82 @@
+"""Profiling aggregates (operators/profiling.py): exact tier vs
+sketch tier, and sketch error bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_light_spark.operators.profiling import (
+    corpus_profile,
+    events_rollup,
+    events_sketch_profile,
+)
+from vectordb_light_spark.session import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events")
+
+
+def test_corpus_profile_median_interpolates(spark):
+    docs = spark.createDataFrame(
+        [(i, "en", "s", n) for i, n in enumerate([10, 20, 30, 40])],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    row = corpus_profile(docs).collect()[0]
+    assert row.median_size == 25.0  # (20+30)/2 — linear interpolation
+    assert row.p90_size == pytest.approx(37.0)  # 10+0.9*3 rank → 30+0.7*10
+    assert row.n_sources == 1 and row.n_docs == 4
+
+
+def test_rollup_levels_are_consistent(events):
+    out = events_rollup(events).collect()
+    cells = {(r.event_type, r.day): (r.n_events, r.total_value) for r in out}
+    grand = cells[("<all>", "<all>")]
+    types = [k for k in cells if k[1] == "<all>" and k[0] != "<all>"]
+    assert sum(cells[k][0] for k in types) == grand[0]
+    per_day_n = sum(v[0] for k, v in cells.items() if "<all>" not in k)
+    assert per_day_n == grand[0]
+    # per-type total_value is the sum of its day cells (same rounding tier)
+    for t, _ in types:
+        day_sum = sum(
+            v[1] for k, v in cells.items() if k[0] == t and k[1] != "<all>"
+        )
+        assert cells[(t, "<all>")][1] == pytest.approx(day_sum, abs=1e-2)
+
+
+def test_sketch_bounds_vs_exact(events):
+    sk = {r.event_type: r for r in events_sketch_profile(events).collect()}
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.percentile("value", F.array(F.lit(0.5), F.lit(0.95)))
+            .alias("pct"),
+        )
+        .collect()
+    }
+    assert set(sk) == set(exact)
+    for t, e in exact.items():
+        # HLL++ rsd=0.01; allow 5 sigma + small-cardinality slack
+        assert sk[t].approx_users == pytest.approx(e.users, rel=0.05)
+        # GK rank error ≤ 1/accuracy → value within neighborhood of the
+        # exact quantile; generous band in value space
+        assert sk[t].p50_value == pytest.approx(e.pct[0], rel=0.02, abs=0.5)
+        assert sk[t].p95_value == pytest.approx(e.pct[1], rel=0.02, abs=0.5)
+
+
+def test_sketch_is_jvm_only_plan(events):
+    plan = (
+        events_sketch_profile(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # partial + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2

@@ -1,0 +1,113 @@
+"""Corpus / event profiling aggregates: exact quantiles, grouping-set
+rollups, and sketch (approximate) variants.
+
+Profiling a training corpus — cardinalities, value distributions,
+per-stratum rollups — is a first-class pipeline stage at 100 TB
+(task brief: training-data operations). Two tiers:
+
+- **Exact tier** (``corpus_profile``, ``events_rollup``): Catalyst
+  builtins with a DuckDB oracle. Exact ``percentile`` materializes
+  each group's values for the sort, so it is the small-group /
+  verification path.
+- **Sketch tier** (``events_sketch_profile``): HyperLogLog++
+  (``approx_count_distinct``) and Greenwald-Khanna
+  (``percentile_approx``). Both are MERGEABLE partial aggregates:
+  each task folds its partition into a constant-size sketch and the
+  exchange carries one sketch per group per task — the 100 TB path,
+  where exact distinct-count or a full sort per group would shuffle
+  the whole table. Accuracy is bounded (HLL rsd, GK rank error), not
+  exact, so these register rows-only; error bounds are unit-tested
+  against the exact tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["corpus_profile", "events_rollup", "events_sketch_profile"]
+
+
+def corpus_profile(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    distinct_col: str = "source",
+) -> DataFrame:
+    """Per-stratum exact profile: row count, exact distinct count,
+    mean, and exact interpolated median/p90 of the size column.
+
+    One keyed shuffle; ``count_distinct`` adds a partial distinct
+    expand. Exact ``percentile`` (linear interpolation, same
+    definition as DuckDB ``quantile_cont``) buffers each group's
+    values — fine per-stratum, not for billions per group (use
+    ``events_sketch_profile``'s GK sketch there).
+    """
+    pct = F.percentile(size_col, F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(distinct_col).alias("n_sources"),
+            F.round(F.avg(size_col), 4).alias("avg_size"),
+            F.round(pct.getItem(0), 4).alias("median_size"),
+            F.round(pct.getItem(1), 4).alias("p90_size"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """ROLLUP (event_type, day): per-type-per-day, per-type, and grand
+    totals in ONE pass — partial aggregation computes all grouping
+    sets map-side, so the exchange still carries only group cells.
+    Rolled-up levels surface as sentinel labels (never-null input
+    columns), keeping the output schema oracle-comparable.
+    """
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        events.select(
+            F.col("event_type"), day.alias("day"), F.col("value")
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit("<all>")).alias("day"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def events_sketch_profile(
+    events: DataFrame,
+    *,
+    rsd: float = 0.01,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-type sketch profile: HLL++ distinct users (relative std
+    dev ``rsd``) and GK approximate p50/p95 of value (rank error ≤
+    1/``accuracy``). Constant memory per group per task regardless of
+    input size — the only safe shape for distinct/quantile profiling
+    at 100 TB. No SQL oracle (estimates are implementation-defined);
+    tests bound the error against the exact aggregates.
+    """
+    pct = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(accuracy)
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.round(pct.getItem(0), 4).alias("p50_value"),
+            F.round(pct.getItem(1), 4).alias("p95_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1820,3 +1820,62 @@ def kw_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_systems",
         F.row_number().over(w).alias("rank"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Profiling aggregates (beyond-reference; operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "prof_corpus_quantiles",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           ROUND(AVG(n_chars), 4) AS avg_size,
+           ROUND(quantile_cont(n_chars, 0.5), 4) AS median_size,
+           ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_size
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def prof_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language corpus profile (operators/profiling.py):
+    count, distinct sources, mean + exact interpolated median/p90 of
+    document size. One keyed shuffle."""
+    from vectordb_light_spark.operators.profiling import corpus_profile
+
+    return corpus_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "prof_events_rollup",
+    oracle="""
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), '<all>') AS day,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+    ORDER BY event_type, day
+    """,
+)
+def prof_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (event_type, day) in one pass: per-type-per-day,
+    per-type, and grand-total cells from a single map-side partial
+    aggregation (SURVEY §2.6 grouping surface)."""
+    from vectordb_light_spark.operators.profiling import events_rollup
+
+    return events_rollup(load_table(spark, sf_dir, "events"))
+
+
+@register("prof_events_sketch")  # rows-only: HLL/GK estimates have no SQL twin
+def prof_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier: HLL++ distinct users + Greenwald-Khanna p50/p95
+    per event type — constant-memory mergeable partial aggregates,
+    the 100 TB profiling path. Error bounds unit-tested."""
+    from vectordb_light_spark.operators.profiling import events_sketch_profile
+
+    return events_sketch_profile(load_table(spark, sf_dir, "events"))
