@@ -1879,3 +1879,50 @@ def prof_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_light_spark.operators.profiling import events_sketch_profile
 
     return events_sketch_profile(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "skew_salted_user_join",
+    oracle="""
+    WITH totals AS (
+        SELECT user_id, COUNT(*) AS user_events,
+               ROUND(SUM(value), 4) AS user_value
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(t.user_value), 4) AS sum_user_value,
+           SUM(t.user_events) AS sum_user_events
+    FROM events e JOIN totals t ON e.user_id = t.user_id
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def skew_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): the fact side takes a
+    deterministic salt, the per-user dim side replicates salt×, so a
+    hot user splits across `salt` reducers. Result is oracle-equal to
+    the plain join — salting must never change semantics."""
+    from vectordb_light_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.round(F.sum("value"), 4).alias("user_value"),
+    )
+    joined = salted_join(
+        ev.select("event_id", "user_id", "event_type"),
+        totals,
+        "user_id",
+        salt=8,
+        salt_source="event_id",
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("user_value"), 4).alias("sum_user_value"),
+            F.sum("user_events").alias("sum_user_events"),
+        )
+        .orderBy("event_type")
+    )
