@@ -1926,3 +1926,162 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deeper relational coverage: TPC-H Q3/Q5 shapes + time-range window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-01'
+      AND l.l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) DESC,
+             l.l_orderkey
+    LIMIT 10
+    """,
+)
+def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue per urgent order, top 10. Both dimension filters push to
+    their scans; customer (post-filter) broadcasts into orders, that
+    result broadcasts into the lineitem side at this SF — on a
+    cluster the orders⋈lineitem pair is the one keyed shuffle."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1997-06-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1997-06-01"
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 4).alias("revenue"))
+        .orderBy(F.round(revenue, 6).desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "rel_region_volume",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def rel_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join (local-supplier volume by
+    nation). Every dimension (region→nation→supplier, customer)
+    broadcasts; lineitem⋈orders is the only data-sized shuffle; the
+    region filter prunes before any join."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    asian_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(asian_supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(revenue, 4).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "rel_events_moving_avg",
+    oracle="""
+    WITH mv AS (
+        SELECT user_id,
+               SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS cents,
+               COUNT(*) OVER w AS cnt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           MAX(cents * 100 // cnt) / 10000.0 AS peak_3d_avg
+    FROM mv GROUP BY user_id ORDER BY user_id
+    """,
+)
+def rel_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window: per-user 3-day trailing average of value,
+    reduced to each user's peak. Two cross-engine determinism rules:
+    the frame bound is epoch MICROseconds (the timestamp's native
+    precision — epoch seconds would mis-include rows within 1s of the
+    3-day edge), and the windowed average is computed from an integer
+    cents sum (values carry 2 decimals), because a float SUM's value
+    depends on summation order — at sf0.1 one user's peak landed on
+    the 1e-4 round-half boundary and the two engines disagreed. An
+    integer sum is order-independent, and the 1e-4 discretization is
+    integer FLOOR-division — ROUND(double) is engine-defined at ties
+    (Spark rounds the decimal string HALF_UP, DuckDB rounds the
+    binary double, so any half-cent average diverges). One keyed
+    shuffle shared by window and final aggregate; values are
+    non-negative so floor == truncating div in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3 * 86400 * 1_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.withColumn("_cents", cents)
+        .withColumn("_sum", F.sum("_cents").over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w))
+        .withColumn("_pk", F.expr("_sum * 100 div _cnt"))
+        .groupBy("user_id")
+        .agg((F.max("_pk") / 10000.0).alias("peak_3d_avg"))
+        .orderBy("user_id")
+    )
