@@ -142,3 +142,33 @@ def test_stateful_running_totals_incremental(spark, events_batch, tmp_path):
         for r in expected.collect()
     }
     assert g == e
+
+
+def test_dedup_stream_equals_batch(spark, events_batch, tmp_path):
+    """dropDuplicatesWithinWatermark across micro-batches: every
+    event is written TWICE (two overlapping files — an at-least-once
+    source); the deduped stream must yield each event_id exactly once
+    and match the batch dedup of the doubled input."""
+    from vectordb_light_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        dedup_events,
+        read_events_stream,
+    )
+
+    src = str(tmp_path / "ev_dup")
+    raw = spark.read.parquet(SF + "/events.parquet")
+    raw.write.parquet(src)
+    raw.write.mode("append").parquet(src)  # full duplicate copy
+
+    stream = dedup_events(read_events_stream(spark, src, glob="*.parquet"))
+    got = run_stream_to_memory(stream, "ev_dedup_test", output_mode="append")
+
+    n_ids = events_batch.select("event_id").distinct().count()
+    assert got.count() == n_ids
+    assert got.select("event_id").distinct().count() == n_ids
+
+    batch_twin = dedup_events(events_batch.unionAll(events_batch))
+    cols = ["event_id", "user_id", "event_type", "value"]
+    assert _rows_set(got.select(*cols), cols) == _rows_set(
+        batch_twin.select(*cols), cols
+    )

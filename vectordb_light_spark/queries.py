@@ -2085,3 +2085,36 @@ def rel_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.max("_pk") / 10000.0).alias("peak_3d_avg"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "st_events_dedup",
+    oracle="""
+    WITH doubled AS (
+        SELECT * FROM events UNION ALL SELECT * FROM events
+    ),
+    deduped AS (SELECT DISTINCT * FROM doubled)
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM deduped GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup (streaming/events.py:dedup_events): the
+    input is doubled (an at-least-once source), deduped on event_id,
+    then aggregated — totals must equal the single-copy input. The
+    same operator runs as dropDuplicatesWithinWatermark on the live
+    stream (tests/test_streaming.py asserts stream ≡ batch)."""
+    from vectordb_light_spark.streaming.events import dedup_events
+
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionAll(ev)
+    return (
+        dedup_events(doubled)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

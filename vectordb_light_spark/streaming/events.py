@@ -165,3 +165,26 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def dedup_events(
+    events: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event deduplication, batch or streaming.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state holds one
+    entry per key seen within the watermark horizon and is GC'd as
+    the watermark advances, so state size is bounded by (key arrival
+    rate × horizon), not by stream length. This is the at-least-once
+    source → exactly-once pipeline adapter (file sources re-list,
+    Kafka redelivers). Batch: plain ``dropDuplicates`` on the same
+    keys — the tests assert stream ≡ batch on identical input.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
