@@ -1,0 +1,48 @@
+"""Registry-wide physical-plan regression guards.
+
+Every `queries()` entry is planned (not executed) at sf0.001 and its
+physical plan is checked for the anti-patterns that silently turn a
+working query into a 100 TB disaster:
+
+- ``CartesianProduct`` — an unkeyed join; O(N·M) at any scale.
+- ``BatchEvalPython`` — row-at-a-time Python UDF in the plan (all
+  Python stages must be Arrow-batched: ArrowEvalPython / mapInPandas).
+- ``BroadcastNestedLoopJoin`` — allowed ONLY for deliberate 1-row
+  broadcasts (scalar stats / corpus constants joined to every row),
+  which are listed per-query below. Anything unlisted is a miss.
+
+A new query that trips one of these fails here before it ever reaches
+the driver's benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vectordb_light_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose plan legitimately contains BroadcastNestedLoopJoin:
+# every entry is a crossJoin against a 1-row aggregate (scalar stats),
+# where a nested loop over a 1-row build side is O(n) by construction.
+ONE_ROW_BNLJ_OK = {
+    "kw_bm25_topk",      # corpus (N, avgdl) stats row
+    "kw_hybrid_rrf",     # same BM25 stats row inside the lexical arm
+    "dd_jaccard_pairs",  # corpus-size row for the size-ratio prefilter
+    "vq_rag_prompt",     # one-row prompt assembly joined to contexts
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_plan_antipatterns(spark, name):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: unkeyed join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in ONE_ROW_BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join without a 1-row justification "
+            "(add to ONE_ROW_BNLJ_OK only if the build side is a "
+            "1-row aggregate)"
+        )
