@@ -300,3 +300,18 @@ def test_observability_metrics(built_db, spark):
     assert 0.0 <= stats["min_sim"] <= stats["avg_sim"] <= stats["max_sim"] <= 1.0
     assert stats["n_passing_threshold"] >= len(hits)
     db.close()
+
+
+def test_search_hybrid_end_to_end(built_db, spark):
+    root, _, _ = built_db
+    db = VectorDB.open(spark, root, "testdb", cache=False)
+    res = db.search_hybrid("quick brown fox", k=4, fetch_k=8)
+    rows = res.collect()
+    assert 0 < len(rows) <= 4
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # the fox document matches both arms → fused to the top
+    assert rows[0]["file_name"] == "alpha.txt"
+    assert rows[0]["n_systems"] == 2
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert {"id", "text", "file_name"} <= set(res.columns)

@@ -146,6 +146,52 @@ class VectorDB:
             vectors, query_vector, params, id_col="id", vec_col="vector"
         )
 
+    def search_hybrid(
+        self,
+        query_text: str,
+        *,
+        k: int = 6,
+        fetch_k: int = 20,
+        c: float = 60.0,
+    ) -> DataFrame:
+        """Hybrid retrieval (beyond-reference; operators/keyword.py):
+        dense top-``fetch_k`` (cosine over stored vectors) and lexical
+        top-``fetch_k`` (BM25 over the chunk text), fused by
+        reciprocal rank (``1/(c+rank)`` summed per chunk), top-``k``.
+
+        Catches what either arm alone misses: exact keywords the
+        embedder smears out, paraphrases BM25 can't match. Returns
+        (id, text, file_name, rrf_score, n_systems, rank).
+        """
+        from pyspark.sql import Window
+
+        from vectordb_light_spark.operators.keyword import bm25_topk, rrf_fuse
+
+        dense = self.search(
+            query_text, params=SearchParams(k=fetch_k, threshold=0.0)
+        ).select("id", "rank")
+        terms = [t for t in query_text.split() if t.strip()]
+        lex = bm25_topk(
+            self.vectors.select("id", "text"),
+            terms,
+            k=fetch_k,
+            id_col="id",
+            text_col="text",
+        ).select("id", "rank")
+
+        fused = rrf_fuse([dense, lex], id_col="id", c=c)
+        key = F.round(F.col("rrf_score"), 6)
+        top = fused.orderBy(key.desc(), F.col("id").asc()).limit(k)
+        w = Window.orderBy(key.desc(), F.col("id").asc())
+        ranked = top.withColumn("rank", F.row_number().over(w))
+        # late materialization: broadcast the ≤k survivors into one
+        # pruned pass over the chunk table to fetch text
+        return (
+            self.vectors.select("id", "text", "file_name")
+            .join(F.broadcast(ranked), "id")
+            .orderBy("rank")
+        )
+
     @property
     def last_search_stats(self) -> dict:
         """Metrics of the most recent search AFTER its action ran:
