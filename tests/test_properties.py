@@ -154,3 +154,49 @@ def test_hashing_embedder_unit_norm_and_deterministic(texts):
             assert abs(norms[i] - 1.0) < 1e-5 or norms[i] == 0.0
         else:
             assert norms[i] == 0.0  # empty text → zero vector
+
+
+_words = st.sampled_from(
+    ["spark", "vector", "stream", "table", "row", "the", "fast", "x"]
+)
+_docs_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=_docs_texts, terms=st.lists(_words, min_size=1, max_size=3))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bm25_matches_loop_on_random_corpora(spark, texts, terms):
+    """BM25 distributed == single-threaded loop on arbitrary corpora,
+    including empty docs, absent terms, and duplicate query terms."""
+    import math
+
+    import pytest
+
+    from vectordb_light_spark.operators.keyword import bm25_score
+
+    corpus = list(enumerate(texts))
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_score(df, terms).collect()}
+
+    toks = {i: t.split() for i, t in corpus}
+    n = len(toks)
+    avgdl = sum(map(len, toks.values())) / n
+    uniq = sorted(set(terms))
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in uniq}
+    want = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in uniq:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+        if s > 0:
+            want[i] = s
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
