@@ -5,6 +5,7 @@ deterministic hashing encoder)."""
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pytest
@@ -315,3 +316,31 @@ def test_search_hybrid_end_to_end(built_db, spark):
     scores = [r["rrf_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert {"id", "text", "file_name"} <= set(res.columns)
+
+
+def test_compact_vectors_reduces_files_keeps_rows(spark, built_db, tmp_path):
+    from vectordb_light_spark.operators.ingest import compact_vectors
+
+    # fragment the table like N streaming micro-batches would
+    root, _, _ = built_db
+    src = os.path.join(root, "testdb")
+    frag = str(tmp_path / "fragdb")
+    shutil.copytree(src, frag)
+    vec_dir = os.path.join(frag, "vectors")
+    base = spark.read.parquet(vec_dir)
+    before_rows = {tuple(r) for r in base.select("id", "text").collect()}
+    for i in range(3):
+        base.limit(0).write.mode("append").parquet(vec_dir)  # empty batches
+    base.repartition(16).write.mode("append").parquet(vec_dir)
+    n_files = len([f for f in os.listdir(vec_dir) if f.endswith(".parquet")])
+    assert n_files > 16
+
+    stats = compact_vectors(spark, frag, target_mb=512)
+    after = spark.read.parquet(vec_dir)
+    n_after = len([f for f in os.listdir(vec_dir) if f.endswith(".parquet")])
+    assert n_after == stats["files_after"] < n_files
+    # doubled rows (append of a full copy) preserved exactly
+    assert after.count() == 2 * len(before_rows)
+    assert {tuple(r) for r in after.select("id", "text").collect()} == before_rows
+    assert not os.path.exists(vec_dir + ".compact-tmp")
+    assert not os.path.exists(vec_dir + ".compact-old")

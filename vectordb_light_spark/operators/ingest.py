@@ -239,3 +239,54 @@ def list_databases(db_root: str) -> list[str]:
         for d in os.listdir(db_root)
         if os.path.isfile(os.path.join(db_root, d, META_FILE))
     )
+
+
+def compact_vectors(
+    spark: SparkSession,
+    db_path: str,
+    *,
+    target_mb: int = 128,
+    min_files: int = 1,
+) -> dict:
+    """Maintenance compaction of a database's ``vectors/`` directory.
+
+    The streaming ingest path (streaming/ingest_stream.py) appends one
+    file set per micro-batch; after N triggers a table is N× more
+    files than it needs, and at scale the scan pays per-file open +
+    scheduling cost (the classic small-files problem — the Spark
+    analogue of the reference's TileDB fragment consolidation,
+    vector_db_creator.py K3). Rewrites the directory to
+    ``max(min_files, ceil(bytes/target_mb))`` files via an atomic
+    tmp-write + rename (crash mid-compact leaves the original intact).
+
+    Run it when file count ≫ size/target_mb — e.g. from the same
+    scheduler that triggers the stream. Row content is unchanged
+    (test asserts set equality and file-count reduction).
+    """
+    vectors_dir = os.path.join(db_path, "vectors")
+    files = [
+        f
+        for f in os.listdir(vectors_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    total_bytes = sum(
+        os.path.getsize(os.path.join(vectors_dir, f)) for f in files
+    )
+    n_out = max(min_files, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(vectors_dir)
+    tmp_dir = vectors_dir + ".compact-tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    try:
+        df.repartition(int(n_out)).write.parquet(tmp_dir)
+        old_dir = vectors_dir + ".compact-old"
+        os.rename(vectors_dir, old_dir)
+        os.rename(tmp_dir, vectors_dir)
+        shutil.rmtree(old_dir)
+    except BaseException:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise
+    return {
+        "files_before": len(files),
+        "files_after": int(n_out),
+        "bytes": int(total_bytes),
+    }
