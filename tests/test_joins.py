@@ -223,3 +223,77 @@ def test_interval_join_plans_equi_join(points_intervals):
     out = interval_join(points, intervals, on="user_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# overlap_join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def two_interval_sets(spark):
+    left = spark.createDataFrame(
+        [
+            (0, 1, _ts(0), _ts(100)),
+            (1, 1, _ts(90), _ts(110)),   # overlaps 0 at the tail
+            (2, 2, _ts(0), _ts(10)),
+            (3, 2, _ts(5000), _ts(9000)),  # many buckets
+        ],
+        "l_id long, user_id long, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, _ts(100), _ts(200)),   # touches 0 at exactly t=100
+            (11, 1, _ts(101), _ts(200)),   # misses 0, overlaps 1
+            (12, 2, _ts(11), _ts(12)),     # just misses 2
+            (13, 2, _ts(0), _ts(10000)),   # spans everything of user 2
+        ],
+        "r_id long, user_id long, r_start timestamp, r_end timestamp",
+    )
+    return left, right
+
+
+def _brute_pairs(left, right, keyed=True):
+    out = set()
+    for a in left.collect():
+        for b in right.collect():
+            if keyed and a.user_id != b.user_id:
+                continue
+            if a.l_start <= b.r_end and b.r_start <= a.l_end:
+                out.add((a.l_id, b.r_id))
+    return out
+
+
+@pytest.mark.parametrize("bucket_s", [7, 60, 3600])
+def test_overlap_join_matches_brute_force(spark, two_interval_sets, bucket_s):
+    from vectordb_light_spark.operators.joins import overlap_join
+
+    left, right = two_interval_sets
+    got = overlap_join(left, right, on="user_id", bucket_s=bucket_s)
+    pairs = [(r.l_id, r.r_id) for r in got.collect()]
+    assert len(pairs) == len(set(pairs))  # ownership-bucket dedup: no dupes
+    assert set(pairs) == _brute_pairs(left, right)
+
+
+def test_overlap_join_closed_boundary(spark, two_interval_sets):
+    from vectordb_light_spark.operators.joins import overlap_join
+
+    left, right = two_interval_sets
+    pairs = {
+        (r.l_id, r.r_id)
+        for r in overlap_join(left, right, on="user_id", bucket_s=60).collect()
+    }
+    assert (0, 10) in pairs   # l_end == r_start → closed-interval hit
+    assert (0, 11) not in pairs
+    assert (2, 12) not in pairs  # 1s gap → miss
+
+
+def test_overlap_join_no_equi_key(spark, two_interval_sets):
+    from vectordb_light_spark.operators.joins import overlap_join
+
+    left, right = two_interval_sets
+    got = overlap_join(left.drop("user_id"), right.drop("user_id"), bucket_s=60)
+    pairs = {(r.l_id, r.r_id) for r in got.collect()}
+    assert pairs == _brute_pairs(left, right, keyed=False)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -190,3 +190,62 @@ def interval_join(
         )
         .drop("_bucket")
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str = "l_start",
+    left_end: str = "l_end",
+    right_start: str = "r_start",
+    right_end: str = "r_end",
+    on: str | list[str] | None = None,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join: each left interval pairs with every
+    right interval it overlaps (closed intervals:
+    ``l_start <= r_end AND r_start <= l_end``), optionally also
+    matching equi ``on`` keys.
+
+    Same bucketization as :func:`interval_join` — both sides explode
+    into the time buckets they cover, the join is a hash equi-join on
+    (keys, bucket) with the exact overlap predicate as post-filter.
+    Overlapping intervals co-occupy EVERY shared bucket, so the pair
+    would duplicate once per shared bucket; instead of a distinct
+    (an extra full shuffle of the output), each pair is kept only in
+    its OWNERSHIP bucket — the first bucket both intervals cover,
+    ``greatest(bucket(l_start), bucket(r_start))`` — which exists iff
+    they overlap. Dedup is a map-side filter; no added shuffle.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
+    bucket_us = int(bucket_s) * 1_000_000
+    if bucket_us <= 0:
+        raise ValueError("bucket_s must be positive")
+
+    def buckets(start: str, end: str):
+        return F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start}) div {bucket_us}"),
+                F.expr(f"unix_micros({end}) div {bucket_us}"),
+            )
+        )
+
+    l = left.withColumn("_bucket", buckets(left_start, left_end))
+    r = right.withColumn("_bucket", buckets(right_start, right_end))
+    own = F.greatest(
+        F.expr(f"unix_micros({left_start}) div {bucket_us}"),
+        F.expr(f"unix_micros({right_start}) div {bucket_us}"),
+    )
+    return (
+        l.join(r, on=[*keys, "_bucket"], how="inner")
+        .where(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col("_bucket") == own)
+        )
+        .drop("_bucket")
+    )

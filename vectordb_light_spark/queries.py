@@ -2118,3 +2118,76 @@ def st_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "rel_sessions_overlap",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 45 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL 45 MINUTE AS s_end
+        FROM numbered GROUP BY user_id, session_no
+    ),
+    peaks AS (
+        SELECT DISTINCT date_trunc('day', ts) + INTERVAL 12 HOUR AS p_start,
+               date_trunc('day', ts) + INTERVAL 14 HOUR AS p_end
+        FROM events
+    )
+    SELECT s.user_id, COUNT(*) AS n_peak_sessions
+    FROM sessions s JOIN peaks p
+      ON s.s_start <= p.p_end AND p.p_start <= s.s_end
+    GROUP BY s.user_id
+    ORDER BY s.user_id
+    """,
+)
+def rel_sessions_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/joins.py:overlap_join): user
+    sessions (45-min gap) against daily 12:00-14:00 peak windows —
+    how many peak-hour-touching sessions each user has. Bucketized
+    equi-join with map-side ownership-bucket dedup; no nested-loop
+    join, no distinct shuffle."""
+    from vectordb_light_spark.operators.joins import overlap_join
+    from vectordb_light_spark.streaming.events import sessionized_user_activity
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionized_user_activity(ev, gap="45 minutes").select(
+        "user_id",
+        F.col("session_start").alias("s_start"),
+        F.col("session_end").alias("s_end"),
+    )
+    day = F.date_trunc("day", "ts")
+    peaks = (
+        ev.select(
+            (day + F.expr("INTERVAL 12 HOURS")).alias("p_start"),
+            (day + F.expr("INTERVAL 14 HOURS")).alias("p_end"),
+        )
+        .distinct()
+    )
+    joined = overlap_join(
+        sessions,
+        peaks,
+        left_start="s_start",
+        left_end="s_end",
+        right_start="p_start",
+        right_end="p_end",
+        bucket_s=6 * 3600,
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_peak_sessions"))
+        .orderBy("user_id")
+    )
