@@ -132,3 +132,52 @@ def test_topk_prefix_monotonicity(spark):
     big = [r["id"] for r in topk_cosine(vecs, q, SearchParams(k=5, threshold=0.0)).collect()]
     small = [r["id"] for r in topk_cosine(vecs, q, SearchParams(k=2, threshold=0.0)).collect()]
     assert big[:2] == small
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized store
+# ---------------------------------------------------------------------------
+
+
+def test_quantized_roundtrip_error_and_recall(spark):
+    import numpy as np
+
+    from vectordb_light_spark.functions.vector import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+    from vectordb_light_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    deq = emb.withColumn("dq", dequantize_int8(quantize_int8("embedding")))
+
+    # element-wise error ≤ half a quantization step (0.5/127) for
+    # in-range values
+    row = deq.select("embedding", "dq").first()
+    a, b = np.array(row.embedding, dtype=np.float64), np.array(row.dq)
+    clipped = np.clip(a, -1.0, 1.0)
+    assert float(np.max(np.abs(clipped - b))) <= 0.5 / 127 + 1e-12
+
+    # storage type really is tinyint
+    qt = emb.select(quantize_int8("embedding").alias("q")).schema["q"].dataType
+    assert qt.simpleString() == "array<tinyint>"
+
+    # top-10 recall vs the float store ≥ 0.8 for the same query
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    exact = {
+        r.vec_id
+        for r in topk_cosine(
+            emb, q, SearchParams(k=10, threshold=0.0),
+            id_col="vec_id", vec_col="embedding",
+        ).collect()
+    }
+    quant = {
+        r.vec_id
+        for r in topk_cosine(
+            deq.drop("embedding").withColumnRenamed("dq", "embedding"),
+            q, SearchParams(k=10, threshold=0.0),
+            id_col="vec_id", vec_col="embedding",
+        ).collect()
+    }
+    assert len(exact & quant) >= 8

@@ -68,3 +68,30 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
     converted back via sim = clip(1-d, 0, 1), reference
     vector_db_query.py:186-192)."""
     return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric int8 quantization of a unit-norm embedding:
+    ``q = floor(clamp(x, -1, 1) * 127 + 0.5)`` per element, stored as
+    ``array<tinyint>`` — 4× smaller than float32 on disk AND on the
+    wire (the scan, the shuffle, and the broadcast all shrink with
+    it), at ~0.3% cosine error for unit vectors.
+
+    floor(x+0.5), NOT round(): engines disagree on round-half of
+    doubles (Spark rounds the decimal string, C engines the binary
+    value); floor of identical doubles is identical everywhere, so a
+    quantized store built by any engine matches this one bit-for-bit.
+    """
+    c = F.col(a) if isinstance(a, str) else a
+    return F.transform(
+        c,
+        lambda x: F.floor(
+            F.least(F.greatest(x, F.lit(-1.0)), F.lit(1.0)) * 127.0 + 0.5
+        ).cast("tinyint"),
+    )
+
+
+def dequantize_int8(q: Column | str) -> Column:
+    """Back to ``array<double>`` (values in [-1, 1]): ``x = q/127``."""
+    c = F.col(q) if isinstance(q, str) else q
+    return F.transform(c, lambda x: x.cast("double") / 127.0)

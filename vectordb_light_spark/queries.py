@@ -2191,3 +2191,57 @@ def rel_sessions_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_peak_sessions"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "vq_topk_quantized",
+    oracle="""
+    WITH deq AS (
+        SELECT vec_id, label,
+               list_transform(
+                   embedding::DOUBLE[],
+                   x -> CAST(floor(least(greatest(x, -1.0), 1.0) * 127.0 + 0.5)
+                             AS DOUBLE) / 127.0
+               ) AS dv
+        FROM embeddings
+    ),
+    qv AS (SELECT dv AS v FROM deq WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(LEAST(GREATEST(list_cosine_similarity(
+               dv, (SELECT v FROM qv)), 0.0), 1.0), 6) AS similarity_score,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY LEAST(GREATEST(list_cosine_similarity(
+                   dv, (SELECT v FROM qv)), 0.0), 1.0) DESC, vec_id ASC)
+               AS INT) AS rank
+    FROM deq
+    ORDER BY rank
+    LIMIT 6
+    """,
+)
+def vq_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 on an int8-quantized store (functions/vector.py:
+    quantize_int8): embeddings round-trip through array<tinyint> —
+    4× less scan/shuffle/broadcast volume — then exact top-k cosine
+    on the dequantized values. Quantization uses floor(x*127+0.5),
+    deterministic across engines (round-half of doubles is not).
+    Recall vs the float store is unit-tested in test_search.py."""
+    from vectordb_light_spark.functions.vector import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", dequantize_int8(quantize_int8("embedding"))
+    )
+    q_row = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in q_row[0]]
+    out = topk_cosine(
+        emb, q, SearchParams(k=6, threshold=0.0),
+        id_col="vec_id", vec_col="embedding",
+    )
+    return out.select(
+        "vec_id", "label",
+        F.round("similarity_score", 6).alias("similarity_score"),
+        "rank",
+    )
