@@ -80,3 +80,40 @@ def test_sketch_is_jvm_only_plan(events):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # partial + final HashAggregate pair around one exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_check_constraints_counts_and_order(spark):
+    from vectordb_light_spark.operators.quality import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, None), (3, None, "c"), (4, 0.0, "d")],
+        "id long, v double, s string",
+    )
+    out = check_constraints(
+        df,
+        {
+            "v_non_negative": F.col("v") >= 0,
+            "s_not_null": F.col("s").isNotNull(),
+            "id_small": F.col("id") < 100,
+        },
+    ).collect()
+    assert [r.rule for r in out] == ["v_non_negative", "s_not_null", "id_small"]
+    by = {r.rule: r for r in out}
+    # null predicate result (v = NULL) counts as a violation
+    assert by["v_non_negative"].n_violations == 2
+    assert by["s_not_null"].n_violations == 1
+    assert by["id_small"].n_violations == 0 and by["id_small"].passed
+    assert all(r.n_rows == 4 for r in out)
+
+
+def test_check_constraints_single_scan_plan(spark):
+    from vectordb_light_spark.operators.quality import check_constraints
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("m"))
+    out = check_constraints(
+        df, {"a": F.col("id") >= 0, "b": F.col("m") < 7, "c": F.col("id") < 50}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range") == 1  # N rules, ONE pass over the source
+    with pytest.raises(ValueError):
+        check_constraints(df, {})

@@ -2245,3 +2245,47 @@ def vq_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("similarity_score", 6).alias("similarity_score"),
         "rank",
     )
+
+
+@register(
+    "dq_events_constraints",
+    oracle="""
+    WITH agg AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS v0,
+               SUM(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS v1,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' THEN 0 ELSE 1 END) AS v2,
+               SUM(CASE WHEN json_valid(props)
+                         AND json_extract(props, '$.k') IS NOT NULL
+                        THEN 0 ELSE 1 END) AS v3,
+               SUM(CASE WHEN event_type IN
+                        ('click','view','purchase','error','scroll')
+                        THEN 0 ELSE 1 END) AS v4
+        FROM events
+    )
+    SELECT t.rule, agg.n_rows, t.n_violations, t.n_violations = 0 AS passed
+    FROM agg, LATERAL (VALUES
+        ('value_non_negative', v0), ('user_id_not_null', v1),
+        ('ts_in_range', v2), ('props_json_has_k', v3),
+        ('event_type_in_domain', v4)) AS t(rule, n_violations)
+    """,
+)
+def dq_events_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/quality.py): five constraints over
+    events in ONE scan — map-side conditional sums, a 1-row aggregate,
+    then a literal unpivot. N rules never cost N passes."""
+    from vectordb_light_spark.operators.quality import check_constraints
+
+    ev = load_table(spark, sf_dir, "events")
+    return check_constraints(
+        ev,
+        {
+            "value_non_negative": F.col("value") >= 0,
+            "user_id_not_null": F.col("user_id").isNotNull(),
+            "ts_in_range": F.col("ts") >= F.lit("2024-01-01").cast("timestamp"),
+            "props_json_has_k": F.get_json_object("props", "$.k").isNotNull(),
+            "event_type_in_domain": F.col("event_type").isin(
+                "click", "view", "purchase", "error", "scroll"
+            ),
+        },
+    )
