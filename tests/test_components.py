@@ -1,0 +1,79 @@
+"""Connected components / duplicate clustering
+(operators/components.py) vs a Python union-find."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from vectordb_light_spark.operators.components import (
+    connected_components,
+    duplicate_clusters,
+)
+
+
+def _union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-label per node
+    labels = {}
+    for x in list(parent):
+        r = find(x)
+        labels.setdefault(r, min(n for n in parent if find(n) == r))
+    return {x: labels[find(x)] for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    want = _union_find(edges)
+    assert got == want
+
+
+def test_components_basic_shapes(spark):
+    _check(spark, [(1, 2), (2, 3), (10, 11), (20, 20), (30, 31), (31, 30)])
+
+
+def test_components_long_chain(spark):
+    # diameter 12 — forces several propagation rounds
+    _check(spark, [(i, i + 1) for i in range(12)])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_components_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+    ]
+    edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+    _check(spark, edges)
+
+
+def test_duplicate_clusters_keep_flags(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (2, 1)], "doc_id_a long, doc_id_b long"
+    )
+    out = duplicate_clusters(pairs).collect()
+    by = {r.doc_id: r for r in out}
+    assert by[5].cluster_id == by[9].cluster_id == by[7].cluster_id == 5
+    assert by[1].cluster_id == by[2].cluster_id == 1
+    assert by[5].keep and by[1].keep
+    assert not by[9].keep and not by[7].keep and not by[2].keep
+    assert by[9].cluster_size == 3 and by[2].cluster_size == 2
+    # survivors + singletons = dedup retention set
+    assert sorted(r.doc_id for r in out if r.keep) == [1, 5]

@@ -1,0 +1,119 @@
+"""Connected components over an edge list — the clustering step that
+turns near-duplicate candidate PAIRS (MinHash/SimHash/embedding
+tiers, operators/dedup.py) into duplicate GROUPS.
+
+Pairs alone under-merge: if A~B and B~C but A!~C, keep-one-per-pair
+deletes too little (or too much); the correct unit is the connected
+component of the similarity graph. Union-find is inherently
+sequential, so the distributed form is iterative min-label
+propagation (the alternating large-star/small-star scheme of
+Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14, simplified to symmetric propagation):
+
+    comp(v) ← min(comp(v), min over neighbors comp(u))
+
+repeated until a fixed point. Each round is one join + one groupBy
+(both shuffle on the node id — the SAME key, so AQE/Catalyst reuse
+the partitioning); rounds needed ≈ graph diameter, and near-dup
+graphs are overwhelmingly tiny cliques/chains (diameter ≤ ~3), so
+3-5 rounds close almost everything; convergence is CHECKED, not
+assumed. Each round materializes via localCheckpoint to cut the
+exponentially deepening lineage (the standard iterative-DataFrame
+pattern; eager=True runs the round's job immediately).
+
+Not SQL-expressible (no recursion in the oracle dialect) → the
+registry entry is rows-only; correctness is tested against a Python
+union-find on random graphs (tests/test_components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "duplicate_clusters"]
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the
+    minimum node id reachable from it: ``(node, component)``.
+
+    Raises if the fixed point is not reached within ``max_iter``
+    rounds (diameter larger than expected — raise ``max_iter``).
+    Isolated nodes (no edges) are the caller's to add; every node
+    appearing in ``edges`` is labeled.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+    )
+    # start: every node's component is its smallest direct neighbor
+    # (or itself) — one groupBy seeds AND performs round 1
+    comp = sym.groupBy("a").agg(
+        F.least(F.min("b"), F.col("a")).alias("c")
+    ).select(F.col("a").alias("node"), F.col("c").alias("component"))
+    comp = comp.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # propagate: node's label ← min(own, neighbors' labels)
+        nbr = (
+            sym.join(comp.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("component").alias("nc"))
+        )
+        nxt = (
+            comp.join(nbr, comp.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nc", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        changed = (
+            nxt.join(comp.withColumnRenamed("component", "old"), "node")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        comp = nxt
+        if changed == 0:
+            return comp
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def duplicate_clusters(
+    candidate_pairs: DataFrame,
+    *,
+    left_id: str = "doc_id_a",
+    right_id: str = "doc_id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup candidate pairs into groups: returns
+    ``(doc_id, cluster_id, cluster_size, keep)`` where ``keep`` marks
+    the canonical survivor (min id) of each cluster — the row set to
+    retain for dedup is ``keep = true`` plus all unpaired documents.
+    """
+    comp = connected_components(
+        candidate_pairs, src=left_id, dst=right_id, max_iter=max_iter
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+    )

@@ -2289,3 +2289,22 @@ def dq_events_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
+
+
+@register("dd_duplicate_clusters")  # rows-only: iterative — no SQL recursion
+def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (operators/components.py): MinHash candidate
+    pairs → connected components via iterative min-label propagation
+    (pairs alone under-merge transitive duplicates), with canonical
+    keep-one-per-cluster flags. Iterative ⇒ not SQL-expressible;
+    correctness vs a Python union-find in tests/test_components.py."""
+    from vectordb_light_spark.operators.components import duplicate_clusters
+    from vectordb_light_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = load_docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(docs, num_hashes=64, bands=16).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    return duplicate_clusters(
+        pairs, left_id="id_a", right_id="id_b"
+    ).orderBy("doc_id")
