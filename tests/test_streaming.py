@@ -104,18 +104,17 @@ def test_stateful_running_totals_incremental(spark, events_batch, tmp_path):
     aggregate over all events. n_events is strictly increasing per
     user, so the final state is the row with max n_events."""
     from vectordb_light_spark.streaming.events import (
-        EVENTS_SCHEMA,
+        normalize_event_ts,
         running_user_totals,
         user_totals_batch,
     )
 
     src = str(tmp_path / "ev_parts")
     spark.read.parquet(SF + "/events.parquet").repartition(3).write.parquet(src)
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    stream = normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     got = run_stream_to_memory(
         running_user_totals(stream), "ev_state_test", output_mode="update"
@@ -150,7 +149,6 @@ def test_dedup_stream_equals_batch(spark, events_batch, tmp_path):
     source); the deduped stream must yield each event_id exactly once
     and match the batch dedup of the doubled input."""
     from vectordb_light_spark.streaming.events import (
-        EVENTS_SCHEMA,
         dedup_events,
         read_events_stream,
     )

@@ -52,8 +52,9 @@ def get_spark(app_name: str = "vectordb_light_spark", cpus: int | None = None) -
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores timestamp[ns]; Spark timestamps are
-        # micros — read nanos as long and convert in load_table.
+        # events.parquet stores timestamp[ns]; depending on the Spark
+        # version it surfaces as long (legacy nanosAsLong) or as
+        # TIMESTAMP_NTZ — load_table normalizes either to TIMESTAMP.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -66,18 +67,25 @@ def get_spark(app_name: str = "vectordb_light_spark", cpus: int | None = None) -
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided parquet table.
 
-    ``events.ts`` is stored as parquet timestamp[ns]; with
-    ``nanosAsLong`` Spark surfaces it as a long which we convert to a
-    proper (microsecond) timestamp, matching what DuckDB reads.
+    ``events.ts`` is stored as parquet timestamp[ns]. Spark ≤3.x with
+    ``nanosAsLong`` surfaces it as a long; Spark 4.x ignores that conf
+    and reads TIMESTAMP_NTZ. Either way we normalize to a plain
+    (session-UTC) TIMESTAMP so time functions like ``unix_micros``
+    work and collected values match what DuckDB reads.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # Integer division: nano longs exceed double's 2^53 mantissa,
-        # so `/ 1000` + cast would round the microsecond.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            # Integer division: nano longs exceed double's 2^53
+            # mantissa, so `/ 1000` + cast would round the microsecond.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # Wall-clock-preserving cast (session tz is UTC).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -25,28 +25,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Schema of the driver's events table, with ts as long (nanos) per
-#: the session's nanosAsLong setting — converted on read.
+#: Legacy schema of the driver's events table (Spark ≤3.x read
+#: parquet nanos as long under nanosAsLong). Kept for reference; the
+#: stream reader now sniffs the actual batch schema, which on Spark
+#: 4.x is TIMESTAMP_NTZ for the ts column.
 EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to a plain (session-UTC) TIMESTAMP
+    regardless of how this Spark version surfaced the parquet
+    nanosecond column: long (legacy nanosAsLong) or TIMESTAMP_NTZ."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # Integer division: nano longs exceed double's 2^53 mantissa.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # Wall-clock-preserving cast (session tz is UTC).
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def read_events_stream(
     spark: SparkSession, events_dir: str, *, glob: str = "events.parquet"
 ) -> DataFrame:
     """Streaming parquet source over an events directory (file
-    streaming sources require a directory; ``glob`` narrows it);
-    normalizes the nano-timestamp column exactly like the batch
-    loader."""
+    streaming sources require a directory; ``glob`` narrows it).
+
+    File streaming sources need an explicit schema; we sniff it from a
+    batch read of the same files so the declared types always match
+    what this Spark version produces, then normalize ``ts`` exactly
+    like the batch loader (session.load_table)."""
+    schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(events_dir).schema
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", glob)
         .parquet(events_dir)
     )
-    # Integer division: nano longs exceed double's 2^53 mantissa.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def windowed_event_counts(
@@ -165,6 +188,55 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def clicks_to_purchases_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch-batch) inner join: each click matched
+    to every purchase by the SAME user that lands within ``horizon``
+    after the click (attribution join).
+
+    Streaming: the canonical watermarked stream-stream join — both
+    sides carry an event-time watermark and the join predicate bounds
+    purchase time to [click_ts, click_ts + horizon], so each side's
+    state store only buffers rows inside watermark+horizon and is GC'd
+    as event time advances. Without the time bound the state would
+    grow without limit; with it, state size is (arrival rate ×
+    horizon) per side — the property that makes this run forever on an
+    unbounded stream.
+
+    Batch: the identical expression is a plain equi-join on user_id
+    with the same BETWEEN post-condition (one shuffle per side; the
+    range condition rides on the hash join) — which is how the tests
+    and the SQL oracle check the streaming result.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id").alias("buy_user_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value").alias("buy_value"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("buy_ts", watermark)
+    return c.join(
+        p,
+        (c.user_id == p.buy_user_id)
+        & (p.buy_ts >= c.click_ts)
+        & (p.buy_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("click_id", "buy_id", "user_id", "click_ts", "buy_ts", "buy_value")
 
 
 def dedup_events(
