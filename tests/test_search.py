@@ -181,3 +181,38 @@ def test_quantized_roundtrip_error_and_recall(spark):
         ).collect()
     }
     assert len(exact & quant) >= 8
+
+
+def test_mean_pool_vectors_means_and_unit_norm(spark):
+    """mean_pool_vectors: element-wise group means (verified against
+    numpy) and L2-renormalization to unit norm."""
+    import numpy as np
+
+    from vectordb_light_spark.functions.vector import mean_pool_vectors
+
+    rows = [
+        ("a", [1.0, 0.0, 0.0]),
+        ("a", [0.0, 1.0, 0.0]),
+        ("b", [2.0, 2.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "g string, vector array<float>")
+    got = {
+        r["g"]: np.array(r["vec"])
+        for r in mean_pool_vectors(df, "g", "vector", out_col="vec").collect()
+    }
+    expect_a = np.array([0.5, 0.5, 0.0])
+    expect_a = expect_a / np.linalg.norm(expect_a)
+    expect_b = np.array([2.0, 2.0, 1.0]) / 3.0
+    expect_b = expect_b / np.linalg.norm(expect_b)
+    assert np.allclose(got["a"], expect_a, atol=1e-9)
+    assert np.allclose(got["b"], expect_b, atol=1e-9)
+    for v in got.values():
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9
+
+    raw = {
+        r["g"]: np.array(r["vec"])
+        for r in mean_pool_vectors(
+            df, "g", "vector", out_col="vec", normalize=False
+        ).collect()
+    }
+    assert np.allclose(raw["a"], [0.5, 0.5, 0.0], atol=1e-9)

@@ -170,3 +170,31 @@ def test_dedup_stream_equals_batch(spark, events_batch, tmp_path):
     assert _rows_set(got.select(*cols), cols) == _rows_set(
         batch_twin.select(*cols), cols
     )
+
+
+def test_stream_stream_join_equals_batch(spark, events_batch):
+    """Watermarked stream-stream inner join (time-bounded attribution)
+    over the real file stream equals the identical batch join."""
+    from vectordb_light_spark.streaming.events import (
+        clicks_to_purchases_join,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    stream = read_events_stream(spark, SF)
+    got = run_stream_to_memory(
+        clicks_to_purchases_join(*split(stream), horizon="30 minutes"),
+        "ev_ss_join_test",
+        output_mode="append",
+    )
+    expected = clicks_to_purchases_join(*split(events_batch), horizon="30 minutes")
+    cols = ["click_id", "buy_id", "user_id", "buy_value"]
+    got_set = _rows_set(got.select(*cols), cols)
+    assert got_set == _rows_set(expected.select(*cols), cols)
+    assert len(got_set) > 0

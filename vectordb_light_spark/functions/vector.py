@@ -95,3 +95,43 @@ def dequantize_int8(q: Column | str) -> Column:
     """Back to ``array<double>`` (values in [-1, 1]): ``x = q/127``."""
     c = F.col(q) if isinstance(q, str) else q
     return F.transform(c, lambda x: x.cast("double") / 127.0)
+
+
+def mean_pool_vectors(
+    df,
+    group_cols: str | list[str],
+    vec_col: str = "vector",
+    *,
+    out_col: str = "vector",
+    normalize: bool = True,
+):
+    """Element-wise mean of ``vec_col`` per group (chunk→document
+    embedding pooling), optionally L2-renormalized — the standard way
+    to derive one document vector from its chunk vectors.
+
+    Scale shape: ``posexplode`` + ``sum/count`` groupBy. Spark has no
+    element-wise array-sum aggregate, but the exploded groupBy gets
+    MAP-SIDE partial aggregation for free — each task emits at most
+    (groups-in-task × dim) partial sums, so the shuffle carries group
+    partials, not N×dim element rows. A ``collect_list``-of-arrays
+    formulation would shuffle every input vector (no partial agg) and
+    OOM on hot groups; this one is skew-proof. Reassembly sorts dim
+    entries per group (dim ≤ a few thousand — driver-safe per row).
+
+    Returns a DataFrame with ``group_cols`` + ``out_col``
+    (array<double>, unit-norm when ``normalize``).
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    flat = df.select(*groups, F.posexplode(F.col(vec_col)).alias("_pos", "_val"))
+    means = flat.groupBy(*groups, "_pos").agg(
+        (F.sum(F.col("_val").cast("double")) / F.count(F.lit(1))).alias("_mv")
+    )
+    assembled = means.groupBy(*groups).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_mv"))),
+            lambda s: s["_mv"],
+        ).alias(out_col)
+    )
+    if normalize:
+        assembled = assembled.withColumn(out_col, l2_normalize(out_col))
+    return assembled

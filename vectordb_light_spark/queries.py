@@ -2308,3 +2308,287 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(
         pairs, left_id="id_a", right_id="id_b"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Relational surface extensions: semi/anti joins, set operations, cube
+# grouping sets — SURVEY §2.7/§2.8 notes these as absent in the
+# reference but free in Spark; exercised here so the engine's SQL
+# surface is demonstrably complete.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_customer_activity",
+    oracle="""
+    WITH od AS (SELECT DISTINCT o_custkey FROM orders)
+    SELECT n.n_name,
+           COUNT(c.c_custkey) FILTER (WHERE od.o_custkey IS NOT NULL)
+               AS n_active,
+           COUNT(c.c_custkey) FILTER (WHERE od.o_custkey IS NULL)
+               AS n_inactive
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN od ON c.c_custkey = od.o_custkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def rel_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins: per nation, customers WITH ≥1 order
+    (left_semi) vs WITHOUT any (left_anti). Orders is projected to
+    the join key only before either join, so each semi/anti probe
+    streams the fact table against a key-only build; the tiny nation
+    dim broadcasts onto the aggregated counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    active = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    inactive = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+    return (
+        nation.join(active, nation.n_nationkey == active.c_nationkey, "left")
+        .drop("c_nationkey")
+        .join(inactive, nation.n_nationkey == inactive.c_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_inactive", F.lit(0)).alias("n_inactive"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "rel_user_retention",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    b AS (SELECT MIN(day) AS fd, MAX(day) AS ld FROM d),
+    a AS (SELECT DISTINCT user_id FROM d, b WHERE day = fd),
+    z AS (SELECT DISTINCT user_id FROM d, b WHERE day = ld)
+    SELECT 'both' AS segment, COUNT(*) AS n_users
+    FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM z)
+    UNION ALL
+    SELECT 'first_only', COUNT(*)
+    FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM z)
+    UNION ALL
+    SELECT 'last_only', COUNT(*)
+    FROM (SELECT user_id FROM z EXCEPT SELECT user_id FROM a)
+    ORDER BY segment
+    """,
+)
+def rel_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT — absent in the reference,
+    SURVEY §2.8): users active on the corpus's first calendar day vs
+    its last. Each set op compiles to a hash semi/anti join on the
+    already-distinct day slices; the day bounds come from one tiny
+    min/max scan collected driver-side (two scalars — not a join)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(F.to_date("ts").alias("day"), "user_id")
+    lo, hi = d.agg(F.min("day"), F.max("day")).first()
+    a = d.where(F.col("day") == F.lit(lo)).select("user_id").distinct()
+    z = d.where(F.col("day") == F.lit(hi)).select("user_id").distinct()
+
+    def seg(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("segment"), F.count(F.lit(1)).alias("n_users")
+        )
+
+    return (
+        seg("both", a.intersect(z))
+        .unionAll(seg("first_only", a.exceptAll(z)))
+        .unionAll(seg("last_only", z.exceptAll(a)))
+        .orderBy("segment")
+    )
+
+
+@register(
+    "prof_events_cube",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+    )
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM d
+    GROUP BY CUBE(event_type, day)
+    ORDER BY event_type, day
+    """,
+)
+def prof_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (beyond prof_events_rollup's ROLLUP): all
+    four (event_type × day) marginal combinations in ONE scan — Spark
+    expands the grouping sets inside a single hash aggregate (with
+    partial agg) instead of four scans unioned."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", F.to_date("ts").alias("day"), "value")
+    return (
+        d.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "emb_doc_mean_pool",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id % 16 AS group_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding::DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    m AS (
+        SELECT group_id, pos, AVG(e) AS mv FROM flat GROUP BY group_id, pos
+    ),
+    n AS (
+        SELECT group_id, SQRT(SUM(mv * mv)) AS nrm FROM m GROUP BY group_id
+    )
+    SELECT m.group_id, m.pos, ROUND(m.mv / n.nrm, 6) AS val
+    FROM m JOIN n USING (group_id)
+    ORDER BY group_id, pos
+    """,
+)
+def emb_doc_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding pooling (functions/vector.py:
+    mean_pool_vectors): element-wise mean per group, L2-renormalized.
+    The exploded sum/count groupBy gets map-side partial aggregation,
+    so the shuffle carries (group × dim) partials — skew-proof where
+    a collect_list-of-arrays would shuffle every vector. Groups here
+    are vec_id % 16 (a synthetic doc key); output is exploded to
+    (group, pos, val) rows for the value-hash compare."""
+    from vectordb_light_spark.functions.vector import mean_pool_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.select(
+        F.pmod("vec_id", F.lit(16)).alias("group_id"), "embedding"
+    )
+    pooled = mean_pool_vectors(g, "group_id", "embedding", out_col="vec")
+    return pooled.select(
+        "group_id", F.posexplode("vec").alias("pos", "_v")
+    ).select("group_id", "pos", F.round("_v", 6).alias("val")).orderBy(
+        "group_id", "pos"
+    )
+
+
+@register(
+    "ts_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents
+    ),
+    t AS (SELECT * FROM tok WHERE term <> ''),
+    tf AS (SELECT lang, term, COUNT(*) AS tf FROM t GROUP BY lang, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.lang, tf.term,
+               tf.tf * LN((SELECT n FROM n)::DOUBLE / df.df) AS score
+        FROM tf JOIN df USING (term)
+    )
+    SELECT lang,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY score DESC, term) AS INT) AS rank,
+           term, ROUND(score, 4) AS score
+    FROM scored
+    QUALIFY rank <= 3
+    ORDER BY lang, rank
+    """,
+)
+def ts_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per language — corpus-level text analysis
+    (task brief). One tokenize explode feeds both the per-lang TF agg
+    and the distinct-doc DF agg (persisted, two consumers); the DF
+    side aggregates to vocabulary size, so the join back is broadcast-
+    able at any corpus scale. All JVM builtins — split/explode/agg —
+    no Python in the plan."""
+    from vectordb_light_spark.session import persist_if_batch
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text", "lang")
+    n_docs = docs.count()
+    tok = persist_if_batch(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        ).where(F.col("term") != "")
+    )
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(dfreq, "term").select(
+        "lang",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("lang", "rank", "term", F.round("score", 4).alias("score"))
+        .orderBy("lang", "rank")
+    )
+
+
+@register(
+    "st_clicks_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS buy_id, c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           ROUND(p.value, 4) AS buy_value
+    FROM events c
+    JOIN events p ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, buy_id
+    """,
+)
+def st_clicks_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM join (streaming/events.py:
+    clicks_to_purchases_join): clicks attributed to same-user
+    purchases within 30 minutes. This entry runs the REAL streaming
+    query (two filtered branches of one file stream, availableNow →
+    memory sink); the time-bounded predicate is what lets each side's
+    join state be GC'd by the watermark on an unbounded stream. The
+    oracle is the batch twin as plain SQL."""
+    from vectordb_light_spark.streaming.events import (
+        clicks_to_purchases_join,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = clicks_to_purchases_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        horizon="30 minutes",
+    )
+    out = run_stream_to_memory(joined, "st_attr_q", output_mode="append")
+    return out.select(
+        "click_id",
+        "buy_id",
+        "user_id",
+        (F.unix_micros("buy_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+        F.round("buy_value", 4).alias("buy_value"),
+    ).orderBy("click_id", "buy_id")
