@@ -198,3 +198,37 @@ def test_stream_stream_join_equals_batch(spark, events_batch):
     got_set = _rows_set(got.select(*cols), cols)
     assert got_set == _rows_set(expected.select(*cols), cols)
     assert len(got_set) > 0
+
+
+def test_incremental_ingest_content_dedup(spark, tmp_path):
+    """dedup_content=True: identical content under different file
+    names/paths is embedded ONCE, across micro-batches and across
+    restarts (the manifest outlives the query)."""
+    src = tmp_path / "watched"
+    src.mkdir()
+    body = "november oscar papa quebec " * 40
+    (src / "orig.txt").write_text(body)
+    (src / "copy.txt").write_text(body)  # same content, new name
+    (src / "other.txt").write_text("romeo sierra tango uniform " * 40)
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+
+    cfg = IngestConfig(chunk_size=200, chunk_overlap=50, target_files=1)
+    q = start_incremental_ingest(
+        spark, str(src), db, cfg, available_now=True, dedup_content=True
+    )
+    q.awaitTermination(120)
+
+    vec = spark.read.parquet(os.path.join(db, "vectors"))
+    hashes = {r["doc_hash"] for r in vec.select("doc_hash").distinct().collect()}
+    assert len(hashes) == 2  # body + other, not 3 files
+    n1 = vec.count()
+
+    # restart with ANOTHER copy of the same content: nothing new
+    (src / "copy2.txt").write_text(body)
+    q2 = start_incremental_ingest(
+        spark, str(src), db, cfg, available_now=True, dedup_content=True
+    )
+    q2.awaitTermination(120)
+    vec2 = spark.read.parquet(os.path.join(db, "vectors"))
+    assert vec2.count() == n1

@@ -77,22 +77,50 @@ def start_incremental_ingest(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     processing_time: str = "500 milliseconds",
+    dedup_content: bool = False,
 ) -> StreamingQuery:
     """Maintain <db_path>/vectors incrementally from a watched folder.
 
     foreachBatch reuses the batch operators verbatim; the vectors
     parquet grows by append-only files. ``available_now=True`` drains
     and terminates (deterministic for tests/backfill); otherwise runs
-    at the reference's 500 ms cadence."""
+    at the reference's 500 ms cadence.
+
+    ``dedup_content=True`` upgrades append to an idempotent UPSERT on
+    document content: the checkpoint already makes each FILE
+    exactly-once, but the same content re-staged under a new path (or
+    re-delivered by an at-least-once source) would embed twice — the
+    reference records the content hash but never dedups on it
+    (reference document_processor.py:275-276). Each batch is
+    anti-joined against a compact ``_ingested_hashes`` manifest (one
+    64-byte row per document ever ingested) — NOT against the vectors
+    store, so the dedup probe reads kilobytes of manifest instead of
+    re-scanning a 100 TB store per micro-batch, and the manifest
+    grows by one append per batch."""
     checkpoint_dir = checkpoint_dir or os.path.join(db_path, "_checkpoint")
     vectors_dir = os.path.join(db_path, "vectors")
+    manifest_dir = os.path.join(db_path, "_ingested_hashes")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if dedup_content:
+            batch_df = batch_df.dropDuplicates(["hash"])
+            if os.path.isdir(manifest_dir):
+                seen = batch_df.sparkSession.read.parquet(manifest_dir)
+                batch_df = batch_df.join(seen, "hash", "left_anti")
+            # foreachBatch re-evaluates its input per action; persist so
+            # the anti-join, the write, and the manifest append agree.
+            batch_df = batch_df.persist()
+            if batch_df.isEmpty():
+                batch_df.unpersist()
+                return
         chunks = build_chunks(batch_df, cfg)
         vectors = build_vectors(chunks, cfg)
         vectors.write.mode("append").parquet(vectors_dir)
+        if dedup_content:
+            batch_df.select("hash").write.mode("append").parquet(manifest_dir)
+            batch_df.unpersist()
 
     stream = watch_folder_stream(spark, source_dir)
     writer = (
