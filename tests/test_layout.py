@@ -68,3 +68,65 @@ def test_range_sorted_files_are_disjoint(spark, tmp_path):
 
     got = spark.read.parquet(out).count()
     assert got == ev.count()
+
+
+def _files_overlapping(path, col_name, lo, hi):
+    """Count parquet files whose [min,max] stats for col_name overlap
+    [lo,hi] — the files a stats-aware reader must open."""
+    n_total, n_overlap = 0, 0
+    for f in Path(path).glob("*.parquet"):
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = schema_names.index(col_name)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        n_total += 1
+        if min(mins) <= hi and lo <= max(maxs):
+            n_overlap += 1
+    return n_total, n_overlap
+
+
+def test_zorder_skips_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column range sort: a selective predicate on
+    the NON-sort column must open every range-sorted file but only a
+    fraction of z-ordered files; the sort column still skips on both."""
+    from vectordb_light_spark.operators.layout import write_zordered
+
+    df = (
+        spark.range(60_000)
+        .withColumn("x", F.col("id"))
+        .withColumn("y", F.pmod(F.xxhash64("id"), F.lit(60_000)))
+        .select("x", "y")
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(df, zpath, ["x", "y"], bits=8, n_files=16)
+    write_range_sorted(df, rpath, "x", n_files=16)
+
+    assert spark.read.parquet(zpath).count() == 60_000
+
+    # y-only predicate, 1/16 of the domain
+    y_lo, y_hi = 10_000, 13_750
+    r_total, r_hit = _files_overlapping(rpath, "y", y_lo, y_hi)
+    z_total, z_hit = _files_overlapping(zpath, "y", y_lo, y_hi)
+    assert r_hit == r_total  # range-on-x layout: y skips nothing
+    assert 0 < z_hit <= z_total // 2  # z-order: y skips most files
+
+    # x predicate still skips on the z-ordered layout too
+    _, zx_hit = _files_overlapping(zpath, "x", 0, 3_750)
+    assert zx_hit <= z_total // 2
+
+
+def test_zorder_rejects_single_column(spark, tmp_path):
+    from vectordb_light_spark.operators.layout import write_zordered
+
+    with pytest.raises(ValueError):
+        write_zordered(
+            spark.range(10).withColumn("x", F.col("id")),
+            str(tmp_path / "zz"),
+            ["x"],
+        )

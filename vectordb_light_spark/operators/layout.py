@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_date_partitioned", "read_pruned_plan", "write_range_sorted"]
+__all__ = [
+    "write_date_partitioned",
+    "read_pruned_plan",
+    "write_range_sorted",
+    "write_zordered",
+]
 
 
 def write_date_partitioned(
@@ -90,6 +95,64 @@ def write_range_sorted(
     (
         df.repartitionByRange(n_files, F.col(sort_col))
         .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int = 32,
+    mode: str = "errorifexists",
+) -> None:
+    """Z-order (Morton-curve) layout over ≥2 numeric columns: every
+    file covers a small HYPER-RECTANGLE of the key space, so parquet
+    min/max stats skip files for a selective predicate on ANY of the
+    columns — where ``write_range_sorted`` only skips on its one sort
+    column and a query on the other column must read every file.
+
+    Each column is linearly bucketed into ``2^bits`` cells between its
+    global min/max (one tiny agg to fetch the bounds), then the cell
+    numbers' bits are interleaved into one Morton key that drives
+    ``repartitionByRange`` + in-file sort. Everything is JVM bit
+    arithmetic (shiftleft/shiftright/AND/OR) — no UDF — and the only
+    data-sized cost is the one range shuffle any sorted write pays.
+
+    Linear bucketing assumes roughly uniform value spread; heavily
+    skewed columns should be rank-transformed first (or use the
+    date-partition + range-sort combination instead).
+    """
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs ≥2 columns; use write_range_sorted")
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    ).first()
+    n_cells = 1 << bits
+    buckets = []
+    for c in cols:
+        lo = float(bounds[f"_lo_{c}"])
+        span = max(float(bounds[f"_hi_{c}"]) - lo, 1e-300)
+        cell = F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_cells
+        )
+        buckets.append(
+            F.least(F.lit(n_cells - 1), F.greatest(F.lit(0), cell)).cast("bigint")
+        )
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode(mode)
         .parquet(path)
     )
