@@ -244,3 +244,73 @@ def test_cosine_pairs_blocked_equals_unblocked(spark, emb):
         for r in cosine_pairs_exact(emb, threshold=0.3, block_rows=37).collect()
     }
     assert full == blocked and full
+
+
+def test_pq_encode_codes_shape_and_determinism(spark, emb):
+    from vectordb_light_spark.operators.similarity import (
+        add_pq_codes,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    assert books.shape == (8, 16, 8)  # dim 64 → 8 subspaces of 8
+    coded = add_pq_codes(emb, books)
+    assert dict(coded.dtypes)["pq_code"] == "array<tinyint>"
+    rows = coded.select("vec_id", "pq_code").orderBy("vec_id").limit(20).collect()
+    again = (
+        add_pq_codes(emb, books)
+        .select("vec_id", "pq_code")
+        .orderBy("vec_id")
+        .limit(20)
+        .collect()
+    )
+    assert [list(r["pq_code"]) for r in rows] == [list(r["pq_code"]) for r in again]
+    for r in rows:
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_code"])
+
+
+def test_pq_adc_score_matches_numpy_and_recall(spark, emb, query):
+    """ADC score from the JVM lookup expression equals the numpy
+    reconstruction dot product, and recall@10 vs the exact scan is
+    usable at 8×16 codes on 64-d vectors."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import (
+        add_pq_codes,
+        ann_topk_pq,
+        train_pq_codebooks,
+    )
+
+    m, n_codes, sub = 16, 64, 4  # 16 bytes/vector vs 256 for float32
+    books = train_pq_codebooks(emb, m=m, n_codes=n_codes)
+    coded = add_pq_codes(emb, books).cache()
+    got = ann_topk_pq(coded, books, query, k=10)
+    rows = got.collect()
+    assert len(rows) == 10
+
+    qv = np.asarray(query)
+    lut = np.stack([books[s] @ qv[s * sub : (s + 1) * sub] for s in range(m)])
+    codes = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in coded.select("vec_id", "pq_code").collect()
+    }
+    for r in rows:
+        expect = float(sum(lut[s][codes[r["vec_id"]][s]] for s in range(m)))
+        assert abs(r["similarity_score"] - expect) < 1e-9
+
+    exact10 = set(exact_topk_ids(emb, query, 10))
+    recall = len({r["vec_id"] for r in rows} & exact10) / 10
+    assert recall >= 0.5, f"PQ recall@10 too low: {recall}"
+
+    # PQ's production shape: compressed-domain candidate pool + exact
+    # re-rank — the top-50 ADC pool must contain the exact top-10
+    pool = {r["vec_id"] for r in ann_topk_pq(coded, books, query, k=50).collect()}
+    assert exact10 <= pool
+
+
+def test_pq_dim_mismatch_raises(spark, emb):
+    from vectordb_light_spark.operators.similarity import train_pq_codebooks
+
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, m=7)  # 64 % 7 != 0

@@ -610,3 +610,153 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN, à la FAISS PQ/ADC
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 8,
+    max_train: int = 25_000,
+) -> np.ndarray:
+    """Train PQ codebooks: split each vector into ``m`` equal
+    subspaces and k-means each subspace to ``n_codes`` centroids
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011 — public method, re-implemented).
+
+    Same scale shape as :func:`train_ivf_centroids`: k-means needs a
+    sample, not the table, so training is one deterministic
+    hash-sampled scan + a driver-local numpy Lloyd loop. Init per
+    subspace: the first ``n_codes`` sampled sub-vectors (rows sorted
+    by id — reproducible). Empty cells keep their previous centroid.
+
+    Returns ``[m, n_codes, dim//m]`` float64. ``dim`` must divide by
+    ``m`` (checked at encode time against the actual vectors).
+    """
+    proj = df.select(id_col, vec_col)
+    n = proj.count()
+    if n > max_train:
+        bound = int(max_train / n * 1_000_000)
+        proj = proj.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(bound)
+        )
+    rows = proj.collect()
+    rows.sort(key=lambda r: r[0])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for s in range(m):
+        block = mat[:, s * sub : (s + 1) * sub]
+        cents = block[:n_codes].copy()
+        for _ in range(n_iters):
+            # plain L2 k-means: argmin ||x-c||² = argmin c·c - 2x·c
+            d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (block @ cents.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = block[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def make_pq_encode_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ encoder: per subspace, argmin-L2 code (first
+    index on ties — numpy argmin, deterministic). One matmul per
+    subspace per batch."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, ByteType
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+
+    @pandas_udf(ArrayType(ByteType(), containsNull=False))
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.shape[1] != m * sub:
+            raise ValueError(f"dim {mat.shape[1]} != m*sub {m * sub}")
+        codes = np.empty((mat.shape[0], m), dtype=np.int8)
+        for s in range(m):
+            block = mat[:, s * sub : (s + 1) * sub]
+            cents = books[s]
+            d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (block @ cents.T)
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.int8)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def add_pq_codes(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Index build: attach the m-byte PQ code (map-only, vectorized).
+    The code column is ``m`` bytes vs ``4·dim`` for float32 — for
+    dim=768/m=96 a 32× cut of what the ANN scan reads and shuffles;
+    the store keeps the full vector only for the final re-rank."""
+    return df.withColumn(out_col, make_pq_encode_udf(codebooks)(F.col(vec_col)))
+
+
+def ann_topk_pq(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k in the compressed domain: the
+    query stays un-quantized; per subspace the dot product against
+    every codeword is precomputed driver-side into an m×n_codes
+    lookup table, and each row's approximate score is the sum of m
+    table lookups on its byte code — a pure JVM expression
+    (transform + element_at + aggregate) over the m-byte column. The
+    full vector column is never touched, so the scan reads codes+ids
+    only; TakeOrderedAndProject keeps the result at k rows per task.
+
+    Score ≈ cos(q, v) for unit-norm v (it is exactly cos(q, PQ(v))
+    up to reconstruction error). Re-rank the k results exactly by
+    joining vectors back when precision matters.
+    """
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    qv = np.asarray(query, dtype=np.float64)
+    if qv.shape[0] != m * sub:
+        raise ValueError(f"query dim {qv.shape[0]} != m*sub {m * sub}")
+    lut_np = np.stack([books[s] @ qv[s * sub : (s + 1) * sub] for s in range(m)])
+    lut = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in lut_np]
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.lit(m)),
+            F.col(code_col),
+            lambda i, c: F.element_at(
+                F.element_at(lut, i), c.cast("int") + F.lit(1)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select(id_col, code_col)
+        .withColumn("similarity_score", score)
+        .orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop(code_col)
+    )

@@ -2597,3 +2597,27 @@ def st_clicks_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("buy_ts") - F.unix_micros("click_ts")).alias("lag_us"),
         F.round("buy_value", 4).alias("buy_value"),
     ).orderBy("click_id", "buy_id")
+
+
+@register("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/similarity.py): 16×64 PQ
+    codebooks (sampled-Lloyd trained), m-byte codes, asymmetric-
+    distance top-k as a pure JVM lookup expression over the code
+    column — the compressed-domain scan reads 16 bytes/vector instead
+    of 256. Trained index + argmin encode are iterative/numpy ⇒ no
+    SQL twin (rows-only check); recall and exact-ADC-parity are
+    asserted in tests/test_similarity.py."""
+    from vectordb_light_spark.operators.similarity import (
+        add_pq_codes,
+        ann_topk_pq,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=16, n_codes=64, max_train=5_000)
+    q = _query_vector(spark, sf_dir, 0)
+    coded = add_pq_codes(rebalance(emb), books)
+    return ann_topk_pq(coded, books, q, k=10).withColumn(
+        "similarity_score", F.round("similarity_score", 6)
+    )
