@@ -89,3 +89,39 @@ def test_sample_frames_counts(spark):
         "media_id", "frame_index", "frame_ts_ms"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_audio_windows_boundaries_and_pcm_stub(spark):
+    """Window starts stride by hop below duration; ends clamp to the
+    clip; the stubbed PCM slice is non-empty, deterministic, and
+    proportional to the window's span of the byte stream."""
+    from vectordb_light_spark.operators.multimodal import (
+        audio_windows,
+        media_from_documents,
+    )
+
+    media = media_from_documents(spark, SF, kind="audio", limit=20)
+    out = audio_windows(media, window_ms=5000, hop_ms=2500).cache()
+    rows = out.collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_media.items():
+        dur = rs[0]["media_meta"]["duration_ms"]
+        rs.sort(key=lambda r: r["window_index"])
+        assert [r["window_index"] for r in rs] == list(range(len(rs)))
+        for r in rs:
+            assert r["win_start_ms"] == r["window_index"] * 2500
+            assert r["win_start_ms"] < dur
+            assert r["win_end_ms"] == min(r["win_start_ms"] + 5000, dur)
+            assert len(bytes(r["window_bytes"])) >= 1
+        # full coverage: last window reaches the clip end
+        assert rs[-1]["win_end_ms"] == dur
+
+    again = {
+        (r["media_id"], r["window_index"]): bytes(r["window_bytes"])
+        for r in audio_windows(media, window_ms=5000, hop_ms=2500).collect()
+    }
+    first = {(r["media_id"], r["window_index"]): bytes(r["window_bytes"]) for r in rows}
+    assert first == again

@@ -279,3 +279,67 @@ def media_from_documents(
             (F.length("text") * 10).cast("int").alias("duration_ms"),
         ).alias("media_meta"),
     )
+
+
+def audio_windows(
+    df: DataFrame,
+    *,
+    window_ms: int = 5000,
+    hop_ms: int = 2500,
+    content_col: str = "content",
+    meta_col: str = "media_meta",
+    with_pcm: bool = True,
+) -> DataFrame:
+    """Audio segmentation: one row per fixed-length window with
+    ``hop_ms`` stride — the audio analogue of the text chunker (T3),
+    the unit a speech/audio training pipeline embeds.
+
+    Window COUNT and boundaries are pure builtins over
+    ``media_meta.duration_ms`` (starts 0, hop, … < duration;
+    ``win_end_ms`` clamped to the clip) — real, oracle-checkable
+    plumbing. PCM EXTRACTION (``with_pcm=True``) needs an audio
+    decoder (soundfile/librosa, absent in this container): the stub
+    slices the raw bytes proportionally to the window's time span,
+    deterministic per (row, window), keeping the mapInPandas batch
+    shape and schema contract a real decoder would have.
+    """
+    duration = F.col(f"{meta_col}.duration_ms")
+    n_windows = F.greatest(F.ceil(duration / F.lit(hop_ms)).cast("int"), F.lit(1))
+    exploded = (
+        df.withColumn(
+            "window_index", F.explode(F.sequence(F.lit(0), n_windows - 1))
+        )
+        .withColumn("win_start_ms", F.col("window_index") * hop_ms)
+        .withColumn(
+            "win_end_ms", F.least(F.col("win_start_ms") + window_ms, duration)
+        )
+    )
+    if not with_pcm:
+        return exploded
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in exploded.schema
+    )
+    schema = f"{fields}, window_bytes binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for data, lo, hi, dur in zip(
+                pdf[content_col],
+                pdf["win_start_ms"],
+                pdf["win_end_ms"],
+                (pdf[meta_col].apply(lambda mm: mm["duration_ms"])),
+            ):
+                raw = bytes(data) if data is not None else b""
+                if not raw or not dur:
+                    outs.append(b"")
+                    continue
+                a = int(len(raw) * int(lo) / int(dur))
+                b = int(len(raw) * int(hi) / int(dur))
+                outs.append(raw[a:max(b, a + 1)])
+            out = pdf.copy()
+            out["window_bytes"] = outs
+            yield out
+
+    return exploded.mapInPandas(run, schema=schema)

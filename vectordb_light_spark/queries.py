@@ -2621,3 +2621,47 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_pq(coded, books, q, k=10).withColumn(
         "similarity_score", F.round("similarity_score", 6)
     )
+
+
+@register(
+    "mm_audio_windows",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+        FROM documents
+    ),
+    w AS (
+        SELECT media_id, duration_ms,
+               UNNEST(range(0, CAST(duration_ms AS BIGINT), 2500)) AS gs
+        FROM m
+    )
+    SELECT media_id,
+           CAST(gs // 2500 AS INT) AS window_index,
+           CAST(gs AS BIGINT) AS win_start_ms,
+           CAST(LEAST(gs + 5000, duration_ms) AS BIGINT) AS win_end_ms
+    FROM w
+    ORDER BY media_id, window_index
+    """,
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plumbing (operators/multimodal.py:
+    audio_windows): 5 s windows with 2.5 s hop per clip, boundaries
+    from typed media metadata — pure builtins (explode(sequence));
+    the stubbed PCM slice stage is exercised in tests, not here, so
+    the oracle checks the window arithmetic end-to-end."""
+    from vectordb_light_spark.operators.multimodal import (
+        audio_windows,
+        media_from_documents,
+    )
+
+    media = media_from_documents(spark, sf_dir, kind="audio")
+    return (
+        audio_windows(rebalance(media), with_pcm=False)
+        .select(
+            "media_id",
+            "window_index",
+            F.col("win_start_ms").cast("long").alias("win_start_ms"),
+            F.col("win_end_ms").cast("long").alias("win_end_ms"),
+        )
+        .orderBy("media_id", "window_index")
+    )
