@@ -314,3 +314,33 @@ def test_pq_dim_mismatch_raises(spark, emb):
 
     with pytest.raises(ValueError):
         train_pq_codebooks(emb, m=7)  # 64 % 7 != 0
+
+
+def test_ivfpq_composes_pruning_and_recall(spark, emb, query):
+    """IVFPQ: result ⊆ probed clusters; full-probe IVFPQ ≡ plain PQ
+    top-k; partial probe keeps usable recall vs the exact scan."""
+    from vectordb_light_spark.operators.similarity import (
+        add_ivf_cluster,
+        add_pq_codes,
+        ann_topk_ivfpq,
+        ann_topk_pq,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    books = train_pq_codebooks(emb, m=16, n_codes=64)
+    indexed = add_pq_codes(add_ivf_cluster(emb, cents), books).cache()
+
+    full = ann_topk_ivfpq(indexed, cents, books, query, k=10, nprobe=8)
+    plain = ann_topk_pq(indexed, books, query, k=10)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in plain.collect()
+    ]
+
+    part = ann_topk_ivfpq(indexed, cents, books, query, k=10, nprobe=3)
+    rows = part.collect()
+    assert len(rows) == 10
+    got = {r["vec_id"] for r in rows}
+    recall = len(got & set(exact_topk_ids(emb, query, 10))) / 10
+    assert recall >= 0.5, f"IVFPQ recall@10 too low: {recall}"

@@ -760,3 +760,37 @@ def ann_topk_pq(
         .limit(k)
         .drop(code_col)
     )
+
+
+def ann_topk_ivfpq(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    cluster_col: str = "ivf_cluster",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFPQ shape): the centroid probe
+    prunes WHICH rows are scanned (partition pruning when the table is
+    written partitioned by cluster id), PQ prunes WHAT is read per row
+    (m bytes instead of the vector). ``indexed`` must carry both the
+    cluster and code columns (:func:`add_ivf_cluster` +
+    :func:`add_pq_codes`). At 100 TB the probe reads nprobe/k of the
+    files and the ADC scan inside them touches codes+ids only — the
+    two pruning axes multiply.
+    """
+    qv = np.asarray(query, dtype=np.float64)
+    order = np.argsort(-(centroids @ qv))
+    probes = [int(c) for c in order[:nprobe]]
+    return ann_topk_pq(
+        indexed.where(F.col(cluster_col).isin(probes)),
+        codebooks,
+        query,
+        k=k,
+        id_col=id_col,
+        code_col=code_col,
+    )

@@ -2665,3 +2665,28 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "window_index")
     )
+
+
+@register("ann_ivfpq_topk")
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed (operators/similarity.py:ann_topk_ivfpq): the
+    centroid probe prunes which rows are read (partition pruning when
+    stored partitionBy(cluster)), the PQ code prunes what is read per
+    row — nprobe/k × m-bytes multiplied. Iterative trained index ⇒
+    rows-only; recall/equivalence asserted in tests."""
+    from vectordb_light_spark.operators.similarity import (
+        add_ivf_cluster,
+        add_pq_codes,
+        ann_topk_ivfpq,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=16, max_train=5_000)
+    books = train_pq_codebooks(emb, m=16, n_codes=64, max_train=5_000)
+    q = _query_vector(spark, sf_dir, 0)
+    indexed = add_pq_codes(add_ivf_cluster(rebalance(emb), cents), books)
+    return ann_topk_ivfpq(indexed, cents, books, q, k=10, nprobe=4).withColumn(
+        "similarity_score", F.round("similarity_score", 6)
+    )
