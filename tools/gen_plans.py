@@ -24,6 +24,13 @@ NOTES = {
  'skew_salted_user_join': 'Salted skew join: the probe side derives a deterministic hash salt map-side; the build side replicates via a literal-array Generate. The join key (user_id, _salt) splits any hot user over 8 reducers; result is oracle-equal to the unsalted join.',
  'rel_region_volume': 'TPC-H Q5 shape: region filter prunes before any join; region->nation->supplier and customer all enter as BroadcastHashJoins; lineitem JOIN orders is the single data-sized exchange pair.',
  'rel_events_moving_avg': 'Time-RANGE window on epoch micros: one hashpartitioning(user_id) exchange feeds both the running-frame Window and the final per-user aggregate; frame sums are integer cents (order-independent) with floor-div discretization (cross-engine ROUND ties).',
+ 'rel_customer_activity': 'Semi/anti joins: orders is projected to the key column before either probe; nation re-enters as BroadcastHashJoin over the 25-row aggregates. No row payload crosses the semi/anti shuffles.',
+ 'rel_user_retention': 'INTERSECT/EXCEPT compile to hash semi/anti joins over the distinct day slices; the day bounds are two collected scalars, not a join input.',
+ 'prof_events_cube': 'CUBE = one Expand + ONE hash aggregate pair (partial before the exchange): all four event_type x day marginal combinations in a single scan, not four unioned scans.',
+ 'emb_doc_mean_pool': 'Mean-pool: posexplode feeds sum/count groupBy with MAP-SIDE partial aggregation — the exchange carries (group x dim) partials, never N x dim element rows; renorm and reassembly run on group-sized data.',
+ 'ts_tfidf_top_terms': 'TF-IDF: one explode(split) stage persisted for both consumers (per-lang TF, distinct-doc DF); the DF side aggregates to vocabulary size so the score join broadcasts; top-3 via WindowGroupLimit pushdown.',
+ 'ann_pq_topk': 'PQ/ADC scan: the plan reads (id, 16-byte code) only — the vector column never appears; the ADC score is a JVM transform/element_at/aggregate over the code, and TakeOrderedAndProject caps every task at k rows.',
+ 'mm_audio_windows': 'Audio windows: explode(sequence(duration/hop)) is pure codegen — window boundaries derive from typed metadata with no Python stage in this path.',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',
