@@ -2690,3 +2690,56 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivfpq(indexed, cents, books, q, k=10, nprobe=4).withColumn(
         "similarity_score", F.round("similarity_score", 6)
     )
+
+
+@register(
+    "rel_big_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def rel_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a HAVING aggregate
+    subquery feeding a semi-join-like filter, then a 3-way join and
+    re-aggregation. The qty aggregate runs ONCE and serves both the
+    filter and the output total (no second lineitem aggregation); at
+    scale the big-order key set is tiny, so it re-enters the orders
+    join as a broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(qty), orders.o_orderkey == qty.l_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("_qty").cast("long").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
