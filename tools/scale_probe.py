@@ -85,12 +85,31 @@ def probes(spark, docs, emb):
 
         return bm25_topk(docs, ["spark", "vector", "stream"], k=10).count()
 
+    def p_pq_adc():
+        from vectordb_light_spark.operators.similarity import (
+            add_pq_codes,
+            ann_topk_pq,
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(emb, m=16, n_codes=64, max_train=5_000)
+        q = [float(x) for x in emb.select("embedding").first()[0]]
+        return ann_topk_pq(add_pq_codes(emb, books), books, q, k=10).count()
+
+    def p_mean_pool():
+        from vectordb_light_spark.functions.vector import mean_pool_vectors
+
+        g = emb.select(F.pmod("vec_id", F.lit(64)).alias("g"), "embedding")
+        return mean_pool_vectors(g, "g", "embedding").count()
+
     return {
         "winnow_fingerprints": p_winnow,
         "minhash_lsh_candidates": p_minhash,
         "batch_topk_100q": p_batch_topk,
         "cosine_pairs_exact": p_pairs_exact,
         "bm25_topk": p_bm25,
+        "pq_train_encode_adc_topk": p_pq_adc,
+        "mean_pool_64groups": p_mean_pool,
     }
 
 
@@ -142,6 +161,11 @@ def main() -> None:
         "argument for the LSH tiers past broadcast reach (similarity.py).",
         "bm25_topk is data-linear: the matched-postings shuffle grows with",
         "corpus size but the per-row work is all codegen builtins.",
+        "pq_train_encode_adc_topk is data-linear with a constant training",
+        "term (the codebook sample is capped); the scan cost is the encode",
+        "UDF — the ADC ranking itself reads 16 bytes/vector. mean_pool is",
+        "data-linear: map-side partial sums keep the exchange at",
+        "(groups × dim) partials regardless of row count.",
     ]
     out = "\n".join(lines)
     print(out)
