@@ -61,6 +61,19 @@ def load_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     return rebalance(df)
 
 
+#: (sf_dir, index-kind) → trained numpy index (centroids/codebooks).
+#: Training is deterministic (seeded hash sample + fixed init), so the
+#: memo only skips recomputation — the engine analogue of the
+#: reference's warm per-DB cache (Q15, vector_db_query.py:289-301).
+_TRAINED_MEMO: dict = {}
+
+
+def _trained(key, builder):
+    if key not in _TRAINED_MEMO:
+        _TRAINED_MEMO[key] = builder()
+    return _TRAINED_MEMO[key]
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.where(F.col("vec_id") == vec_id).select("embedding").first()
@@ -2615,7 +2628,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(emb, m=16, n_codes=64, max_train=5_000)
+    books = _trained(
+        (sf_dir, "pq16x64"),
+        lambda: train_pq_codebooks(emb, m=16, n_codes=64, max_train=5_000),
+    )
     q = _query_vector(spark, sf_dir, 0)
     coded = add_pq_codes(rebalance(emb), books)
     return ann_topk_pq(coded, books, q, k=10).withColumn(
@@ -2683,8 +2699,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, n_centroids=16, max_train=5_000)
-    books = train_pq_codebooks(emb, m=16, n_codes=64, max_train=5_000)
+    cents = _trained(
+        (sf_dir, "ivf16"),
+        lambda: train_ivf_centroids(emb, n_centroids=16, max_train=5_000),
+    )
+    books = _trained(
+        (sf_dir, "pq16x64"),
+        lambda: train_pq_codebooks(emb, m=16, n_codes=64, max_train=5_000),
+    )
     q = _query_vector(spark, sf_dir, 0)
     indexed = add_pq_codes(add_ivf_cluster(rebalance(emb), cents), books)
     return ann_topk_ivfpq(indexed, cents, books, q, k=10, nprobe=4).withColumn(
