@@ -120,3 +120,33 @@ def test_ngram_jaccard_exact_verification(spark):
     }
     assert verified[(1, 2)] == 1.0
     assert 0.5 < verified[(1, 3)] < 1.0
+
+
+def test_containment_detects_subset_duplicates(spark):
+    """A short excerpt of a long doc has low Jaccard but containment
+    ≈ 1 from the excerpt's side — the asymmetric detector's point."""
+    from vectordb_light_spark.operators.dedup import containment_pairs
+
+    import itertools
+
+    # distinct alphabetic words (the tokenizer keeps [a-z] runs only)
+    vocab = ["".join(p) for p in itertools.product("abcdefghij", repeat=3)]
+    long_words = " ".join(vocab[:200])
+    excerpt = " ".join(vocab[50:80])  # 30-word quote
+    other = " ".join("z" + w for w in vocab[:100])
+    df = spark.createDataFrame(
+        [(1, long_words), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(
+            df, threshold=0.5, max_df=10, text_col="text"
+        ).collect()
+    }
+    # excerpt(2) is fully contained in long(1): all 28 of its 3-gram
+    # shingles appear in doc 1
+    assert rows.get((2, 1)) == 1.0
+    # the long doc's containment in the excerpt is far below threshold
+    assert (1, 2) not in rows
+    # unrelated doc shares nothing
+    assert not any(3 in pair for pair in rows)

@@ -483,3 +483,66 @@ def ngram_jaccard_pairs(
         "jaccard",
         F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union),
     ).drop("sh_a", "sh_b")
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+    max_df: int = 20,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT |A∩B| / |A| — the subset-
+    duplicate detector (quotes, excerpts, doc-inside-doc) that
+    symmetric Jaccard misses: a 50-word quote inside a 5000-word doc
+    has tiny Jaccard but containment ≈ 1 from the quote's side.
+
+    Pipeline (all builtins): word ``shingle``-grams per doc
+    (array_distinct — set semantics), a doc-frequency prefilter that
+    drops shingles appearing in more than ``max_df`` docs, then a
+    posting-list self-join counts shared shingles per ordered pair.
+
+    Scale: the self-join's blow-up is Σ df² over SURVIVING shingles —
+    the df cap bounds it at max_df × |postings| regardless of corpus
+    size (stop-shingles are exactly the ones that would explode, and
+    they carry no duplicate signal). The denominator |A| counts ALL
+    of A's shingles, so containment is a lower bound after the
+    prefilter — the same semantics on both engine and oracle sides.
+    Output: (doc_a, doc_b, containment of doc_a) — asymmetric, both
+    directions emitted when both pass the threshold.
+    """
+    from vectordb_light_spark.session import persist_if_batch
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - (shingle - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("_t", (i + j).cast("int")) for j in range(shingle)]
+        ),
+    )
+    shingles = persist_if_batch(
+        df.select(F.col(id_col), toks.alias("_t"))
+        .where(F.size("_t") >= shingle)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("s"))
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("_dfc"))
+    rare = dfreq.where(F.col("_dfc") <= max_df).select("s")
+    p1 = shingles.join(rare, "s").select(F.col(id_col).alias("doc_a"), "s")
+    p2 = shingles.join(rare, "s").select(F.col(id_col).alias("doc_b"), "s")
+    shared = (
+        p1.join(p2, "s")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .withColumn("containment", F.col("_shared") / F.col("_n"))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )

@@ -2765,3 +2765,46 @@ def rel_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@register(
+    "dd_containment_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    df AS (SELECT s, COUNT(*) AS dfc FROM sh GROUP BY s),
+    pairs AS (
+        SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh p1 JOIN sh p2 USING (s) JOIN df USING (s)
+        WHERE dfc <= 20 AND p1.doc_id <> p2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(shared * 1.0 / sa.n, 6) AS containment
+    FROM pairs JOIN szs sa ON sa.doc_id = pairs.doc_a
+    WHERE shared * 1.0 / sa.n >= 0.1
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (operators/dedup.py:
+    containment_pairs): subset-duplicate pairs |A∩B|/|A| ≥ 0.1 over
+    3-gram word shingles with a df≤20 stop-shingle prefilter — the
+    prefilter bounds the posting self-join at max_df × postings, so
+    the quadratic term never tracks corpus size."""
+    from vectordb_light_spark.operators.dedup import containment_pairs
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    return containment_pairs(docs, threshold=0.1, max_df=20).orderBy(
+        "doc_a", "doc_b"
+    )
