@@ -31,6 +31,9 @@ NOTES = {
  'ts_tfidf_top_terms': 'TF-IDF: one explode(split) stage persisted for both consumers (per-lang TF, distinct-doc DF); the DF side aggregates to vocabulary size so the score join broadcasts; top-3 via WindowGroupLimit pushdown.',
  'ann_pq_topk': 'PQ/ADC scan: the plan reads (id, 16-byte code) only — the vector column never appears; the ADC score is a JVM transform/element_at/aggregate over the code, and TakeOrderedAndProject caps every task at k rows.',
  'mm_audio_windows': 'Audio windows: explode(sequence(duration/hop)) is pure codegen — window boundaries derive from typed metadata with no Python stage in this path.',
+ 'rel_big_orders': 'TPC-H Q18 shape: the HAVING qty aggregate computes ONCE and re-enters the orders join as a BroadcastExchange (big-order keys are tiny at any scale); customer joins broadcast; final top-20 is TakeOrderedAndProject.',
+ 'dd_containment_pairs': 'Containment: the df<=20 stop-shingle filter lands BEFORE the posting self-join, so the quadratic blow-up is bounded at max_df x postings; the persisted shingle stage feeds sizes, df, and both join sides from one computation.',
+ 'ann_ivfpq_topk': 'IVFPQ: cluster isin() filter prunes rows (partition pruning on a partitioned store), then the ADC ranking reads (id, 16-byte code) only — two multiplying pruning axes, no vector column in the scan.',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',
