@@ -232,3 +232,43 @@ def test_incremental_ingest_content_dedup(spark, tmp_path):
     q2.awaitTermination(120)
     vec2 = spark.read.parquet(os.path.join(db, "vectors"))
     assert vec2.count() == n1
+
+
+def test_incremental_ingest_maintains_srp_index(spark, tmp_path):
+    """index_srp=True: appended batches carry the signature column,
+    and a signature-pruned ANN query over the store at full radius
+    equals the exact scan — the index stays fresh under streaming
+    writes with no rebuild."""
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+    from vectordb_light_spark.operators.similarity import ann_topk_srp
+
+    src = tmp_path / "watched"
+    src.mkdir()
+    for i in range(6):
+        (src / f"d{i}.txt").write_text(f"word{i} " * 50 + "common tail text " * 20)
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    cfg = IngestConfig(chunk_size=200, chunk_overlap=50, target_files=1)
+    q = start_incremental_ingest(
+        spark, str(src), db, cfg, available_now=True, index_srp=True
+    )
+    q.awaitTermination(120)
+
+    vec = spark.read.parquet(os.path.join(db, "vectors"))
+    assert "srp_sig" in vec.columns
+    assert vec.where(F.col("srp_sig").isNull()).count() == 0
+
+    query = [float(x) for x in vec.select("vector").first()[0]]
+    ann = ann_topk_srp(
+        vec, query, k=5, probe_hamming=16, id_col="id", vec_col="vector"
+    )
+    exact = topk_cosine(
+        vec,
+        query,
+        SearchParams(k=5, threshold=0.0, assume_normalized=True),
+        id_col="id",
+        vec_col="vector",
+    )
+    assert [r["id"] for r in ann.select("id").collect()] == [
+        r["id"] for r in exact.select("id").collect()
+    ]

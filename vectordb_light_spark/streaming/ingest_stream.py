@@ -78,6 +78,7 @@ def start_incremental_ingest(
     available_now: bool = True,
     processing_time: str = "500 milliseconds",
     dedup_content: bool = False,
+    index_srp: bool = False,
 ) -> StreamingQuery:
     """Maintain <db_path>/vectors incrementally from a watched folder.
 
@@ -96,7 +97,14 @@ def start_incremental_ingest(
     64-byte row per document ever ingested) — NOT against the vectors
     store, so the dedup probe reads kilobytes of manifest instead of
     re-scanning a 100 TB store per micro-batch, and the manifest
-    grows by one append per batch."""
+    grows by one append per batch.
+
+    ``index_srp=True`` maintains the SRP-LSH ANN index UNDER the
+    stream: each appended batch carries its ``srp_sig`` signature
+    column (map-only, computed batch-side), so signature-pruned ANN
+    queries see new vectors the moment their files land — no rebuild,
+    no reindex job. Choose once per database: appends with and
+    without the column must not mix."""
     checkpoint_dir = checkpoint_dir or os.path.join(db_path, "_checkpoint")
     vectors_dir = os.path.join(db_path, "vectors")
     manifest_dir = os.path.join(db_path, "_ingested_hashes")
@@ -117,6 +125,12 @@ def start_incremental_ingest(
                 return
         chunks = build_chunks(batch_df, cfg)
         vectors = build_vectors(chunks, cfg)
+        if index_srp:
+            from vectordb_light_spark.operators.similarity import add_srp_signature
+
+            vectors = add_srp_signature(
+                vectors, vec_col="vector", dim=int(cfg.embedder_spec.get("dim", 64))
+            )
         vectors.write.mode("append").parquet(vectors_dir)
         if dedup_content:
             batch_df.select("hash").write.mode("append").parquet(manifest_dir)
