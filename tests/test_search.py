@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from vectordb_light_spark.functions.vector import (
@@ -216,3 +217,56 @@ def test_mean_pool_vectors_means_and_unit_norm(spark):
         ).collect()
     }
     assert np.allclose(raw["a"], [0.5, 0.5, 0.0], atol=1e-9)
+
+
+def test_vectordb_srp_index_and_ann_search(spark, tmp_path):
+    """build_srp_index rewrites the store atomically with signatures;
+    search(ann_radius=full) equals the exact search; a modest radius
+    scans fewer rows (observe metrics prove the pruning) while the
+    plane spec round-trips through _meta.json."""
+    import json as _json
+    import os as _os
+
+    from vectordb_light_spark.engine import VectorDB
+    from vectordb_light_spark.operators.ingest import IngestConfig, create_database
+    from vectordb_light_spark.sources.extract import load_directory
+
+    texts = [
+        (f"doc{i}.txt", f"topic{i % 5} " * 40 + f"unique{i} filler " * 20)
+        for i in range(12)
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for name, body in texts:
+        (src / name).write_text(body)
+    db_root = str(tmp_path / "dbs")
+    _os.makedirs(db_root)
+    docs, _rejects = load_directory(spark, str(src))
+    create_database(
+        spark,
+        docs,
+        db_root,
+        "annd",
+        IngestConfig(chunk_size=200, chunk_overlap=50, target_files=1),
+    )
+
+    db = VectorDB.open(spark, db_root, "annd", cache=False)
+    exact = [(r["id"], r["rank"]) for r in db.search("topic1 filler").collect()]
+
+    db.build_srp_index(n_planes=16, seed=7)
+    meta = _json.load(open(_os.path.join(db_root, "annd", "_meta.json")))
+    assert meta["srp_index"] == {"n_planes": 16, "seed": 7}
+
+    full = db.search("topic1 filler", ann_radius=16)
+    assert [(r["id"], r["rank"]) for r in full.collect()] == exact
+    n_full = db.last_search_stats["n_scanned"]
+
+    pruned = db.search("topic1 filler", ann_radius=4)
+    pruned.collect()
+    assert db.last_search_stats["n_scanned"] < n_full
+
+    with pytest.raises(ValueError):
+        VectorDB.open(spark, db_root, "annd", cache=False).meta.pop("srp_index")
+        bad = VectorDB.open(spark, db_root, "annd", cache=False)
+        bad.vectors = bad.vectors.drop("srp_sig")
+        bad.search("x", ann_radius=2)

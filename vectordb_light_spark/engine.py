@@ -107,15 +107,54 @@ class VectorDB:
         """Q1: embed with the database's own stored embedder spec."""
         return embed_query(query_text, self.meta["embedder"])
 
+    def build_srp_index(self, *, n_planes: int = 16, seed: int = 42) -> None:
+        """One-time ANN index build for an existing database: rewrite
+        ``vectors/`` with the SRP signature column (atomic tmp+swap —
+        a crash mid-build leaves the original intact), and record the
+        plane parameters in ``_meta.json`` so query-side signatures
+        always agree with the store. Streaming databases get the same
+        column live via ``start_incremental_ingest(index_srp=True)``.
+        """
+        import shutil
+
+        from vectordb_light_spark.operators.similarity import add_srp_signature
+
+        vectors_dir = os.path.join(self.path, "vectors")
+        dim = int(self.meta.get("dimensions", 64))
+        fresh = self.spark.read.parquet(vectors_dir)
+        indexed = add_srp_signature(
+            fresh, vec_col="vector", n_planes=n_planes, seed=seed, dim=dim
+        )
+        tmp_dir = vectors_dir + ".srp-tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        indexed.write.parquet(tmp_dir)
+        old_dir = vectors_dir + ".srp-old"
+        os.rename(vectors_dir, old_dir)
+        os.rename(tmp_dir, vectors_dir)
+        shutil.rmtree(old_dir)
+        self.meta["srp_index"] = {"n_planes": n_planes, "seed": seed}
+        with open(os.path.join(self.path, META_FILE), "w") as f:
+            json.dump(self.meta, f)
+        self.vectors = self.spark.read.parquet(vectors_dir).cache()
+
     def search(
         self,
         query_text: str | None = None,
         *,
         query_vector: list[float] | None = None,
         params: SearchParams = SearchParams(),
+        ann_radius: int | None = None,
     ) -> DataFrame:
         """Q1-Q10; returns a rank-ordered DataFrame of surviving hits
-        with similarity_score, text and the chunk metadata columns."""
+        with similarity_score, text and the chunk metadata columns.
+
+        ``ann_radius`` switches the scan from exact-FLAT to
+        signature-pruned ANN: only rows whose SRP signature lies
+        within the Hamming radius of the query's are exact-ranked —
+        the rest are never dot-multiplied (requires
+        :meth:`build_srp_index` or a stream maintained with
+        ``index_srp=True``). At full radius (= n_planes) this degrades
+        gracefully to the exact scan."""
         if query_vector is None:
             if query_text is None:
                 raise ValueError("need query_text or query_vector")
@@ -128,8 +167,29 @@ class VectorDB:
         # the same scan; read from .last_search_stats after an action.
         from pyspark.sql import Observation
 
+        base = self.vectors
+        if ann_radius is not None:
+            if "srp_sig" not in base.columns:
+                raise ValueError(
+                    "no SRP index on this database — run build_srp_index() "
+                    "or ingest with index_srp=True"
+                )
+            from vectordb_light_spark.operators.similarity import (
+                srp_planes,
+                srp_signature_of,
+            )
+
+            spec = self.meta.get("srp_index", {"n_planes": 16, "seed": 42})
+            planes = srp_planes(
+                len(query_vector), int(spec["n_planes"]), int(spec["seed"])
+            )
+            qsig = srp_signature_of(query_vector, planes)
+            base = base.where(
+                F.bit_count(F.col("srp_sig").bitwiseXOR(F.lit(qsig))) <= ann_radius
+            )
+
         self._last_obs = Observation("search_stats")
-        vectors = self.vectors.withColumn(
+        vectors = base.withColumn(
             "__sim",
             similarity_column("vector", query_vector, assume_normalized=True),
         ).observe(
