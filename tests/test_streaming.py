@@ -272,3 +272,20 @@ def test_incremental_ingest_maintains_srp_index(spark, tmp_path):
     assert [r["id"] for r in ann.select("id").collect()] == [
         r["id"] for r in exact.select("id").collect()
     ]
+
+
+def test_sliding_windows_stream_equals_batch(spark, events_batch):
+    from vectordb_light_spark.streaming.events import sliding_event_counts
+
+    stream = read_events_stream(spark, SF)
+    got = run_stream_to_memory(
+        sliding_event_counts(stream, window="2 hours", slide="1 hour"),
+        "ev_slide_test",
+    )
+    expected = sliding_event_counts(events_batch, window="2 hours", slide="1 hour")
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows_set(got.select(*cols), cols) == _rows_set(
+        expected.select(*cols), cols
+    )
+    # every event contributes to exactly window/slide = 2 windows
+    assert expected.agg(F.sum("n_events")).first()[0] == 2 * events_batch.count()

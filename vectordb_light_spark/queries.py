@@ -2808,3 +2808,36 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, threshold=0.1, max_df=20).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@register(
+    "st_events_sliding",
+    oracle="""
+    WITH e AS (SELECT event_type, value, epoch_us(ts) AS tus FROM events),
+    x AS (
+        SELECT event_type, value,
+               (tus // 10800000000) * 10800000000 - k * 10800000000 AS start_us
+        FROM e, LATERAL UNNEST([0, 1]) AS t(k)
+    )
+    SELECT make_timestamp(start_us) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+    FROM x
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def st_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING 6-hour windows hopping every 3 hours per event_type
+    (streaming/events.py:sliding_event_counts) — each event lands in
+    exactly window/slide = 2 epoch-aligned windows. The oracle
+    derives both window starts per event arithmetically (floor-to-
+    slide minus k·slide). Completes the window family next to the
+    tumbling (st_events_window) and session (st_events_sessions)
+    forms; the same expression runs under a watermark on the live
+    stream (tests/test_streaming.py)."""
+    from vectordb_light_spark.streaming.events import sliding_event_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return sliding_event_counts(e, window="6 hours", slide="3 hours").orderBy(
+        "window_start", "event_type"
+    )

@@ -128,6 +128,35 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING event-time windows per event_type (hopping aggregate —
+    each event lands in window/slide overlapping windows). Same
+    batch/stream duality as the tumbling form; streaming state holds
+    window/slide times more entries per key, which the watermark still
+    bounds."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionized_user_activity(
     events: DataFrame,
     *,
