@@ -270,3 +270,18 @@ def test_vectordb_srp_index_and_ann_search(spark, tmp_path):
         bad = VectorDB.open(spark, db_root, "annd", cache=False)
         bad.vectors = bad.vectors.drop("srp_sig")
         bad.search("x", ann_radius=2)
+
+
+def test_filtered_topk_pushes_predicate_to_scan(spark):
+    """Pre-filter semantics: the label predicate reaches the parquet
+    scan (PushedFilters), unlike the reference's post-top-k filters
+    which must stay above the limit."""
+    from vectordb_light_spark.queries import QUERIES
+
+    df = QUERIES["vq_filtered_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan
+    assert "EqualTo(label,3)" in plan.replace(" ", "")
+    assert df.count() == 6  # pre-filter guarantees k survivors

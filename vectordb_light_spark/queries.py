@@ -2841,3 +2841,49 @@ def st_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_event_counts(e, window="6 hours", slide="3 hours").orderBy(
         "window_start", "event_type"
     )
+
+
+@register(
+    "vq_filtered_topk",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(LEAST(GREATEST(list_cosine_similarity(
+               embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+           ), 0.0), 1.0), 6) AS similarity_score,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY LEAST(GREATEST(list_cosine_similarity(
+                   embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+               ), 0.0), 1.0) DESC, vec_id ASC) AS INT) AS rank
+    FROM embeddings
+    WHERE label = 3
+    ORDER BY rank
+    LIMIT 6
+    """,
+)
+def vq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-filtered vector search: the metadata predicate (label = 3)
+    applies BEFORE top-k, so k survivors are guaranteed and the
+    filter pushes into the parquet scan (PushedFilters) — the
+    filtered-ANN feature every vector store needs, and the deliberate
+    complement of the reference's post-top-k filters (Q5/Q8/Q9,
+    vector_db_query.py:199-257), which can return < k rows and must
+    NOT be pushed down. Both semantics are first-class here."""
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+
+    q = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("label") == 3)
+    out = topk_cosine(
+        emb,
+        q,
+        SearchParams(k=6, threshold=0.0, assume_normalized=True),
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        F.round("similarity_score", 6).alias("similarity_score"),
+        "rank",
+    ).orderBy("rank")
