@@ -150,3 +150,15 @@ def test_containment_detects_subset_duplicates(spark):
     assert (1, 2) not in rows
     # unrelated doc shares nothing
     assert not any(3 in pair for pair in rows)
+
+
+def test_containment_ignores_too_short_docs(spark):
+    """Docs with fewer tokens than the shingle width produce no
+    shingles and no pairs — no crash, no spurious matches."""
+    from vectordb_light_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "just two"), (2, "just two"), (3, "")],
+        "doc_id long, text string",
+    )
+    assert containment_pairs(df, threshold=0.0).count() == 0

@@ -285,3 +285,10 @@ def test_filtered_topk_pushes_predicate_to_scan(spark):
     assert "PushedFilters" in plan
     assert "EqualTo(label,3)" in plan.replace(" ", "")
     assert df.count() == 6  # pre-filter guarantees k survivors
+
+
+def test_mean_pool_empty_input(spark):
+    from vectordb_light_spark.functions.vector import mean_pool_vectors
+
+    df = spark.createDataFrame([], "g string, vector array<float>")
+    assert mean_pool_vectors(df, "g", "vector").count() == 0

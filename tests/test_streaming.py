@@ -289,3 +289,67 @@ def test_sliding_windows_stream_equals_batch(spark, events_batch):
     )
     # every event contributes to exactly window/slide = 2 windows
     assert expected.agg(F.sum("n_events")).first()[0] == 2 * events_batch.count()
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Late-data handling made observable: batch 1 advances the
+    watermark past an old window's end (closing it, append-emits its
+    count); batch 2 delivers a LATE event for that window — state is
+    gone, the event is dropped, and the emitted count never changes."""
+    import datetime as dt
+
+    from vectordb_light_spark.streaming.events import (
+        normalize_event_ts,
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 0, 30)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    src = str(tmp_path / "late_ev")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def run_once():
+        stream = normalize_event_ts(
+            spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        )
+        agg = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    # run 1: three events in the old window (hour 0) + one fresh event
+    # 5h later → watermark advances to 04:00, hour-0 window closes and
+    # append-emits its on-time count
+    mk([t0, t0, t0, t0 + dt.timedelta(hours=5)]).coalesce(1).write.parquet(src)
+    rows1 = [
+        r for r in run_once()
+        if r["window_start"] == t0.replace(minute=0)
+    ]
+    assert len(rows1) == 1
+    assert rows1[0]["n_events"] == 3
+
+    # run 2 (same checkpoint — watermark/state persisted across
+    # restart): a LATE event for the closed window arrives; the state
+    # is gone and the watermark filters it — the window NEVER re-emits
+    mk([t0 + dt.timedelta(minutes=1)]).coalesce(1).write.mode("append").parquet(src)
+    rows2 = run_once()
+    late_rows = [
+        r for r in rows2 if r["window_start"] == t0.replace(minute=0)
+    ]
+    assert late_rows == rows1  # same single emission, count unchanged
