@@ -292,3 +292,69 @@ def test_mean_pool_empty_input(spark):
 
     df = spark.createDataFrame([], "g string, vector array<float>")
     assert mean_pool_vectors(df, "g", "vector").count() == 0
+
+
+def test_mmr_rerank_demotes_near_duplicates(spark):
+    """With two near-identical top hits, plain top-k returns both
+    back-to-back; MMR picks one, then a diverse hit."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.search import mmr_rerank
+
+    def unit(v):
+        a = np.asarray(v, dtype=float)
+        return (a / np.linalg.norm(a)).tolist()
+
+    rows = [
+        (1, unit([0.95, 0.31, 0.0])),    # best match
+        (2, unit([0.95, 0.31, 0.02])),   # near-dup of 1
+        (3, unit([0.90, -0.44, 0.0])),   # diverse, still relevant
+        (4, unit([0.0, 1.0, 0.0])),      # off-topic
+    ]
+    pool = spark.createDataFrame(rows, "id long, vector array<double>")
+    q = [1.0, 0.0, 0.0]
+
+    out = mmr_rerank(pool, q, k=3, lam=0.5).collect()
+    # plain relevance would give [1, 2, 3]; MMR demotes the near-dup
+    # below the diverse hit
+    assert [r["id"] for r in out] == [1, 3, 2]
+    assert [r["mmr_rank"] for r in out] == [1, 2, 3]
+
+    # lam=1 degrades to pure relevance order
+    pure = mmr_rerank(pool, q, k=3, lam=1.0).collect()
+    assert [r["id"] for r in pure] == [1, 2, 3]
+
+    # empty pool → empty result, stable schema
+    empty = mmr_rerank(pool.where("id > 99"), q, k=3)
+    assert empty.count() == 0
+    assert "mmr_rank" in empty.columns
+
+
+def test_vectordb_search_diverse_end_to_end(spark, tmp_path):
+    """Facade MMR path over a built DB: rank-ordered, ≤k rows, text
+    late-materialized, and the rank-1 hit equals plain search's."""
+    import os as _os
+
+    from vectordb_light_spark.engine import VectorDB
+    from vectordb_light_spark.operators.ingest import IngestConfig, create_database
+    from vectordb_light_spark.sources.extract import load_directory
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(8):
+        (src / f"d{i}.txt").write_text(f"subject{i % 4} body " * 30)
+    db_root = str(tmp_path / "dbs")
+    _os.makedirs(db_root)
+    docs, _ = load_directory(spark, str(src))
+    create_database(
+        spark, docs, db_root, "mmrd",
+        IngestConfig(chunk_size=150, chunk_overlap=30, target_files=1),
+    )
+    db = VectorDB.open(spark, db_root, "mmrd", cache=False)
+
+    out = db.search_diverse("subject1 body", k=4, fetch_k=12).collect()
+    assert 0 < len(out) <= 4
+    assert [r["mmr_rank"] for r in out] == list(range(1, len(out) + 1))
+    assert all(r["text"] for r in out)
+    top_plain = db.search("subject1 body", params=SearchParams(k=1, threshold=0.0))
+    assert out[0]["id"] == top_plain.first()["id"]

@@ -252,6 +252,40 @@ class VectorDB:
             .orderBy("rank")
         )
 
+    def search_diverse(
+        self,
+        query_text: str | None = None,
+        *,
+        query_vector: list[float] | None = None,
+        k: int = 6,
+        fetch_k: int = 24,
+        lam: float = 0.5,
+    ) -> DataFrame:
+        """Diversified retrieval: exact top-``fetch_k`` pool, then MMR
+        re-rank (operators/search.py:mmr_rerank) so near-duplicate
+        chunks stop crowding the result — the query-time complement of
+        the corpus dedup operators. Returns (id, similarity_score,
+        mmr_score, mmr_rank, text, file_name) ordered by mmr_rank."""
+        from vectordb_light_spark.operators.search import mmr_rerank
+
+        if query_vector is None:
+            if query_text is None:
+                raise ValueError("need query_text or query_vector")
+            query_vector = self.embed(query_text)
+        pool = self.search(
+            query_vector=query_vector,
+            params=SearchParams(k=fetch_k, threshold=0.0),
+        ).select("id")
+        pool_vecs = self.vectors.select("id", "vector", "text", "file_name").join(
+            F.broadcast(pool), "id"
+        )
+        ranked = mmr_rerank(pool_vecs, query_vector, k=k, lam=lam, id_col="id")
+        return (
+            self.vectors.select("id", "text", "file_name")
+            .join(F.broadcast(ranked), "id")
+            .orderBy("mmr_rank")
+        )
+
     @property
     def last_search_stats(self) -> dict:
         """Metrics of the most recent search AFTER its action ran:

@@ -216,3 +216,64 @@ def topk_cosine_batch(
         .where(F.col("rank") <= F.lit(k))
         .where(F.col("similarity_score") >= F.lit(threshold))
     )
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    query: list[float],
+    *,
+    k: int = 6,
+    lam: float = 0.5,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998, public method): greedily pick the candidate
+    maximizing ``lam·sim(q, d) − (1−lam)·max_{s∈selected} sim(d, s)``
+    — near-duplicate hits stop crowding the result the moment one of
+    them is selected.
+
+    Scale shape: the DISTRIBUTED part of the query (the full-table
+    top-k scan) has already shrunk the data to a pool of tens of rows;
+    MMR is an inherently sequential greedy loop over that pool, so it
+    runs driver-side in numpy on k-sized data — putting it in a Spark
+    job would add scheduling overhead to an O(pool²·dim) computation
+    that fits in a cache line budget. Pass a pool of ``fetch_k`` (2-5×
+    final k) rows from :func:`topk_cosine`; ties break by ascending
+    id. Returns (id, similarity_score, mmr_score, mmr_rank).
+    """
+    rows = pool.select(id_col, vec_col).collect()
+    if not rows:
+        return pool.sparkSession.createDataFrame(
+            [], f"{id_col} long, similarity_score double, mmr_score double, mmr_rank int"
+        )
+    ids = [r[0] for r in rows]
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    qv = np.asarray(query, dtype=np.float64)
+    rel = mat @ qv  # assume unit-norm store (write-path invariant)
+
+    selected: list[int] = []
+    scores: list[float] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < k:
+        if not selected:
+            mmr = rel[remaining]
+        else:
+            red = (mat[remaining] @ mat[selected].T).max(axis=1)
+            mmr = lam * rel[remaining] - (1.0 - lam) * red
+        # argmax with ascending-id tiebreak: sort keys (score desc, id)
+        best = min(
+            range(len(remaining)),
+            key=lambda i: (-mmr[i], ids[remaining[i]]),
+        )
+        selected.append(remaining[best])
+        scores.append(float(mmr[best]))
+        remaining.pop(best)
+
+    out = [
+        (int(ids[i]), float(rel[i]), scores[r], r + 1)
+        for r, i in enumerate(selected)
+    ]
+    return pool.sparkSession.createDataFrame(
+        out, f"{id_col} long, similarity_score double, mmr_score double, mmr_rank int"
+    )
