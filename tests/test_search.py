@@ -275,10 +275,19 @@ def test_vectordb_srp_index_and_ann_search(spark, tmp_path):
 def test_filtered_topk_pushes_predicate_to_scan(spark):
     """Pre-filter semantics: the label predicate reaches the parquet
     scan (PushedFilters), unlike the reference's post-top-k filters
-    which must stay above the limit."""
-    from vectordb_light_spark.queries import QUERIES
-
-    df = QUERIES["vq_filtered_topk"](spark, "/root/testdata/sf0.001")
+    which must stay above the limit. Builds its own scan (other tests
+    may have cached the shared embeddings table, which would swap the
+    parquet scan for an InMemoryTableScan)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        F.col("label") == 3
+    )
+    df = topk_cosine(
+        emb,
+        [0.0] * 63 + [1.0],
+        SearchParams(k=6, threshold=0.0, assume_normalized=True),
+        id_col="vec_id",
+        vec_col="embedding",
+    )
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
