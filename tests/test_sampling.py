@@ -108,3 +108,33 @@ def test_split_plan_has_no_shuffle_before_agg(ids_df):
     out = assign_split(ids_df, {"train": 0.8, "test": 0.2}).groupBy("split").count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # only the partial→final agg shuffle
+
+
+def test_weighted_sample_properties(spark):
+    """Weighted sampling: deterministic across runs and partitionings;
+    heavier rows are drawn more often (measured across seeds); zero
+    and negative weights never selected."""
+    from vectordb_light_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 20 else 1.0) for i in range(200)]
+    rows += [(900, 0.0), (901, -5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    got1 = {r["doc_id"] for r in weighted_sample(df, 30, weight_col="w").collect()}
+    got2 = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(7), 30, weight_col="w").collect()
+    }
+    assert got1 == got2  # partition-invariant
+    assert 900 not in got1 and 901 not in got1
+
+    # the 20 heavy rows (weight 100 vs 1) dominate the sample across
+    # independent seeds
+    heavy_rate = 0.0
+    for seed in range(5):
+        got = {
+            r["doc_id"]
+            for r in weighted_sample(df, 30, weight_col="w", seed=seed).collect()
+        }
+        heavy_rate += len([i for i in got if i < 20]) / 30
+    assert heavy_rate / 5 > 0.5  # 20 rows carry ~91% of total weight

@@ -194,3 +194,59 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def weighted_key_column(
+    id_col: Column | str, weight_col: Column | str, *, seed: int = 0
+) -> Column:
+    """Efraimidis–Spirakis weighted-sampling key ``-ln(u)/w`` (the
+    exponential-jump form of key u^(1/w); public method, "Weighted
+    random sampling with a reservoir", IPL 2006): the n rows with the
+    SMALLEST keys are a weighted sample without replacement.
+
+    u derives from the same md5 routing key as the unweighted
+    samplers — ``(hex32 + 0.5) / 2^32`` ∈ (0,1) — so the draw is a
+    pure function of (id, seed): partition-invariant, replayable in
+    any engine with md5 (see :func:`weighted_key_sql`).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = hash_bucket_column(id_col, seed=seed)
+    u = (F.conv(h, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(HEX_SPACE))
+    return -F.log(u) / w.cast("double")
+
+
+def weighted_key_sql(id_expr: str, weight_expr: str, *, seed: int = 0) -> str:
+    """ANSI-SQL twin of :func:`weighted_key_column` (same bytes in,
+    same double out up to libm ulp)."""
+    b = bucket_sql(id_expr, seed=seed)
+    return (
+        f"-ln((CAST(concat('0x', {b}) AS UBIGINT) + 0.5) / {float(HEX_SPACE)!r})"
+        f" / CAST({weight_expr} AS DOUBLE)"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``n``
+    rows: inclusion probability tracks ``weight_col`` (quality
+    scores, dedup-cluster sizes, domain boosts…).
+
+    Scale shape: the key is a map-side expression and the selection
+    is ``TakeOrderedAndProject`` (per-task n-heaps, no sort, no
+    shuffle of the table) — sampling 100 TB costs one scan. Rows
+    with non-positive weights are excluded (their key is undefined).
+    """
+    key = weighted_key_column(id_col, weight_col, seed=seed)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_wkey")
+    )

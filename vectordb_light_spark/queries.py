@@ -2887,3 +2887,88 @@ def vq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("similarity_score", 6).alias("similarity_score"),
         "rank",
     ).orderBy("rank")
+
+
+@register(
+    "vq_grouped_topk",
+    oracle="""
+    WITH scored AS (
+        SELECT vec_id, label,
+               ROUND(LEAST(GREATEST(list_cosine_similarity(
+                   embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+               ), 0.0), 1.0), 6) AS similarity_score
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY similarity_score DESC, vec_id ASC) AS INT) AS rank,
+           vec_id, similarity_score
+    FROM scored
+    QUALIFY rank <= 3
+    ORDER BY label, rank
+    """,
+)
+def vq_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP top-k similarity: the 3 nearest vectors to the query
+    within every label — one scan, one shuffle on the group key, and
+    Spark's WindowGroupLimit pushes the rank<=3 cut below the final
+    sort so each task forwards at most k rows per group (the grouped
+    analogue of TakeOrderedAndProject). A per-class nearest-example
+    picker for curriculum/eval set construction."""
+    from vectordb_light_spark.functions.vector import dot_product
+
+    q = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.least(
+                F.greatest(dot_product("embedding", qcol), F.lit(0.0)), F.lit(1.0)
+            ),
+            6,
+        ).alias("similarity_score"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("similarity_score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("label", "rank", "vec_id", "similarity_score")
+        .orderBy("label", "rank")
+    )
+
+
+from vectordb_light_spark.operators.sampling import weighted_key_sql  # noqa: E402
+
+
+@register(
+    "pipe_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               {weighted_key_sql("doc_id", "n_chars")} AS k
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY k ASC, doc_id ASC
+        LIMIT 100
+    )
+    ORDER BY doc_id
+    """,
+)
+def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py:weighted_sample, Efraimidis–Spirakis key
+    -ln(u)/w on the md5 routing hash): 100 docs drawn ∝ n_chars. The
+    key is a map-side expression and selection is
+    TakeOrderedAndProject — one scan at any corpus size; the oracle
+    recomputes the identical key in DuckDB (same md5 bytes, same
+    double arithmetic)."""
+    from vectordb_light_spark.operators.sampling import weighted_sample
+
+    docs = load_docs(spark, sf_dir, "doc_id", "lang", "n_chars")
+    return weighted_sample(docs, 100, weight_col="n_chars").orderBy("doc_id")
