@@ -2972,3 +2972,71 @@ def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_docs(spark, sf_dir, "doc_id", "lang", "n_chars")
     return weighted_sample(docs, 100, weight_col="n_chars").orderBy("doc_id")
+
+
+@register(
+    "rel_events_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS ts_s FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_c
+        FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.ts_s
+        WHERE e.event_type = 'click'
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_p
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ts_c
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT * FROM (
+        SELECT 1 AS step, 'signup' AS stage, COUNT(*) AS n_users FROM s
+        UNION ALL
+        SELECT 2, 'then_click', COUNT(*) FROM c
+        UNION ALL
+        SELECT 3, 'then_purchase', COUNT(*) FROM p
+    )
+    ORDER BY step
+    """,
+)
+def rel_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first signup → first click AFTER it → first
+    purchase after that, counted per stage. Each stage is a per-user
+    MIN aggregate joined to the previous stage's timestamp — three
+    hash aggregates on user_id reusing one partitioning; the strict
+    ts ordering makes it a true sequential funnel, not a bag-of-types
+    count."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(etype: str, prev: DataFrame, prev_ts: str, out_ts: str):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s = first_after("signup", None, "", "ts_s")
+    c = first_after("click", s, "ts_s", "ts_c")
+    p = first_after("purchase", c, "ts_c", "ts_p")
+
+    def stage(step: int, name: str, df: DataFrame):
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(1, "signup", s)
+        .unionAll(stage(2, "then_click", c))
+        .unionAll(stage(3, "then_purchase", p))
+        .orderBy("step")
+    )
