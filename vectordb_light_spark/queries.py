@@ -3040,3 +3040,62 @@ def rel_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(3, "then_purchase", p))
         .orderBy("step")
     )
+
+
+@register(
+    "prof_events_corr",
+    oracle="""
+    SELECT event_type,
+           ROUND(corr(value, CAST(json_extract_string(props, '$.k')
+                 AS DOUBLE)), 6) AS corr_vk,
+           ROUND(covar_samp(value, CAST(json_extract_string(props, '$.k')
+                 AS DOUBLE)), 4) AS covar_vk,
+           ROUND(stddev_samp(value), 4) AS sd_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def prof_events_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical profile per event_type: Pearson
+    correlation, sample covariance and stddev between the value
+    column and a JSON-extracted property — single-pass partial+final
+    aggregation (corr/covar carry their moment sums map-side like any
+    algebraic aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", k), 6).alias("corr_vk"),
+            F.round(F.covar_samp("value", k), 4).alias("covar_vk"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "prof_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def prof_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bucket = floor(value/25)): the
+    one-scan distribution profile a pipeline dashboard draws —
+    map-side partial counts mean the shuffle carries one row per
+    bucket per task regardless of data size."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 25).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy("bucket")
+    )
