@@ -3099,3 +3099,46 @@ def prof_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "rel_events_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, a.day) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def rel_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-activity day,
+    distinct-active counts per (cohort, day-offset) — the standard
+    retention triangle. Both aggregates key on user_id, so the
+    first-day aggregate, the activity distinct, and the join reuse
+    one hash partitioning; the final count-distinct is Spark's
+    two-phase partial distinct."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
