@@ -272,15 +272,16 @@ def test_vectordb_srp_index_and_ann_search(spark, tmp_path):
         bad.search("x", ann_radius=2)
 
 
-def test_filtered_topk_pushes_predicate_to_scan(spark):
+def test_filtered_topk_pushes_predicate_to_scan(spark, tmp_path):
     """Pre-filter semantics: the label predicate reaches the parquet
     scan (PushedFilters), unlike the reference's post-top-k filters
-    which must stay above the limit. Builds its own scan (other tests
-    may have cached the shared embeddings table, which would swap the
-    parquet scan for an InMemoryTableScan)."""
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
-        F.col("label") == 3
-    )
+    which must stay above the limit. Scans its own parquet COPY:
+    Spark's cache manager substitutes any plan matching a cached one,
+    so scanning the shared embeddings path would read the
+    InMemoryRelation other tests cached and hide PushedFilters."""
+    own = str(tmp_path / "emb_copy")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(own)
+    emb = spark.read.parquet(own).where(F.col("label") == 3)
     df = topk_cosine(
         emb,
         [0.0] * 63 + [1.0],
