@@ -34,6 +34,12 @@ NOTES = {
  'rel_big_orders': 'TPC-H Q18 shape: the HAVING qty aggregate computes ONCE and re-enters the orders join as a BroadcastExchange (big-order keys are tiny at any scale); customer joins broadcast; final top-20 is TakeOrderedAndProject.',
  'dd_containment_pairs': 'Containment: the df<=20 stop-shingle filter lands BEFORE the posting self-join, so the quadratic blow-up is bounded at max_df x postings; the persisted shingle stage feeds sizes, df, and both join sides from one computation.',
  'ann_ivfpq_topk': 'IVFPQ: cluster isin() filter prunes rows (partition pruning on a partitioned store), then the ADC ranking reads (id, 16-byte code) only — two multiplying pruning axes, no vector column in the scan.',
+ 'vq_grouped_topk': 'Per-group top-k: WindowGroupLimit appears BELOW the exchange (per-task group-heaps) and again above it — each task forwards at most k rows per label, the grouped analogue of TakeOrderedAndProject.',
+ 'pipe_weighted_sample': 'Weighted sampling: the -ln(u)/w key is a map-side codegen expression over md5; selection is TakeOrderedAndProject — one scan, no shuffle, no RNG state at any corpus size.',
+ 'rel_events_funnel': 'Ordered funnel: three per-user MIN aggregates chained by strictly-greater joins; every aggregate and join keys on user_id so the plan reuses one hashpartitioning.',
+ 'rel_events_cohorts': 'Cohort retention: first-day agg, activity distinct, join, and the final count-distinct all key on user_id; count-distinct runs as the two-phase partial-distinct expand.',
+ 'prof_events_corr': 'Bivariate stats: corr/covar/stddev are algebraic aggregates — moment sums combine map-side, the exchange carries one partial row per (event_type, task).',
+ 'prof_value_histogram': 'Histogram: bucket expression folds into the scan stage; partial counts mean the exchange carries one row per bucket per task.',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',
