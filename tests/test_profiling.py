@@ -117,3 +117,18 @@ def test_check_constraints_single_scan_plan(spark):
     assert plan.count("Range") == 1  # N rules, ONE pass over the source
     with pytest.raises(ValueError):
         check_constraints(df, {})
+
+
+def test_bigram_lm_scores_rank_repetitive_above_unique(spark):
+    """Docs made of the corpus's common bigrams score higher than a
+    doc whose bigrams appear nowhere else."""
+    from vectordb_light_spark.operators.profiling import bigram_lm_scores
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(10)]
+    rows.append((99, "zyx wvu tsr qpo nml kji"))  # unique bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(df).collect()}
+    assert scores[0] == scores[5]  # identical docs, identical score
+    assert scores[99] < scores[0]  # improbable text scores lower
+    assert all(v < 0 for v in scores.values())  # log-probs

@@ -111,3 +111,59 @@ def events_sketch_profile(
         )
         .orderBy("event_type")
     )
+
+
+def bigram_lm_scores(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple = (),
+    add_k: float = 1.0,
+):
+    """Corpus-self-trained bigram LM quality score per document — the
+    classic LM-based filter of training-data pipelines (à la
+    CCNet/KenLM filtering, public method): documents whose word
+    sequences are improbable under the corpus's own bigram statistics
+    (boilerplate, gibberish, wrong-language residue) score low.
+
+    score(d) = avg over d's bigrams of ln((c(w1,w2)+k) / (c(w1·)+k·V))
+    — add-k smoothing over the observed continuation vocabulary V.
+
+    Scale shape: ONE tokenize+bigram explode feeds both the model
+    counts and the per-doc scoring (persisted — two consumers); the
+    model tables aggregate to vocabulary size, so their joins back to
+    the bigram stream broadcast at any corpus size. All JVM builtins.
+    """
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.session import persist_if_batch
+
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - 1),
+        lambda i: F.struct(
+            F.element_at("_t", i.cast("int")).alias("w1"),
+            F.element_at("_t", (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    bg = persist_if_batch(
+        docs.select(F.col(id_col), *extra_cols, arr.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(F.col(id_col), *extra_cols, F.explode(pairs).alias("_p"))
+        .select(F.col(id_col), *extra_cols, "_p.w1", "_p.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+    ws = bc.groupBy("w1").agg(F.sum("_c").alias("_cw1"))
+    n_vocab = bg.select("w2").distinct().count()
+    prob = (F.col("_c") + F.lit(add_k)) / (
+        F.col("_cw1") + F.lit(add_k) * F.lit(float(n_vocab))
+    )
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(ws, "w1")
+        .groupBy(id_col, *extra_cols)
+        .agg(F.round(F.avg(F.log(prob)), 4).alias("lm_score"))
+    )

@@ -3142,3 +3142,40 @@ def rel_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "ts_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+        FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    ws AS (SELECT w1, SUM(c) AS cw1 FROM bc GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) AS nv FROM bg)
+    SELECT bg.doc_id, bg.lang,
+           ROUND(AVG(LN((bc.c + 1.0) / (ws.cw1 + (SELECT nv FROM v)))), 4)
+               AS lm_score
+    FROM bg JOIN bc USING (w1, w2) JOIN ws USING (w1)
+    GROUP BY bg.doc_id, bg.lang
+    ORDER BY bg.doc_id
+    """,
+)
+def ts_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM quality score (operators/
+    profiling.py:bigram_lm_scores) — the LM-filter signal of training
+    pipelines: improbable word sequences score low. One bigram
+    explode feeds both the model counts and the scoring; model tables
+    are vocabulary-sized so their joins broadcast."""
+    from vectordb_light_spark.operators.profiling import bigram_lm_scores
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text", "lang")
+    return bigram_lm_scores(docs, extra_cols=("lang",)).orderBy("doc_id")
