@@ -344,3 +344,26 @@ def test_compact_vectors_reduces_files_keeps_rows(spark, built_db, tmp_path):
     assert {tuple(r) for r in after.select("id", "text").collect()} == before_rows
     assert not os.path.exists(vec_dir + ".compact-tmp")
     assert not os.path.exists(vec_dir + ".compact-old")
+
+
+def test_read_jsonl_corpus_quarantines_bad_lines(spark, tmp_path):
+    """JSONL source: valid docs parse with the declared schema;
+    corrupt lines and empty-text docs quarantine as rejects; nothing
+    fails the job."""
+    from vectordb_light_spark.sources.jsonl import read_jsonl_corpus
+
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "alpha bravo", "lang": "en", "source": "s1"}',
+        '{"doc_id": 2, "text": "charlie delta", "lang": "de", "source": "s1"}',
+        'this is not json at all',
+        '{"doc_id": 3, "text": "", "lang": "en", "source": "s2"}',
+        '{"broken": ',
+    ]
+    p.write_text("\n".join(lines))
+
+    docs, rejects = read_jsonl_corpus(spark, str(p))
+    got = {(r["doc_id"], r["text"], r["lang"]) for r in docs.collect()}
+    assert got == {(1, "alpha bravo", "en"), (2, "charlie delta", "de")}
+    assert rejects.count() == 3  # 2 corrupt + 1 empty-text
+    assert docs.columns == ["doc_id", "text", "lang", "source"]
