@@ -1,0 +1,69 @@
+"""CLI surface (vectordb_light_spark/__main__.py): in-process main()
+over a real built database — ingest → search → manage lifecycle."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from vectordb_light_spark.__main__ import main
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_docs")
+    for i in range(6):
+        (d / f"doc{i}.txt").write_text(f"theme{i % 3} content words " * 40)
+    return str(d)
+
+
+def test_cli_lifecycle(spark, corpus_dir, tmp_path, capsys):
+    root = str(tmp_path / "dbs")
+    bak = str(tmp_path / "bak")
+
+    assert main([
+        "ingest", "--src", corpus_dir, "--db-root", root, "--name", "clidb",
+        "--chunk-size", "200", "--chunk-overlap", "50",
+    ]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["meta"]["num_vectors"] > 0
+
+    assert main(["list", "--db-root", root]) == 0
+    assert json.loads(capsys.readouterr().out)["databases"] == ["clidb"]
+
+    assert main([
+        "search", "--db-root", root, "--name", "clidb",
+        "--query", "theme1 content", "--k", "3", "--threshold", "0.0",
+    ]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(rows) <= 3
+    assert {"id", "similarity_score", "rank"} <= set(rows[0])
+
+    assert main([
+        "srp-index", "--db-root", root, "--name", "clidb",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out)["srp_index"]["n_planes"] == 16
+
+    assert main([
+        "search", "--db-root", root, "--name", "clidb",
+        "--query", "theme1 content", "--k", "3", "--threshold", "0.0",
+        "--ann-radius", "16",
+    ]) == 0
+    ann_rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["id"] for r in ann_rows] == [r["id"] for r in rows]
+
+    assert main([
+        "backup", "--db-root", root, "--name", "clidb", "--backup-root", bak,
+    ]) == 0
+    capsys.readouterr()
+    assert main(["delete", "--db-root", root, "--name", "clidb"]) == 0
+    capsys.readouterr()
+    assert main(["list", "--db-root", root]) == 0
+    assert json.loads(capsys.readouterr().out)["databases"] == []
+    assert main([
+        "restore", "--db-root", root, "--name", "clidb", "--backup-root", bak,
+    ]) == 0
+    capsys.readouterr()
+    assert main(["list", "--db-root", root]) == 0
+    assert json.loads(capsys.readouterr().out)["databases"] == ["clidb"]

@@ -1,0 +1,157 @@
+"""Command-line surface: ``python -m vectordb_light_spark <cmd>``.
+
+The reference is a desktop GUI (reference gui.py); this CLI covers
+the same user operations — build a database from a folder, search
+it, manage backups — plus the engine's beyond-reference surfaces
+(hybrid/diverse search, SRP index build, compaction). Results print
+as JSON lines so the CLI composes with shell pipelines.
+
+    python -m vectordb_light_spark ingest  --src DIR --db-root R --name N
+    python -m vectordb_light_spark search  --db-root R --name N --query "..." [--k 6]
+    python -m vectordb_light_spark hybrid  --db-root R --name N --query "..."
+    python -m vectordb_light_spark diverse --db-root R --name N --query "..."
+    python -m vectordb_light_spark srp-index --db-root R --name N
+    python -m vectordb_light_spark compact --db-root R --name N
+    python -m vectordb_light_spark list    --db-root R
+    python -m vectordb_light_spark backup  --db-root R --name N --backup-root B
+    python -m vectordb_light_spark restore --db-root R --name N --backup-root B
+    python -m vectordb_light_spark delete  --db-root R --name N
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, default=str))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="vectordb_light_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, db=True):
+        p.add_argument("--db-root", required=True)
+        if db:
+            p.add_argument("--name", required=True)
+
+    p = sub.add_parser("ingest")
+    common(p)
+    p.add_argument("--src", required=True)
+    p.add_argument("--chunk-size", type=int, default=1200)
+    p.add_argument("--chunk-overlap", type=int, default=600)
+
+    for cmd in ("search", "hybrid", "diverse"):
+        p = sub.add_parser(cmd)
+        common(p)
+        p.add_argument("--query", required=True)
+        p.add_argument("--k", type=int, default=6)
+        if cmd == "search":
+            p.add_argument("--threshold", type=float, default=0.4)
+            p.add_argument("--search-term", default=None)
+            p.add_argument("--document-type", default=None)
+            p.add_argument("--ann-radius", type=int, default=None)
+
+    common(sub.add_parser("srp-index"))
+    common(sub.add_parser("compact"))
+    common(sub.add_parser("list"), db=False)
+    p = sub.add_parser("backup")
+    common(p)
+    p.add_argument("--backup-root", required=True)
+    p = sub.add_parser("restore")
+    common(p)
+    p.add_argument("--backup-root", required=True)
+    common(sub.add_parser("delete"))
+
+    a = ap.parse_args(argv)
+
+    # Management commands that need no Spark session:
+    from vectordb_light_spark.operators.ingest import (
+        backup_database,
+        delete_database,
+        list_databases,
+        restore_database,
+    )
+
+    if a.cmd == "list":
+        _emit({"databases": list_databases(a.db_root)})
+        return 0
+    if a.cmd == "backup":
+        _emit({"backed_up_to": backup_database(a.db_root, a.name, a.backup_root)})
+        return 0
+    if a.cmd == "restore":
+        _emit({"restored_to": restore_database(a.backup_root, a.name, a.db_root)})
+        return 0
+    if a.cmd == "delete":
+        delete_database(a.db_root, a.name)
+        _emit({"deleted": a.name})
+        return 0
+
+    from vectordb_light_spark.session import get_spark
+
+    spark = get_spark("vectordb-light-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if a.cmd == "ingest":
+        from vectordb_light_spark.operators.ingest import (
+            IngestConfig,
+            create_database,
+        )
+        from vectordb_light_spark.sources.extract import load_directory
+
+        docs, rejects = load_directory(spark, a.src)
+        meta = create_database(
+            spark,
+            docs,
+            a.db_root,
+            a.name,
+            IngestConfig(chunk_size=a.chunk_size, chunk_overlap=a.chunk_overlap),
+        )
+        _emit({"meta": meta, "n_rejects": rejects.count()})
+        return 0
+
+    if a.cmd == "compact":
+        from vectordb_light_spark.operators.ingest import compact_vectors
+
+        _emit(compact_vectors(spark, os.path.join(a.db_root, a.name)))
+        return 0
+
+    from vectordb_light_spark.engine import SearchParams, VectorDB
+
+    db = VectorDB.open(spark, a.db_root, a.name, cache=False)
+    if a.cmd == "srp-index":
+        db.build_srp_index()
+        _emit({"srp_index": db.meta["srp_index"]})
+        return 0
+    if a.cmd == "search":
+        out = db.search(
+            a.query,
+            params=SearchParams(
+                k=a.k,
+                threshold=a.threshold,
+                search_term=a.search_term,
+                document_type=a.document_type,
+            ),
+            ann_radius=a.ann_radius,
+        )
+        cols = [c for c in out.columns if c != "vector"]
+        for r in out.select(*cols).collect():
+            _emit(r.asDict(recursive=True))
+        return 0
+    if a.cmd == "hybrid":
+        for r in db.search_hybrid(a.query, k=a.k).collect():
+            _emit(r.asDict(recursive=True))
+        return 0
+    if a.cmd == "diverse":
+        for r in db.search_diverse(a.query, k=a.k).collect():
+            _emit(r.asDict(recursive=True))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
