@@ -162,3 +162,33 @@ def test_containment_ignores_too_short_docs(spark):
         "doc_id long, text string",
     )
     assert containment_pairs(df, threshold=0.0).count() == 0
+
+
+def test_remove_boilerplate_strips_repeated_paragraphs(spark):
+    """A footer shared by most docs disappears corpus-wide; unique
+    paragraphs survive in order; a doc that is ALL boilerplate comes
+    back empty."""
+    from vectordb_light_spark.operators.dedup import remove_boilerplate
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (i, f"unique paragraph {i} alpha\nmore unique {i} beta\n{footer}")
+        for i in range(5)
+    ]
+    rows.append((99, footer))  # all-boilerplate doc
+    rows.append((100, "totally original\ncontent here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r["text"] for r in remove_boilerplate(df, min_docs=3).collect()}
+    assert out[0] == "unique paragraph 0 alpha\nmore unique 0 beta"
+    assert out[3] == "unique paragraph 3 alpha\nmore unique 3 beta"
+    assert out[99] == ""
+    assert out[100] == "totally original\ncontent here"
+    assert len(out) == 7  # every doc returned, none dropped
+
+    # fraction form: bar = 6 docs * 0.5 → footer still stripped
+    out_frac = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate(df, min_doc_frac=0.5).collect()
+    }
+    assert footer not in out_frac[0]

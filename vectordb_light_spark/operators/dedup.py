@@ -546,3 +546,67 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
     )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 3,
+    min_doc_frac: float | None = None,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet-style paragraph
+    filter, public method): split every document into paragraphs,
+    count how many DISTINCT documents each normalized paragraph
+    appears in, and strip paragraphs above the repetition bar
+    (``min_docs`` absolute or ``min_doc_frac`` of the corpus) —
+    headers, footers, cookie banners, license blurbs vanish corpus-
+    wide in one pass.
+
+    Scale: the frequency table keys on a 64-bit ``xxhash64`` of the
+    trimmed paragraph (the shuffle never carries paragraph text), and
+    it aggregates to the distinct-paragraph count, so the join back
+    is broadcast-able. Document rebuild preserves paragraph order via
+    the explode position. Documents whose every paragraph is
+    boilerplate come back with empty text (callers filter as they see
+    fit). All JVM builtins.
+    """
+    from vectordb_light_spark.session import persist_if_batch
+
+    n_docs = None
+    if min_doc_frac is not None:
+        n_docs = df.count()
+        min_docs = max(int(n_docs * float(min_doc_frac)), 2)
+
+    parts = persist_if_batch(
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        ).withColumn("_ph", F.xxhash64(F.trim("_para")))
+    )
+    hot = (
+        parts.where(F.trim("_para") != "")
+        .groupBy("_ph")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_ph")
+    )
+    kept = parts.join(hot, "_ph", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    # docs whose EVERY paragraph was boilerplate have no kept rows —
+    # re-anchor on the original id set so they return as empty text
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
