@@ -314,3 +314,75 @@ def dedup_events(
             list(keys)
         )
     return events.dropDuplicates(list(keys))
+
+
+def start_daily_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    rollup_dir: str,
+    *,
+    checkpoint_dir: str,
+    glob: str = "events.parquet",
+    available_now: bool = True,
+    processing_time: str = "1 minute",
+):
+    """Incrementally-maintained materialized view: a per-(day,
+    event_type) rollup table kept current by the event stream —
+    foreachBatch merges each micro-batch's partial aggregates into
+    the parquet rollup, rewriting ONLY the touched day partitions
+    (dynamic partition overwrite).
+
+    The 100 TB property: per batch, work is (batch rows → partial
+    agg) + (read of the touched days' existing rows) + (write of the
+    touched days) — cost tracks the batch's day-spread, never the
+    rollup's total history. Counts/sums are associative, so
+    batch-partial + stored = exact, whatever the batch boundaries;
+    the test replays a split stream and asserts equality with the
+    one-shot batch aggregate.
+    """
+    import os
+
+    stream = read_events_stream(spark, events_dir, glob=glob)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = (
+            batch_df.groupBy(
+                F.to_date("ts").alias("day"), F.col("event_type")
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+        ).persist()
+        days = [r["day"] for r in part.select("day").distinct().collect()]
+        merged = part
+        if os.path.isdir(rollup_dir):
+            old = (
+                batch_df.sparkSession.read.parquet(rollup_dir)
+                .where(F.col("day").isin(days))
+            )
+            merged = (
+                part.unionByName(old)
+                .groupBy("day", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(rollup_dir)
+        )
+        part.unpersist()
+
+    writer = stream.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
