@@ -138,3 +138,35 @@ def test_weighted_sample_properties(spark):
         }
         heavy_rate += len([i for i in got if i < 20]) / 30
     assert heavy_rate / 5 > 0.5  # 20 rows carry ~91% of total weight
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-dup cluster members always share a split; singletons
+    route by their own id exactly like assign_split."""
+    from vectordb_light_spark.operators.sampling import (
+        assign_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    )
+    # clusters: {0,1,2} -> 0 and {10,11} -> 10
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, clusters, w).collect()
+    }
+    assert len(out) == 100
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11]
+    # singletons match plain assign_split (same md5 routing)
+    plain = {
+        r["doc_id"]: r["split"] for r in assign_split(docs, w).collect()
+    }
+    for i in range(20, 100):
+        assert out[i] == plain[i]

@@ -250,3 +250,40 @@ def weighted_sample(
         .limit(n)
         .drop("_wkey")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: route every document by its duplicate-CLUSTER id,
+    not its own id, so all members of a near-dup cluster land in the
+    same split (the classic eval-contamination guard — a test doc
+    whose near-copy sits in train silently inflates scores).
+
+    ``clusters`` is (id_col, cluster_col) — e.g. from
+    components.duplicate_clusters over MinHash candidate pairs.
+    Singleton docs (absent from ``clusters``) route by their own id,
+    which equals their would-be cluster id. The routing itself stays
+    the same md5-threshold CASE as :func:`assign_split` — map-side,
+    shuffle-free after the one broadcast-able join (the cluster table
+    only holds docs that HAVE duplicates, a small fraction of any
+    deduped corpus).
+    """
+    routed = docs.join(
+        clusters.select(
+            F.col(id_col), F.col(cluster_col).alias("_route")
+        ),
+        id_col,
+        "left",
+    ).withColumn("_route", F.coalesce("_route", F.col(id_col)))
+    return assign_split(
+        routed, weights, id_col="_route", seed=seed, out_col=out_col
+    ).drop("_route")
