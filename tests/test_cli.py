@@ -67,3 +67,26 @@ def test_cli_lifecycle(spark, corpus_dir, tmp_path, capsys):
     capsys.readouterr()
     assert main(["list", "--db-root", root]) == 0
     assert json.loads(capsys.readouterr().out)["databases"] == ["clidb"]
+
+
+def test_cli_chunks_only_and_rag_prompt(spark, corpus_dir, tmp_path, capsys):
+    root = str(tmp_path / "dbs2")
+    assert main([
+        "ingest", "--src", corpus_dir, "--db-root", root, "--name", "qdb",
+        "--chunk-size", "200", "--chunk-overlap", "50",
+    ]) == 0
+    capsys.readouterr()
+
+    assert main([
+        "chunks-only", "--db-root", root, "--name", "qdb",
+        "--query", "theme2 content", "--threshold", "0.0",
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "CONTEXT 1" in text
+
+    assert main([
+        "rag-prompt", "--db-root", root, "--name", "qdb",
+        "--query", "theme2 content", "--threshold", "0.0",
+    ]) == 0
+    prompt = capsys.readouterr().out
+    assert "theme2 content" in prompt

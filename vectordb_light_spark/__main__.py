@@ -45,13 +45,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--chunk-size", type=int, default=1200)
     p.add_argument("--chunk-overlap", type=int, default=600)
 
-    for cmd in ("search", "hybrid", "diverse"):
+    for cmd in ("search", "hybrid", "diverse", "chunks-only", "rag-prompt"):
         p = sub.add_parser(cmd)
         common(p)
         p.add_argument("--query", required=True)
         p.add_argument("--k", type=int, default=6)
-        if cmd == "search":
+        if cmd in ("search", "chunks-only", "rag-prompt"):
             p.add_argument("--threshold", type=float, default=0.4)
+        if cmd == "search":
             p.add_argument("--search-term", default=None)
             p.add_argument("--document-type", default=None)
             p.add_argument("--ann-radius", type=int, default=None)
@@ -149,6 +150,15 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "diverse":
         for r in db.search_diverse(a.query, k=a.k).collect():
             _emit(r.asDict(recursive=True))
+        return 0
+    if a.cmd == "chunks-only":
+        # the reference GUI's "Chunks Only" mode — formatted contexts
+        print(db.chunks_only(a.query, SearchParams(k=a.k, threshold=a.threshold)))
+        return 0
+    if a.cmd == "rag-prompt":
+        # the assembled RAG prompt (the reference sends this to an LLM;
+        # the LLM call sits above the engine API)
+        print(db.rag_prompt(a.query, SearchParams(k=a.k, threshold=a.threshold)))
         return 0
     return 1
 
