@@ -57,6 +57,10 @@ def connected_components(
         )
         .distinct()
     )
+    # materialize ONCE: every round joins against sym, and without
+    # this the whole upstream candidate-generation pipeline (MinHash,
+    # banding, …) would re-execute per round through the lineage
+    sym = sym.localCheckpoint(eager=True)
     # start: every node's component is its smallest direct neighbor
     # (or itself) — one groupBy seeds AND performs round 1
     comp = sym.groupBy("a").agg(
