@@ -200,3 +200,74 @@ def test_bm25_matches_loop_on_random_corpora(spark, texts, terms):
     assert set(got) == set(want)
     for i in want:
         assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=3)
+_doc = st.lists(_word, min_size=0, max_size=25).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(_doc, min_size=2, max_size=6))
+def test_containment_matches_bruteforce(spark, docs):
+    """containment_pairs over random small-alphabet docs equals the
+    Python brute-force shingle computation (no df cap ⇒ exact)."""
+    from vectordb_light_spark.operators.dedup import containment_pairs
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(
+            df, threshold=0.0, max_df=10**9, shingle=2
+        ).collect()
+    }
+
+    def sh(t):
+        w = [x for x in t.split() if x]
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    want = {}
+    shs = {i: sh(t) for i, t in rows}
+    for a, sa in shs.items():
+        for b, sb in shs.items():
+            if a != b and sa and sa & sb:
+                want[(a, b)] = round(len(sa & sb) / len(sa), 6)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.lists(
+                st.floats(-5, 5, allow_nan=False, width=32),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_mean_pool_matches_numpy(spark, data):
+    import numpy as np
+
+    from vectordb_light_spark.functions.vector import mean_pool_vectors
+
+    df = spark.createDataFrame(
+        [(g, [float(x) for x in v]) for g, v in data],
+        "g long, vector array<float>",
+    )
+    got = {
+        r["g"]: np.array(r["vec"])
+        for r in mean_pool_vectors(
+            df, "g", "vector", out_col="vec", normalize=False
+        ).collect()
+    }
+    by_g = {}
+    for g, v in data:
+        by_g.setdefault(g, []).append(np.array(v, dtype=np.float32).astype(np.float64))
+    for g, vs in by_g.items():
+        want = np.stack(vs).mean(axis=0)
+        assert np.allclose(got[g], want, atol=1e-7), (g, got[g], want)
