@@ -40,6 +40,7 @@ NOTES = {
  'rel_events_cohorts': 'Cohort retention: first-day agg, activity distinct, join, and the final count-distinct all key on user_id; count-distinct runs as the two-phase partial-distinct expand.',
  'prof_events_corr': 'Bivariate stats: corr/covar/stddev are algebraic aggregates — moment sums combine map-side, the exchange carries one partial row per (event_type, task).',
  'prof_value_histogram': 'Histogram: bucket expression folds into the scan stage; partial counts mean the exchange carries one row per bucket per task.',
+ 'ts_bigram_lm_score': 'Bigram LM score: ONE tokenize+bigram explode persists (InMemoryTableScan feeds model counts AND scoring); the bigram-count and continuation-count tables aggregate to vocabulary size and re-enter as BroadcastHashJoins.',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',
