@@ -344,3 +344,39 @@ def test_ivfpq_composes_pruning_and_recall(spark, emb, query):
     got = {r["vec_id"] for r in rows}
     recall = len(got & set(exact_topk_ids(emb, query, 10))) / 10
     assert recall >= 0.5, f"IVFPQ recall@10 too low: {recall}"
+
+
+def test_pca_and_random_projection_preserve_neighbors(spark, emb, query):
+    """64→32 dims: projected top-k keeps neighbor overlap with the
+    full-dimension exact top-k (synthetic near-isotropic vectors are
+    the WORST case for reduction — no low-dim structure to find, so
+    the bars are modest); PCA beats the training-free JL projection;
+    projected vectors are unit-norm; PCA training is deterministic."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import (
+        project_vectors,
+        random_projection_matrix,
+        train_pca_projection,
+    )
+
+    P = train_pca_projection(emb, 32)
+    assert P.shape == (64, 32)
+    np.testing.assert_allclose(P, train_pca_projection(emb, 32))
+    # orthonormal columns
+    np.testing.assert_allclose(P.T @ P, np.eye(32), atol=1e-9)
+
+    exact = set(exact_topk_ids(emb, query, 10))
+    overlaps = {}
+    for name, M in (("pca", P), ("rand", random_projection_matrix(64, 32))):
+        red = project_vectors(emb, M).cache()
+        v = red.select("embedding").first()[0]
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+        assert len(v) == 32
+        qv = np.asarray(query) @ M
+        qv = (qv / np.linalg.norm(qv)).tolist()
+        got = set(exact_topk_ids(red, qv, 10))
+        overlaps[name] = len(got & exact) / 10
+    assert overlaps["pca"] >= 0.5, overlaps
+    assert overlaps["rand"] >= 0.2, overlaps
+    assert overlaps["pca"] > overlaps["rand"]

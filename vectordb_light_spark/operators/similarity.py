@@ -794,3 +794,84 @@ def ann_topk_ivfpq(
         id_col=id_col,
         code_col=code_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimensionality reduction — smaller vectors, same pipeline
+# ---------------------------------------------------------------------------
+
+
+def train_pca_projection(
+    df: DataFrame,
+    out_dim: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_train: int = 25_000,
+) -> np.ndarray:
+    """PCA projection matrix [dim, out_dim] from a deterministic hash
+    sample: covariance + eigendecomposition run driver-side in numpy
+    (same scale shape as IVF/PQ training — a sample suffices, the
+    table is never eigendecomposed). Columns are the top-``out_dim``
+    principal directions (sign-normalized so the result is unique:
+    each eigenvector's largest-|component| entry is made positive).
+    """
+    proj = df.select(id_col, vec_col)
+    n = proj.count()
+    if n > max_train:
+        bound = int(max_train / n * 1_000_000)
+        proj = proj.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(bound)
+        )
+    rows = proj.collect()
+    rows.sort(key=lambda r: r[0])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    centered = mat - mat.mean(axis=0, keepdims=True)
+    cov = centered.T @ centered / max(len(mat) - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    top = vecs[:, np.argsort(vals)[::-1][:out_dim]]
+    # sign normalization → deterministic across BLAS builds
+    for j in range(top.shape[1]):
+        i = int(np.argmax(np.abs(top[:, j])))
+        if top[i, j] < 0:
+            top[:, j] = -top[:, j]
+    return top
+
+
+def random_projection_matrix(dim: int, out_dim: int, *, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Seeded Gaussian Johnson-Lindenstrauss projection [dim,
+    out_dim] scaled by 1/sqrt(out_dim) — training-free, distance-
+    preserving in expectation; the right default when no sample is
+    available (e.g. projecting a stream before any data landed)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, out_dim)) / np.sqrt(out_dim)
+
+
+def project_vectors(
+    df: DataFrame,
+    projection: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Apply a [dim, out_dim] projection to every vector — one BLAS
+    block-matmul per Arrow batch (map-only, no shuffle), optionally
+    L2-renormalized so cosine pipelines keep their dot≡cosine
+    invariant downstream."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    P = np.ascontiguousarray(projection, dtype=np.float64)
+
+    @pandas_udf(ArrayType(FloatType(), containsNull=False))
+    def proj(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = mat @ P
+        if normalize:
+            norms = np.linalg.norm(out, axis=1, keepdims=True)
+            np.maximum(norms, 1e-12, out=norms)
+            out = out / norms
+        return pd.Series(list(out.astype(np.float32)))
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))

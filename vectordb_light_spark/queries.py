@@ -3184,3 +3184,35 @@ def ts_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_docs(spark, sf_dir, "doc_id", "text", "lang")
     return bigram_lm_scores(docs, extra_cols=("lang",)).orderBy("doc_id")
+
+
+@register("ann_pca_topk")
+def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k in a PCA-reduced space (operators/similarity.py:
+    train_pca_projection + project_vectors): 64→32 dims halves every
+    downstream scan/shuffle/sketch byte; training is a sampled-
+    covariance eigendecomposition on the driver (eigensolve ⇒ no SQL
+    twin, rows-only); neighbor preservation asserted in tests."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+    from vectordb_light_spark.operators.similarity import (
+        project_vectors,
+        train_pca_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    P = _trained((sf_dir, "pca32"), lambda: train_pca_projection(emb, 32))
+    q = np.asarray(_query_vector(spark, sf_dir, 0)) @ P
+    q = (q / max(float(np.linalg.norm(q)), 1e-12)).tolist()
+    red = project_vectors(rebalance(emb), P)
+    out = topk_cosine(
+        red,
+        q,
+        SearchParams(k=10, threshold=0.0, assume_normalized=True),
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    return out.select(
+        "vec_id", F.round("similarity_score", 6).alias("similarity_score"), "rank"
+    ).orderBy("rank")
