@@ -410,3 +410,38 @@ def test_daily_rollup_incremental_equals_batch(spark, events_batch, tmp_path):
         for r in spark.read.parquet(rollup).collect()
     }
     assert second == {k: 2 * v[0] for k, v in expected1.items()}
+
+
+def test_compact_folds_ingest_manifest(spark, tmp_path):
+    """compact_vectors also folds the content-upsert manifest to one
+    file, and dedup across a later restart still works."""
+    from vectordb_light_spark.operators.ingest import compact_vectors
+
+    src = tmp_path / "watched"
+    src.mkdir()
+    (src / "a.txt").write_text("whiskey xray yankee " * 40)
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    cfg = IngestConfig(chunk_size=200, chunk_overlap=50, target_files=1)
+    q = start_incremental_ingest(
+        spark, str(src), db, cfg, available_now=True, dedup_content=True
+    )
+    q.awaitTermination(120)
+    (src / "b.txt").write_text("zulu alpha bravo " * 40)
+    q2 = start_incremental_ingest(
+        spark, str(src), db, cfg, available_now=True, dedup_content=True
+    )
+    q2.awaitTermination(120)
+
+    stats = compact_vectors(spark, db, target_mb=128)
+    assert stats.get("manifest_files_before", 0) >= 2
+    assert stats.get("manifest_files_after") == 1
+
+    n = spark.read.parquet(os.path.join(db, "vectors")).count()
+    # redeliver a copy of a.txt's content: still deduped post-compact
+    (src / "a_copy.txt").write_text("whiskey xray yankee " * 40)
+    q3 = start_incremental_ingest(
+        spark, str(src), db, cfg, available_now=True, dedup_content=True
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(db, "vectors")).count() == n

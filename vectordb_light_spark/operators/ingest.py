@@ -285,8 +285,33 @@ def compact_vectors(
     except BaseException:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         raise
-    return {
+    out = {
         "files_before": len(files),
         "files_after": int(n_out),
         "bytes": int(total_bytes),
     }
+
+    # A content-upsert stream (dedup_content=True) appends one tiny
+    # manifest file per micro-batch; fold it to a single file with the
+    # same atomic swap so the per-batch anti-join probe stays one read.
+    manifest_dir = os.path.join(db_path, "_ingested_hashes")
+    if os.path.isdir(manifest_dir):
+        m_files = [
+            f for f in os.listdir(manifest_dir) if f.endswith(".parquet")
+        ]
+        if len(m_files) > 1:
+            mdf = spark.read.parquet(manifest_dir).distinct()
+            m_tmp = manifest_dir + ".compact-tmp"
+            shutil.rmtree(m_tmp, ignore_errors=True)
+            try:
+                mdf.coalesce(1).write.parquet(m_tmp)
+                m_old = manifest_dir + ".compact-old"
+                os.rename(manifest_dir, m_old)
+                os.rename(m_tmp, manifest_dir)
+                shutil.rmtree(m_old)
+            except BaseException:
+                shutil.rmtree(m_tmp, ignore_errors=True)
+                raise
+            out["manifest_files_before"] = len(m_files)
+            out["manifest_files_after"] = 1
+    return out
