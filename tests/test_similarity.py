@@ -380,3 +380,34 @@ def test_pca_and_random_projection_preserve_neighbors(spark, emb, query):
     assert overlaps["pca"] >= 0.5, overlaps
     assert overlaps["rand"] >= 0.2, overlaps
     assert overlaps["pca"] > overlaps["rand"]
+
+
+def test_pq_batch_matches_single_query_adc(spark, emb):
+    """Batched ADC over the code column equals per-query ann_topk_pq
+    for every query in the batch (exact two-phase top-k, ties incl.)."""
+    from vectordb_light_spark.operators.similarity import (
+        add_pq_codes,
+        ann_topk_pq,
+        ann_topk_pq_batch,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, m=16, n_codes=64)
+    coded = add_pq_codes(emb, books).cache()
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    batch = ann_topk_pq_batch(coded, books, qs, k=7).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["similarity_score"], 9), r["rank"])
+        )
+    assert set(by_q) == {q[0] for q in qs}
+    for qid, qv in qs:
+        single = [
+            (r["vec_id"], round(r["similarity_score"], 9), i + 1)
+            for i, r in enumerate(ann_topk_pq(coded, books, qv, k=7).collect())
+        ]
+        assert by_q[qid] == single
