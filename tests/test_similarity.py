@@ -411,3 +411,48 @@ def test_pq_batch_matches_single_query_adc(spark, emb):
             for i, r in enumerate(ann_topk_pq(coded, books, qv, k=7).collect())
         ]
         assert by_q[qid] == single
+
+
+def test_index_artifacts_roundtrip_preserve_ann_results(spark, emb, query, tmp_path):
+    """Trained artifacts saved with the DB reload bit-identically, and
+    ANN search from the LOADED artifacts equals search from the
+    freshly-trained ones."""
+    from vectordb_light_spark.operators.ingest import (
+        load_index_artifacts,
+        save_index_artifacts,
+    )
+    from vectordb_light_spark.operators.similarity import (
+        add_pq_codes,
+        ann_topk_pq,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    db = str(tmp_path / "db")
+    import os as _os
+
+    _os.makedirs(db)
+    books = train_pq_codebooks(emb, m=16, n_codes=64)
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    assert save_index_artifacts(db, {"pq_codebooks": books, "ivf_centroids": cents}) == [
+        "ivf_centroids",
+        "pq_codebooks",
+    ]
+    loaded = load_index_artifacts(db)
+    np.testing.assert_array_equal(loaded["pq_codebooks"], books)
+    np.testing.assert_array_equal(loaded["ivf_centroids"], cents)
+
+    coded = add_pq_codes(emb, loaded["pq_codebooks"])
+    got = [
+        (r["vec_id"], round(r["similarity_score"], 9))
+        for r in ann_topk_pq(coded, loaded["pq_codebooks"], query, k=5).collect()
+    ]
+    fresh = [
+        (r["vec_id"], round(r["similarity_score"], 9))
+        for r in ann_topk_pq(add_pq_codes(emb, books), books, query, k=5).collect()
+    ]
+    assert got == fresh
+
+    # overwrite is atomic: saving a subset replaces the set
+    save_index_artifacts(db, {"pq_codebooks": books})
+    assert set(load_index_artifacts(db)) == {"pq_codebooks"}

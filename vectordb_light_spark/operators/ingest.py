@@ -315,3 +315,50 @@ def compact_vectors(
             out["manifest_files_before"] = len(m_files)
             out["manifest_files_after"] = 1
     return out
+
+
+INDEX_DIR = "_index"
+
+
+def save_index_artifacts(db_path: str, artifacts: dict) -> list[str]:
+    """Persist trained ANN artifacts (IVF centroids, PQ codebooks,
+    PCA projections — numpy arrays) beside the store, atomically:
+    write to ``_index.tmp``, swap, remove old. Training is sampled
+    and deterministic but NOT free — a deployment trains once per
+    (re)build and every query session loads the artifacts instead of
+    re-collecting a sample (reference analogue: the FLAT index's
+    metadata sidecar, vector_db_creator.py:346-354).
+    """
+    import numpy as np
+
+    out_dir = os.path.join(db_path, INDEX_DIR)
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    names = []
+    for name, arr in artifacts.items():
+        if not name.replace("_", "").isalnum():
+            raise ValueError(f"artifact name {name!r} must be alnum/underscore")
+        np.save(os.path.join(tmp_dir, f"{name}.npy"), np.asarray(arr))
+        names.append(name)
+    old_dir = out_dir + ".old"
+    if os.path.isdir(out_dir):
+        os.rename(out_dir, old_dir)
+    os.rename(tmp_dir, out_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return sorted(names)
+
+
+def load_index_artifacts(db_path: str) -> dict:
+    """Load every saved artifact: name → numpy array. Empty dict if
+    the database has none."""
+    import numpy as np
+
+    out_dir = os.path.join(db_path, INDEX_DIR)
+    if not os.path.isdir(out_dir):
+        return {}
+    return {
+        f[: -len(".npy")]: np.load(os.path.join(out_dir, f))
+        for f in sorted(os.listdir(out_dir))
+        if f.endswith(".npy")
+    }
