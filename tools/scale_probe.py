@@ -102,6 +102,16 @@ def probes(spark, docs, emb):
         g = emb.select(F.pmod("vec_id", F.lit(64)).alias("g"), "embedding")
         return mean_pool_vectors(g, "g", "embedding").count()
 
+    def p_containment():
+        from vectordb_light_spark.operators.dedup import containment_pairs
+
+        return containment_pairs(docs, threshold=0.2, max_df=20).count()
+
+    def p_bigram_lm():
+        from vectordb_light_spark.operators.profiling import bigram_lm_scores
+
+        return bigram_lm_scores(docs).count()
+
     return {
         "winnow_fingerprints": p_winnow,
         "minhash_lsh_candidates": p_minhash,
@@ -110,6 +120,8 @@ def probes(spark, docs, emb):
         "bm25_topk": p_bm25,
         "pq_train_encode_adc_topk": p_pq_adc,
         "mean_pool_64groups": p_mean_pool,
+        "containment_pairs": p_containment,
+        "bigram_lm_scores": p_bigram_lm,
     }
 
 
@@ -165,7 +177,10 @@ def main() -> None:
         "term (the codebook sample is capped); the scan cost is the encode",
         "UDF — the ADC ranking itself reads 16 bytes/vector. mean_pool is",
         "data-linear: map-side partial sums keep the exchange at",
-        "(groups × dim) partials regardless of row count.",
+        "(groups × dim) partials regardless of row count. containment's",
+        "df-capped posting self-join and the bigram-LM's vocabulary-sized",
+        "model joins both grow with postings, not with postings², which",
+        "is what their curves should show.",
     ]
     out = "\n".join(lines)
     print(out)
