@@ -3216,3 +3216,57 @@ def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.round("similarity_score", 6).alias("similarity_score"), "rank"
     ).orderBy("rank")
+
+
+@register(
+    "rel_orders_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(cents) AS t FROM rev),
+    ranked AS (
+        SELECT o_custkey, cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS INT)
+                   AS rank,
+               SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS run
+        FROM rev
+    )
+    SELECT rank, o_custkey,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(run * 1.0 / (SELECT t FROM tot), 6) AS cum_share
+    FROM ranked
+    WHERE rank <= 20
+    ORDER BY rank
+    """,
+)
+def rel_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-share analysis: customers ranked by
+    revenue with their running share of the total — window-over-
+    aggregate (running SUM over an ordered aggregate). Revenue sums
+    as integer cents so rank order and shares are bit-deterministic
+    across engines; the total enters as one collected scalar, not a
+    join."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    total = rev.agg(F.sum("cents")).first()[0]
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "run", F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .where(F.col("rank") <= 20)
+        .select(
+            "rank",
+            "o_custkey",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("run") / F.lit(float(total)), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
