@@ -3270,3 +3270,36 @@ def rel_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "rel_forecast_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): a pure scan
+    aggregate whose date/discount/quantity predicates ALL push into
+    the parquet scan (PushedFilters carries every conjunct) — on a
+    date-partitioned layout the year bound prunes whole directories
+    before any IO. The simplest possible 100 TB query: zero joins,
+    zero wide shuffles, one partial+final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.04, 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_delta"
+        ),
+    )
