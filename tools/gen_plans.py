@@ -41,6 +41,8 @@ NOTES = {
  'prof_events_corr': 'Bivariate stats: corr/covar/stddev are algebraic aggregates — moment sums combine map-side, the exchange carries one partial row per (event_type, task).',
  'prof_value_histogram': 'Histogram: bucket expression folds into the scan stage; partial counts mean the exchange carries one row per bucket per task.',
  'ts_bigram_lm_score': 'Bigram LM score: ONE tokenize+bigram explode persists (InMemoryTableScan feeds model counts AND scoring); the bigram-count and continuation-count tables aggregate to vocabulary size and re-enter as BroadcastHashJoins.',
+ 'rel_orders_pareto': 'Pareto: per-customer cents aggregate (partial+final), then ONE ordered window partition computes rank and running share; integer-cents keep cross-engine order bit-deterministic.',
+ 'rel_forecast_revenue': 'Q6 shape: every predicate conjunct lands in PushedFilters; the plan is scan -> partial HashAggregate -> exchange of ONE row -> final agg.',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',
