@@ -170,3 +170,16 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     }
     for i in range(20, 100):
         assert out[i] == plain[i]
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    from vectordb_light_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = [r["doc_id"] for r in deterministic_shuffle(df).collect()]
+    b = [r["doc_id"] for r in deterministic_shuffle(df.repartition(7)).collect()]
+    assert a == b  # partition-invariant
+    assert sorted(a) == list(range(500))  # a permutation
+    assert a != list(range(500))  # actually shuffled
+    c = [r["doc_id"] for r in deterministic_shuffle(df, seed=1).collect()]
+    assert c != a  # new seed, new permutation

@@ -287,3 +287,20 @@ def leakage_safe_split(
     return assign_split(
         routed, weights, id_col="_route", seed=seed, out_col=out_col
     ).drop("_route")
+
+
+def deterministic_shuffle(
+    df: DataFrame, *, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Reproducible pseudo-random GLOBAL ordering of a corpus — the
+    shuffle a training run needs before sequential reads: random-
+    looking, but a pure function of (id, seed), so every re-run, any
+    cluster size, any engine produces the SAME order (and a new seed
+    gives an independent permutation).
+
+    The sort key is the md5 routing hex (same primitive as the
+    split/sample family). Scale shape: a global sort = ONE range
+    exchange + in-partition sort; written out, the files form the
+    shuffled corpus and readers just concatenate them in order.
+    """
+    return df.orderBy(hash_bucket_column(id_col, seed=seed), F.col(id_col))

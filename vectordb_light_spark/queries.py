@@ -3303,3 +3303,38 @@ def rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_delta"
         ),
     )
+
+
+@register(
+    "pipe_corpus_shuffle",
+    oracle=f"""
+    SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY {bucket_sql("doc_id")}, doc_id) AS INT) AS pos,
+           doc_id, lang
+    FROM documents
+    QUALIFY pos <= 50
+    ORDER BY pos
+    """,
+)
+def pipe_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (operators/sampling.py:
+    deterministic_shuffle): the reproducible pseudo-random global
+    order a training run reads — md5-keyed, so any engine replays
+    the identical permutation (first 50 positions checked against
+    the oracle's identical ordering)."""
+    from vectordb_light_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_docs(spark, sf_dir, "doc_id", "lang")
+    shuffled = deterministic_shuffle(docs)
+    w = Window.orderBy(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("0"))).substr(
+            1, 8
+        ),
+        F.col("doc_id"),
+    )
+    return (
+        shuffled.withColumn("pos", F.row_number().over(w).cast("int"))
+        .where(F.col("pos") <= 50)
+        .select("pos", "doc_id", "lang")
+        .orderBy("pos")
+    )
