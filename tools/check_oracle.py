@@ -81,6 +81,25 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(srows)} rows, {spark_s:.1f}s (no oracle)")
             continue
         try:
+            rel = con.sql(oracles[name])
+            # Guard: DuckDB widens integer SUMs to HUGEINT (int128) and
+            # may emit DECIMAL — duckdb's fetchall() hides both behind
+            # plain Python ints, but the DRIVER's hasher renders them
+            # unlike Spark's BIGINT (r1: the only 3 driver hash-FAILs
+            # were exactly the 3 oracles with a HUGEINT column). Fail
+            # loudly here so it never reaches the driver.
+            exotic = {
+                c: str(t)
+                for c, t in zip(rel.columns, rel.types)
+                if any(
+                    b in str(t)
+                    for b in ("HUGEINT", "UBIGINT", "UINTEGER", "DECIMAL")
+                )
+            }
+            if exotic:
+                print(f"FAIL {name}: exotic oracle types (CAST them): {exotic}")
+                failures += 1
+                continue
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()

@@ -767,7 +767,9 @@ def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(list_distinct(mins)) AS INT) AS n_fps,
-           list_aggregate(list_distinct(mins), 'sum') AS fp_sum,
+           -- CAST: list_aggregate('sum') yields HUGEINT (int128); the
+           -- driver's hasher renders int128 unlike Spark's BIGINT.
+           CAST(list_aggregate(list_distinct(mins), 'sum') AS BIGINT) AS fp_sum,
            list_min(mins) AS fp_min, list_max(mins) AS fp_max
     FROM w
     ORDER BY doc_id
@@ -1560,7 +1562,9 @@ def rel_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                ), 0) AS tok_start
         FROM documents
     )
-    SELECT tok_start // 4096 AS seq_id,
+    -- CAST: tok_start is a window-SUM over INTEGER → HUGEINT in
+    -- DuckDB; the driver's hasher renders int128 unlike Spark BIGINT.
+    SELECT CAST(tok_start // 4096 AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS first_doc,
@@ -1900,14 +1904,19 @@ def prof_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_user_join",
     oracle="""
     WITH totals AS (
+        -- value_e4: per-event integer 1e-4 units BEFORE any sum, so
+        -- every aggregate is exact integer math — double sums are
+        -- order-dependent in the last ulp, and Spark's partition order
+        -- is not DuckDB's. CASTs on the outer sums: SUM(BIGINT) is
+        -- HUGEINT in DuckDB, which the driver hashes unlike BIGINT.
         SELECT user_id, COUNT(*) AS user_events,
-               ROUND(SUM(value), 4) AS user_value
+               SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS user_value_e4
         FROM events GROUP BY user_id
     )
     SELECT e.event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(t.user_value), 4) AS sum_user_value,
-           SUM(t.user_events) AS sum_user_events
+           CAST(SUM(t.user_value_e4) AS BIGINT) AS sum_user_value_e4,
+           CAST(SUM(t.user_events) AS BIGINT) AS sum_user_events
     FROM events e JOIN totals t ON e.user_id = t.user_id
     GROUP BY e.event_type
     ORDER BY e.event_type
@@ -1917,13 +1926,15 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted equi-join (operators/skew.py): the fact side takes a
     deterministic salt, the per-user dim side replicates salt×, so a
     hot user splits across `salt` reducers. Result is oracle-equal to
-    the plain join — salting must never change semantics."""
+    the plain join — salting must never change semantics. Value sums
+    are integer 1e-4 units end-to-end (per-event round, then integer
+    sums) so the result is bit-identical under any summation order."""
     from vectordb_light_spark.operators.skew import salted_join
 
     ev = load_table(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("user_events"),
-        F.round(F.sum("value"), 4).alias("user_value"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("user_value_e4"),
     )
     joined = salted_join(
         ev.select("event_id", "user_id", "event_type"),
@@ -1936,7 +1947,7 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("user_value"), 4).alias("sum_user_value"),
+            F.sum("user_value_e4").alias("sum_user_value_e4"),
             F.sum("user_events").alias("sum_user_events"),
         )
         .orderBy("event_type")
@@ -2278,7 +2289,11 @@ def vq_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 0 ELSE 1 END) AS v4
         FROM events
     )
-    SELECT t.rule, agg.n_rows, t.n_violations, t.n_violations = 0 AS passed
+    SELECT t.rule, agg.n_rows,
+           -- CAST: SUM(int) is HUGEINT in DuckDB; driver hashes int128
+           -- differently from Spark's BIGINT.
+           CAST(t.n_violations AS BIGINT) AS n_violations,
+           t.n_violations = 0 AS passed
     FROM agg, LATERAL (VALUES
         ('value_non_negative', v0), ('user_id_not_null', v1),
         ('ts_in_range', v2), ('props_json_has_k', v3),
