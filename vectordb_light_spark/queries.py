@@ -50,15 +50,24 @@ def register(name: str, oracle: str | None = None):
 # (reference config.py:28-29).
 
 
+_DOCS_MEMO: dict = {}
+
+
 def load_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     """The documents table, widened to full parallelism. A small local
     parquet table is ONE scan partition, which would serialize every
     downstream text/UDF stage on one core; the 0.6 MB round-robin
-    shuffle is noise next to any of those stages (session.rebalance)."""
-    df = load_table(spark, sf_dir, "documents")
-    if cols:
-        df = df.select(*cols)
-    return rebalance(df)
+    shuffle is noise next to any of those stages (session.rebalance).
+    Memoized per (session, sf_dir, cols): ``rebalance`` probes
+    ``df.rdd.getNumPartitions()``, which ~30 registry queries would
+    otherwise each re-pay."""
+    key = (id(spark), sf_dir, cols)
+    if key not in _DOCS_MEMO:
+        df = load_table(spark, sf_dir, "documents")
+        if cols:
+            df = df.select(*cols)
+        _DOCS_MEMO[key] = rebalance(df)
+    return _DOCS_MEMO[key]
 
 
 #: (sf_dir, index-kind) → trained numpy index (centroids/codebooks).

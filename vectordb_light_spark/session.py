@@ -64,6 +64,42 @@ def get_spark(app_name: str = "vectordb_light_spark", cpus: int | None = None) -
     return builder.getOrCreate()
 
 
+#: (session id, sf_dir, table) → DataFrame. Reusing the DataFrame
+#: object skips the parquet footer/schema read that every fresh
+#: ``spark.read.parquet`` pays; across an 80-query registry run that
+#: is ~150 avoided footer reads. Deliberately NOT ``.persist()`` —
+#: Spark's cache manager substitutes any cached relation into later
+#: matching plans, which would defeat pushdown-assertion tests and
+#: change driver-observed plans.
+_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+#: Sessions already runtime-tuned by :func:`_tune_session`.
+_TUNED: set[int] = set()
+
+
+def _tune_session(spark: SparkSession) -> None:
+    """Idempotent per-session runtime tuning applied on first table
+    load. The engine's own :func:`get_spark` already sets these at
+    build time; this path defends the case where the caller (e.g. the
+    correctness driver) hands us a vanilla session — 200 shuffle
+    partitions and AQE off turn every small-SF query into a 200-task
+    shuffle storm. All three confs are runtime-settable SQL confs."""
+    key = id(spark)
+    if key in _TUNED:
+        return
+    _TUNED.add(key)
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:  # pragma: no cover - conf may be restricted
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided parquet table.
 
@@ -76,6 +112,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
+    _tune_session(spark)
+    memo_key = (id(spark), sf_dir, name)
+    if memo_key in _TABLE_MEMO:
+        return _TABLE_MEMO[memo_key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         dt = df.schema["ts"].dataType
@@ -86,6 +126,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(dt, TimestampNTZType):
             # Wall-clock-preserving cast (session tz is UTC).
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_MEMO[memo_key] = df
     return df
 
 
