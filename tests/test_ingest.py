@@ -367,3 +367,27 @@ def test_read_jsonl_corpus_quarantines_bad_lines(spark, tmp_path):
     assert got == {(1, "alpha bravo", "en"), (2, "charlie delta", "de")}
     assert rejects.count() == 3  # 2 corrupt + 1 empty-text
     assert docs.columns == ["doc_id", "text", "lang", "source"]
+
+
+def test_compact_vectors_dedup_backstop_heals_replay(spark, built_db, tmp_path):
+    """A crash between the vectors append and the manifest append lets
+    a replayed micro-batch double-write content; ids are deterministic
+    (K2), so compact_vectors(drop_duplicates_on=["id"]) restores
+    exactly-once contents."""
+    from vectordb_light_spark.operators.ingest import compact_vectors
+
+    root, _, _ = built_db
+    src = os.path.join(root, "testdb")
+    frag = str(tmp_path / "replaydb")
+    shutil.copytree(src, frag)
+    vec_dir = os.path.join(frag, "vectors")
+    base = spark.read.parquet(vec_dir)
+    before = {tuple(r) for r in base.select("id", "text").collect()}
+    # replayed micro-batch: identical rows appended a second time
+    base.write.mode("append").parquet(vec_dir)
+    assert spark.read.parquet(vec_dir).count() == 2 * len(before)
+
+    compact_vectors(spark, frag, target_mb=512, drop_duplicates_on=["id"])
+    after = spark.read.parquet(vec_dir)
+    assert after.count() == len(before)
+    assert {tuple(r) for r in after.select("id", "text").collect()} == before

@@ -125,3 +125,25 @@ def test_audio_windows_boundaries_and_pcm_stub(spark):
     }
     first = {(r["media_id"], r["window_index"]): bytes(r["window_bytes"]) for r in rows}
     assert first == again
+
+
+def test_audio_windows_zero_duration_emits_no_window(spark):
+    """A zero-duration clip yields ZERO windows — range(0, 0, hop)
+    semantics, matching the mm_audio_windows oracle; duration 1 still
+    yields exactly one."""
+    from vectordb_light_spark.operators.multimodal import (
+        audio_windows,
+        media_from_documents,
+    )
+
+    media = media_from_documents(spark, SF, limit=2)
+    zero = media.withColumn(
+        "media_meta", F.col("media_meta").withField("duration_ms", F.lit(0))
+    )
+    assert audio_windows(zero, window_ms=5000, hop_ms=2500).count() == 0
+    one = media.limit(1).withColumn(
+        "media_meta", F.col("media_meta").withField("duration_ms", F.lit(1))
+    )
+    rows = audio_windows(one, window_ms=5000, hop_ms=2500).collect()
+    assert [r["window_index"] for r in rows] == [0]
+    assert rows[0]["win_end_ms"] == 1

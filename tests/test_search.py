@@ -256,6 +256,8 @@ def test_vectordb_srp_index_and_ann_search(spark, tmp_path):
     db.build_srp_index(n_planes=16, seed=7)
     meta = _json.load(open(_os.path.join(db_root, "annd", "_meta.json")))
     assert meta["srp_index"] == {"n_planes": 16, "seed": 7}
+    # the rebuild honors the open()-time cache policy (opened cache=False)
+    assert not db.vectors.is_cached
 
     full = db.search("topic1 filler", ann_radius=16)
     assert [(r["id"], r["rank"]) for r in full.collect()] == exact

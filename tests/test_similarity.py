@@ -456,3 +456,24 @@ def test_index_artifacts_roundtrip_preserve_ann_results(spark, emb, query, tmp_p
     # overwrite is atomic: saving a subset replaces the set
     save_index_artifacts(db, {"pq_codebooks": books})
     assert set(load_index_artifacts(db)) == {"pq_codebooks"}
+
+
+def test_pq_n_codes_int8_bound_raises(spark, emb):
+    """Codes are stored int8: n_codes > 128 would wrap negative and
+    element_at() would silently index the ADC LUT from the end — both
+    the trainer and the encoder must refuse."""
+    import numpy as np
+    import pytest
+
+    from vectordb_light_spark.operators.similarity import (
+        make_pq_encode_udf,
+        train_pq_codebooks,
+    )
+
+    with pytest.raises(ValueError, match="128"):
+        train_pq_codebooks(emb, m=8, n_codes=256)
+    with pytest.raises(ValueError, match="128"):
+        make_pq_encode_udf(np.zeros((8, 256, 8)))
+    # the documented safe bound trains fine
+    books = train_pq_codebooks(emb.limit(200), m=8, n_codes=128, n_iters=1)
+    assert books.shape[1] == 128

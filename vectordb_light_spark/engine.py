@@ -89,6 +89,7 @@ class VectorDB:
     def __init__(self, spark: SparkSession, path: str, *, cache: bool = True):
         self.spark = spark
         self.path = path
+        self._cache = cache
         with open(os.path.join(path, META_FILE)) as f:
             self.meta = json.load(f)
         self.vectors = spark.read.parquet(os.path.join(path, "vectors"))
@@ -128,6 +129,10 @@ class VectorDB:
         tmp_dir = vectors_dir + ".srp-tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         indexed.write.parquet(tmp_dir)
+        # Release the old cached scan BEFORE the swap — re-caching
+        # without unpersisting leaks the superseded blocks for the
+        # session's lifetime.
+        self.vectors.unpersist()
         old_dir = vectors_dir + ".srp-old"
         os.rename(vectors_dir, old_dir)
         os.rename(tmp_dir, vectors_dir)
@@ -135,7 +140,10 @@ class VectorDB:
         self.meta["srp_index"] = {"n_planes": n_planes, "seed": seed}
         with open(os.path.join(self.path, META_FILE), "w") as f:
             json.dump(self.meta, f)
-        self.vectors = self.spark.read.parquet(vectors_dir).cache()
+        self.vectors = self.spark.read.parquet(vectors_dir)
+        if self._cache:
+            # Honor the open()-time cache policy (CLI opens cache=False).
+            self.vectors = self.vectors.cache()
 
     def search(
         self,

@@ -247,6 +247,7 @@ def compact_vectors(
     *,
     target_mb: int = 128,
     min_files: int = 1,
+    drop_duplicates_on: list[str] | None = None,
 ) -> dict:
     """Maintenance compaction of a database's ``vectors/`` directory.
 
@@ -261,7 +262,11 @@ def compact_vectors(
 
     Run it when file count ≫ size/target_mb — e.g. from the same
     scheduler that triggers the stream. Row content is unchanged
-    (test asserts set equality and file-count reduction).
+    (test asserts set equality and file-count reduction) unless
+    ``drop_duplicates_on`` is given — e.g. ``["id"]`` to heal the
+    exact row duplicates a crash-replayed streaming micro-batch can
+    leave (ids are content-deterministic, K2), which is the
+    documented backstop for the ingest stream's at-least-once window.
     """
     vectors_dir = os.path.join(db_path, "vectors")
     files = [
@@ -274,6 +279,8 @@ def compact_vectors(
     )
     n_out = max(min_files, -(-total_bytes // (target_mb * 1024 * 1024)))
     df = spark.read.parquet(vectors_dir)
+    if drop_duplicates_on:
+        df = df.dropDuplicates(drop_duplicates_on)
     tmp_dir = vectors_dir + ".compact-tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     try:

@@ -304,10 +304,19 @@ def audio_windows(
     shape and schema contract a real decoder would have.
     """
     duration = F.col(f"{meta_col}.duration_ms")
-    n_windows = F.greatest(F.ceil(duration / F.lit(hop_ms)).cast("int"), F.lit(1))
+    n_windows = F.ceil(duration / F.lit(hop_ms)).cast("int")
+    # A zero-duration clip yields ZERO windows (explode of an empty
+    # array drops the row) — matching range(0, duration, hop)
+    # semantics. NB: sequence(0, -1) would generate a DESCENDING
+    # [0, -1], so the n==0 case must be an explicit empty array.
     exploded = (
         df.withColumn(
-            "window_index", F.explode(F.sequence(F.lit(0), n_windows - 1))
+            "window_index",
+            F.explode(
+                F.when(
+                    n_windows > 0, F.sequence(F.lit(0), n_windows - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ),
         )
         .withColumn("win_start_ms", F.col("window_index") * hop_ms)
         .withColumn(

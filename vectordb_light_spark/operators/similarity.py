@@ -641,6 +641,12 @@ def train_pq_codebooks(
     Returns ``[m, n_codes, dim//m]`` float64. ``dim`` must divide by
     ``m`` (checked at encode time against the actual vectors).
     """
+    if not 1 <= n_codes <= 128:
+        # Codes are stored as signed int8 (ByteType): code 128+ would
+        # wrap negative and element_at() would silently index the LUT
+        # from the END — wrong ADC scores, no error. 256-codeword PQ
+        # needs a wider storage type first.
+        raise ValueError(f"n_codes must be in [1, 128] for int8 codes, got {n_codes}")
     proj = df.select(id_col, vec_col)
     n = proj.count()
     if n > max_train:
@@ -680,6 +686,10 @@ def make_pq_encode_udf(codebooks: np.ndarray):
 
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, n_codes, sub = books.shape
+    if n_codes > 128:
+        raise ValueError(
+            f"codebooks have {n_codes} codes; int8 storage allows at most 128"
+        )
 
     @pandas_udf(ArrayType(ByteType(), containsNull=False))
     def encode(vecs: pd.Series) -> pd.Series:

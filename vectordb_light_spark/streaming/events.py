@@ -370,6 +370,12 @@ def start_daily_rollup(
                     F.sum("total_value").alias("total_value"),
                 )
             )
+            # Materialize the merged slice BEFORE overwriting: the
+            # plan reads rollup_dir, and writing over a path a running
+            # plan still reads is Spark-version-sensitive (static
+            # overwrite mode raises; some versions can lose data).
+            # localCheckpoint severs the lineage to the input files.
+            merged = merged.localCheckpoint(eager=True)
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -99,6 +99,16 @@ def start_incremental_ingest(
     re-scanning a 100 TB store per micro-batch, and the manifest
     grows by one append per batch.
 
+    At-least-once window: the vectors append and the manifest append
+    are two writes, so a crash BETWEEN them lets the replayed
+    micro-batch re-embed that batch's content — the upsert is
+    idempotent for clean runs and source re-delivery, not
+    crash-atomic. The backstop is deterministic ids (K2: the same
+    chunk always hashes to the same id), so replay duplicates are
+    exact row duplicates that the next
+    ``compact_vectors(..., drop_duplicates_on=["id"])`` maintenance
+    pass removes.
+
     ``index_srp=True`` maintains the SRP-LSH ANN index UNDER the
     stream: each appended batch carries its ``srp_sig`` signature
     column (map-only, computed batch-side), so signature-pruned ANN
