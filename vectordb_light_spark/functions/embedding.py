@@ -96,6 +96,197 @@ class HashingEmbedder:
         return (out / norms).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Mini-transformer encoder — the REAL inference path, executable here
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + 1e-5) * g + b
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _gelu(x: np.ndarray) -> np.ndarray:
+    # tanh approximation (GPT-2/BERT convention)
+    return 0.5 * x * (1.0 + np.tanh(0.7978845608028654 * (x + 0.044715 * x**3)))
+
+
+class MiniTransformerEmbedder:
+    """A REAL transformer-encoder inference path in pure numpy —
+    tokenize → pad+mask → multi-head self-attention layers → masked
+    mean-pool → L2-normalize — executable in this container (no
+    torch / sentence-transformers needed).
+
+    This is the stage the reference runs through SentenceTransformer
+    (embedding_models.py:373-475); here every step is explicit:
+
+    - E1 tokenizer: byte-level (ByT5-style) — each UTF-8 byte is a
+      token id, plus [CLS]=256; vocab 258 with [PAD]=257. Real ids,
+      real truncation, no vocabulary asset to download.
+    - E9 max-seq policy: truncate to ``max_seq`` tokens.
+    - E3 padding: per-batch right-pad to the longest row + boolean
+      attention mask; padded keys get -inf attention logits, so a
+      row's vector is INDEPENDENT of its batch-mates (tested:
+      batch-size invariance).
+    - E5 forward: sinusoidal positions, ``n_layers`` pre-LN blocks
+      (MHA + GELU FFN, residuals), masked mean-pool over non-pad
+      positions, L2-normalize.
+    - E8 dtype policy: compute in ``dtype`` (float32|float16);
+      STORAGE is always float32 (ingest.py enforces array<float>).
+
+    Weights are deterministically seeded (no pretrained checkpoint is
+    downloadable in this container) — the inference math is the real
+    thing; ``load_weights`` swaps in trained arrays without touching
+    the execution path.
+    """
+
+    def __init__(
+        self,
+        dim: int = 64,
+        *,
+        n_layers: int = 2,
+        n_heads: int = 4,
+        max_seq: int = 128,
+        seed: int = 0,
+        dtype: str = "float32",
+    ):
+        if dim % n_heads:
+            raise ValueError(f"dim {dim} not divisible by n_heads {n_heads}")
+        if dtype not in ("float32", "float16"):
+            raise ValueError(f"dtype must be float32|float16, got {dtype}")
+        self.dim, self.n_layers, self.n_heads = dim, n_layers, n_heads
+        self.max_seq, self.seed, self.dtype = max_seq, seed, dtype
+        self._np_dtype = np.float32 if dtype == "float32" else np.float16
+        rng = np.random.default_rng(seed)
+        s = 1.0 / np.sqrt(dim)
+        w = {"tok_emb": rng.normal(0.0, s, (258, dim))}
+        for i in range(n_layers):
+            w[f"qkv_{i}"] = rng.normal(0.0, s, (dim, 3 * dim))
+            w[f"attn_out_{i}"] = rng.normal(0.0, s, (dim, dim))
+            w[f"ff1_{i}"] = rng.normal(0.0, s, (dim, 2 * dim))
+            w[f"ff2_{i}"] = rng.normal(0.0, s, (2 * dim, dim))
+            for ln in (f"ln1_{i}", f"ln2_{i}"):
+                w[f"{ln}_g"] = np.ones(dim)
+                w[f"{ln}_b"] = np.zeros(dim)
+        # sinusoidal positions (fixed, not learned)
+        pos = np.arange(max_seq)[:, None]
+        freq = np.exp(-np.log(10000.0) * (np.arange(0, dim, 2) / dim))[None, :]
+        pe = np.zeros((max_seq, dim))
+        pe[:, 0::2] = np.sin(pos * freq)
+        pe[:, 1::2] = np.cos(pos * freq)
+        w["pos_emb"] = pe
+        self.load_weights(w)
+
+    def load_weights(self, weights: dict[str, np.ndarray]) -> None:
+        """Install a weight dict (same keys the constructor seeds) —
+        the hook a trained checkpoint would come through."""
+        self._w = {k: np.asarray(v, dtype=self._np_dtype) for k, v in weights.items()}
+
+    @property
+    def spec(self) -> dict:
+        return {
+            "encoder": "mini-transformer",
+            "dim": self.dim,
+            "layers": self.n_layers,
+            "heads": self.n_heads,
+            "max_seq": self.max_seq,
+            "seed": self.seed,
+            "dtype": self.dtype,
+        }
+
+    def tokenize(self, text: str) -> list[int]:
+        """E1: [CLS] + UTF-8 bytes, truncated to max_seq (E9)."""
+        return [256, *(text or "").encode("utf-8")][: self.max_seq]
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        w, dt = self._w, self._np_dtype
+        ids = [self.tokenize(t) for t in texts]
+        L = max(len(t) for t in ids)
+        tok = np.full((len(ids), L), 257, dtype=np.int64)  # [PAD]
+        mask = np.zeros((len(ids), L), dtype=bool)
+        for i, t in enumerate(ids):  # E3: right-pad + mask
+            tok[i, : len(t)] = t
+            mask[i, : len(t)] = True
+
+        x = w["tok_emb"][tok] + w["pos_emb"][:L][None, :, :]
+        h = self.dim // self.n_heads
+        # additive mask on padded KEYS (broadcast over queries): large
+        # finite negative — exp() underflows to exactly 0, and unlike
+        # finfo.min it cannot overflow to -inf when added to a score
+        neg = dt(-1e4) if dt is np.float16 else dt(-1e9)
+        attn_bias = np.where(mask[:, None, None, :], dt(0), neg)
+        for i in range(self.n_layers):
+            y = _layer_norm(x, w[f"ln1_{i}_g"], w[f"ln1_{i}_b"])
+            qkv = y @ w[f"qkv_{i}"]  # [B, L, 3D]
+            q, k, v = np.split(qkv, 3, axis=-1)
+            # [B, L, D] → [B, H, L, h]
+            sh = (len(ids), L, self.n_heads, h)
+            q = q.reshape(sh).transpose(0, 2, 1, 3)
+            k = k.reshape(sh).transpose(0, 2, 1, 3)
+            v = v.reshape(sh).transpose(0, 2, 1, 3)
+            scores = (q @ k.swapaxes(-1, -2)) / np.sqrt(dt(h)) + attn_bias
+            ctx = _softmax(scores) @ v  # [B, H, L, h]
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(len(ids), L, self.dim)
+            x = x + ctx @ w[f"attn_out_{i}"]
+            y = _layer_norm(x, w[f"ln2_{i}_g"], w[f"ln2_{i}_b"])
+            x = x + _gelu(y @ w[f"ff1_{i}"]) @ w[f"ff2_{i}"]
+
+        # masked mean-pool: padded positions contribute nothing
+        m = mask[:, :, None].astype(dt)
+        pooled = (x * m).sum(axis=1) / np.maximum(m.sum(axis=1), dt(1))
+        pooled = pooled.astype(np.float32)  # E8: storage dtype
+        norms = np.linalg.norm(pooled, axis=1, keepdims=True)
+        np.maximum(norms, 1e-12, out=norms)
+        return np.ascontiguousarray(pooled / norms, dtype=np.float32)
+
+
+#: E4 — per-model encode batch sizes (reference
+#: embedding_models.py:88-117 ENCODE_BATCH_SIZE_BY_MODEL; same keys,
+#: same VRAM fallback curve).
+ENCODE_BATCH_SIZE_BY_MODEL = {
+    "bge-small-en-v1.5": 100,
+    "bge-base-en-v1.5": 80,
+    "bge-large-en-v1.5": 50,
+    "qwen3-embedding-0.6b": 10,
+    "qwen3-embedding-4b": 5,
+    # engine-local encoders: CPU-bound numpy, larger batches amortize
+    # the per-batch Python overhead
+    "mini-transformer": 64,
+    "hashing": 256,
+}
+
+
+def model_encode_batch_size(
+    spec_or_name: dict | str, *, device: str = "cpu", vram_gb: float | None = None
+) -> int:
+    """E4: model-aware encode batch size. Known models get their
+    table entry; unknown CUDA models get the reference's VRAM curve
+    ``clamp(vram*4, 10, 256)``; unknown CPU models get 10 (reference
+    _get_encode_batch_size fallbacks)."""
+    if isinstance(spec_or_name, dict):
+        name = str(
+            spec_or_name.get("model", spec_or_name.get("encoder", ""))
+        )
+    else:
+        name = spec_or_name
+    name = name.rsplit("/", 1)[-1].lower()
+    for key, size in ENCODE_BATCH_SIZE_BY_MODEL.items():
+        if key in name:
+            return size
+    if device.startswith("cuda") and vram_gb:
+        return max(10, min(256, int(vram_gb * 4)))
+    return 10
+
+
 #: Query instruction prompts per model family (E7, reference
 #: embedding_models.py:58-63).
 _FAMILY_PROMPTS = {
@@ -150,6 +341,15 @@ def make_embedder(spec: dict):
     kind = spec.get("encoder", "hashing")
     if kind == "hashing":
         return HashingEmbedder(dim=int(spec.get("dim", DEFAULT_DIM)), seed=int(spec.get("seed", 0)))
+    if kind == "mini-transformer":
+        return MiniTransformerEmbedder(
+            int(spec.get("dim", DEFAULT_DIM)),
+            n_layers=int(spec.get("layers", 2)),
+            n_heads=int(spec.get("heads", 4)),
+            max_seq=int(spec.get("max_seq", 128)),
+            seed=int(spec.get("seed", 0)),
+            dtype=str(spec.get("dtype", "float32")),
+        )
     if kind == "sentence-transformers":
         return SentenceTransformerEmbedder(spec["model"], dim=spec.get("dim"))
     raise ValueError(f"unknown encoder spec: {spec!r}")
@@ -181,7 +381,7 @@ def embed_documents(
     text_col: str = "text",
     out_col: str = "vector",
     length_sort: bool = True,
-    encode_batch_size: int = 256,
+    encode_batch_size: int | None = None,
     rebalance: bool = True,
 ) -> DataFrame:
     """Add an L2-normalized float32 ``array<float>`` embedding column.
@@ -191,6 +391,8 @@ def embed_documents(
     ``length_sort`` (E2) rows are pre-sorted within partitions by text
     length so real transformer batches pad near-rectangularly; for the
     hashing encoder it's a no-op cost-wise either way.
+    ``encode_batch_size=None`` resolves the model-aware size from the
+    E4 table (``model_encode_batch_size``).
 
     ``rebalance`` widens narrow inputs (e.g. one small parquet file →
     one partition) to the cluster's full core count before the embed
@@ -198,6 +400,8 @@ def embed_documents(
     narrow scan would otherwise serialize it on one core. The shuffle
     moves only the pre-embed rows (id + text), never vectors.
     """
+    if encode_batch_size is None:
+        encode_batch_size = model_encode_batch_size(spec)
     in_schema = df.schema
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema)
     out_schema = f"{fields}, `{out_col}` array<float>"

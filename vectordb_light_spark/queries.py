@@ -625,6 +625,38 @@ def pipe_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_mini_encoder_topk")  # rows-only: transformer forward pass, no SQL twin
+def emb_mini_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL encoder inference end-to-end (E1/E3/E5/E8/E9): every
+    document through the numpy mini-transformer (byte tokenizer →
+    padded+masked multi-head attention → masked mean-pool → L2 norm)
+    inside mapInPandas, then exact top-10 cosine against doc 0's
+    vector. Same plan shape a sentence-transformers deployment runs —
+    only the weight source differs (seeded vs downloaded)."""
+    from vectordb_light_spark.functions.embedding import (
+        MiniTransformerEmbedder,
+        embed_documents,
+    )
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+
+    spec = {"encoder": "mini-transformer", "dim": 32, "seed": 5, "max_seq": 64}
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    embedded = embed_documents(docs, spec).drop("text")
+    qtext = docs.where(F.col("doc_id") == 0).select("text").first()[0]
+    enc = MiniTransformerEmbedder(32, seed=5, max_seq=64)
+    q = [float(x) for x in enc.encode([qtext])[0]]
+    out = topk_cosine(
+        embedded,
+        q,
+        SearchParams(k=10, threshold=0.0, assume_normalized=True),
+        id_col="doc_id",
+        vec_col="vector",
+    )
+    return out.select(
+        "doc_id", F.round("similarity_score", 4).alias("similarity_score"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (beyond-reference north star; BASELINE.json)
 # ---------------------------------------------------------------------------
