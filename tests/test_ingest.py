@@ -68,8 +68,14 @@ def test_extract_eml_subject_and_body():
 def test_extract_drop_policies():
     assert extract_bytes("a.xyz", b"x") == (None, "unsupported_extension")
     assert extract_bytes("a.txt", b"   ") == (None, "no_content")
-    # pdf parser not installed in this container → gated drop
-    assert extract_bytes("a.pdf", b"%PDF-1.4") == (None, "missing_parser")
+    # pdf is UNGATED (pure-Python fallback runs): a textless PDF is a
+    # clean no_content drop, not a missing_parser one
+    assert extract_bytes("a.pdf", b"%PDF-1.4") == (None, "no_content")
+    # msg still parser-gated in this container
+    assert extract_bytes("a.msg", b"\xd0\xcf\x11\xe0junk") == (
+        None,
+        "missing_parser",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -153,9 +153,17 @@ def _extract_eml(data: bytes) -> str | None:
 
 
 def _extract_pdf(data: bytes) -> str | None:
-    """PyMuPDF per-page extract with [[pageN]] markers (reference
-    document_processor.py:76-84); blank pages skipped."""
-    import fitz  # noqa: F401 — gated; absent in this container
+    """Per-page extract with [[pageN]] markers (reference
+    document_processor.py:76-84); blank pages skipped. PyMuPDF when
+    installed (layout-aware fidelity); otherwise the pure-Python
+    parser (sources/pdf_text.py) — S2 is NOT parser-gated: .pdf files
+    extract in this container either way."""
+    try:
+        import fitz  # layout-aware when available
+    except ImportError:
+        from vectordb_light_spark.sources.pdf_text import extract_pdf_text
+
+        return extract_pdf_text(data)
 
     doc = fitz.open(stream=data, filetype="pdf")
     pages = []
