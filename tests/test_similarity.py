@@ -477,3 +477,36 @@ def test_pq_n_codes_int8_bound_raises(spark, emb):
     # the documented safe bound trains fine
     books = train_pq_codebooks(emb.limit(200), m=8, n_codes=128, n_iters=1)
     assert books.shape[1] == 128
+
+
+def test_cosine_pairs_auto_tier_dispatch(spark, emb):
+    """The dispatcher must pick exact under the broadcast bound and
+    the LSH tier above it — and the LSH plan must not contain a
+    driver collect (its physical plan carries the band join, and
+    building it triggers no job beyond the size probe)."""
+    from vectordb_light_spark.operators.similarity import cosine_pairs
+
+    # small data, generous bound → exact tier (full recall)
+    exact = cosine_pairs(emb, threshold=0.9, max_broadcast_bytes=1 << 30)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert "MapInPandas" in exact._jdf.queryExecution().executedPlan().toString()
+
+    # same data, 1 KB bound → auto must refuse to broadcast: LSH tier
+    lsh = cosine_pairs(emb, threshold=0.9, max_broadcast_bytes=1024)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan  # no broadcast-matmul stage
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    # probabilistic tier: subset of the exact answer, high recall
+    assert lsh_pairs <= exact_pairs
+    if exact_pairs:
+        assert len(lsh_pairs) >= 0.8 * len(exact_pairs)
+
+    # explicit override beats the probe
+    forced = cosine_pairs(emb, threshold=0.9, tier="exact",
+                          max_broadcast_bytes=1024)
+    assert {(r["id_a"], r["id_b"]) for r in forced.collect()} == exact_pairs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cosine_pairs(emb, tier="bogus")

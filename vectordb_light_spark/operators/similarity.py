@@ -391,6 +391,54 @@ def cosine_pairs_exact(
     return proj.mapInPandas(run, schema="id_a long, id_b long, cosine double")
 
 
+def cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    tier: str = "auto",
+    max_broadcast_bytes: int = 512 * 1024 * 1024,
+    n_rows: int | None = None,
+    **tier_kwargs,
+) -> DataFrame:
+    """Pairwise-cosine TIER DISPATCHER — the entry point callers
+    should use.
+
+    ``cosine_pairs_exact`` driver-collects and broadcasts the whole
+    vector matrix: the right tool up to ~10⁷ small vectors, an OOM
+    past that. This wrapper picks the tier from a CHEAP size estimate
+    (``df.count()`` × dim × 8 bytes — count() on a parquet scan is
+    metadata-only) so the exact tier cannot be misapplied at 100× the
+    data:
+
+    - estimated matrix ≤ ``max_broadcast_bytes`` → exact block-matmul
+      (full recall);
+    - larger → SRP-banded LSH (:func:`embedding_near_dup_pairs_banded`,
+      ~94% recall at cos ≥ 0.9 defaults), which never collects or
+      broadcasts either side.
+
+    ``tier='exact' | 'lsh'`` overrides explicitly — 'exact' SKIPS the
+    size probe entirely (and its count job); you assert reach.
+    ``n_rows`` short-circuits the count when the caller already knows
+    it. Extra kwargs pass through to the chosen tier.
+    """
+    if tier not in ("auto", "exact", "lsh"):
+        raise ValueError(f"tier must be auto|exact|lsh, got {tier!r}")
+    if tier == "auto":
+        n = n_rows if n_rows is not None else df.count()
+        first = df.select(vec_col).first()
+        dim = len(first[0]) if first else 0
+        tier = "exact" if n * dim * 8 <= max_broadcast_bytes else "lsh"
+    if tier == "exact":
+        return cosine_pairs_exact(
+            df, id_col=id_col, vec_col=vec_col, threshold=threshold, **tier_kwargs
+        )
+    return embedding_near_dup_pairs_banded(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold, **tier_kwargs
+    )
+
+
 def ann_topk_join_lsh(
     left: DataFrame,
     right: DataFrame,
