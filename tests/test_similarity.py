@@ -308,6 +308,22 @@ def test_pq_adc_score_matches_numpy_and_recall(spark, emb, query):
     pool = {r["vec_id"] for r in ann_topk_pq(coded, books, query, k=50).collect()}
     assert exact10 <= pool
 
+    # rerank_pool wires that in: scores become EXACT cosines (not ADC
+    # estimates), the result ⊆ the ADC pool, and recall beats raw ADC
+    rer = ann_topk_pq(coded, books, query, k=10, rerank_pool=50).collect()
+    assert len(rer) == 10
+    assert {r["vec_id"] for r in rer} <= pool
+    id2vec = {
+        r["vec_id"]: np.asarray(list(r["embedding"]), dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    for r in rer:
+        expect = float(np.clip(id2vec[r["vec_id"]] @ qv, 0.0, 1.0))
+        assert abs(r["similarity_score"] - expect) < 1e-6
+    rerank_recall = len({r["vec_id"] for r in rer} & exact10) / 10
+    assert rerank_recall >= recall
+    assert rerank_recall >= 0.9, f"rerank recall@10: {rerank_recall}"
+
 
 def test_pq_dim_mismatch_raises(spark, emb):
     from vectordb_light_spark.operators.similarity import train_pq_codebooks

@@ -777,6 +777,8 @@ def ann_topk_pq(
     k: int = 10,
     id_col: str = "vec_id",
     code_col: str = "pq_code",
+    rerank_pool: int | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k in the compressed domain: the
     query stays un-quantized; per subspace the dot product against
@@ -788,8 +790,14 @@ def ann_topk_pq(
     only; TakeOrderedAndProject keeps the result at k rows per task.
 
     Score ≈ cos(q, v) for unit-norm v (it is exactly cos(q, PQ(v))
-    up to reconstruction error). Re-rank the k results exactly by
-    joining vectors back when precision matters.
+    up to reconstruction error). ``rerank_pool=R`` (the production
+    default — ANN_EVAL.md) keeps the top-R ADC candidates, joins
+    their FULL vectors back (broadcast of R ids against the vectors
+    projection — at scale a bucketed/sorted-by-id store makes this a
+    pruned point-fetch, not a second full scan) and exact-ranks the
+    final k: ADC decides WHAT to fetch, float math decides the
+    ORDER, so recall is bounded by pool membership instead of ADC
+    distortion at +R·4·dim bytes of extra read.
     """
     books = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, sub = books.shape
@@ -811,12 +819,25 @@ def ann_topk_pq(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
+    adc = (
         encoded.select(id_col, code_col)
         .withColumn("similarity_score", score)
         .orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
+    )
+    if not rerank_pool:
+        return adc.limit(k).drop(code_col)
+    pool = adc.limit(int(rerank_pool)).select(id_col)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    exact = F.least(
+        F.greatest(dot_product(vec_col, q), F.lit(0.0)), F.lit(1.0)
+    )
+    return (
+        F.broadcast(pool)
+        .join(encoded.select(id_col, vec_col), id_col)
+        .withColumn("similarity_score", exact)
+        .orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
         .limit(k)
-        .drop(code_col)
+        .drop(vec_col)
     )
 
 
@@ -831,6 +852,8 @@ def ann_topk_ivfpq(
     id_col: str = "vec_id",
     cluster_col: str = "ivf_cluster",
     code_col: str = "pq_code",
+    rerank_pool: int | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF + PQ composed (the FAISS IVFPQ shape): the centroid probe
     prunes WHICH rows are scanned (partition pruning when the table is
@@ -851,6 +874,8 @@ def ann_topk_ivfpq(
         k=k,
         id_col=id_col,
         code_col=code_col,
+        rerank_pool=rerank_pool,
+        vec_col=vec_col,
     )
 
 

@@ -2674,7 +2674,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks (sampled-Lloyd trained), m-byte codes, asymmetric-
     distance top-k as a pure JVM lookup expression over the code
     column — the compressed-domain scan reads 16 bytes/vector instead
-    of 256. Trained index + argmin encode are iterative/numpy ⇒ no
+    of 256 — then EXACT re-rank of the top-50 ADC pool (the production
+    default per ANN_EVAL.md: recall@10 ≥ 0.9 at < 10% relative scan
+    cost). Trained index + argmin encode are iterative/numpy ⇒ no
     SQL twin (rows-only check); recall and exact-ADC-parity are
     asserted in tests/test_similarity.py."""
     from vectordb_light_spark.operators.similarity import (
@@ -2690,7 +2692,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _query_vector(spark, sf_dir, 0)
     coded = add_pq_codes(rebalance(emb), books)
-    return ann_topk_pq(coded, books, q, k=10).withColumn(
+    return ann_topk_pq(coded, books, q, k=10, rerank_pool=50).withColumn(
         "similarity_score", F.round("similarity_score", 6)
     )
 
