@@ -71,10 +71,11 @@ def test_extract_drop_policies():
     # pdf is UNGATED (pure-Python fallback runs): a textless PDF is a
     # clean no_content drop, not a missing_parser one
     assert extract_bytes("a.pdf", b"%PDF-1.4") == (None, "no_content")
-    # msg still parser-gated in this container
+    # msg is ungated too (pure-Python CFB fallback): a truncated
+    # compound file is a clean no_content drop, never missing_parser
     assert extract_bytes("a.msg", b"\xd0\xcf\x11\xe0junk") == (
         None,
-        "missing_parser",
+        "no_content",
     )
 
 

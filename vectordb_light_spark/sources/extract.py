@@ -27,13 +27,14 @@ Per-format semantics mirrored from the reference:
     intent (script/style dropped, text nodes joined by " ") stands in.
   - eml: Subject + text/plain parts + tag-stripped text/html parts,
     joined by "\\n" (document_processor.py:133-164), stdlib email.
-  - pdf/docx/msg/xls/xlsx/xlsm/rtf: require external parsers (fitz,
-    docx2txt, extract_msg, xlrd, openpyxl, striprtf) not present in
-    this container — import-gated; files of these types are dropped
-    with reason "missing_parser" unless the lib is installed. The PDF
-    path preserves the reference's ``[[pageN]]`` marker convention
-    (document_processor.py:76-84) so the page-aware chunker (T4)
-    stays format-agnostic.
+  - pdf/docx/msg/xls/xlsx/xlsm/rtf: prefer the reference's external
+    parsers (fitz, docx2txt, extract_msg, xlrd, openpyxl, striprtf)
+    when installed, and fall back to pure-Python implementations
+    (sources/pdf_text.py, office_text.py, cfb.py) when not — NO
+    format is parser-gated; every supported extension extracts in a
+    bare container. The PDF path preserves the reference's
+    ``[[pageN]]`` marker convention (document_processor.py:76-84) so
+    the page-aware chunker (T4) stays format-agnostic.
 
 Unsupported/empty/erroring files surface in a ``_rejects``-style
 side output (reason column) instead of just log lines — same drop
@@ -176,14 +177,28 @@ def _extract_pdf(data: bytes) -> str | None:
 
 
 def _extract_docx(data: bytes) -> str | None:
-    import docx2txt
+    """docx2txt when installed; otherwise the stdlib OPC/XML parser
+    (sources/office_text.py) — S3 is not parser-gated."""
+    try:
+        import docx2txt
+    except ImportError:
+        from vectordb_light_spark.sources.office_text import docx_text
+
+        return docx_text(data)
 
     text = docx2txt.process(io.BytesIO(data))
     return text if text and text.strip() else None
 
 
 def _extract_rtf(data: bytes) -> str | None:
-    from striprtf.striprtf import rtf_to_text
+    """striprtf when installed; otherwise the from-scratch tokenizer
+    (sources/office_text.py) — S11 is not parser-gated."""
+    try:
+        from striprtf.striprtf import rtf_to_text
+    except ImportError:
+        from vectordb_light_spark.sources.office_text import rtf_text
+
+        return rtf_text(data)
 
     raw = _decode(data)
     if raw is None:
@@ -193,7 +208,14 @@ def _extract_rtf(data: bytes) -> str | None:
 
 
 def _extract_msg_fmt(data: bytes) -> str | None:
-    import extract_msg
+    """extract_msg when installed; otherwise the pure-Python [MS-CFB]
+    property-stream reader (sources/cfb.py) — S8 is not parser-gated."""
+    try:
+        import extract_msg
+    except ImportError:
+        from vectordb_light_spark.sources.cfb import msg_text
+
+        return msg_text(data)
 
     msg = extract_msg.Message(io.BytesIO(data))
     parts = []
@@ -206,7 +228,14 @@ def _extract_msg_fmt(data: bytes) -> str | None:
 
 
 def _extract_xls(data: bytes) -> str | None:
-    import xlrd
+    """xlrd when installed; otherwise the pure-Python BIFF8 cell
+    reader (sources/cfb.py) — S9 is not parser-gated."""
+    try:
+        import xlrd
+    except ImportError:
+        from vectordb_light_spark.sources.cfb import xls_text
+
+        return xls_text(data)
 
     book = xlrd.open_workbook(file_contents=data)
     lines = []
@@ -224,7 +253,14 @@ def _extract_xls(data: bytes) -> str | None:
 
 
 def _extract_xlsx(data: bytes) -> str | None:
-    from openpyxl import load_workbook
+    """openpyxl when installed; otherwise the stdlib SpreadsheetML
+    parser (sources/office_text.py) — S10 is not parser-gated."""
+    try:
+        from openpyxl import load_workbook
+    except ImportError:
+        from vectordb_light_spark.sources.office_text import xlsx_text
+
+        return xlsx_text(data)
 
     wb = load_workbook(io.BytesIO(data), data_only=True, read_only=True)
     lines = []
