@@ -88,11 +88,15 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 _POLY_MOD = 2_147_483_647  # 2^31-1; products stay far below 2^64
 
 
-def _np_shingle_hashes(text: str | None, n: int) -> np.ndarray:
+def _np_shingle_hashes(text: str | None, n: int, *, finalize: bool = True) -> np.ndarray:
     """uint64 hash per char n-gram (multiset, order of appearance):
-    polynomial rolling hash over codepoints, then a splitmix64-style
-    finalizer to spread the 31-bit poly value over all 64 bits.
-    Fully vectorized — one sliding-window matmul per document."""
+    polynomial rolling hash over codepoints, then (by default) a
+    splitmix64-style finalizer to spread the 31-bit poly value over
+    all 64 bits. ``finalize=False`` returns the raw 31-bit polynomial
+    value — the ORACLE-TWIN family: the identical recurrence is
+    expressible in DuckDB SQL (``list_reduce`` over ``ord()``), which
+    is how the driver cross-checks the sketch entries. Fully
+    vectorized — one sliding-window matmul per document."""
     if not text:
         return np.zeros(0, dtype=np.uint64)
     codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
@@ -103,6 +107,8 @@ def _np_shingle_hashes(text: str | None, n: int) -> np.ndarray:
     k = windows.shape[1]
     powers = np.array([pow(257, k - 1 - j, _POLY_MOD) for j in range(k)], dtype=np.uint64)
     h = (windows * powers[None, :]).sum(axis=1) % _POLY_MOD
+    if not finalize:
+        return h
     # splitmix64 finalizer (public-domain constant mix)
     with np.errstate(over="ignore"):
         z = h + np.uint64(0x9E3779B97F4A7C15)
@@ -173,6 +179,22 @@ def duplicate_groups(
 # ---------------------------------------------------------------------------
 
 
+#: 2^61-1 (Mersenne): modulus of the oracle-twin minhash family.
+_P61 = (1 << 61) - 1
+
+
+def minhash_poly_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    """(a, b) constants of the ``poly31`` minhash family
+    h_i(x) = (a_i·x mod p + b_i) mod p, p = 2^61-1, odd a_i < 2^33.
+    Exposed so oracle SQL can inline the SAME constants: a_i·x stays
+    below 2^64 (x < 2^31), so both numpy uint64 and DuckDB HUGEINT
+    evaluate the identical integers."""
+    rng = np.random.default_rng(seed)
+    a = ((rng.integers(1, 1 << 32, size=num_hashes, dtype=np.uint64) << 1) | 1).tolist()
+    b = rng.integers(0, _P61, size=num_hashes, dtype=np.uint64).tolist()
+    return [int(x) for x in a], [int(x) for x in b]
+
+
 def add_minhash_signature(
     df: DataFrame,
     *,
@@ -182,13 +204,19 @@ def add_minhash_signature(
     num_hashes: int = DEFAULT_NUM_HASHES,
     seed: int = DEFAULT_SEED,
     keep: list[str] | None = None,
+    hash_family: str = "splitmix64",
 ) -> DataFrame:
     """(id, minhash: array<long>[num_hashes]) per row.
 
     One Arrow stage per row: vectorized shingle hashing + signature
     minima over a seeded multiply-shift universal family
     (Broder 1997: P[min h_i(A) = min h_i(B)] = Jaccard(A,B)). Zero
-    shuffle; deterministic for a given seed."""
+    shuffle; deterministic for a given seed.
+
+    ``hash_family``: ``splitmix64`` (default — full-width 64-bit
+    production family) or ``poly31`` (raw 31-bit polynomial shingle
+    hash + mod-2^61-1 multiply-shift; bit-for-bit replicable in
+    DuckDB SQL, used by the driver-oracle registry entry)."""
     canon = _canonical_staged(df, text_col=text_col, id_col=id_col, keep=keep)
     # Shingle hashing AND the signature minima run in one Arrow stage:
     # per-document sliding-window polynomial hash (numpy matmul), then
@@ -196,18 +224,31 @@ def add_minhash_signature(
     # mod 2^64, odd a_i. The equivalent JVM higher-order-function
     # formulation evaluates num_hashes lambda bodies per shingle in
     # the expression interpreter — ~100× slower at 64 hashes.
-    rng = np.random.default_rng(seed)
-    a_mult = (rng.integers(1, 1 << 62, size=num_hashes, dtype=np.uint64) << 1) | 1
-    b_add = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
+    if hash_family == "poly31":
+        a_list, b_list = minhash_poly_params(num_hashes, seed)
+        a_mult = np.array(a_list, dtype=np.uint64)
+        b_add = np.array(b_list, dtype=np.uint64)
+    else:
+        rng = np.random.default_rng(seed)
+        a_mult = (rng.integers(1, 1 << 62, size=num_hashes, dtype=np.uint64) << 1) | 1
+        b_add = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_sig(texts: pd.Series) -> pd.Series:
         def one(t):
-            x = _np_shingle_hashes(t, shingle_n)
+            x = _np_shingle_hashes(t, shingle_n, finalize=hash_family != "poly31")
             if x.size == 0:
                 return np.full(num_hashes, (1 << 63) - 1, dtype=np.int64)
             with np.errstate(over="ignore"):
-                m = a_mult[:, None] * x[None, :] + b_add[:, None]
+                if hash_family == "poly31":
+                    # a·x < 2^64 (a < 2^33, x < 2^31): no uint64 wrap
+                    # before the mod, so SQL HUGEINT math agrees.
+                    m = ((a_mult[:, None] * x[None, :]) % np.uint64(_P61)
+                         + b_add[:, None]) % np.uint64(_P61)
+                else:
+                    m = a_mult[:, None] * x[None, :] + b_add[:, None]
+            if hash_family == "poly31":
+                return m.min(axis=1).astype(np.int64)
             return (m.min(axis=1) >> np.uint64(1)).astype(np.int64)
 
         return texts.map(one)
@@ -217,11 +258,30 @@ def add_minhash_signature(
     )
 
 
-def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+def lsh_band_keys(
+    signature: Column, bands: int, rows_per_band: int, key_family: str = "xxhash64"
+) -> Column:
     """Split a minhash signature into ``bands`` keys (hash of each
     band's rows). Two sets sharing ANY band key become candidates —
     the standard S-curve tradeoff: P[candidate] = 1-(1-j^r)^b.
-    Apply to a materialized signature column."""
+    Apply to a materialized signature column.
+
+    ``key_family``: ``xxhash64`` (default, JVM) or ``poly31`` — a
+    mod-2^31-1 polynomial fold over the band rows whose arithmetic
+    never exceeds 2^40, so DuckDB ``list_reduce`` over BIGINT
+    reproduces it exactly (the oracle-twin path). The join is on
+    (band_idx, band_key), so cross-band key collisions are harmless
+    either way."""
+    if key_family == "poly31":
+        m31 = F.lit(2147483647).cast("long")
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.aggregate(
+                F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, v: (acc * 257 + v % m31) % m31,
+            ),
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
@@ -246,6 +306,7 @@ def minhash_lsh_candidates(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     seed: int = DEFAULT_SEED,
+    hash_family: str = "splitmix64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash
     LSH, annotated with the signature-estimated Jaccard.
@@ -254,6 +315,9 @@ def minhash_lsh_candidates(
     self-equi-join on (band_idx, band_key) — shuffle carries only
     (band key, id, signature) — → pair dedup across bands. Band keys
     are uniform 64-bit hashes → no join skew at any scale.
+
+    ``hash_family="poly31"`` switches signature AND band keys to the
+    DuckDB-replicable family (see :func:`add_minhash_signature`).
     """
     from vectordb_light_spark.session import persist_if_batch
 
@@ -268,17 +332,19 @@ def minhash_lsh_candidates(
             shingle_n=shingle_n,
             num_hashes=num_hashes,
             seed=seed,
+            hash_family=hash_family,
         ).select(
             F.col(id_col).alias("__id"),
             F.col("minhash").alias("__sig"),
         )
     )
+    key_family = "poly31" if hash_family == "poly31" else "xxhash64"
     banded = with_sig.select(
         "__id",
         "__sig",
-        F.posexplode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias(
-            "__band_idx", "__band_key"
-        ),
+        F.posexplode(
+            lsh_band_keys(F.col("__sig"), bands, rows_per_band, key_family)
+        ).alias("__band_idx", "__band_key"),
     )
     a = banded.select(
         F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
@@ -339,10 +405,15 @@ def add_simhash64(
     shingle_n: int = 4,
     out_col: str = "simhash",
     keep: list[str] | None = None,
+    hash_family: str = "splitmix64",
 ) -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash (Charikar 2002) of the
     shingle multiset: per-bit ±1 votes over shingle hashes, sign →
-    bit. Hamming-close outputs ⇔ similar shingle sets."""
+    bit. Hamming-close outputs ⇔ similar shingle sets.
+
+    ``hash_family="poly31"`` votes over the raw 31-bit polynomial
+    shingle hashes (bits 31-63 never set) — a narrower but DuckDB-
+    replicable sketch for the driver-oracle entry."""
     canon = _canonical_staged(df, text_col=text_col, id_col=id_col, keep=keep)
     # Shingle hashing and bit votes in one Arrow stage: unpack hashes
     # to a bits matrix, sum per bit, sign → bit. The equivalent JVM
@@ -353,7 +424,7 @@ def add_simhash64(
     @pandas_udf(LongType())
     def simhash_sig(texts: pd.Series) -> pd.Series:
         def one(t) -> int:
-            x = _np_shingle_hashes(t, shingle_n)
+            x = _np_shingle_hashes(t, shingle_n, finalize=hash_family != "poly31")
             if x.size == 0:
                 return 0
             bits = (x[:, None] >> shifts[None, :]) & np.uint64(1)
@@ -383,6 +454,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     shingle_n: int = 4,
     max_hamming: int = 3,
+    hash_family: str = "splitmix64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 × 16-bit sub-keys (any
     pair within Hamming ≤3 of a 64-bit key shares at least one exact
@@ -390,15 +462,28 @@ def simhash_near_dups(
     then verify Hamming within blocks.
 
     The block join is an equi-join on (quarter_idx, quarter_value);
-    shuffle volume is 4 rows × 16 bytes per document."""
+    shuffle volume is 4 rows × 16 bytes per document. Pigeonhole is
+    lossless for max_hamming ≤ 3 (4 blocks); wider bounds trade
+    recall. With ``hash_family="poly31"`` the sketch occupies bits
+    0-30 only, so blocking switches to 4 × 8-bit chunks of the low 32
+    bits — every block keeps entropy and the same ≤3 guarantee
+    holds."""
     from vectordb_light_spark.session import persist_if_batch
 
     # Persisted: both self-join sides consume the sketch stage.
     keyed = persist_if_batch(
         add_simhash64(
-            df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            hash_family=hash_family,
         ).select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sim"))
     )
+    if hash_family == "poly31":
+        shifts_masks = [(s, 0xFF) for s in (0, 8, 16, 24)]
+    else:
+        shifts_masks = [(s, 0xFFFF) for s in (0, 16, 32, 48)]
     quarters = keyed.select(
         "__id",
         "__sim",
@@ -406,9 +491,9 @@ def simhash_near_dups(
             F.array(
                 *[
                     F.shiftrightunsigned(F.col("__sim"), s).bitwiseAND(
-                        F.lit(0xFFFF).cast("long")
+                        F.lit(mask).cast("long")
                     )
-                    for s in (0, 16, 32, 48)
+                    for s, mask in shifts_masks
                 ]
             )
         ).alias("__q_idx", "__q_val"),

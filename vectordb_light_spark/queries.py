@@ -956,31 +956,186 @@ def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dd_minhash_candidates")  # rows-only: xxhash64 has no DuckDB twin
-def dd_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (64 hashes, 16 bands) —
-    the scale path for N×N near-dedup: shuffle carries only
-    (band_key, id, signature), never text. No oracle: signatures
-    depend on Spark's xxhash64, which DuckDB lacks; the exact-Jaccard
-    tier (dd_jaccard_pairs) oracle-checks the same semantics."""
-    from vectordb_light_spark.operators.dedup import minhash_lsh_candidates
+def _shingle_hash_cte(n: int) -> str:
+    """DuckDB CTE fragment computing, per document, the SAME 31-bit
+    polynomial char-shingle hashes as ``dedup._np_shingle_hashes``
+    (finalize=False): window n, base 257, mod 2^31-1 over canonical
+    text — the oracle-twin hash family."""
+    return f"""
+    c AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(length(t) - {n} + 1, 1)),
+                   s -> list_reduce(
+                       list_prepend(0::BIGINT,
+                           list_transform(
+                               generate_series(0, least({n}, length(t)) - 1),
+                               j -> ord(substring(t, s + j, 1))::BIGINT)),
+                       (acc, x) -> (acc * 257 + x) % 2147483647)) AS hs
+        FROM c WHERE length(t) > 0
+    )"""
 
-    docs = load_docs(spark, sf_dir)
+
+def _minhash_oracle_sql() -> str:
+    """Full-pipeline MinHash-LSH oracle: signature minima over the
+    mod-2^61-1 multiply-shift family (constants shared with the
+    engine via ``minhash_poly_params``), poly band keys, band
+    equi-join, est-Jaccard filter — integer-for-integer the same
+    arithmetic as the Spark plan."""
+    from vectordb_light_spark.operators.dedup import minhash_poly_params
+
+    p61 = (1 << 61) - 1
+    a_list, b_list = minhash_poly_params(16, 42)
+    sig_items = ",\n               ".join(
+        f"list_min(list_transform(hs, x -> CAST(({a}::HUGEINT * x"
+        f" % {p61} + {b}) % {p61} AS BIGINT)))"
+        for a, b in zip(a_list, b_list)
+    )
+    return f"""
+    WITH {_shingle_hash_cte(5)},
+    sig AS (
+        SELECT doc_id,
+               [{sig_items}] AS sig
+        FROM h
+    ),
+    bands AS (
+        SELECT doc_id, sig, b.i AS band_idx,
+               list_reduce(
+                   list_prepend(0::BIGINT, list_slice(sig, b.i * 4 + 1, b.i * 4 + 4)),
+                   (acc, v) -> (acc * 257 + v % 2147483647) % 2147483647
+               ) AS band_key
+        FROM sig, UNNEST([0, 1, 2, 3]) AS b(i)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+                        a.sig AS sa, bb.sig AS sb
+        FROM bands a
+        JOIN bands bb ON a.band_idx = bb.band_idx
+                     AND a.band_key = bb.band_key
+                     AND a.doc_id < bb.doc_id
+    )
+    SELECT id_a, id_b, ROUND(n_eq / 16.0, 6) AS est_jaccard
+    FROM (
+        SELECT id_a, id_b,
+               len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS n_eq
+        FROM pairs
+    )
+    WHERE n_eq >= 12
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dd_minhash_candidates", oracle=_minhash_oracle_sql())
+def dd_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (16 hashes, 4 bands,
+    est-Jaccard ≥ 0.75) — the scale path for N×N near-dedup: shuffle
+    carries only (band_key, id, signature), never text. Runs the
+    ``poly31`` oracle-twin hash family so DuckDB replays signature,
+    banding, and estimate bit-for-bit; the production default
+    (splitmix64/xxhash64, 64 hashes) shares every line of plan and is
+    recall-tested in tests/test_dedup.py."""
+    from vectordb_light_spark.operators.dedup import (
+        canonical_text,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_docs(spark, sf_dir).where(F.length(canonical_text("text")) > 0)
     return (
-        minhash_lsh_candidates(docs, num_hashes=64, bands=16)
-        .where(F.col("est_jaccard") >= 0.5)
+        minhash_lsh_candidates(
+            docs, num_hashes=16, bands=4, hash_family="poly31"
+        )
+        .where(F.col("est_jaccard") >= 0.75)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
         .orderBy("id_a", "id_b")
     )
 
 
-@register("dd_simhash_near_dups")  # rows-only: xxhash64-based sketch
+def _simhash_oracle_sql() -> str:
+    """SimHash oracle: 31-bit sketch by per-bit majority vote over the
+    poly31 shingle hashes, then ALL-pairs Hamming ≤ 2 — equal to the
+    engine's 8-bit-block plan because pigeonhole over 4 blocks is
+    lossless for Hamming ≤ 3 (the Hamming verify is exact on both
+    sides)."""
+    return f"""
+    WITH {_shingle_hash_cte(4)},
+    sk AS (
+        SELECT doc_id,
+               CAST(list_aggregate(list_transform(generate_series(0, 30),
+                   j -> CASE WHEN 2 * CAST(list_aggregate(
+                                 list_transform(hs, x -> (x // (1::BIGINT << j)) % 2),
+                                 'sum') AS BIGINT) > len(hs)
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum')
+                    AS BIGINT) AS sim
+        FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+    FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 2
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dd_simhash_near_dups", oracle=_simhash_oracle_sql())
 def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 12 on 64-bit sketches,
-    pigeonhole-blocked on 16-bit quarters)."""
-    from vectordb_light_spark.operators.dedup import simhash_near_dups
+    """SimHash near-dup pairs (Hamming ≤ 2), block-keyed
+    equi-join + exact Hamming verify. Runs the ``poly31`` oracle-twin
+    sketch (DuckDB replays the bit votes exactly); the 64-bit
+    splitmix64 production sketch is the same plan with max_hamming ≤
+    3 for lossless pigeonhole blocking."""
+    from vectordb_light_spark.operators.dedup import canonical_text, simhash_near_dups
+
+    docs = load_docs(spark, sf_dir).where(F.length(canonical_text("text")) > 0)
+    return (
+        simhash_near_dups(docs, max_hamming=2, hash_family="poly31")
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dd_remove_boilerplate",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, s.i AS pos, string_split(text, ' ')[s.i] AS w
+        FROM documents,
+             UNNEST(generate_series(1, len(string_split(text, ' ')))) AS s(i)
+    ),
+    hot AS (
+        SELECT w FROM p WHERE trim(w) <> ''
+        GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 390
+    ),
+    kept AS (
+        SELECT doc_id, pos, w FROM p WHERE w NOT IN (SELECT w FROM hot)
+    ),
+    r AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dd_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (CCNet-style repeated-segment
+    filter): split each document on the separator, count DISTINCT
+    documents per segment, strip segments above the repetition bar,
+    rebuild in original order. The synthetic corpus has single-line
+    documents, so the registry entry runs at word granularity
+    (sep=' ', bar=390 of 500 docs) — same operator, same plan: the
+    frequency shuffle keys on a 64-bit segment hash, the join back is
+    broadcast-able, rebuild preserves positions via posexplode."""
+    from vectordb_light_spark.operators.dedup import remove_boilerplate
 
     docs = load_docs(spark, sf_dir)
-    return simhash_near_dups(docs, max_hamming=12).orderBy("id_a", "id_b")
+    return remove_boilerplate(
+        docs.select("doc_id", "text"), sep=" ", min_docs=390
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1939,6 +2094,42 @@ def prof_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_light_spark.operators.profiling import events_sketch_profile
 
     return events_sketch_profile(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "prof_sketch_accuracy",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def prof_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy contract: exact distinct users per event type
+    alongside a BOUND CHECK that the HLL++ estimate (rsd=2%) lands
+    within 5% of exact. The oracle pins the exact counts and requires
+    every bound check to hold (TRUE column) — the estimate itself is
+    implementation-defined, so this is the strongest SQL-checkable
+    statement about a sketch; the estimate's value is additionally
+    error-bound-tested in tests/test_profiling.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register(
