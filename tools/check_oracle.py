@@ -100,9 +100,11 @@ def main() -> int:
                 print(f"FAIL {name}: exotic oracle types (CAST them): {exotic}")
                 failures += 1
                 continue
+            t1 = time.time()
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            oracle_s = time.time() - t1
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
@@ -129,7 +131,10 @@ def main() -> int:
                         print(f"  spark:  {a}\n  oracle: {b}")
                         break
         else:
-            print(f"PASS {name}: {len(srows)} rows, {spark_s:.1f}s")
+            print(
+                f"PASS {name}: {len(srows)} rows, "
+                f"{spark_s:.1f}s spark + {oracle_s:.1f}s oracle"
+            )
     return 1 if failures else 0
 
 

@@ -45,17 +45,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--chunk-size", type=int, default=1200)
     p.add_argument("--chunk-overlap", type=int, default=600)
 
-    for cmd in ("search", "hybrid", "diverse", "chunks-only", "rag-prompt"):
+    for cmd in ("search", "hybrid", "diverse", "chunks-only", "rag-prompt", "rag-chat"):
         p = sub.add_parser(cmd)
         common(p)
         p.add_argument("--query", required=True)
         p.add_argument("--k", type=int, default=6)
-        if cmd in ("search", "chunks-only", "rag-prompt"):
+        if cmd in ("search", "chunks-only", "rag-prompt", "rag-chat"):
             p.add_argument("--threshold", type=float, default=0.4)
         if cmd == "search":
             p.add_argument("--search-term", default=None)
             p.add_argument("--document-type", default=None)
             p.add_argument("--ann-radius", type=int, default=None)
+        if cmd == "rag-chat":
+            # entry point C (reference chat_llm.py:54-164): stream the
+            # RAG completion from an OpenAI-protocol server
+            p.add_argument("--base-url", required=True)
+            p.add_argument("--model", default="local-model")
+            p.add_argument("--api-key", default="not-needed")
 
     common(sub.add_parser("srp-index"))
     common(sub.add_parser("compact"))
@@ -159,6 +165,17 @@ def main(argv: list[str] | None = None) -> int:
         # the assembled RAG prompt (the reference sends this to an LLM;
         # the LLM call sits above the engine API)
         print(db.rag_prompt(a.query, SearchParams(k=a.k, threshold=a.threshold)))
+        return 0
+    if a.cmd == "rag-chat":
+        from vectordb_light_spark.chat import ChatConfig, stream_chat
+
+        prompt = db.rag_prompt(a.query, SearchParams(k=a.k, threshold=a.threshold))
+        for delta in stream_chat(
+            prompt,
+            ChatConfig(base_url=a.base_url, model=a.model, api_key=a.api_key),
+        ):
+            print(delta, end="", flush=True)
+        print()
         return 0
     return 1
 
