@@ -320,3 +320,37 @@ def fingerprint64(col: Column | str) -> Column:
     text — the engine's cheap exact-dup key (xxhash64 builtin)."""
     canon = F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
     return F.xxhash64(canon)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene; beyond-reference)
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns in the Java-regex/RE2 COMMON dialect (no
+#: lookaround, no backreferences) so Spark's regexp_replace and a
+#: DuckDB oracle evaluate identically. Order matters: emails before
+#: phones (an email's digits must not half-match the phone pattern).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace emails / phone numbers / IPv4 literals with typed
+    placeholder tokens — the standard pre-training redaction pass.
+    Pure JVM regexp_replace chain: map-only, pushdown-friendly, no
+    Python in the hot path."""
+    out = _c(col)
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """{kind: count of matches} per row, for redaction reporting."""
+    return {
+        kind: F.size(F.regexp_extract_all(_c(col), F.lit(pattern), F.lit(0)))
+        for kind, pattern, _ in PII_PATTERNS
+    }

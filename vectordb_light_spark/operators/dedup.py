@@ -695,3 +695,74 @@ def remove_boilerplate(
         .join(rebuilt, id_col, "left")
         .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (n-gram overlap; beyond-reference)
+# ---------------------------------------------------------------------------
+
+
+def token_ngrams(col: Column | str, n: int = 8) -> Column:
+    """Lower-cased whitespace-token n-grams of a text column, as
+    space-joined strings (the GPT-3-style decontamination unit).
+    Documents shorter than n tokens yield their full token string as
+    the single gram."""
+    col = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    sz = F.size(toks)
+    return F.when(
+        sz <= n, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), sz - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-train-document count of DISTINCT token n-grams shared with
+    the benchmark set — the pre-training decontamination pass (flag or
+    drop train documents that leak eval data).
+
+    Plan: both sides explode to (gram_key, ...) where gram_key is a
+    128-bit md5 of the gram text (fixed-width shuffle keys, never the
+    gram strings; md5 is a JVM builtin AND DuckDB-replicable, which
+    keeps the operator oracle-checkable — swap xxhash64 in if oracle
+    parity is not needed). The benchmark side is distinct-ed and
+    broadcast when small (the usual case: eval sets are tiny next to
+    the corpus); the train side stays partition-local until the
+    aggregation on ``id_col``."""
+    grams = token_ngrams(F.col(text_col), n)
+    bench_keys = (
+        bench.select(F.explode(grams).alias("__g"))
+        .select(F.md5(F.col("__g")).alias("__gk"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(grams)).alias("__g"),
+    ).select(id_col, F.md5(F.col("__g")).alias("__gk"))
+    hits = train_grams.join(F.broadcast(bench_keys), "__gk")
+    return (
+        train.select(id_col)
+        .join(
+            hits.groupBy(id_col).agg(
+                F.count_distinct(F.col("__gk")).alias("n_shared_grams")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shared_grams"), F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce(F.col("n_shared_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
