@@ -3699,6 +3699,61 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(train, bench, n=4).orderBy("doc_id")
 
 
+@register(
+    "ts_repetition_filter",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(generate_series(1, len(toks) - 2),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+               END AS grams
+        FROM tok
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+           ROUND(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+               AS dup_frac,
+           1.0 - len(list_distinct(grams))::DOUBLE / len(grams) > 0.05
+               AS repetitive
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def ts_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher/MassiveText
+    duplicate-n-gram heuristic): fraction of token 3-grams that are
+    repeats of an earlier gram in the SAME document; documents above
+    the bar get flagged (generated/spammy text repeats heavily).
+    All JVM builtins over one scan — split, slide, array_distinct —
+    no shuffle, no Python: the cheapest quality gate in the corpus
+    pipeline and a pure map at any scale."""
+    from vectordb_light_spark.operators.dedup import token_ngrams
+
+    docs = load_docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    g = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        token_ngrams(F.col("text"), 3).alias("grams"),
+    )
+    dup = 1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct"),
+        F.round(dup, 6).alias("dup_frac"),
+        (dup > 0.05).alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering
 # ---------------------------------------------------------------------------
@@ -3770,6 +3825,7 @@ _REGISTRY_ORDER = [
     "prof_events_sketch",
     "vq_chunks_only",
     "ts_pii_scrub",
+    "ts_repetition_filter",
     "mm_image_pipeline",
     "pipe_training_corpus",
     "dd_embedding_near_dups",
