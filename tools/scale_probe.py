@@ -112,6 +112,28 @@ def probes(spark, docs, emb):
 
         return bigram_lm_scores(docs).count()
 
+    def p_decontaminate():
+        from vectordb_light_spark.operators.dedup import ngram_contamination
+
+        bench = docs.where(F.col("doc_id") % 997 == 0)  # ~0.1% eval slice
+        return ngram_contamination(docs, bench, n=4).count()
+
+    def p_pii_scrub():
+        from vectordb_light_spark.functions.text import scrub_pii
+
+        return (
+            docs.select(F.length(scrub_pii("text")).alias("n"))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+
+    def p_boilerplate():
+        from vectordb_light_spark.operators.dedup import remove_boilerplate
+
+        return remove_boilerplate(
+            docs.select("doc_id", "text"), sep=" ", min_docs=docs.count() * 3 // 4
+        ).count()
+
     return {
         "winnow_fingerprints": p_winnow,
         "minhash_lsh_candidates": p_minhash,
@@ -122,6 +144,9 @@ def probes(spark, docs, emb):
         "mean_pool_64groups": p_mean_pool,
         "containment_pairs": p_containment,
         "bigram_lm_scores": p_bigram_lm,
+        "ngram_decontaminate": p_decontaminate,
+        "pii_scrub": p_pii_scrub,
+        "remove_boilerplate": p_boilerplate,
     }
 
 
