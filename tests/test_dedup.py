@@ -192,3 +192,97 @@ def test_remove_boilerplate_strips_repeated_paragraphs(spark):
         for r in remove_boilerplate(df, min_doc_frac=0.5).collect()
     }
     assert footer not in out_frac[0]
+
+
+# ---------------------------------------------------------------------------
+# poly31 oracle-twin family
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_poly31_finds_same_dups_as_production_family(spark):
+    df = _df(spark)
+    for family in ("splitmix64", "poly31"):
+        cand = minhash_lsh_candidates(
+            df, num_hashes=32, bands=8, hash_family=family
+        ).where(F.col("est_jaccard") >= 0.5)
+        pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+        # both families must surface the exact dup (1,2) and the
+        # near dup (1,3)/(2,3) cluster, and nothing touching 4 or 5
+        assert (1, 2) in pairs, family
+        assert all(a not in (4, 5) and b not in (4, 5) for a, b in pairs), family
+
+
+def test_minhash_poly31_signature_range_and_determinism(spark):
+    df = _df(spark)
+    sig1 = {
+        r.doc_id: r.minhash
+        for r in add_minhash_signature(df, hash_family="poly31").collect()
+    }
+    sig2 = {
+        r.doc_id: r.minhash
+        for r in add_minhash_signature(df, hash_family="poly31").collect()
+    }
+    assert sig1 == sig2
+    p61 = (1 << 61) - 1
+    assert all(0 <= v < p61 for s in sig1.values() for v in s)
+
+
+def test_simhash_poly31_uses_low_31_bits_only(spark):
+    df = _df(spark)
+    sketches = [
+        r.simhash for r in add_simhash64(df, hash_family="poly31").collect()
+    ]
+    assert all(0 <= s < (1 << 31) for s in sketches)
+
+
+def test_simhash_poly31_blocked_pairs_match_brute_force(spark):
+    df = _df(spark)
+    blocked = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dups(df, max_hamming=3, hash_family="poly31").collect()
+    }
+    sk = {r.doc_id: r.simhash for r in add_simhash64(df, hash_family="poly31").collect()}
+    ids = sorted(sk)
+    brute = {
+        (a, b): bin(sk[a] ^ sk[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sk[a] ^ sk[b]).count("1") <= 3
+    }
+    assert blocked == brute  # pigeonhole over 4 blocks is lossless at <=3
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_contamination_counts_shared_grams(spark):
+    from vectordb_light_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon suffix"),  # contains bench
+            (2, "totally different words with zero overlap here"),
+            (3, "alpha beta gamma delta words beyond"),  # shares one 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_contamination(train, bench, n=4).collect()}
+    assert out[1].contaminated and out[1].n_shared_grams == 2
+    assert not out[2].contaminated and out[2].n_shared_grams == 0
+    assert out[3].contaminated and out[3].n_shared_grams == 1
+
+
+def test_ngram_contamination_short_docs_use_whole_text_gram(spark):
+    from vectordb_light_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "other thing")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.contaminated for r in ngram_contamination(train, bench, n=4).collect()}
+    assert out == {1: True, 2: False}

@@ -198,3 +198,38 @@ def test_winnow_udf_matches_builtin(spark):
     b = {r["id"]: list(r["fp"]) for r in builtin.collect()}
     u = {r["id"]: list(r["fp"]) for r in udf.collect()}
     assert b == u
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii_replaces_all_kinds(spark):
+    from vectordb_light_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@example.org or call +1-555-0100, host 192.168.0.1 ok")],
+        "id long, text string",
+    )
+    counts = pii_counts("text")
+    row = df.select(
+        scrub_pii("text").alias("t"),
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ipv4"].alias("i"),
+    ).first()
+    assert "<EMAIL>" in row.t and "<PHONE>" in row.t and "<IP>" in row.t
+    assert "example.org" not in row.t and "192.168" not in row.t
+    assert (row.e, row.p, row.i) == (1, 1, 1)
+
+
+def test_scrub_pii_leaves_clean_text_alone(spark):
+    from vectordb_light_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "no sensitive content in this sentence at all")],
+        "id long, text string",
+    )
+    out = df.select(scrub_pii("text").alias("t")).first().t
+    assert out == "no sensitive content in this sentence at all"

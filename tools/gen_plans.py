@@ -43,6 +43,13 @@ NOTES = {
  'ts_bigram_lm_score': 'Bigram LM score: ONE tokenize+bigram explode persists (InMemoryTableScan feeds model counts AND scoring); the bigram-count and continuation-count tables aggregate to vocabulary size and re-enter as BroadcastHashJoins.',
  'rel_orders_pareto': 'Pareto: per-customer cents aggregate (partial+final), then ONE ordered window partition computes rank and running share; integer-cents keep cross-engine order bit-deterministic.',
  'rel_forecast_revenue': 'Q6 shape: every predicate conjunct lands in PushedFilters; the plan is scan -> partial HashAggregate -> exchange of ONE row -> final agg.',
+ 'dd_minhash_candidates': 'MinHash LSH: one Arrow signature stage persists (both self-join sides read the InMemoryTableScan); band keys explode to (band_idx, key) and the candidate join is a plain hash equi-join on uniform keys — shuffle carries (key, id, 16-long signature), never text; est-Jaccard is a zip_with over the joined signatures.',
+ 'dd_simhash_near_dups': 'SimHash: sketch UDF persists once; posexplode emits 4 fixed-width block keys per row, the block equi-join + bit_count verify bounds the candidate set BEFORE the pair-dedup exchange.',
+ 'dd_remove_boilerplate': 'Boilerplate strip: posexplode(split) persists; the frequency agg shuffles a 64-bit segment hash (never segment text) and aggregates to distinct-segment count, so the anti-join back is broadcast-able; rebuild is one groupBy(id) with positional array_sort.',
+ 'pipe_decontaminate': 'Decontamination: benchmark grams aggregate to a distinct md5-key set and re-enter as BroadcastHashJoin (LeftAnti-style hit probe); the train side explodes distinct grams map-side — the only data-sized exchange is the final per-doc count.',
+ 'ts_pii_scrub': 'PII scrub: three chained regexp_replace + regexp_extract_all counts, all inside one codegen Project over the scan — no shuffle, no Python stage.',
+ 'ts_repetition_filter': 'Repetition filter: token 3-grams, distinct count and dup fraction are all higher-order functions in one Project; the plan is scan -> project -> sort (output order only).',
+ 'prof_sketch_accuracy': 'Sketch accuracy: exact count-distinct (two-phase expand) and HLL++ partials share one scan and one exchange; the bound check is a scalar projection over 5 aggregate rows.',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',

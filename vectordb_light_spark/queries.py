@@ -980,12 +980,14 @@ def _shingle_hash_cte(n: int) -> str:
     )"""
 
 
-def _minhash_oracle_sql() -> str:
-    """Full-pipeline MinHash-LSH oracle: signature minima over the
-    mod-2^61-1 multiply-shift family (constants shared with the
-    engine via ``minhash_poly_params``), poly band keys, band
-    equi-join, est-Jaccard filter — integer-for-integer the same
-    arithmetic as the Spark plan."""
+def _minhash_cand_ctes() -> str:
+    """Shared CTE chain ending in ``cand`` = MinHash-LSH candidate
+    pairs (poly31 family, 16 hashes / 4 bands, n_eq ≥ 12): signature
+    minima over the mod-2^61-1 multiply-shift family (constants from
+    ``minhash_poly_params``), poly band keys, band equi-join —
+    integer-for-integer the same arithmetic as the Spark plan. Used
+    by both the candidates oracle and the recursive-CTE clusters
+    oracle."""
     from vectordb_light_spark.operators.dedup import minhash_poly_params
 
     p61 = (1 << 61) - 1
@@ -995,8 +997,7 @@ def _minhash_oracle_sql() -> str:
         f" % {p61} + {b}) % {p61} AS BIGINT)))"
         for a, b in zip(a_list, b_list)
     )
-    return f"""
-    WITH {_shingle_hash_cte(5)},
+    return f"""{_shingle_hash_cte(5)},
     sig AS (
         SELECT doc_id,
                [{sig_items}] AS sig
@@ -1017,14 +1018,28 @@ def _minhash_oracle_sql() -> str:
         JOIN bands bb ON a.band_idx = bb.band_idx
                      AND a.band_key = bb.band_key
                      AND a.doc_id < bb.doc_id
-    )
+    ),
+    cand AS (
+        SELECT id_a, id_b, n_eq
+        FROM (
+            SELECT id_a, id_b,
+                   len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS n_eq
+            FROM pairs
+        )
+        WHERE n_eq >= 12
+    )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Full-pipeline MinHash-LSH oracle: signature minima over the
+    mod-2^61-1 multiply-shift family (constants shared with the
+    engine via ``minhash_poly_params``), poly band keys, band
+    equi-join, est-Jaccard filter — integer-for-integer the same
+    arithmetic as the Spark plan."""
+    return f"""
+    WITH {_minhash_cand_ctes()}
     SELECT id_a, id_b, ROUND(n_eq / 16.0, 6) AS est_jaccard
-    FROM (
-        SELECT id_a, id_b,
-               len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS n_eq
-        FROM pairs
-    )
-    WHERE n_eq >= 12
+    FROM cand
     ORDER BY id_a, id_b
     """
 
@@ -2553,20 +2568,56 @@ def dq_events_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dd_duplicate_clusters")  # rows-only: iterative — no SQL recursion
+def _clusters_oracle_sql() -> str:
+    """Connected components over the MinHash candidate pairs as a
+    DuckDB RECURSIVE CTE: transitive closure of the symmetric edge
+    set, then per-node min reachable id — the fixed point the
+    engine's iterative min-label propagation converges to."""
+    return f"""
+    WITH RECURSIVE {_minhash_cand_ctes()},
+    edges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION
+        SELECT id_b AS a, id_a AS b FROM cand
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY cluster_id) AS keep
+    FROM comp
+    ORDER BY doc_id
+    """
+
+
+@register("dd_duplicate_clusters", oracle=_clusters_oracle_sql())
 def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (operators/components.py): MinHash candidate
     pairs → connected components via iterative min-label propagation
     (pairs alone under-merge transitive duplicates), with canonical
-    keep-one-per-cluster flags. Iterative ⇒ not SQL-expressible;
-    correctness vs a Python union-find in tests/test_components.py."""
+    keep-one-per-cluster flags. The engine side is iterative
+    (O(diameter) rounds, localCheckpoint per round — the 100 TB
+    path); the oracle reaches the same fixed point via a DuckDB
+    recursive CTE over the poly31 candidate pairs. Also equivalence-
+    tested vs a Python union-find in tests/test_components.py."""
     from vectordb_light_spark.operators.components import duplicate_clusters
-    from vectordb_light_spark.operators.dedup import minhash_lsh_candidates
-
-    docs = load_docs(spark, sf_dir)
-    pairs = minhash_lsh_candidates(docs, num_hashes=64, bands=16).where(
-        F.col("est_jaccard") >= 0.5
+    from vectordb_light_spark.operators.dedup import (
+        canonical_text,
+        minhash_lsh_candidates,
     )
+
+    docs = load_docs(spark, sf_dir).where(F.length(canonical_text("text")) > 0)
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, hash_family="poly31"
+    ).where(F.col("est_jaccard") >= 0.75)
     return duplicate_clusters(
         pairs, left_id="id_a", right_id="id_b"
     ).orderBy("doc_id")
@@ -3845,13 +3896,13 @@ _REGISTRY_ORDER = [
     "ts_winnow_fingerprints",
     "dd_containment_pairs",
     "st_user_running_totals",
-    "dd_duplicate_clusters",
     "vq_postfilters",
     "emb_mini_encoder_topk",
     "st_clicks_attribution",
     "pipe_hash_embed_topk",
     "dd_minhash_candidates",
     "dd_jaccard_pairs",
+    "dd_duplicate_clusters",
 ]
 
 
