@@ -443,3 +443,59 @@ def embed_query(text: str, spec: dict) -> list[float]:
         prompt = _FAMILY_PROMPTS.get(family_of(model_name), "")
     normalized = normalize_query_text_py(text)
     return [float(x) for x in enc.encode([prompt + normalized])[0]]
+
+
+# ---------------------------------------------------------------------------
+# Feature-hash embedding (pure-JVM hashing trick; oracle-replicable)
+# ---------------------------------------------------------------------------
+
+
+def feature_hash_weights(
+    df,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+):
+    """Sparse feature-hash embedding (the hashing trick, Weinberger
+    2009) as (id, bucket, weight) triples — NO Python anywhere:
+    bucket and sign derive from md5(token) hex substrings via JVM
+    ``conv``, so the whole embed stage is codegen builtins AND
+    bit-replicable in SQL engines with an md5 function (the oracle
+    path). Signed counts cancel hash collisions in expectation.
+
+    Scale shape: tokenize-explode → one groupBy on (id, bucket) with
+    map-side partial sums; the exchange carries ≤ dim rows per
+    document regardless of text size."""
+    from pyspark.sql import functions as F
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
+    ).where(F.col("__tok") != "")
+    h = F.md5(F.col("__tok"))
+    bucket = (F.conv(h.substr(1, 8), 16, 10).cast("long") % dim).alias("bucket")
+    sign = F.when(
+        F.conv(h.substr(9, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select(F.col(id_col), bucket, sign.alias("__s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__s").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
+def feature_hash_query_weights(text: str, dim: int = 64) -> list[tuple[int, int]]:
+    """Driver-side twin of :func:`feature_hash_weights` for a query
+    string: [(bucket, weight)], same md5-derived buckets/signs."""
+    import hashlib
+    from collections import defaultdict
+
+    acc: dict[int, int] = defaultdict(int)
+    for tok in text.lower().strip().split():
+        if not tok:
+            continue
+        h = hashlib.md5(tok.encode()).hexdigest()
+        acc[int(h[:8], 16) % dim] += 1 if int(h[8], 16) % 2 == 0 else -1
+    return [(b, w) for b, w in sorted(acc.items()) if w != 0]

@@ -3886,6 +3886,7 @@ _REGISTRY_ORDER = [
     "vq_batch_topk",
     "kw_hybrid_rrf",
     "pipe_decontaminate",
+    "emb_feature_hash_topk",
     "ann_ivfpq_topk",
     "ann_topk_join",
     "dd_remove_boilerplate",
@@ -3919,3 +3920,101 @@ def _apply_registry_order() -> None:
 
 
 _apply_registry_order()
+
+
+def _feature_hash_oracle_sql() -> str:
+    """Feature-hash embed→search oracle. Every similarity is
+    dot/(sqrt(i)*sqrt(j)*qnorm-literal) over INTEGER dot products and
+    norms, so Spark and DuckDB produce bit-identical doubles — the
+    only embedding path with exact cross-engine floats."""
+    import math
+
+    from vectordb_light_spark.functions.embedding import feature_hash_query_weights
+
+    qw = feature_hash_query_weights(_FH_QUERY)
+    qnorm = math.sqrt(sum(w * w for _, w in qw))
+    values = ", ".join(f"({b}, {w})" for b, w in qw)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS bucket,
+               CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT)
+                             % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        FROM tok WHERE t <> '' GROUP BY doc_id, bucket
+    ),
+    w2 AS (SELECT * FROM w WHERE weight != 0),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(SUM(weight * weight) AS BIGINT)) AS dnorm
+        FROM w2 GROUP BY doc_id
+    ),
+    q(bucket, qw) AS (VALUES {values}),
+    dots AS (
+        SELECT w2.doc_id, CAST(SUM(w2.weight * q.qw) AS BIGINT) AS dot
+        FROM w2 JOIN q USING (bucket) GROUP BY w2.doc_id
+    ),
+    scored AS (
+        SELECT n.doc_id,
+               COALESCE(d.dot, 0) / (n.dnorm * {qnorm!r}) AS sim
+        FROM norms n LEFT JOIN dots d ON n.doc_id = d.doc_id
+    )
+    SELECT doc_id, ROUND(sim, 6) AS similarity,
+           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INT) AS rank
+    FROM scored
+    ORDER BY rank
+    LIMIT 10
+    """
+
+
+_FH_QUERY = "merge stream batch spark vector"
+
+
+@register("emb_feature_hash_topk", oracle=_feature_hash_oracle_sql())
+def emb_feature_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embed→search with ZERO Python in the plan: sparse feature-hash
+    embeddings (functions/embedding.py feature_hash_weights — the
+    hashing trick with md5-derived buckets/signs, all codegen
+    builtins), integer dot products against a broadcast query-weight
+    table, IEEE-exact cosine. Complements the Arrow-UDF embedders
+    (blake2b hashing double, mini-transformer): this tier trades
+    model quality for a fully JVM-side, shuffle-light, and — uniquely
+    — oracle-exact path (integer dots + correctly-rounded sqrt give
+    bit-identical doubles in any engine)."""
+    import math
+
+    from vectordb_light_spark.functions.embedding import (
+        feature_hash_query_weights,
+        feature_hash_weights,
+    )
+
+    from vectordb_light_spark.session import persist_if_batch
+
+    docs = load_docs(spark, sf_dir)
+    w2 = persist_if_batch(feature_hash_weights(docs, dim=64))
+    norms = w2.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("dnorm")
+    )
+    qw = feature_hash_query_weights(_FH_QUERY)
+    qnorm = math.sqrt(sum(w * w for _, w in qw))
+    qdf = spark.createDataFrame(qw, "bucket long, qw long")
+    dots = (
+        w2.join(F.broadcast(qdf), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * F.col("qw")).alias("dot"))
+    )
+    scored = norms.join(dots, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.coalesce(F.col("dot"), F.lit(0)) / (F.col("dnorm") * F.lit(qnorm))
+        ).alias("sim"),
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("doc_id", F.round("sim", 6).alias("similarity"), "rank")
+        .orderBy("rank")
+    )
