@@ -3899,6 +3899,7 @@ _REGISTRY_ORDER = [
     "st_user_running_totals",
     "vq_postfilters",
     "emb_mini_encoder_topk",
+    "ann_recall_contract",
     "st_clicks_attribution",
     "pipe_hash_embed_topk",
     "dd_minhash_candidates",
@@ -4017,4 +4018,71 @@ def emb_feature_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("doc_id", F.round("sim", 6).alias("similarity"), "rank")
         .orderBy("rank")
+    )
+
+
+@register(
+    "ann_recall_contract",
+    oracle="""
+    SELECT CAST(3 AS INT) AS n_queries,
+           TRUE AS srp_recall_ok,
+           TRUE AS pq_rerank_recall_ok
+    """,
+)
+def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality contract as a hard driver signal: for 3 query
+    vectors, mean recall@10 of (a) SRP radius-8 probing and (b) PQ
+    ADC + exact re-rank, against the exact scan ground truth computed
+    in the same job — the oracle pins the CONTRACT (bounds hold:
+    SRP ≥ 0.6, PQ+rerank ≥ 0.8; measured operating points are 0.87 /
+    0.92-0.96 in ANN_EVAL.md, so the margins absorb per-query
+    variance). Everything is deterministic: seeded planes, seeded
+    sampled-Lloyd codebooks, fixed testdata."""
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+    from vectordb_light_spark.operators.similarity import (
+        add_pq_codes,
+        add_srp_signature,
+        ann_topk_pq,
+        ann_topk_srp,
+        train_pq_codebooks,
+    )
+
+    from vectordb_light_spark.session import persist_if_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _trained(
+        (sf_dir, "pq16x64"),
+        lambda: train_pq_codebooks(emb, m=16, n_codes=64, max_train=5_000),
+    )
+    indexed = persist_if_batch(add_srp_signature(emb, n_planes=16))
+    coded = persist_if_batch(add_pq_codes(emb, books))
+    srp_hits = pq_hits = 0
+    n_queries = 3
+    for qid in range(n_queries):
+        q = _query_vector(spark, sf_dir, qid)
+        exact = {
+            r.vec_id
+            for r in topk_cosine(
+                emb, q, SearchParams(k=10, threshold=0.0),
+                id_col="vec_id", vec_col="embedding",
+            ).collect()
+        }
+        srp = {
+            r.vec_id
+            for r in ann_topk_srp(
+                indexed, q, k=10, probe_hamming=8, n_planes=16
+            ).collect()
+        }
+        pq = {r.vec_id for r in ann_topk_pq(coded, books, q, k=10, rerank_pool=50).collect()}
+        srp_hits += len(exact & srp)
+        pq_hits += len(exact & pq)
+    return spark.createDataFrame(
+        [
+            (
+                n_queries,
+                srp_hits / (10.0 * n_queries) >= 0.6,
+                pq_hits / (10.0 * n_queries) >= 0.8,
+            )
+        ],
+        "n_queries int, srp_recall_ok boolean, pq_rerank_recall_ok boolean",
     )
