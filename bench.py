@@ -36,9 +36,15 @@ def main() -> None:
     total = 0.0
     for name, fn in QUERIES.items():
         try:
+            t0 = time.time()
             fn(spark, sf_dir).collect()  # warm-up, untimed
+            warm_s = time.time() - t0
+            # Heavy tail entries (real streaming jobs, multi-query ANN
+            # contracts) get ONE timed run — min-of-2 denoising isn't
+            # worth doubling their cost in the round budget.
+            n_runs = 1 if warm_s > 4.0 else repeats
             dt = float("inf")
-            for _ in range(repeats):
+            for _ in range(n_runs):
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 dt = min(dt, time.time() - t0)
