@@ -90,3 +90,39 @@ def test_cli_chunks_only_and_rag_prompt(spark, corpus_dir, tmp_path, capsys):
     ]) == 0
     prompt = capsys.readouterr().out
     assert "theme2 content" in prompt
+
+
+def test_cli_rag_chat_streams_completion(spark, corpus_dir, tmp_path, capsys):
+    """Entry point C end-to-end: build a DB, assemble the RAG prompt,
+    stream the completion from a real in-thread SSE server."""
+    import threading
+    from http.server import HTTPServer
+
+    from tests.test_chat import _MockChatHandler
+
+    root = str(tmp_path / "dbs3")
+    assert main([
+        "ingest", "--src", corpus_dir, "--db-root", root, "--name", "cdb",
+        "--chunk-size", "200", "--chunk-overlap", "50",
+    ]) == 0
+    capsys.readouterr()
+
+    _MockChatHandler.requests_seen = []
+    _MockChatHandler.fail_status = None
+    server = HTTPServer(("127.0.0.1", 0), _MockChatHandler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        assert main([
+            "rag-chat", "--db-root", root, "--name", "cdb",
+            "--query", "theme0 content", "--threshold", "0.0",
+            "--base-url", f"http://127.0.0.1:{server.server_port}/v1",
+            "--model", "test-model",
+        ]) == 0
+    finally:
+        server.shutdown()
+    out = capsys.readouterr().out
+    assert "Hello, world!" in out
+    # the server received the ASSEMBLED RAG prompt, not the raw query
+    sent = _MockChatHandler.requests_seen[-1]["body"]["messages"][1]["content"]
+    assert "theme0 content" in sent and "---" in sent
+    assert _MockChatHandler.requests_seen[-1]["body"]["model"] == "test-model"

@@ -3860,6 +3860,7 @@ _REGISTRY_ORDER = [
     "rel_shipping_priority",
     "vq_threshold_after_topk",
     "ann_srp_topk",
+    "vq_mmr_rerank",
     "mm_frame_counts",
     "rel_sessions_overlap",
     "rel_user_retention",
@@ -4086,3 +4087,33 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_queries int, srp_recall_ok boolean, pq_rerank_recall_ok boolean",
     )
+
+
+@register("vq_mmr_rerank")  # rows-only: greedy argmax loop (driver-side on k rows)
+def vq_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-rank (operators/search.py mmr_rerank,
+    engine facade `search_diverse`): the distributed top-k scan
+    shrinks the table to a 20-row pool, then the inherently
+    sequential greedy λ·rel − (1−λ)·redundancy selection runs
+    driver-side in numpy on that pool. No SQL twin (stepwise argmax
+    with selection state); near-dup-demotion and λ-degeneracy are
+    unit-tested in tests/test_search.py."""
+    from vectordb_light_spark.operators.search import (
+        SearchParams,
+        mmr_rerank,
+        topk_cosine,
+    )
+
+    q = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = topk_cosine(
+        emb, q, SearchParams(k=20, threshold=0.0),
+        id_col="vec_id", vec_col="embedding",
+    ).select("vec_id").join(emb.select("vec_id", "embedding"), "vec_id")
+    out = mmr_rerank(pool, q, k=6, lam=0.7, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        "vec_id",
+        F.round("similarity_score", 6).alias("similarity_score"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+        "mmr_rank",
+    ).orderBy("mmr_rank")
