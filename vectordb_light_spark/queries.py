@@ -3177,7 +3177,12 @@ def vq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = topk_cosine(
         emb,
         q,
-        SearchParams(k=6, threshold=0.0, assume_normalized=True),
+        # assume_normalized=False: the oracle's list_cosine_similarity
+        # divides by both norms; the stored float32 vectors are only
+        # ~1e-7 from unit, so the dot-only fast path drifts a rounding
+        # ulp from the oracle (bit us at sf0.001). The fast path stays
+        # covered by vq_topk_quantized + unit tests.
+        SearchParams(k=6, threshold=0.0, assume_normalized=False),
         id_col="vec_id",
         vec_col="embedding",
     )
@@ -3848,6 +3853,7 @@ _REGISTRY_ORDER = [
     "ts_text_stats",
     "vq_citations",
     "rel_events_asof",
+    "rel_events_scd2",
     "rel_events_cohorts",
     "rel_events_moving_avg",
     "rel_pricing_summary",
@@ -4117,3 +4123,38 @@ def vq_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mmr_score", 6).alias("mmr_score"),
         "mmr_rank",
     ).orderBy("mmr_rank")
+
+
+@register(
+    "rel_events_scd2",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(LEAD(ts) OVER w) AS BIGINT) AS valid_to_us,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from_us, event_id
+    """,
+)
+def rel_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 effective ranges from an event log (the warehouse
+    dimension-versioning pattern): each user's events become
+    [valid_from, valid_to) intervals via LEAD over (user, time), the
+    open row flagged current. One hash exchange on user_id feeds the
+    whole window; epoch-microsecond longs keep the value hash
+    timezone-proof across engines."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us", "event_id")
+    )
