@@ -1040,3 +1040,78 @@ def ann_topk_pq_batch(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse all-pairs cosine (inverted-index self-join)
+# ---------------------------------------------------------------------------
+
+
+def sparse_cosine_pairs(
+    postings: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    weight_col: str = "weight",
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs cosine over SPARSE vectors given as (id, term,
+    weight) postings — the inverted-index similarity self-join
+    (Bayardo et al. 2007 all-pairs family): pairs meet only on terms
+    they share, so the quadratic blow-up is bounded per posting list,
+    never over the corpus.
+
+    Plan: per-id norms (map-side partial agg) → posting self-join on
+    the term (per-term contribution w_i·w_j) → one (i, j) aggregation
+    to the dot product → broadcast-joined norms → threshold. With
+    INTEGER weights (raw term frequencies) the dot is exact and the
+    cosine is bit-identical across engines (integer dot /
+    correctly-rounded sqrt), which makes the operator fully
+    oracle-checkable.
+
+    ``max_df`` drops stop terms whose posting list exceeds the cap —
+    the standard lever that keeps the join near-linear at corpus
+    scale (posting-list-squared cost concentrates in the df tail).
+    """
+    from vectordb_light_spark.session import persist_if_batch
+
+    p = postings.select(
+        F.col(id_col).alias("__id"),
+        F.col(term_col).alias("__t"),
+        F.col(weight_col).alias("__w"),
+    )
+    if max_df is not None:
+        df_counts = p.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+        p = p.join(
+            F.broadcast(df_counts.where(F.col("__df") <= max_df).select("__t")),
+            "__t",
+        )
+    p = persist_if_batch(p)
+    norms = p.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
+    )
+    a = p.select(
+        F.col("__id").alias("id_a"), "__t", F.col("__w").alias("__wa")
+    )
+    b = p.select(
+        F.col("__id").alias("id_b"), "__t", F.col("__w").alias("__wb")
+    )
+    dots = (
+        a.join(b, "__t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = norms.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__dot") / (F.col("__na") * F.col("__nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -3874,6 +3874,7 @@ _REGISTRY_ORDER = [
     "ann_ivf_topk",
     "dd_duplicate_groups",
     "sim_cosine_pairs_exact",
+    "sim_sparse_cosine_pairs",
     "st_events_sessions",
     "pipe_chunk_fixed",
     "prof_sketch_accuracy",
@@ -4158,3 +4159,66 @@ def rel_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us", "event_id")
     )
+
+
+@register(
+    "sim_sparse_cosine_pairs",
+    oracle=r"""
+    WITH p AS (
+        SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+        GROUP BY doc_id, t
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS BIGINT)) AS n
+        FROM p GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(sim, 6) AS cosine
+    FROM (
+        SELECT id_a, id_b, d.dot / (na.n * nb.n) AS sim
+        FROM dots d
+        JOIN norms na ON d.id_a = na.doc_id
+        JOIN norms nb ON d.id_b = nb.doc_id
+    )
+    WHERE sim >= 0.95
+    ORDER BY id_a, id_b
+    """,
+)
+def sim_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse all-pairs cosine (similarity.py sparse_cosine_pairs):
+    documents as term-frequency postings, inverted-index self-join,
+    cosine ≥ 0.95 — the bag-of-words near-dup tier that needs no
+    embedding at all. Integer tf weights make dot products exact and
+    the cosine bit-identical across engines (same trick as
+    emb_feature_hash_topk), so the whole posting pipeline is
+    oracle-checked. No df cap here (the synthetic vocabulary is 31
+    terms); at corpus scale pass max_df to bound the posting join."""
+    from vectordb_light_spark.operators.similarity import sparse_cosine_pairs
+
+    docs = load_docs(spark, sf_dir)
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    out = sparse_cosine_pairs(
+        postings, id_col="doc_id", term_col="term", weight_col="tf",
+        threshold=0.95,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
