@@ -50,6 +50,9 @@ NOTES = {
  'ts_pii_scrub': 'PII scrub: three chained regexp_replace + regexp_extract_all counts, all inside one codegen Project over the scan — no shuffle, no Python stage.',
  'ts_repetition_filter': 'Repetition filter: token 3-grams, distinct count and dup fraction are all higher-order functions in one Project; the plan is scan -> project -> sort (output order only).',
  'prof_sketch_accuracy': 'Sketch accuracy: exact count-distinct (two-phase expand) and HLL++ partials share one scan and one exchange; the bound check is a scalar projection over 5 aggregate rows.',
+ 'emb_feature_hash_topk': 'Feature-hash search with ZERO Python: md5/conv bucket expressions fold into the scan stage, the persisted (id, bucket, weight) postings feed norms AND the broadcast query-weight join, and integer dots make the cosine bit-exact across engines.',
+ 'sim_sparse_cosine_pairs': 'Sparse all-pairs cosine: posting self-join meets only on shared terms (no cross join anywhere); per-term products aggregate map-side into the single (i, j) dot exchange; norms re-enter broadcast.',
+ 'rel_events_scd2': 'SCD2 ranges: one hashpartitioning(user_id) exchange feeds the LEAD window; epoch-micros longs avoid timezone-sensitive hashes.',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',
