@@ -526,3 +526,74 @@ def test_cosine_pairs_auto_tier_dispatch(spark, emb):
 
     with _pytest.raises(ValueError):
         cosine_pairs(emb, tier="bogus")
+
+
+# ---------------------------------------------------------------------------
+# Sparse all-pairs cosine
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_cosine_pairs_matches_dense(spark):
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import sparse_cosine_pairs
+
+    postings = spark.createDataFrame(
+        [
+            (1, "a", 2), (1, "b", 1),
+            (2, "a", 2), (2, "b", 1),          # identical to 1 → cos 1.0
+            (3, "a", 1), (3, "c", 3),          # partial overlap with 1
+            (4, "d", 5),                        # disjoint from all
+        ],
+        "doc_id long, term string, weight long",
+    )
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sparse_cosine_pairs(
+            postings, weight_col="weight", threshold=0.0
+        ).collect()
+    }
+    # dense reference
+    vecs = {1: [2, 1, 0, 0], 2: [2, 1, 0, 0], 3: [1, 0, 3, 0], 4: [0, 0, 0, 5]}
+    for (a, b), got in out.items():
+        va, vb = np.array(vecs[a], float), np.array(vecs[b], float)
+        want = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert abs(got - want) < 1e-12, (a, b)
+    assert abs(out[(1, 2)] - 1.0) < 1e-12
+    # disjoint pairs never meet (no term in common → no row, even at t=0)
+    assert not any(4 in p for p in out)
+
+
+def test_sparse_cosine_pairs_max_df_drops_stop_terms(spark):
+    from vectordb_light_spark.operators.similarity import sparse_cosine_pairs
+
+    postings = spark.createDataFrame(
+        # "the" appears in all 3 docs (df=3); distinctive terms df=1
+        [(i, "the", 10) for i in (1, 2, 3)]
+        + [(1, "x", 1), (2, "y", 1), (3, "z", 1)],
+        "doc_id long, term string, weight long",
+    )
+    with_cap = sparse_cosine_pairs(
+        postings, weight_col="weight", threshold=0.0, max_df=2
+    ).count()
+    without = sparse_cosine_pairs(
+        postings, weight_col="weight", threshold=0.0
+    ).count()
+    assert without == 3  # all pairs meet via "the"
+    assert with_cap == 0  # stop term dropped → distinctive terms disjoint
+
+
+def test_feature_hash_spark_matches_driver_twin(spark):
+    from vectordb_light_spark.functions.embedding import (
+        feature_hash_query_weights,
+        feature_hash_weights,
+    )
+
+    text = "spark merge batch spark stream"
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    got = {
+        (r.bucket, r.weight)
+        for r in feature_hash_weights(df, dim=64).collect()
+    }
+    want = set(feature_hash_query_weights(text, dim=64))
+    assert got == want  # JVM md5/conv path ≡ Python hashlib twin
