@@ -435,3 +435,48 @@ class TestXls:
     def test_dispatch_via_extract_bytes(self):
         text, reason = extract_bytes("e/old.xls", _xls_bytes())
         assert reason is None and text.startswith("alpha beta")
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: parsers must never raise on arbitrary bytes (extract_bytes
+# relies on clean None/ValueError drops, not crashes)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_rtf_fuzz_never_raises(data):
+    rtf_text(rb"{\rtf1" + data)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_cfb_fuzz_value_error_or_parses(data):
+    try:
+        CompoundFile(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + data)
+    except ValueError:
+        pass  # the one allowed failure mode
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_msg_xls_fuzz_never_raise(data):
+    msg_text(data)
+    xls_text(data)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_ooxml_fuzz_never_raises(data):
+    docx_text(data)
+    xlsx_text(data)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=512))
+def test_xls_fuzz_on_workbook_stream(payload):
+    # random bytes inside a VALID container targeting the record parser
+    xls_text(_build_cfb({"Workbook": payload.encode("utf-8", "ignore")}))
