@@ -452,9 +452,11 @@ def test_rtf_fuzz_never_raises(data):
     rtf_text(rb"{\rtf1" + data)
 
 
-@settings(max_examples=200, deadline=None)
-@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=600, max_size=4096))
 def test_cfb_fuzz_value_error_or_parses(data):
+    # min_size 600: inputs must clear the 512-byte header gate so the
+    # fuzz actually reaches the FAT/DIFAT/directory parsing
     try:
         CompoundFile(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + data)
     except ValueError:

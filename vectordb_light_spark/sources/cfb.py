@@ -33,18 +33,36 @@ class CompoundFile:
     def __init__(self, data: bytes) -> None:
         if len(data) < 512 or not data.startswith(_CFB_MAGIC):
             raise ValueError("not a compound file")
+        try:
+            self._parse(data)
+        except (struct.error, IndexError, OverflowError, MemoryError) as e:
+            # single failure mode for callers: malformed container
+            raise ValueError(f"malformed compound file: {e}") from e
+
+    def _parse(self, data: bytes) -> None:
         self._data = data
         (
             self._sector_shift,
             self._mini_shift,
         ) = struct.unpack_from("<HH", data, 30)
+        # spec: v3 shift=9, v4 shift=12; mini shift=6. Bound-check so a
+        # corrupt header cannot demand astronomical sector sizes.
+        if not (6 <= self._sector_shift <= 20 and 4 <= self._mini_shift <= 16):
+            raise ValueError(
+                f"implausible sector shifts {self._sector_shift}/{self._mini_shift}"
+            )
+        max_sect = len(data) // 512 + 1  # clamp header counts: a corrupt
+        # count cannot exceed the sectors that physically exist
         (n_fat,) = struct.unpack_from("<I", data, 44)
+        n_fat = min(n_fat, max_sect)
         (self._dir_start,) = struct.unpack_from("<I", data, 48)
         (self._mini_cutoff,) = struct.unpack_from("<I", data, 56)
         (self._minifat_start,) = struct.unpack_from("<I", data, 60)
         (n_minifat,) = struct.unpack_from("<I", data, 64)
+        n_minifat = min(n_minifat, max_sect)
         (difat_start,) = struct.unpack_from("<I", data, 68)
         (n_difat,) = struct.unpack_from("<I", data, 72)
+        n_difat = min(n_difat, max_sect)
         self._ssz = 1 << self._sector_shift
         self._msz = 1 << self._mini_shift
 
