@@ -370,3 +370,49 @@ def test_vectordb_search_diverse_end_to_end(spark, tmp_path):
     assert all(r["text"] for r in out)
     top_plain = db.search("subject1 body", params=SearchParams(k=1, threshold=0.0))
     assert out[0]["id"] == top_plain.first()["id"]
+
+
+def test_vectordb_pq_index_and_batch_search(spark, tmp_path):
+    """build_pq_index persists codebooks + code column atomically;
+    search_pq with exact re-rank reproduces the exact top-k on a
+    small store; search_batch equals per-query search."""
+    import os as _os
+
+    from vectordb_light_spark.engine import VectorDB
+    from vectordb_light_spark.operators.ingest import IngestConfig, create_database
+    from vectordb_light_spark.sources.extract import load_directory
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(10):
+        (src / f"d{i}.txt").write_text(f"theme{i % 4} body " * 30 + f"tail{i} " * 10)
+    db_root = str(tmp_path / "dbs")
+    _os.makedirs(db_root)
+    docs, _ = load_directory(spark, str(src))
+    create_database(
+        spark, docs, db_root, "pqd",
+        IngestConfig(chunk_size=150, chunk_overlap=30, target_files=1),
+    )
+    db = VectorDB.open(spark, db_root, "pqd", cache=False)
+
+    exact = [(r["id"], r["rank"]) for r in db.search("theme2 body").collect()]
+
+    db.build_pq_index(m=8, n_codes=16)
+    assert db.meta["pq_index"] == {"m": 8, "n_codes": 16}
+    assert "pq_code" in db.vectors.columns
+    assert _os.path.exists(_os.path.join(db_root, "pqd", "_index", "pq_codebooks.npy"))
+
+    # re-rank pool covering the whole tiny store ⇒ exact agreement
+    # (ann_topk_pq emits (id, similarity_score) rank-ordered, no rank col)
+    pq_ids = [r["id"] for r in db.search_pq("theme2 body", k=6, rerank_pool=1000).collect()]
+    assert pq_ids == [i for i, _ in exact]
+
+    # batch search: one scan, per-query results equal the single path
+    batch = db.search_batch(["theme2 body", "theme0 body"], k=6)
+    by_q: dict[int, list] = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append((r["id"], r["rank"]))
+    assert sorted(by_q) == [0, 1]
+    assert sorted(by_q[0]) == sorted(exact)
+    exact_q1 = [(r["id"], r["rank"]) for r in db.search("theme0 body").collect()]
+    assert sorted(by_q[1]) == sorted(exact_q1)

@@ -145,6 +145,110 @@ class VectorDB:
             # Honor the open()-time cache policy (CLI opens cache=False).
             self.vectors = self.vectors.cache()
 
+    def build_pq_index(
+        self, *, m: int = 16, n_codes: int = 64, seed_note: str | None = None
+    ) -> None:
+        """One-time PQ index build: train sampled-Lloyd codebooks,
+        persist them as ``_index/`` artifacts (atomic swap), and
+        rewrite ``vectors/`` with the m-byte ``pq_code`` column (same
+        atomic tmp+swap discipline as :meth:`build_srp_index`). After
+        this, ``search(pq=True)`` scans codes (m bytes/row) instead of
+        float vectors and exact-re-ranks the ADC pool."""
+        import shutil
+
+        from vectordb_light_spark.operators.ingest import save_index_artifacts
+        from vectordb_light_spark.operators.similarity import (
+            add_pq_codes,
+            train_pq_codebooks,
+        )
+
+        vectors_dir = os.path.join(self.path, "vectors")
+        fresh = self.spark.read.parquet(vectors_dir)
+        books = train_pq_codebooks(
+            fresh, vec_col="vector", id_col="id", m=m, n_codes=n_codes
+        )
+        save_index_artifacts(self.path, {"pq_codebooks": books})
+        coded = add_pq_codes(fresh, books, vec_col="vector")
+        tmp_dir = vectors_dir + ".pq-tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        coded.write.parquet(tmp_dir)
+        self.vectors.unpersist()
+        old_dir = vectors_dir + ".pq-old"
+        os.rename(vectors_dir, old_dir)
+        os.rename(tmp_dir, vectors_dir)
+        shutil.rmtree(old_dir)
+        self.meta["pq_index"] = {"m": m, "n_codes": n_codes}
+        with open(os.path.join(self.path, META_FILE), "w") as f:
+            json.dump(self.meta, f)
+        self.vectors = self.spark.read.parquet(vectors_dir)
+        if self._cache:
+            self.vectors = self.vectors.cache()
+
+    def search_pq(
+        self,
+        query_text: str | None = None,
+        *,
+        query_vector: list[float] | None = None,
+        k: int = 6,
+        rerank_pool: int = 50,
+    ) -> DataFrame:
+        """Compressed-domain search over the PQ store: ADC scan of the
+        m-byte codes + exact re-rank of the top ``rerank_pool``
+        (ANN_EVAL.md operating point: recall@10 ≥ 0.92 at < 10%
+        relative scan cost). Requires :meth:`build_pq_index`."""
+        if "pq_index" not in self.meta:
+            raise ValueError("no PQ index on this database — run build_pq_index()")
+        import numpy as np
+
+        from vectordb_light_spark.operators.ingest import load_index_artifacts
+        from vectordb_light_spark.operators.similarity import ann_topk_pq
+
+        if query_vector is None:
+            if query_text is None:
+                raise ValueError("need query_text or query_vector")
+            query_vector = self.embed(query_text)
+        books = np.asarray(load_index_artifacts(self.path)["pq_codebooks"])
+        return ann_topk_pq(
+            self.vectors,
+            books,
+            query_vector,
+            k=k,
+            id_col="id",
+            vec_col="vector",
+            rerank_pool=rerank_pool,
+        )
+
+    def search_batch(
+        self,
+        query_texts: list[str],
+        *,
+        k: int = 6,
+        threshold: float = 0.0,
+    ) -> DataFrame:
+        """Batch search: ONE scan of the store serves every query
+        (operators/search.py topk_cosine_batch — broadcast query
+        matrix, per-partition block matmul, k rows per query per
+        partition into the final rank). Returns (query_id, id,
+        similarity_score, rank) with query_id = position in
+        ``query_texts``."""
+        from vectordb_light_spark.operators.search import topk_cosine_batch
+
+        rows = [
+            (i, [float(x) for x in self.embed(t)]) for i, t in enumerate(query_texts)
+        ]
+        queries = self.spark.createDataFrame(
+            rows, "query_id long, query_vec array<float>"
+        )
+        return topk_cosine_batch(
+            self.vectors,
+            queries,
+            k=k,
+            threshold=threshold,
+            id_col="id",
+            vec_col="vector",
+            assume_normalized=True,
+        )
+
     def search(
         self,
         query_text: str | None = None,
