@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--api-key", default="not-needed")
 
     common(sub.add_parser("srp-index"))
+    common(sub.add_parser("pq-index"))
     common(sub.add_parser("compact"))
     common(sub.add_parser("list"), db=False)
     p = sub.add_parser("backup")
@@ -133,6 +134,10 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "srp-index":
         db.build_srp_index()
         _emit({"srp_index": db.meta["srp_index"]})
+        return 0
+    if a.cmd == "pq-index":
+        db.build_pq_index()
+        _emit({"pq_index": db.meta["pq_index"]})
         return 0
     if a.cmd == "search":
         out = db.search(
