@@ -46,3 +46,45 @@ def test_no_plan_antipatterns(spark, name):
             "(add to ONE_ROW_BNLJ_OK only if the build side is a "
             "1-row aggregate)"
         )
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
+    """100 TB knob: with runtime bloom filters enabled (and the local
+    size thresholds relaxed — real clusters hit them naturally), a
+    selective dim filter injects might_contain onto the fact scan, so
+    non-matching fact rows die at the scan instead of crossing the
+    join shuffle."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.session import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
