@@ -43,3 +43,42 @@ def test_oracle_executes_without_exotic_types(con, name):
     }
     assert not exotic, f"CAST these columns: {exotic}"
     con.execute(ORACLES[name]).fetchall()  # must actually run
+
+
+# ---------------------------------------------------------------------------
+# poly31 oracle-twin: the DuckDB rolling-hash fragment must equal the
+# numpy implementation character-for-character (three oracles build
+# on it: minhash candidates, simhash near-dups, duplicate clusters)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters="'"),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_shingle_hash_cte_matches_numpy(text, n):
+    from vectordb_light_spark.operators.dedup import _np_shingle_hashes
+    from vectordb_light_spark.queries import _shingle_hash_cte
+
+    c = duckdb.connect()
+    c.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    c.execute("INSERT INTO documents VALUES (1, ?)", [text])
+    # take the canonical string from the CTE itself (canonicalization
+    # parity is covered end-to-end by the oracle entries; this
+    # property pins the HASH RECURRENCE against the numpy reference)
+    canon_rows = c.execute(
+        f"WITH {_shingle_hash_cte(n)} SELECT t FROM c"
+    ).fetchall()
+    canon = canon_rows[0][0] if canon_rows else ""
+    want = [int(x) for x in _np_shingle_hashes(canon, n, finalize=False)]
+    rows = c.execute(f"WITH {_shingle_hash_cte(n)} SELECT hs FROM h").fetchall()
+    got = [int(x) for x in rows[0][0]] if rows else []
+    assert got == want
