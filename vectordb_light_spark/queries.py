@@ -3810,6 +3810,48 @@ def ts_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "prof_events_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           COUNT(*) AS total
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def prof_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long→wide event counts per day with an EXPLICIT value
+    list — `pivot(col, values)` skips the extra distinct-values scan
+    Spark otherwise runs, and compiles to ONE hash aggregate with a
+    CASE per output column (the oracle is that same CASE expansion).
+    Wide marts from long event logs are a pure one-exchange shape at
+    any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .count()
+    )
+    totals = (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+    out = wide.join(totals, "day")
+    return out.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds], "total"
+    ).orderBy("day")
+
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering
 # ---------------------------------------------------------------------------
@@ -3833,6 +3875,7 @@ _REGISTRY_ORDER = [
     "rel_events_json",
     "dq_events_constraints",
     "prof_events_cube",
+    "prof_events_pivot",
     "rel_big_orders",
     "st_events_dedup",
     "st_events_sliding",
