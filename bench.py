@@ -90,6 +90,9 @@ def main() -> None:
         "pipe_training_corpus",
         "ts_lang_id",
         "prof_events_rollup",
+        "emb_feature_hash_topk",
+        "pipe_decontaminate",
+        "sim_sparse_cosine_pairs",
     ]
     line = json.dumps(
         {

@@ -53,6 +53,7 @@ NOTES = {
  'emb_feature_hash_topk': 'Feature-hash search with ZERO Python: md5/conv bucket expressions fold into the scan stage, the persisted (id, bucket, weight) postings feed norms AND the broadcast query-weight join, and integer dots make the cosine bit-exact across engines.',
  'sim_sparse_cosine_pairs': 'Sparse all-pairs cosine: posting self-join meets only on shared terms (no cross join anywhere); per-term products aggregate map-side into the single (i, j) dot exchange; norms re-enter broadcast.',
  'rel_events_scd2': 'SCD2 ranges: one hashpartitioning(user_id) exchange feeds the LEAD window; epoch-micros longs avoid timezone-sensitive hashes.',
+ 'prof_events_pivot': 'PIVOT with an explicit value list: no distinct-values pre-scan; one hash aggregate pair with a CASE per output column (partial counts combine map-side).',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',

@@ -74,6 +74,17 @@ def probes(spark, docs, emb):
             id_col="vec_id", vec_col="embedding", assume_normalized=False,
         ).count()
 
+    def p_batch_topk_1000q():
+        # 10x the query batch on the same store: ONE scan still serves
+        # all queries — wall time should grow far sublinearly vs 100q
+        queries = emb.where(F.col("vec_id") < 1000).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return topk_cosine_batch(
+            emb, queries, k=5, threshold=0.0,
+            id_col="vec_id", vec_col="embedding", assume_normalized=False,
+        ).count()
+
     def p_pairs_exact():
         return cosine_pairs_exact(
             emb, id_col="vec_id", vec_col="embedding", threshold=0.95,
@@ -138,6 +149,7 @@ def probes(spark, docs, emb):
         "winnow_fingerprints": p_winnow,
         "minhash_lsh_candidates": p_minhash,
         "batch_topk_100q": p_batch_topk,
+        "batch_topk_1000q": p_batch_topk_1000q,
         "cosine_pairs_exact": p_pairs_exact,
         "bm25_topk": p_bm25,
         "pq_train_encode_adc_topk": p_pq_adc,
