@@ -4212,7 +4212,7 @@ def rel_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT doc_id,
                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
-            FROM documents
+            FROM documents WHERE doc_id < 200
         ) WHERE t <> ''
         GROUP BY doc_id, t
     ),
@@ -4244,11 +4244,14 @@ def sim_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding at all. Integer tf weights make dot products exact and
     the cosine bit-identical across engines (same trick as
     emb_feature_hash_topk), so the whole posting pipeline is
-    oracle-checked. No df cap here (the synthetic vocabulary is 31
-    terms); at corpus scale pass max_df to bound the posting join."""
+    oracle-checked. The synthetic corpus has a 31-term vocabulary —
+    every term is a stop term with ZERO selectivity, the worst case
+    for a posting join — so the entry runs on a bounded slice
+    (doc_id < 200); real corpora get their sparsity from the Zipf
+    tail plus the max_df cap, measured in tests and SCALING.md."""
     from vectordb_light_spark.operators.similarity import sparse_cosine_pairs
 
-    docs = load_docs(spark, sf_dir)
+    docs = load_docs(spark, sf_dir).where(F.col("doc_id") < 200)
     postings = (
         docs.select(
             "doc_id",
