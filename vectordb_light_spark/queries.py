@@ -3852,6 +3852,61 @@ def prof_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "pipe_token_budget_mix",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MAX(doc_id) AS last_doc
+    FROM c WHERE cum <= 5000
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus mixing: real LLM data mixes are specced
+    in TOKENS per source, not documents — each source contributes
+    documents in deterministic (doc_id) order until its running token
+    count hits the budget (5k here). One window cumsum per source
+    partition + a filter; at scale the per-source prefix sum is the
+    same two-phase pattern as pipe_sequence_pack when a source spans
+    many partitions."""
+    docs = load_docs(spark, sf_dir, "doc_id", "text", "source")
+    toks = F.size(
+        F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    t = docs.select("doc_id", "source", toks.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.where(F.col("cum") <= 5000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering
 # ---------------------------------------------------------------------------
@@ -3868,6 +3923,7 @@ _REGISTRY_ORDER = [
     "prof_value_histogram",
     "rel_forecast_revenue",
     "pipe_corpus_mix",
+    "pipe_token_budget_mix",
     "pipe_corpus_split",
     "rel_top_orders_by_revenue",
     "pipe_weighted_sample",
