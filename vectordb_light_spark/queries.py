@@ -2116,7 +2116,7 @@ def prof_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS hll_within_5pct
+           CAST(1 AS INT) AS hll_within_5pct
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -2141,7 +2141,7 @@ def prof_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
                 <= 0.05 * F.col("exact_users")
-            ).alias("hll_within_5pct"),
+            ).cast("int").alias("hll_within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -2540,7 +2540,9 @@ def vq_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- CAST: SUM(int) is HUGEINT in DuckDB; driver hashes int128
            -- differently from Spark's BIGINT.
            CAST(t.n_violations AS BIGINT) AS n_violations,
-           t.n_violations = 0 AS passed
+           -- INT: no boolean has ever crossed the driver hasher;
+           -- 0/1 ints are engine-neutral (r1 HUGEINT lesson).
+           CAST(t.n_violations = 0 AS INT) AS passed
     FROM agg, LATERAL (VALUES
         ('value_non_negative', v0), ('user_id_not_null', v1),
         ('ts_in_range', v2), ('props_json_has_k', v3),
@@ -2565,7 +2567,7 @@ def dq_events_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "click", "view", "purchase", "error", "scroll"
             ),
         },
-    )
+    ).withColumn("passed", F.col("passed").cast("int"))
 
 
 def _clusters_oracle_sql() -> str:
@@ -2592,7 +2594,7 @@ def _clusters_oracle_sql() -> str:
     SELECT doc_id, cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                AS cluster_size,
-           doc_id = MIN(doc_id) OVER (PARTITION BY cluster_id) AS keep
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY cluster_id) AS INT) AS keep
     FROM comp
     ORDER BY doc_id
     """
@@ -2618,9 +2620,11 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_candidates(
         docs, num_hashes=16, bands=4, hash_family="poly31"
     ).where(F.col("est_jaccard") >= 0.75)
-    return duplicate_clusters(
-        pairs, left_id="id_a", right_id="id_b"
-    ).orderBy("doc_id")
+    return (
+        duplicate_clusters(pairs, left_id="id_a", right_id="id_b")
+        .withColumn("keep", F.col("keep").cast("int"))
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3733,7 +3737,7 @@ def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            COALESCE(n, 0) AS n_shared_grams,
-           COALESCE(n, 0) > 0 AS contaminated
+           CAST(COALESCE(n, 0) > 0 AS INT) AS contaminated
     FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
     LEFT JOIN hits ON d.doc_id = hits.doc_id
     ORDER BY d.doc_id
@@ -3752,7 +3756,11 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_docs(spark, sf_dir)
     bench = docs.where(F.col("doc_id") < 10)
     train = docs.where(F.col("doc_id") >= 10)
-    return ngram_contamination(train, bench, n=4).orderBy("doc_id")
+    return (
+        ngram_contamination(train, bench, n=4)
+        .withColumn("contaminated", F.col("contaminated").cast("int"))
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -3775,8 +3783,8 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
            ROUND(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
                AS dup_frac,
-           1.0 - len(list_distinct(grams))::DOUBLE / len(grams) > 0.05
-               AS repetitive
+           CAST(1.0 - len(list_distinct(grams))::DOUBLE / len(grams) > 0.05
+               AS INT) AS repetitive
     FROM g
     ORDER BY doc_id
     """,
@@ -3805,7 +3813,7 @@ def ts_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("grams").alias("n_grams"),
         F.size(F.array_distinct("grams")).alias("n_distinct"),
         F.round(dup, 6).alias("dup_frac"),
-        (dup > 0.05).alias("repetitive"),
+        (dup > 0.05).cast("int").alias("repetitive"),
     ).orderBy("doc_id")
 
 
@@ -4132,8 +4140,8 @@ def emb_feature_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_recall_contract",
     oracle="""
     SELECT CAST(3 AS INT) AS n_queries,
-           TRUE AS srp_recall_ok,
-           TRUE AS pq_rerank_recall_ok
+           CAST(1 AS INT) AS srp_recall_ok,
+           CAST(1 AS INT) AS pq_rerank_recall_ok
     """,
 )
 def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4187,11 +4195,11 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 n_queries,
-                srp_hits / (10.0 * n_queries) >= 0.6,
-                pq_hits / (10.0 * n_queries) >= 0.8,
+                int(srp_hits / (10.0 * n_queries) >= 0.6),
+                int(pq_hits / (10.0 * n_queries) >= 0.8),
             )
         ],
-        "n_queries int, srp_recall_ok boolean, pq_rerank_recall_ok boolean",
+        "n_queries int, srp_recall_ok int, pq_rerank_recall_ok int",
     )
 
 
@@ -4231,7 +4239,7 @@ def vq_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id, event_type,
            CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
            CAST(epoch_us(LEAD(ts) OVER w) AS BIGINT) AS valid_to_us,
-           LEAD(ts) OVER w IS NULL AS is_current
+           CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
     FROM events
     WHERE user_id < 20
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4254,7 +4262,7 @@ def rel_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.unix_micros("ts").alias("valid_from_us"),
             F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
-            F.lead("ts").over(w).isNull().alias("is_current"),
+            F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
         )
         .orderBy("user_id", "valid_from_us", "event_id")
     )
