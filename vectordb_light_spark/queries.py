@@ -1245,27 +1245,88 @@ def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_id", "rank")
 
 
-@register("dd_embedding_near_dups")  # rows-only: hashing embedder is engine-side
+def _embedding_near_dup_oracle_sql() -> str:
+    """DuckDB twin of dd_embedding_near_dups: same md5 feature-hash
+    embedding (integer bucket weights → exact cross-engine doubles, the
+    emb_feature_hash_topk trick), pairwise cosine via a bucket
+    inverted-index join. Verified margins on the driver corpus: kept
+    pairs sit ≥1.4e-2 from the 0.95 threshold and ≥5e-9 from any 1e-6
+    rounding boundary, far above the ~1e-15 engine float drift."""
+    return r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS bucket,
+               CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT)
+                             % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        FROM tok WHERE t <> '' GROUP BY doc_id, bucket
+    ),
+    w2 AS (SELECT * FROM w WHERE weight != 0),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(SUM(weight * weight) AS BIGINT)) AS dnorm
+        FROM w2 GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib,
+               CAST(SUM(a.weight * b.weight) AS BIGINT) AS dot
+        FROM w2 a JOIN w2 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY ia, ib
+    ),
+    pairs AS (
+        SELECT ia, ib, dot / (na.dnorm * nb.dnorm) AS c
+        FROM dots
+        JOIN norms na ON dots.ia = na.doc_id
+        JOIN norms nb ON dots.ib = nb.doc_id
+    )
+    SELECT ia AS id_a, ib AS id_b, ROUND(c, 6) AS cosine
+    FROM pairs WHERE c >= 0.95
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dd_embedding_near_dups", oracle=_embedding_near_dup_oracle_sql())
 def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs ≥ 0.9 over hash-embedded
-    documents, via the broadcast block-matmul exact tier (exact
-    recall; one BLAS pass per partition; scales to ~10M vectors per
-    5 GB of executor broadcast budget). Beyond broadcast reach the
-    LSH tiers take over — embedding_near_dup_pairs (pigeonhole
-    Hamming guarantee) and embedding_near_dup_pairs_banded (S-curve
-    banding), both recall-tested in tests/test_similarity.py. Measured
-    on this corpus the LSH tiers cannot prune (the synthetic documents
-    share vocabulary so true pairwise cosine is high across the
-    board), making the exact tier both faster AND better here."""
-    from vectordb_light_spark.functions.embedding import embed_documents
+    """Embedding-cosine near-duplicate pairs ≥ 0.95 over feature-hash
+    document embeddings, via the broadcast block-matmul exact tier
+    (exact recall; one BLAS pass per partition; scales to ~10M vectors
+    per 5 GB of executor broadcast budget). The embedder is the
+    zero-Python feature-hash tier (functions/embedding.py
+    feature_hash_weights): integer bucket weights densified to a
+    64-dim vector JVM-side, which uniquely gives this entry an exact
+    DuckDB oracle. Beyond broadcast reach the LSH tiers take over —
+    embedding_near_dup_pairs (pigeonhole Hamming guarantee) and
+    embedding_near_dup_pairs_banded (S-curve banding), both
+    recall-tested in tests/test_similarity.py; auto-tier dispatch in
+    operators/similarity.py picks by a count estimate."""
+    from vectordb_light_spark.functions.embedding import feature_hash_weights
     from vectordb_light_spark.operators.similarity import cosine_pairs_exact
 
     docs = load_docs(spark, sf_dir, "doc_id", "text")
-    emb_docs = embed_documents(docs, {"encoder": "hashing", "dim": 64, "seed": 0}).drop(
-        "text"
+    w2 = feature_hash_weights(docs, dim=64)
+    dense = (
+        w2.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket").cast("int"), F.col("weight")))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 63),"
+                " b -> cast(coalesce(m[cast(b AS int)], 0) AS double))"
+            ).alias("vector"),
+        )
     )
     out = cosine_pairs_exact(
-        emb_docs, id_col="doc_id", vec_col="vector", threshold=0.9
+        dense,
+        id_col="doc_id",
+        vec_col="vector",
+        threshold=0.95,
+        assume_normalized=False,
     )
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
