@@ -4264,15 +4264,66 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vq_mmr_rerank")  # rows-only: greedy argmax loop (driver-side on k rows)
+def _mmr_oracle_sql(k: int = 6, lam: float = 0.7) -> str:
+    """DuckDB twin of vq_mmr_rerank: the greedy argmax loop UNROLLED
+    into k sequential CTEs (s1..sk), each picking the next MMR winner
+    over the candidates not yet selected. Verified margins on the
+    driver corpus: every argmax step is decided by ≥6e-4, the pool
+    20-cut by 6.9e-4, and rounded outputs sit ≥6.7e-9 from a 1e-6
+    rounding boundary — far above the ~1e-15 cross-engine float
+    drift. (1.0 - lam) is computed in SQL so the subtraction rounds
+    identically to numpy's ``1.0 - lam``."""
+    parts = [r"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    pool AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings
+        ORDER BY LEAST(GREATEST(list_cosine_similarity(
+            embedding::DOUBLE[], (SELECT v FROM q)), 0.0), 1.0) DESC, vec_id
+        LIMIT 20
+    ),
+    rel AS MATERIALIZED (
+        SELECT vec_id, list_dot_product(v, (SELECT v FROM q)) AS r FROM pool
+    ),
+    pd AS MATERIALIZED (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, list_dot_product(a.v, b.v) AS s
+        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (SELECT vec_id, r AS mmr FROM rel ORDER BY mmr DESC, vec_id LIMIT 1)"""]
+    for n in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM s{m}" for m in range(1, n))
+        parts.append(f""",
+    s{n} AS (
+        SELECT rel.vec_id,
+               {lam!r} * rel.r - (1.0 - {lam!r}) * (
+                   SELECT MAX(pd.s) FROM pd
+                   WHERE pd.ia = rel.vec_id AND pd.ib IN ({prev})
+               ) AS mmr
+        FROM rel WHERE rel.vec_id NOT IN ({prev})
+        ORDER BY mmr DESC, vec_id LIMIT 1
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT vec_id, mmr, {n} AS mmr_rank FROM s{n}" for n in range(1, k + 1))
+    parts.append(f"""
+    SELECT sel.vec_id,
+           ROUND(rel.r, 6) AS similarity_score,
+           ROUND(sel.mmr, 6) AS mmr_score,
+           CAST(sel.mmr_rank AS INT) AS mmr_rank
+    FROM ({sel}) sel JOIN rel ON sel.vec_id = rel.vec_id
+    ORDER BY mmr_rank""")
+    return "".join(parts)
+
+
+@register("vq_mmr_rerank", oracle=_mmr_oracle_sql())
 def vq_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified re-rank (operators/search.py mmr_rerank,
     engine facade `search_diverse`): the distributed top-k scan
     shrinks the table to a 20-row pool, then the inherently
     sequential greedy λ·rel − (1−λ)·redundancy selection runs
-    driver-side in numpy on that pool. No SQL twin (stepwise argmax
-    with selection state); near-dup-demotion and λ-degeneracy are
-    unit-tested in tests/test_search.py."""
+    driver-side in numpy on that pool. The SQL twin unrolls the
+    greedy loop into k sequential CTEs (see _mmr_oracle_sql);
+    near-dup-demotion and λ-degeneracy are unit-tested in
+    tests/test_search.py."""
     from vectordb_light_spark.operators.search import (
         SearchParams,
         mmr_rerank,
