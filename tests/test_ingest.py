@@ -53,6 +53,30 @@ def test_strip_html_separator():
     assert strip_html("<p>a</p><p>b</p>").split() == ["a", "b"]
 
 
+def test_strip_html_parity_mode_matches_get_text_semantics():
+    # bs4 get_text(separator=" ") keeps script/style text and the
+    # whitespace-only nodes between tags; joins every text node with
+    # a single space. Comments are excluded.
+    html = (
+        "<html>\n<head><script>var x=1;</script></head>\n"
+        "<body><!-- note --><p>Hi <b>there</b></p></body>\n</html>"
+    )
+    parity = strip_html(html, parity=True)
+    # "Hi " and "there" are separate text nodes: the separator joins
+    # them on top of "Hi "'s own trailing space, exactly as bs4 does.
+    assert parity == "\n var x=1; \n Hi  there \n"
+    assert "note" not in parity
+    # semantic default: same join, minus script/style contents
+    semantic = strip_html(html)
+    assert "var x" not in semantic and "Hi  there" in semantic
+
+
+def test_strip_html_parity_entities_and_nesting():
+    html = "<div>A&amp;B<style>p{}</style><span> C</span></div>"
+    assert strip_html(html, parity=True) == "A&B p{}  C"
+    assert strip_html(html) == "A&B  C"
+
+
 def test_extract_eml_subject_and_body():
     eml = (
         b"From: x@example.com\r\nTo: y@example.com\r\n"

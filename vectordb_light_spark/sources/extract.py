@@ -86,15 +86,31 @@ def _extract_csv(data: bytes) -> str | None:
 
 
 class _TextExtractor(HTMLParser):
-    """Collect text nodes, skipping script/style — the " "-separator
-    behavior of soup.get_text(separator=" ")."""
+    """Collect text nodes with the " "-separator behavior of
+    ``soup.get_text(separator=" ")`` (reference
+    document_processor.py:120-130).
+
+    Two modes:
+
+    - semantic (default): skip ``script``/``style`` contents — the
+      text a reader sees; the pipeline default because JS/CSS tokens
+      poison dedup shingles and embeddings.
+    - parity: keep EVERY text node, including script/style contents
+      and the whitespace-only nodes between tags, exactly as
+      BeautifulSoup's ``get_text(separator=" ")`` concatenates its
+      descendant strings (comments, doctype, and processing
+      instructions excluded — bs4's ``interesting_string_types``
+      default). Use when hash-parity with the reference's output on
+      real HTML corpora matters more than text quality.
+    """
 
     _SKIP = {"script", "style"}
 
-    def __init__(self) -> None:
+    def __init__(self, *, parity: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.pieces: list[str] = []
         self._skip_depth = 0
+        self._parity = parity
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in self._SKIP:
@@ -105,12 +121,12 @@ class _TextExtractor(HTMLParser):
             self._skip_depth -= 1
 
     def handle_data(self, data: str) -> None:
-        if not self._skip_depth and data:
+        if data and (self._parity or not self._skip_depth):
             self.pieces.append(data)
 
 
-def strip_html(markup: str) -> str:
-    parser = _TextExtractor()
+def strip_html(markup: str, *, parity: bool = False) -> str:
+    parser = _TextExtractor(parity=parity)
     parser.feed(markup)
     parser.close()
     return " ".join(parser.pieces)
