@@ -132,3 +132,28 @@ def test_bigram_lm_scores_rank_repetitive_above_unique(spark):
     assert scores[0] == scores[5]  # identical docs, identical score
     assert scores[99] < scores[0]  # improbable text scores lower
     assert all(v < 0 for v in scores.values())  # log-probs
+
+
+def test_vocab_topk_counts_rank_and_coverage(spark):
+    from vectordb_light_spark.operators.profiling import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "A b  d"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    out = vocab_topk(docs, k=3, min_count=2).collect()
+    # a:4 (lowercased), b:3, c/d:1 dropped by min_count
+    assert [(r["token"], r["n"], r["rank"], r["cum_n"]) for r in out] == [
+        ("a", 4, 1, 4),
+        ("b", 3, 2, 7),
+    ]
+
+
+def test_vocab_topk_tie_break_and_k_cut(spark):
+    from vectordb_light_spark.operators.profiling import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "z y z y x x w")], "doc_id long, text string"
+    )
+    out = vocab_topk(docs, k=2, min_count=1).collect()
+    assert [r["token"] for r in out] == ["x", "y"]  # count ties → lexicographic

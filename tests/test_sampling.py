@@ -183,3 +183,39 @@ def test_deterministic_shuffle_is_stable_permutation(spark):
     assert a != list(range(500))  # actually shuffled
     c = [r["doc_id"] for r in deterministic_shuffle(df, seed=1).collect()]
     assert c != a  # new seed, new permutation
+
+
+def test_stratified_take_exact_quotas_and_determinism(spark):
+    from vectordb_light_spark.operators.sampling import stratified_take
+
+    df = (
+        spark.range(300)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, "en")
+            .when(F.col("doc_id") % 3 == 1, "de")
+            .otherwise("xx"),
+        )
+    )
+    out = stratified_take(df, 10, strata_col="lang", seed=3)
+    rows = out.collect()
+    counts = {}
+    for r in rows:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    assert counts == {"en": 10, "de": 10, "xx": 10}
+    assert {r["take_rank"] for r in rows if r["lang"] == "en"} == set(range(1, 11))
+    # reproducible under repartitioning; a different seed picks a
+    # different set
+    again = {
+        (r["doc_id"], r["take_rank"])
+        for r in stratified_take(
+            df.repartition(7), 10, strata_col="lang", seed=3
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["take_rank"]) for r in rows}
+    other = {
+        r["doc_id"]
+        for r in stratified_take(df, 10, strata_col="lang", seed=4).collect()
+    }
+    assert other != {r["doc_id"] for r in rows}

@@ -25,7 +25,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_profile", "events_rollup", "events_sketch_profile"]
+__all__ = [
+    "corpus_profile",
+    "events_rollup",
+    "events_sketch_profile",
+    "vocab_topk",
+]
+
+
+def vocab_topk(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary head: top-``k`` whitespace tokens by frequency
+    with rank and cumulative coverage — the first look any tokenizer
+    training takes at a corpus (vocab head mass, coverage curve).
+
+    Returns (token, n long, rank int, cum_n long), rank ordered by
+    (count desc, token) so ties are deterministic.
+
+    Scale shape: token counting is the canonical map-side-combine
+    aggregate (partial counts per partition, one shuffle keyed on the
+    token — no skew beyond natural Zipf, which AQE splits). The
+    global top-k is TakeOrderedAndProject over the aggregated vocab
+    (vocab ≪ corpus); the rank/cumulative window then runs over only
+    the k-row slice, never the full vocabulary.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token")
+    ).where(F.col("token") != "")
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(k)
+    w = Window.orderBy(F.col("n").desc(), "token")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("cum_n", F.sum("n").over(cum))
+        .orderBy("rank")
+    )
 
 
 def corpus_profile(

@@ -34,7 +34,7 @@ needs no special casing in either engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HEX_SPACE = 16**8  # 8 hex chars = 32 bits of the md5
@@ -169,6 +169,34 @@ def stratified_sample(
     default = F.lit(fraction_threshold(default_fraction))
     thr = default if thr is None else thr.otherwise(default)
     return df.where(b < thr)
+
+
+def stratified_take(
+    df: DataFrame,
+    n: int,
+    *,
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT per-stratum quotas (balanced eval/calibration sets):
+    rank rows inside each stratum by a seeded md5 of the id —
+    reproducible across runs, partitionings, and engines — and keep
+    the first ``n``. Adds ``take_rank`` (1..n within the stratum).
+
+    Contrast with :func:`stratified_sample` (rate-based, shuffle-free,
+    approximate counts): exact quotas need a per-stratum rank, so this
+    costs one hash exchange on the stratum key plus a per-stratum
+    sort. At extreme stratum cardinalities flip back to rate-based
+    with a sampled-quantile threshold instead of a full rank.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return df.withColumn(
+        "take_rank", F.row_number().over(w).cast("int")
+    ).where(F.col("take_rank") <= n)
 
 
 def mix_corpora(

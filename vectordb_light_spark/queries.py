@@ -4038,6 +4038,10 @@ _REGISTRY_ORDER = [
     "mm_frame_counts",
     "rel_sessions_overlap",
     "rel_user_retention",
+    "ts_vocab_topk",
+    "pipe_stratified_take",
+    "rel_region_revenue",
+    "rel_events_gapfill",
     "ts_quality_score",
     "ann_ivf_topk",
     "dd_duplicate_groups",
@@ -4378,6 +4382,187 @@ def rel_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us", "event_id")
     )
+
+
+@register(
+    "ts_vocab_topk",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ),
+    c AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 2
+    ),
+    top AS (
+        SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50
+    )
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+           CAST(SUM(n) OVER (ORDER BY n DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+    FROM top ORDER BY rank
+    """,
+)
+def ts_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head (operators/profiling.py vocab_topk): top-50
+    tokens with rank and cumulative coverage — tokenizer-training
+    prep. Map-side-combine count shuffled on the token, top-k via
+    TakeOrderedAndProject, rank/cumsum windows over only the 50-row
+    slice."""
+    from vectordb_light_spark.operators.profiling import vocab_topk
+
+    docs = load_docs(spark, sf_dir)
+    return vocab_topk(docs, k=50, min_count=2)
+
+
+@register(
+    "pipe_stratified_take",
+    oracle="""
+    SELECT doc_id, lang, take_rank FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat_ws(':', '7', CAST(doc_id AS VARCHAR))),
+                            doc_id
+               ) AS INT) AS take_rank
+        FROM documents
+    ) WHERE take_rank <= 25
+    ORDER BY lang, take_rank
+    """,
+)
+def pipe_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quotas (operators/sampling.py
+    stratified_take): 25 docs per lang, picked by seeded-md5 rank —
+    the balanced-eval-set sampler. One stratum-keyed exchange; the
+    md5 rank key is engine-neutral so DuckDB reproduces the exact
+    pick."""
+    from vectordb_light_spark.operators.sampling import stratified_take
+
+    docs = load_docs(spark, sf_dir, "doc_id", "lang")
+    return (
+        stratified_take(docs, 25, strata_col="lang", seed=7)
+        .select("doc_id", "lang", "take_rank")
+        .orderBy("lang", "take_rank")
+    )
+
+
+@register(
+    "rel_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_e4 DESC, n.n_name
+    """,
+)
+def rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue by nation for one
+    region-year. The fact chain (lineitem ⋈ orders ⋈ customer)
+    shuffles on its join keys; supplier/nation/region broadcast, and
+    the region filter prunes nations BEFORE the fact join so the
+    c_nationkey = s_nationkey condition runs against a 5× smaller
+    build side. Revenue in integer 1e-4 units, rounded per lineitem
+    before the sum (order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dim = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    sn = s.join(F.broadcast(dim), s.s_nationkey == dim.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == sn.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev_e4).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue_e4").desc(), "n_name")
+    )
+
+
+@register(
+    "rel_events_gapfill",
+    oracle="""
+    WITH per_day AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS INT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS day_value_e4
+        FROM events WHERE user_id < 12
+        GROUP BY user_id, day
+    ),
+    bounds AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM per_day GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    )
+    SELECT g.user_id,
+           CAST(epoch_us(g.day) AS BIGINT) AS day_us,
+           COALESCE(p.n_events, 0) AS n_events,
+           CAST(p.user_id IS NULL AS INT) AS is_gap,
+           p.day_value_e4,
+           (SELECT p2.day_value_e4 FROM per_day p2
+            WHERE p2.user_id = g.user_id AND p2.day <= g.day
+            ORDER BY p2.day DESC LIMIT 1) AS carry_value_e4
+    FROM grid g LEFT JOIN per_day p
+      ON g.user_id = p.user_id AND g.day = p.day
+    ORDER BY g.user_id, day_us
+    """,
+)
+def rel_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + carry-forward
+    (operators/timeseries.py resample_daily_gapfill): one row per
+    (user, day) between each user's first and last event, empty days
+    flagged and value carried forward. Grid rows = users × span-days,
+    independent of event volume; every stage shuffles on the user key
+    only. Day emitted as epoch-microseconds (timezone-proof hash)."""
+    from vectordb_light_spark.operators.timeseries import resample_daily_gapfill
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 12)
+    out = resample_daily_gapfill(ev)
+    return out.select(
+        "user_id",
+        F.unix_micros("day").alias("day_us"),
+        "n_events",
+        "is_gap",
+        "day_value_e4",
+        "carry_value_e4",
+    ).orderBy("user_id", "day_us")
 
 
 @register(
