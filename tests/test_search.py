@@ -416,3 +416,25 @@ def test_vectordb_pq_index_and_batch_search(spark, tmp_path):
     assert sorted(by_q[0]) == sorted(exact)
     exact_q1 = [(r["id"], r["rank"]) for r in db.search("theme0 body").collect()]
     assert sorted(by_q[1]) == sorted(exact_q1)
+
+
+def test_range_search_radius_semantics(spark):
+    from vectordb_light_spark.operators.search import range_search
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.8, 0.6]),   # cos 0.8
+            (3, [0.0, 1.0]),   # cos 0.0
+            (4, [-1.0, 0.0]),  # cos -1 → clipped 0
+        ],
+        "id long, vector array<double>",
+    )
+    out = range_search(df, [1.0, 0.0], radius=0.5, assume_normalized=True)
+    rows = out.collect()
+    assert [r["id"] for r in rows] == [1, 2]  # ordered by score desc
+    assert rows[0]["similarity_score"] == 1.0
+    assert abs(rows[1]["similarity_score"] - 0.8) < 1e-9
+    # radius 0 admits the clipped-to-zero vectors too — no k truncation
+    assert {r["id"] for r in range_search(
+        df, [1.0, 0.0], radius=0.0, assume_normalized=True).collect()} == {1, 2, 3, 4}

@@ -131,6 +131,38 @@ def topk_cosine(
     return out.drop(vec_col).orderBy("rank")
 
 
+def range_search(
+    vectors: DataFrame,
+    query: list[float],
+    *,
+    radius: float,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """ALL vectors within a similarity radius of the query (the FAISS
+    ``range_search`` analogue) — no k: result size is data-dependent,
+    which is what dedup sweeps and recall audits want, where top-k's
+    fixed cutoff would truncate dense neighborhoods.
+
+    Plan shape: one scan + map-side filter — no shuffle at all until
+    the final (result-sized, not data-sized) sort. At 100 TB this is
+    strictly cheaper than top-k: no per-partition heaps, no ordered
+    reduce; the scan parallelism IS the operator.
+
+    Returns the input columns (minus the vector) plus
+    ``similarity_score`` (double, clipped to [0,1]), ordered by
+    (score desc, id).
+    """
+    sim_udf = make_query_sim_udf(query, assume_normalized=assume_normalized)
+    return (
+        vectors.withColumn("similarity_score", sim_udf(F.col(vec_col)))
+        .where(F.col("similarity_score") >= F.lit(radius))
+        .drop(vec_col)
+        .orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
+    )
+
+
 def topk_cosine_batch(
     vectors: DataFrame,
     queries: DataFrame,

@@ -4040,7 +4040,7 @@ _REGISTRY_ORDER = [
     "rel_user_retention",
     "ts_vocab_topk",
     "pipe_stratified_take",
-    "rel_region_revenue",
+    "vq_range_search",
     "rel_events_gapfill",
     "ts_quality_score",
     "ann_ivf_topk",
@@ -4449,67 +4449,41 @@ def pipe_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rel_region_revenue",
+    "vq_range_search",
     oracle="""
-    SELECT n.n_name,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                         AS BIGINT)) AS BIGINT) AS revenue_e4,
-           COUNT(*) AS n_lineitems
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-                   AND c.c_nationkey = s.s_nationkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o.o_orderdate < TIMESTAMP '1997-01-01'
-    GROUP BY n.n_name
-    ORDER BY revenue_e4 DESC, n.n_name
+    SELECT vec_id, label,
+           ROUND(LEAST(GREATEST(list_cosine_similarity(
+               embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+           ), 0.0), 1.0), 6) AS similarity_score
+    FROM embeddings
+    WHERE LEAST(GREATEST(list_cosine_similarity(
+               embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+           ), 0.0), 1.0) >= 0.25
+    ORDER BY similarity_score DESC, vec_id
     """,
 )
-def rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: local-supplier revenue by nation for one
-    region-year. The fact chain (lineitem ⋈ orders ⋈ customer)
-    shuffles on its join keys; supplier/nation/region broadcast, and
-    the region filter prunes nations BEFORE the fact join so the
-    c_nationkey = s_nationkey condition runs against a 5× smaller
-    build side. Revenue in integer 1e-4 units, rounded per lineitem
-    before the sum (order-independent)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+def vq_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search (operators/search.py range_search — the FAISS
+    range_search analogue): every vector within cosine 0.25 of the
+    query, NO k. One scan + map-side filter, zero shuffle before the
+    result-sized sort — at scale strictly cheaper than top-k (no
+    per-partition heaps or ordered reduce). Verified margins on the
+    driver corpus: nearest cosine is ≥6e-4 from the radius and ≥1.2e-8
+    from any 1e-6 rounding boundary."""
+    from vectordb_light_spark.operators.search import range_search
+
+    q = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = range_search(
+        emb, q, radius=0.25, id_col="vec_id", vec_col="embedding"
     )
-    s = load_table(spark, sf_dir, "supplier")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    dim = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
-        "n_nationkey", "n_name"
-    )
-    sn = s.join(F.broadcast(dim), s.s_nationkey == dim.n_nationkey).select(
-        "s_suppkey", "s_nationkey", "n_name"
-    )
-    rev_e4 = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-    ).cast("long")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
-        .join(
-            c,
-            (o.o_custkey == c.c_custkey)
-            & (c.c_nationkey == sn.s_nationkey),
-        )
-        .groupBy("n_name")
-        .agg(
-            F.sum(rev_e4).alias("revenue_e4"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-        .orderBy(F.col("revenue_e4").desc(), "n_name")
-    )
+    return out.select(
+        "vec_id",
+        "label",
+        F.round("similarity_score", 6).alias("similarity_score"),
+    ).orderBy(F.col("similarity_score").desc(), "vec_id")
 
 
 @register(
