@@ -54,6 +54,10 @@ NOTES = {
  'sim_sparse_cosine_pairs': 'Sparse all-pairs cosine: posting self-join meets only on shared terms (no cross join anywhere); per-term products aggregate map-side into the single (i, j) dot exchange; norms re-enter broadcast.',
  'rel_events_scd2': 'SCD2 ranges: one hashpartitioning(user_id) exchange feeds the LEAD window; epoch-micros longs avoid timezone-sensitive hashes.',
  'prof_events_pivot': 'PIVOT with an explicit value list: no distinct-values pre-scan; one hash aggregate pair with a CASE per output column (partial counts combine map-side).',
+ 'ts_vocab_topk': 'Vocabulary head: token counting is partial+final HashAggregate around one token-keyed exchange; the global top-k is TakeOrderedAndProject over the aggregated vocab; rank/cumsum windows run on the 50-row slice only.',
+ 'pipe_stratified_take': 'Exact stratum quotas: the md5 rank key is a map-side codegen expression; ONE hashpartitioning(lang) exchange feeds the per-stratum row_number; WindowGroupLimit caps each task at n rows per stratum before the final exchange.',
+ 'rel_events_gapfill': 'Calendar gap-fill: per-day aggregate, bounds aggregate, grid explode, left join back, and the LOCF window all key on user_id — one partitioning reused end-to-end; grid rows = keys x span-days, independent of event volume.',
+ 'vq_range_search': 'Radius search: one scan + map-side similarity filter — NO data-sized shuffle at all; the only exchange sorts the (result-sized) survivor set.',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',
