@@ -438,3 +438,50 @@ def test_range_search_radius_semantics(spark):
     # radius 0 admits the clipped-to-zero vectors too — no k truncation
     assert {r["id"] for r in range_search(
         df, [1.0, 0.0], radius=0.0, assume_normalized=True).collect()} == {1, 2, 3, 4}
+
+
+def test_vectordb_ivf_index_and_partition_pruned_search(spark, tmp_path):
+    """build_ivf_index rewrites the store partitioned by cluster and
+    persists centroids; search_ivf at full probe reproduces the exact
+    top-k; a 1-probe search reads only that cluster's rows."""
+    import os as _os
+
+    from vectordb_light_spark.engine import VectorDB
+    from vectordb_light_spark.operators.ingest import IngestConfig, create_database
+    from vectordb_light_spark.sources.extract import load_directory
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(12):
+        (src / f"d{i}.txt").write_text(f"theme{i % 3} body " * 30 + f"tail{i} " * 10)
+    db_root = str(tmp_path / "dbs")
+    _os.makedirs(db_root)
+    docs, _ = load_directory(spark, str(src))
+    create_database(
+        spark, docs, db_root, "ivfd",
+        IngestConfig(chunk_size=150, chunk_overlap=30, target_files=1),
+    )
+    db = VectorDB.open(spark, db_root, "ivfd", cache=False)
+
+    exact = [r["id"] for r in db.search("theme1 body").collect()]
+
+    db.build_ivf_index(n_centroids=4)
+    assert db.meta["ivf_index"] == {"n_centroids": 4}
+    assert "ivf_cluster" in db.vectors.columns
+    assert _os.path.exists(
+        _os.path.join(db_root, "ivfd", "_index", "ivf_centroids.npy")
+    )
+    # the store is physically partitioned by cluster
+    parts = [
+        d for d in _os.listdir(_os.path.join(db_root, "ivfd", "vectors"))
+        if d.startswith("ivf_cluster=")
+    ]
+    assert len(parts) >= 2
+
+    # full probe degenerates to the exact scan
+    full = [r["id"] for r in db.search_ivf("theme1 body", k=6, nprobe=4).collect()]
+    assert full == exact
+
+    # nprobe=1 scans a strict subset of rows
+    one = db.search_ivf("theme1 body", k=6, nprobe=1)
+    assert 0 < one.count() <= len(full)

@@ -65,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
 
     common(sub.add_parser("srp-index"))
     common(sub.add_parser("pq-index"))
+    common(sub.add_parser("ivf-index"))
     common(sub.add_parser("compact"))
     common(sub.add_parser("list"), db=False)
     p = sub.add_parser("backup")
@@ -138,6 +139,10 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "pq-index":
         db.build_pq_index()
         _emit({"pq_index": db.meta["pq_index"]})
+        return 0
+    if a.cmd == "ivf-index":
+        db.build_ivf_index()
+        _emit({"ivf_index": db.meta["ivf_index"]})
         return 0
     if a.cmd == "search":
         out = db.search(

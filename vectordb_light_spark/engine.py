@@ -218,6 +218,82 @@ class VectorDB:
             rerank_pool=rerank_pool,
         )
 
+    def build_ivf_index(self, *, n_centroids: int = 16) -> None:
+        """One-time IVF index build: train sampled-Lloyd centroids
+        (operators/similarity.py train_ivf_centroids), persist them as
+        ``_index/`` artifacts, and rewrite ``vectors/`` PARTITIONED BY
+        nearest-centroid id — after this every :meth:`search_ivf`
+        probe is a partition-pruned read that never opens the other
+        clusters' files. Same atomic tmp+swap discipline as
+        :meth:`build_pq_index`."""
+        import shutil
+
+        from vectordb_light_spark.operators.ingest import save_index_artifacts
+        from vectordb_light_spark.operators.similarity import (
+            add_ivf_cluster,
+            train_ivf_centroids,
+        )
+
+        vectors_dir = os.path.join(self.path, "vectors")
+        fresh = self.spark.read.parquet(vectors_dir)
+        centroids = train_ivf_centroids(
+            fresh, vec_col="vector", id_col="id", n_centroids=n_centroids
+        )
+        save_index_artifacts(self.path, {"ivf_centroids": centroids})
+        clustered = add_ivf_cluster(fresh, centroids, vec_col="vector")
+        tmp_dir = vectors_dir + ".ivf-tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        clustered.write.partitionBy("ivf_cluster").parquet(tmp_dir)
+        self.vectors.unpersist()
+        old_dir = vectors_dir + ".ivf-old"
+        os.rename(vectors_dir, old_dir)
+        os.rename(tmp_dir, vectors_dir)
+        shutil.rmtree(old_dir)
+        self.meta["ivf_index"] = {"n_centroids": n_centroids}
+        with open(os.path.join(self.path, META_FILE), "w") as f:
+            json.dump(self.meta, f)
+        self.vectors = self.spark.read.parquet(vectors_dir)
+        if self._cache:
+            self.vectors = self.vectors.cache()
+
+    def search_ivf(
+        self,
+        query_text: str | None = None,
+        *,
+        query_vector: list[float] | None = None,
+        k: int = 6,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Partition-pruned ANN over the IVF store: rank centroids
+        driver-side (tiny), scan only the ``nprobe`` nearest
+        clusters — with the partitioned layout from
+        :meth:`build_ivf_index` the non-probed clusters' files are
+        never opened. ``nprobe >= n_centroids`` degenerates to the
+        exact scan. Requires :meth:`build_ivf_index`."""
+        if "ivf_index" not in self.meta:
+            raise ValueError(
+                "no IVF index on this database — run build_ivf_index()"
+            )
+        import numpy as np
+
+        from vectordb_light_spark.operators.ingest import load_index_artifacts
+        from vectordb_light_spark.operators.similarity import ann_topk_ivf
+
+        if query_vector is None:
+            if query_text is None:
+                raise ValueError("need query_text or query_vector")
+            query_vector = self.embed(query_text)
+        centroids = np.asarray(load_index_artifacts(self.path)["ivf_centroids"])
+        return ann_topk_ivf(
+            self.vectors,
+            centroids,
+            query_vector,
+            k=k,
+            nprobe=nprobe,
+            id_col="id",
+            vec_col="vector",
+        )
+
     def search_batch(
         self,
         query_texts: list[str],
