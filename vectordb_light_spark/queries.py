@@ -3988,102 +3988,102 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: expensive tail entries, never a cheap one. Unlisted (new) entries
 #: keep registration order at the end until they are measured.
 _REGISTRY_ORDER = [
-    "vq_topk_cosine",  # flagship; ~1s steady-state (10s figure was session warm-up)
-    "prof_value_histogram",
-    "rel_forecast_revenue",
-    "pipe_corpus_mix",
-    "pipe_token_budget_mix",
-    "pipe_corpus_split",
-    "rel_top_orders_by_revenue",
-    "pipe_weighted_sample",
-    "prof_corpus_quantiles",
-    "rel_events_json",
-    "dq_events_constraints",
-    "prof_events_cube",
-    "prof_events_pivot",
-    "rel_big_orders",
-    "st_events_dedup",
-    "st_events_sliding",
-    "vq_grouped_topk",
-    "mm_audio_windows",
-    "pipe_corpus_shuffle",
-    "pipe_doc_hash",
-    "prof_events_corr",
-    "prof_events_rollup",
-    "rel_window_order_rank",
-    "vq_filtered_topk",
-    "vq_topk_quantized",
-    "emb_doc_mean_pool",
-    "rel_customer_activity",
-    "rel_join_nation_customers",
-    "rel_orders_pareto",
-    "ts_lang_id",
-    "ts_text_stats",
-    "vq_citations",
-    "rel_events_asof",
     "rel_events_scd2",
-    "rel_events_cohorts",
-    "rel_events_moving_avg",
-    "rel_pricing_summary",
-    "skew_salted_user_join",
-    "st_events_window",
-    "ann_pca_topk",
-    "rel_events_funnel",
-    "rel_events_interval",
-    "rel_region_volume",
-    "rel_shipping_priority",
-    "vq_threshold_after_topk",
-    "ann_srp_topk",
-    "vq_mmr_rerank",
-    "mm_frame_counts",
-    "rel_sessions_overlap",
-    "rel_user_retention",
-    "ts_vocab_topk",
     "pipe_stratified_take",
-    "vq_range_search",
     "rel_events_gapfill",
-    "ts_quality_score",
+    "pipe_corpus_split",
+    "ts_vocab_topk",
+    "st_events_window",
+    "prof_events_rollup",
+    "rel_join_nation_customers",
+    "prof_events_cube",
+    "rel_forecast_revenue",
+    "rel_pricing_summary",
+    "st_events_sliding",
+    "prof_value_histogram",
+    "prof_events_pivot",
+    "vq_grouped_topk",
+    "vq_threshold_after_topk",
     "ann_ivf_topk",
+    "pipe_doc_hash",
+    "rel_customer_activity",
+    "ann_srp_topk",
+    "emb_doc_mean_pool",
     "dd_duplicate_groups",
-    "sim_cosine_pairs_exact",
-    "sim_sparse_cosine_pairs",
-    "st_events_sessions",
-    "pipe_chunk_fixed",
-    "prof_sketch_accuracy",
-    "pipe_sequence_pack",
-    "vq_rag_prompt",
-    "kw_bm25_topk",
-    "prof_events_sketch",
+    "st_events_dedup",
+    "skew_salted_user_join",
+    "prof_events_corr",
     "vq_chunks_only",
-    "ts_pii_scrub",
-    "ts_repetition_filter",
-    "mm_image_pipeline",
-    "pipe_training_corpus",
-    "dd_embedding_near_dups",
-    "dd_exact_dedup",
-    "pipe_pdf_page_chunks",
-    "ts_tfidf_top_terms",
-    "vq_batch_topk",
-    "kw_hybrid_rrf",
-    "pipe_decontaminate",
-    "emb_feature_hash_topk",
-    "ann_ivfpq_topk",
-    "ann_topk_join",
-    "dd_remove_boilerplate",
-    "ts_bigram_lm_score",
-    "ann_pq_topk",
-    "dd_simhash_near_dups",
-    "pipe_chunk_normalized",
-    "ts_winnow_fingerprints",
-    "dd_containment_pairs",
-    "st_user_running_totals",
+    "pipe_weighted_sample",
+    "rel_region_volume",
+    "vq_rag_prompt",
+    "rel_events_interval",
+    "rel_user_retention",
+    "rel_top_orders_by_revenue",
+    "pipe_corpus_shuffle",
+    "vq_range_search",
+    "rel_events_json",
+    "vq_topk_quantized",
     "vq_postfilters",
-    "emb_mini_encoder_topk",
-    "ann_recall_contract",
-    "st_clicks_attribution",
+    "prof_corpus_quantiles",
+    "rel_shipping_priority",
+    "rel_orders_pareto",
+    "pipe_corpus_mix",
+    "vq_citations",
+    "rel_events_cohorts",
+    "ts_quality_score",
+    "ts_pii_scrub",
+    "rel_events_moving_avg",
+    "vq_batch_topk",
+    "rel_big_orders",
+    "vq_filtered_topk",
+    "ts_text_stats",
+    "pipe_token_budget_mix",
+    "rel_events_asof",
+    "rel_events_funnel",
+    "pipe_sequence_pack",
+    "sim_sparse_cosine_pairs",
+    "dq_events_constraints",
+    "ts_lang_id",
+    "mm_audio_windows",
+    "rel_window_order_rank",
+    "pipe_chunk_fixed",
+    "vq_topk_cosine",
+    "ann_pca_topk",
+    "rel_sessions_overlap",
+    "kw_bm25_topk",
+    "dd_jaccard_pairs",
+    "sim_cosine_pairs_exact",
+    "mm_frame_counts",
+    "ts_repetition_filter",
+    "vq_mmr_rerank",
+    "ts_winnow_fingerprints",
+    "dd_remove_boilerplate",
+    "pipe_chunk_normalized",
+    "ann_pq_topk",
+    "prof_sketch_accuracy",
+    "prof_events_sketch",
+    "pipe_decontaminate",
+    "ts_tfidf_top_terms",
+    "dd_exact_dedup",
+    "mm_image_pipeline",
+    "ts_bigram_lm_score",
+    "kw_hybrid_rrf",
+    "pipe_pdf_page_chunks",
     "pipe_hash_embed_topk",
     "dd_minhash_candidates",
-    "dd_jaccard_pairs",
+    "ann_ivfpq_topk",
+    "dd_containment_pairs",
+    "pipe_training_corpus",
+    "st_events_sessions",
+    "emb_feature_hash_topk",
+    "ann_topk_join",
+    "dd_simhash_near_dups",
+    "st_user_running_totals",
+    "dd_embedding_near_dups",
+    "emb_mini_encoder_topk",
+    "st_clicks_attribution",
+    "ann_recall_contract",
     "dd_duplicate_clusters",
 ]
 
@@ -4100,7 +4100,6 @@ def _apply_registry_order() -> None:
         mapping.update(ordered)
 
 
-_apply_registry_order()
 
 
 def _feature_hash_oracle_sql() -> str:
@@ -4603,3 +4602,8 @@ def sim_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).orderBy("id_a", "id_b")
+
+
+# Applied at module end so EVERY registration (including those defined
+# below the order list) participates in the fastest-first sort.
+_apply_registry_order()
