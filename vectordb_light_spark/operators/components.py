@@ -75,6 +75,9 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nc"))
         )
+        # the changed flag rides along in the SAME pass, so the
+        # convergence check below is a filter over the checkpointed
+        # result — not a second shuffle join per round
         nxt = (
             comp.join(nbr, comp.node == nbr.a, "left")
             .select(
@@ -82,16 +85,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nc", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("nc", F.col("component")) < F.col("component")
+                ).alias("__chg"),
             )
         )
         nxt = nxt.localCheckpoint(eager=True)
-        changed = (
-            nxt.join(comp.withColumnRenamed("component", "old"), "node")
-            .where(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        comp = nxt
+        changed = nxt.where(F.col("__chg")).limit(1).count()
+        comp = nxt.drop("__chg")
         if changed == 0:
             return comp
     raise RuntimeError(
