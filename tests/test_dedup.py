@@ -286,3 +286,23 @@ def test_ngram_contamination_short_docs_use_whole_text_gram(spark):
     )
     out = {r.doc_id: r.contaminated for r in ngram_contamination(train, bench, n=4).collect()}
     assert out == {1: True, 2: False}
+
+
+def test_cross_corpus_candidates_find_near_dups_across_sides(spark):
+    from vectordb_light_spark.operators.dedup import minhash_lsh_candidates_cross
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    ref = spark.createDataFrame(
+        [(1, base), (2, "completely different reference content here " * 6)],
+        "doc_id long, text string",
+    )
+    # id 1 overlaps ref's id space on purpose — cross variant needs no
+    # id<id guard
+    new = spark.createDataFrame(
+        [(1, base + "tail"), (9, "unrelated new corpus text entirely " * 6)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_candidates_cross(new, ref).collect()
+    pairs = {(r["ref_id"], r["new_id"]): r["est_jaccard"] for r in out}
+    assert (1, 1) in pairs and pairs[(1, 1)] >= 0.75
+    assert (2, 9) not in pairs

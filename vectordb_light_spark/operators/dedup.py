@@ -369,6 +369,76 @@ def minhash_lsh_candidates(
     return pairs.withColumn("est_jaccard", est).drop("sig_a", "sig_b")
 
 
+def minhash_lsh_candidates_cross(
+    new: DataFrame,
+    ref: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = DEFAULT_SHINGLE_N,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    seed: int = DEFAULT_SEED,
+    hash_family: str = "splitmix64",
+) -> DataFrame:
+    """Cross-corpus near-dup candidates: (ref_id, new_id, est_jaccard)
+    for every ``new`` document that LSH-collides with a ``ref``
+    document — the dedup-against-a-reference-corpus shape (dedup a
+    fresh crawl against what's already in the training set, or
+    against an eval benchmark at the near-dup rather than exact-gram
+    level).
+
+    Same plan as the self-join variant (:func:`minhash_lsh_candidates`)
+    with the two sides banded independently: signatures are narrow
+    map-only stages, the band equi-join shuffles only (band key, id,
+    signature), and — unlike the self-join — needs no ``id < id``
+    dedup guard, so corpora with overlapping id spaces are fine.
+    """
+    rows_per_band = num_hashes // bands
+    from vectordb_light_spark.session import persist_if_batch
+
+    key_family = "poly31" if hash_family == "poly31" else "xxhash64"
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sig = add_minhash_signature(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            seed=seed,
+            hash_family=hash_family,
+        ).select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col("minhash").alias(f"{side}_sig"),
+        )
+        return persist_if_batch(
+            sig.select(
+                f"{side}_id",
+                f"{side}_sig",
+                F.posexplode(
+                    lsh_band_keys(
+                        F.col(f"{side}_sig"), bands, rows_per_band, key_family
+                    )
+                ).alias("__band_idx", "__band_key"),
+            )
+        )
+
+    pairs = (
+        banded(ref, "ref")
+        .join(banded(new, "new"), ["__band_idx", "__band_key"])
+        .select("ref_id", "new_id", "ref_sig", "new_sig")
+        .dropDuplicates(["ref_id", "new_id"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("ref_sig", "new_sig", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return pairs.withColumn("est_jaccard", est).drop("ref_sig", "new_sig")
+
+
 def minhash_dedup(
     df: DataFrame,
     *,

@@ -980,14 +980,16 @@ def _shingle_hash_cte(n: int) -> str:
     )"""
 
 
-def _minhash_cand_ctes() -> str:
+def _minhash_cand_ctes(
+    pair_cond: str = "a.doc_id < bb.doc_id",
+) -> str:
     """Shared CTE chain ending in ``cand`` = MinHash-LSH candidate
     pairs (poly31 family, 16 hashes / 4 bands, n_eq ≥ 12): signature
     minima over the mod-2^61-1 multiply-shift family (constants from
     ``minhash_poly_params``), poly band keys, band equi-join —
     integer-for-integer the same arithmetic as the Spark plan. Used
-    by both the candidates oracle and the recursive-CTE clusters
-    oracle."""
+    by the candidates oracle, the recursive-CTE clusters oracle, and
+    (with a cross-corpus ``pair_cond``) the cross-corpus oracle."""
     from vectordb_light_spark.operators.dedup import minhash_poly_params
 
     p61 = (1 << 61) - 1
@@ -1017,7 +1019,7 @@ def _minhash_cand_ctes() -> str:
         FROM bands a
         JOIN bands bb ON a.band_idx = bb.band_idx
                      AND a.band_key = bb.band_key
-                     AND a.doc_id < bb.doc_id
+                     AND {pair_cond}
     ),
     cand AS (
         SELECT id_a, id_b, n_eq
@@ -1066,6 +1068,48 @@ def dd_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("est_jaccard") >= 0.75)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
         .orderBy("id_a", "id_b")
+    )
+
+
+def _cross_corpus_oracle_sql() -> str:
+    """Cross-corpus MinHash oracle: the shared poly31 CTE chain with
+    the pair condition switched from the self-join guard to the
+    ref/new corpus split (ref = doc_id < 250, new = doc_id ≥ 250)."""
+    return f"""
+    WITH {_minhash_cand_ctes("a.doc_id < 250 AND bb.doc_id >= 250")}
+    SELECT id_a AS ref_id, id_b AS new_id,
+           ROUND(n_eq / 16.0, 6) AS est_jaccard
+    FROM cand
+    ORDER BY ref_id, new_id
+    """
+
+
+@register("dd_cross_corpus_candidates", oracle=_cross_corpus_oracle_sql())
+def dd_cross_corpus_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dedup (operators/dedup.py
+    minhash_lsh_candidates_cross): which documents of a NEW corpus
+    (doc_id ≥ 250) near-duplicate a REFERENCE corpus (doc_id < 250) —
+    dedup a fresh crawl against the existing training set at the
+    near-dup level, complementing pipe_decontaminate's exact-gram
+    containment. Two independently-banded sides, band equi-join,
+    est-Jaccard ≥ 0.75; the poly31 family gives DuckDB bit-parity."""
+    from vectordb_light_spark.operators.dedup import (
+        canonical_text,
+        minhash_lsh_candidates_cross,
+    )
+
+    docs = load_docs(spark, sf_dir).where(F.length(canonical_text("text")) > 0)
+    ref = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    return (
+        minhash_lsh_candidates_cross(
+            new, ref, num_hashes=16, bands=4, hash_family="poly31"
+        )
+        .where(F.col("est_jaccard") >= 0.75)
+        .select(
+            "ref_id", "new_id", F.round("est_jaccard", 6).alias("est_jaccard")
+        )
+        .orderBy("ref_id", "new_id")
     )
 
 
@@ -4072,6 +4116,7 @@ _REGISTRY_ORDER = [
     "pipe_pdf_page_chunks",
     "pipe_hash_embed_topk",
     "dd_minhash_candidates",
+    "dd_cross_corpus_candidates",
     "ann_ivfpq_topk",
     "dd_containment_pairs",
     "pipe_training_corpus",
