@@ -271,3 +271,90 @@ def test_mean_pool_matches_numpy(spark, data):
     for g, vs in by_g.items():
         want = np.stack(vs).mean(axis=0)
         assert np.allclose(got[g], want, atol=1e-7), (g, got[g], want)
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill — one Spark job checks a brute-force python twin
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user
+            st.integers(min_value=1, max_value=20),         # day of month
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gapfill_matches_bruteforce(spark, events):
+    import datetime
+
+    from vectordb_light_spark.operators.timeseries import resample_daily_gapfill
+
+    rows = [
+        (u, datetime.datetime(2024, 3, d, 12), float(v)) for u, d, v in events
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["day"].day): (
+            r["n_events"], r["is_gap"], r["day_value_e4"], r["carry_value_e4"]
+        )
+        for r in resample_daily_gapfill(ev).collect()
+    }
+
+    # brute force
+    per_day: dict[tuple[int, int], list[float]] = {}
+    for u, d, v in events:
+        per_day.setdefault((u, d), []).append(float(v))
+    expect = {}
+    for u in {u for u, _, _ in events}:
+        days = [d for (uu, d) in per_day if uu == u]
+        carry = None
+        for d in range(min(days), max(days) + 1):
+            vals = per_day.get((u, d))
+            if vals is None:
+                expect[(u, d)] = (0, 1, None, carry)
+            else:
+                s = sum(round(v * 10000) for v in vals)
+                carry = s
+                expect[(u, d)] = (len(vals), 0, s, s)
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact quotas — quota, determinism, nested-rank properties
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60, unique=True),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_stratified_take_quota_properties(spark, ids, n):
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.sampling import stratified_take
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long").withColumn(
+        "lang", (F.col("doc_id") % 3).cast("string")
+    )
+    out = stratified_take(df, n, strata_col="lang").collect()
+    by_stratum: dict[str, list] = {}
+    for r in out:
+        by_stratum.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_stratum.items():
+        avail = sum(1 for i in ids if str(i % 3) == lang)
+        assert len(rows) == min(n, avail)          # exact quota (or all)
+        assert sorted(r["take_rank"] for r in rows) == list(range(1, len(rows) + 1))
+    # smaller n is a prefix of larger n (ranks are stable)
+    sub = {
+        (r["doc_id"], r["take_rank"])
+        for r in stratified_take(df, max(1, n - 1), strata_col="lang").collect()
+    }
+    sup = {(r["doc_id"], r["take_rank"]) for r in out}
+    assert sub <= sup
