@@ -58,6 +58,7 @@ NOTES = {
  'pipe_stratified_take': 'Exact stratum quotas: the md5 rank key is a map-side codegen expression; ONE hashpartitioning(lang) exchange feeds the per-stratum row_number; WindowGroupLimit caps each task at n rows per stratum before the final exchange.',
  'rel_events_gapfill': 'Calendar gap-fill: per-day aggregate, bounds aggregate, grid explode, left join back, and the LOCF window all key on user_id — one partitioning reused end-to-end; grid rows = keys x span-days, independent of event volume.',
  'vq_range_search': 'Radius search: one scan + map-side similarity filter — NO data-sized shuffle at all; the only exchange sorts the (result-sized) survivor set.',
+ 'dd_cross_corpus_candidates': 'Cross-corpus dedup: each corpus gets its own persisted signature+banding stage; the candidate join is a plain band-key equi-join (broadcast here by AQE size choice, shuffle hash join at scale) with no id-order guard needed; shuffle carries (band key, id, signature), never text.',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',
