@@ -96,6 +96,12 @@ def _tune_session(spark: SparkSession) -> None:
             )
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Timestamp determinism: the NTZ→TIMESTAMP cast in load_table
+        # and every date_trunc/unix_micros read the SESSION timezone —
+        # a vanilla session inheriting a non-UTC JVM default would
+        # shift epoch values against the (timezone-naive) DuckDB
+        # oracle.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - conf may be restricted
         pass
 
