@@ -55,6 +55,54 @@ def main() -> None:
         if dt == dt:
             total += dt
 
+    # BASELINE.md bench plan "ingest": the reference's entry point A
+    # (chunk + normalize + embed + write) end-to-end over the sf
+    # documents table, reported as wall s + chunks/s (the analogue of
+    # the reference's stage_split.py:428-431 throughput log).
+    ingest = {}
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from vectordb_light_spark.operators.ingest import (
+            IngestConfig,
+            create_database,
+        )
+
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(
+                F.sha2(F.coalesce("text", F.lit("")), 256).alias("hash"),
+                "text",
+                F.lit(".txt").alias("file_type"),
+                F.col("doc_id"),
+            )
+        )
+        root = tempfile.mkdtemp(prefix="bench-ingest-")
+        try:
+            t0 = time.time()
+            meta = create_database(
+                spark, docs, root, "benchdb",
+                IngestConfig(
+                    chunk_size=1200, chunk_overlap=600,
+                    embedder_spec={"encoder": "hashing", "dim": 64, "seed": 0},
+                    target_files=8,
+                ),
+            )
+            wall = time.time() - t0
+            n_chunks = int(meta["observed"].get("n_chunks", 0))
+            ingest = {
+                "ingest_wall_s": round(wall, 3),
+                "ingest_chunks": n_chunks,
+                "ingest_chunks_per_s": round(n_chunks / wall, 1) if wall else 0,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error in ingest: {e}", file=sys.stderr)
+
     # The driver captures only a bounded tail of stdout (r1: the full
     # 80-query JSON line overflowed it → "parsed": null). Emit a
     # COMPACT final line — totals + a fixed headline subset — and put
@@ -68,6 +116,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": timings,
+                **ingest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             indent=1,
@@ -101,6 +150,7 @@ def main() -> None:
             "unit": "sec",
             "n_queries": len(timings),
             "queries": {k: timings[k] for k in headline if k in timings},
+            **ingest,
             "queries_full": "BENCH_FULL.json",
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },
