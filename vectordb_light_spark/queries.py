@@ -4032,102 +4032,102 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: expensive tail entries, never a cheap one. Unlisted (new) entries
 #: keep registration order at the end until they are measured.
 _REGISTRY_ORDER = [
-    "rel_events_scd2",
-    "pipe_stratified_take",
-    "rel_events_gapfill",
-    "pipe_corpus_split",
-    "ts_vocab_topk",
-    "st_events_window",
-    "prof_events_rollup",
-    "rel_join_nation_customers",
-    "prof_events_cube",
+    "pipe_corpus_mix",
+    "prof_corpus_quantiles",
     "rel_forecast_revenue",
-    "rel_pricing_summary",
-    "st_events_sliding",
-    "prof_value_histogram",
-    "prof_events_pivot",
-    "vq_grouped_topk",
-    "vq_threshold_after_topk",
-    "ann_ivf_topk",
-    "pipe_doc_hash",
-    "rel_customer_activity",
-    "ann_srp_topk",
-    "emb_doc_mean_pool",
-    "dd_duplicate_groups",
-    "st_events_dedup",
-    "skew_salted_user_join",
-    "prof_events_corr",
-    "vq_chunks_only",
     "pipe_weighted_sample",
-    "rel_region_volume",
-    "vq_rag_prompt",
-    "rel_events_interval",
-    "rel_user_retention",
-    "rel_top_orders_by_revenue",
-    "pipe_corpus_shuffle",
-    "vq_range_search",
-    "rel_events_json",
+    "vq_topk_cosine",
+    "prof_value_histogram",
+    "pipe_corpus_split",
+    "vq_filtered_topk",
     "vq_topk_quantized",
     "vq_postfilters",
-    "prof_corpus_quantiles",
-    "rel_shipping_priority",
-    "rel_orders_pareto",
-    "pipe_corpus_mix",
+    "prof_events_cube",
+    "st_events_dedup",
+    "ann_srp_topk",
+    "rel_events_json",
     "vq_citations",
-    "rel_events_cohorts",
-    "ts_quality_score",
-    "ts_pii_scrub",
-    "rel_events_moving_avg",
-    "vq_batch_topk",
-    "rel_big_orders",
-    "vq_filtered_topk",
-    "ts_text_stats",
+    "skew_salted_user_join",
     "pipe_token_budget_mix",
-    "rel_events_asof",
-    "rel_events_funnel",
-    "pipe_sequence_pack",
-    "sim_sparse_cosine_pairs",
-    "dq_events_constraints",
+    "rel_top_orders_by_revenue",
+    "rel_customer_activity",
+    "emb_doc_mean_pool",
+    "rel_shipping_priority",
+    "st_events_sliding",
+    "vq_chunks_only",
+    "vq_batch_topk",
+    "rel_join_nation_customers",
+    "vq_threshold_after_topk",
+    "rel_region_volume",
+    "ts_text_stats",
+    "rel_orders_pareto",
+    "vq_rag_prompt",
+    "rel_user_retention",
     "ts_lang_id",
-    "mm_audio_windows",
-    "rel_window_order_rank",
-    "pipe_chunk_fixed",
-    "vq_topk_cosine",
+    "rel_events_moving_avg",
+    "st_events_window",
+    "pipe_doc_hash",
+    "rel_events_cohorts",
+    "rel_pricing_summary",
+    "prof_events_corr",
     "ann_pca_topk",
-    "rel_sessions_overlap",
-    "kw_bm25_topk",
-    "dd_jaccard_pairs",
-    "sim_cosine_pairs_exact",
+    "vq_range_search",
+    "pipe_corpus_shuffle",
+    "dq_events_constraints",
+    "mm_audio_windows",
+    "prof_events_rollup",
+    "rel_events_interval",
+    "prof_events_pivot",
+    "ann_ivf_topk",
+    "rel_events_asof",
+    "rel_big_orders",
+    "rel_events_funnel",
+    "ts_pii_scrub",
+    "dd_duplicate_groups",
+    "vq_grouped_topk",
+    "pipe_chunk_fixed",
+    "ts_quality_score",
+    "pipe_sequence_pack",
+    "rel_window_order_rank",
+    "pipe_stratified_take",
+    "rel_events_scd2",
+    "ts_vocab_topk",
     "mm_frame_counts",
+    "rel_events_gapfill",
     "ts_repetition_filter",
-    "vq_mmr_rerank",
-    "ts_winnow_fingerprints",
-    "dd_remove_boilerplate",
-    "pipe_chunk_normalized",
-    "ann_pq_topk",
-    "prof_sketch_accuracy",
+    "dd_jaccard_pairs",
     "prof_events_sketch",
-    "pipe_decontaminate",
-    "ts_tfidf_top_terms",
+    "prof_sketch_accuracy",
+    "rel_sessions_overlap",
     "dd_exact_dedup",
-    "mm_image_pipeline",
-    "ts_bigram_lm_score",
-    "kw_hybrid_rrf",
-    "pipe_pdf_page_chunks",
-    "pipe_hash_embed_topk",
-    "dd_minhash_candidates",
-    "dd_cross_corpus_candidates",
-    "ann_ivfpq_topk",
-    "dd_containment_pairs",
-    "pipe_training_corpus",
-    "st_events_sessions",
+    "kw_bm25_topk",
+    "sim_cosine_pairs_exact",
+    "vq_mmr_rerank",
     "emb_feature_hash_topk",
-    "ann_topk_join",
-    "dd_simhash_near_dups",
-    "st_user_running_totals",
+    "pipe_decontaminate",
+    "dd_remove_boilerplate",
+    "ann_pq_topk",
+    "pipe_chunk_normalized",
+    "ts_winnow_fingerprints",
+    "ts_tfidf_top_terms",
+    "sim_sparse_cosine_pairs",
     "dd_embedding_near_dups",
     "emb_mini_encoder_topk",
+    "dd_cross_corpus_candidates",
+    "st_events_sessions",
+    "mm_image_pipeline",
+    "pipe_training_corpus",
+    "kw_hybrid_rrf",
+    "pipe_pdf_page_chunks",
+    "ann_topk_join",
+    "ts_bigram_lm_score",
+    "st_user_running_totals",
+    "ann_ivfpq_topk",
+    "dd_minhash_candidates",
     "st_clicks_attribution",
+    "dd_simhash_near_dups",
+    "dd_containment_pairs",
+    "pipe_hash_embed_topk",
     "ann_recall_contract",
     "dd_duplicate_clusters",
 ]
