@@ -9,6 +9,7 @@ would dominate the suite.
 
 from __future__ import annotations
 
+import math
 import unicodedata
 
 import numpy as np
@@ -319,7 +320,13 @@ def test_gapfill_matches_bruteforce(spark, events):
             if vals is None:
                 expect[(u, d)] = (0, 1, None, carry)
             else:
-                s = sum(round(v * 10000) for v in vals)
+                # HALF_UP like Spark F.round, not Python's banker's
+                s = sum(
+                    int(math.floor(v * 10000 + 0.5))
+                    if v >= 0
+                    else int(math.ceil(v * 10000 - 0.5))
+                    for v in vals
+                )
                 carry = s
                 expect[(u, d)] = (len(vals), 0, s, s)
     assert got == expect

@@ -485,3 +485,43 @@ def test_vectordb_ivf_index_and_partition_pruned_search(spark, tmp_path):
     # nprobe=1 scans a strict subset of rows
     one = db.search_ivf("theme1 body", k=6, nprobe=1)
     assert 0 < one.count() <= len(full)
+
+
+def test_index_builds_compose_without_clobbering_artifacts(spark, tmp_path):
+    """pq-index then ivf-index on the same DB must keep BOTH artifact
+    files and both search paths working (save_index_artifacts merges,
+    never replaces, the _index/ directory)."""
+    import os as _os
+
+    from vectordb_light_spark.engine import VectorDB
+    from vectordb_light_spark.operators.ingest import (
+        IngestConfig,
+        create_database,
+        load_index_artifacts,
+    )
+    from vectordb_light_spark.sources.extract import load_directory
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(8):
+        (src / f"d{i}.txt").write_text(f"theme{i % 2} words " * 40)
+    db_root = str(tmp_path / "dbs")
+    _os.makedirs(db_root)
+    docs, _ = load_directory(spark, str(src))
+    create_database(
+        spark, docs, db_root, "both",
+        IngestConfig(chunk_size=150, chunk_overlap=30, target_files=1),
+    )
+    db = VectorDB.open(spark, db_root, "both", cache=False)
+    db.build_pq_index(m=8, n_codes=16)
+    db.build_ivf_index(n_centroids=2)
+    arts = load_index_artifacts(db.path)
+    assert {"pq_codebooks", "ivf_centroids"} <= set(arts)
+    assert db.search_pq("theme1 words", k=3, rerank_pool=100).count() > 0
+    assert db.search_ivf("theme1 words", k=3, nprobe=2).count() > 0
+    # index-implementation columns never leak into result schemas
+    for out in (
+        db.search("theme1 words"),
+        db.search_ivf("theme1 words", k=3, nprobe=2),
+    ):
+        assert not ({"pq_code", "ivf_cluster", "srp_sig"} & set(out.columns))

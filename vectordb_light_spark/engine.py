@@ -83,6 +83,12 @@ def with_parsed_metadata(df, json_col: str, schema, *, out_col: str = "meta"):
     )
 
 
+#: Index-implementation columns added to ``vectors/`` by the index
+#: builders; dropped from every search result so building an index
+#: never changes a consumer-visible result schema.
+_INDEX_COLS = ("srp_sig", "pq_code", "ivf_cluster")
+
+
 class VectorDB:
     """An opened database: vectors + documents tables + _meta."""
 
@@ -134,6 +140,9 @@ class VectorDB:
         # session's lifetime.
         self.vectors.unpersist()
         old_dir = vectors_dir + ".srp-old"
+        # a stale -old dir from a crashed earlier build must not block
+        # the rename below
+        shutil.rmtree(old_dir, ignore_errors=True)
         os.rename(vectors_dir, old_dir)
         os.rename(tmp_dir, vectors_dir)
         shutil.rmtree(old_dir)
@@ -174,6 +183,9 @@ class VectorDB:
         coded.write.parquet(tmp_dir)
         self.vectors.unpersist()
         old_dir = vectors_dir + ".pq-old"
+        # a stale -old dir from a crashed earlier build must not block
+        # the rename below
+        shutil.rmtree(old_dir, ignore_errors=True)
         os.rename(vectors_dir, old_dir)
         os.rename(tmp_dir, vectors_dir)
         shutil.rmtree(old_dir)
@@ -246,6 +258,9 @@ class VectorDB:
         clustered.write.partitionBy("ivf_cluster").parquet(tmp_dir)
         self.vectors.unpersist()
         old_dir = vectors_dir + ".ivf-old"
+        # a stale -old dir from a crashed earlier build must not block
+        # the rename below
+        shutil.rmtree(old_dir, ignore_errors=True)
         os.rename(vectors_dir, old_dir)
         os.rename(tmp_dir, vectors_dir)
         shutil.rmtree(old_dir)
@@ -292,7 +307,7 @@ class VectorDB:
             nprobe=nprobe,
             id_col="id",
             vec_col="vector",
-        )
+        ).drop(*_INDEX_COLS)
 
     def search_batch(
         self,
@@ -392,7 +407,7 @@ class VectorDB:
         ).drop("__sim")
         return topk_cosine(
             vectors, query_vector, params, id_col="id", vec_col="vector"
-        )
+        ).drop(*_INDEX_COLS)
 
     def search_hybrid(
         self,

@@ -395,8 +395,6 @@ def minhash_lsh_candidates_cross(
     dedup guard, so corpora with overlapping id spaces are fine.
     """
     rows_per_band = num_hashes // bands
-    from vectordb_light_spark.session import persist_if_batch
-
     key_family = "poly31" if hash_family == "poly31" else "xxhash64"
 
     def banded(df: DataFrame, side: str) -> DataFrame:
@@ -412,16 +410,17 @@ def minhash_lsh_candidates_cross(
             F.col(id_col).alias(f"{side}_id"),
             F.col("minhash").alias(f"{side}_sig"),
         )
-        return persist_if_batch(
-            sig.select(
-                f"{side}_id",
-                f"{side}_sig",
-                F.posexplode(
-                    lsh_band_keys(
-                        F.col(f"{side}_sig"), bands, rows_per_band, key_family
-                    )
-                ).alias("__band_idx", "__band_key"),
-            )
+        # each banded side feeds exactly ONE join probe — no persist
+        # (unlike the self-join variant, where one signature stage has
+        # two consumers)
+        return sig.select(
+            f"{side}_id",
+            f"{side}_sig",
+            F.posexplode(
+                lsh_band_keys(
+                    F.col(f"{side}_sig"), bands, rows_per_band, key_family
+                )
+            ).alias("__band_idx", "__band_key"),
         )
 
     pairs = (

@@ -342,6 +342,10 @@ def save_index_artifacts(db_path: str, artifacts: dict) -> list[str]:
     tmp_dir = out_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir)
+    # MERGE with what's already trained: building one index tier must
+    # not clobber another's artifacts (e.g. pq-index then ivf-index on
+    # the same database keeps both .npy files).
+    artifacts = {**load_index_artifacts(db_path), **artifacts}
     names = []
     for name, arr in artifacts.items():
         if not name.replace("_", "").isalnum():

@@ -4554,8 +4554,13 @@ def vq_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(p.n_events, 0) AS n_events,
            CAST(p.user_id IS NULL AS INT) AS is_gap,
            p.day_value_e4,
+           -- last NON-NULL day sum: mirrors Spark's
+           -- last(ignorenulls=True) when a day's events all carry
+           -- NULL values (its day_value_e4 is NULL and must be
+           -- skipped, not carried)
            (SELECT p2.day_value_e4 FROM per_day p2
             WHERE p2.user_id = g.user_id AND p2.day <= g.day
+              AND p2.day_value_e4 IS NOT NULL
             ORDER BY p2.day DESC LIMIT 1) AS carry_value_e4
     FROM grid g LEFT JOIN per_day p
       ON g.user_id = p.user_id AND g.day = p.day

@@ -88,20 +88,24 @@ def _tune_session(spark: SparkSession) -> None:
     if key in _TUNED:
         return
     _TUNED.add(key)
+    # Timestamp determinism FIRST, in its own try: the NTZ→TIMESTAMP
+    # cast in load_table and every date_trunc/unix_micros read the
+    # SESSION timezone — a vanilla session inheriting a non-UTC JVM
+    # default would shift epoch values against the (timezone-naive)
+    # DuckDB oracle. Kept separate so a failure in the perf tuning
+    # below (e.g. no sparkContext on a Connect session) cannot skip it.
     try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - conf may be restricted
+        pass
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
             spark.conf.set(
                 "spark.sql.shuffle.partitions",
                 str(spark.sparkContext.defaultParallelism),
             )
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Timestamp determinism: the NTZ→TIMESTAMP cast in load_table
-        # and every date_trunc/unix_micros read the SESSION timezone —
-        # a vanilla session inheriting a non-UTC JVM default would
-        # shift epoch values against the (timezone-naive) DuckDB
-        # oracle.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - conf may be restricted
         pass
 
