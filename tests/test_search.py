@@ -525,3 +525,37 @@ def test_index_builds_compose_without_clobbering_artifacts(spark, tmp_path):
         db.search_ivf("theme1 words", k=3, nprobe=2),
     ):
         assert not ({"pq_code", "ivf_cluster", "srp_sig"} & set(out.columns))
+
+
+def test_open_recovers_from_interrupted_index_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves vectors.<tier>-old
+    and no vectors/ — open() must restore the original store."""
+    import os as _os
+    import shutil as _shutil
+
+    from vectordb_light_spark.engine import VectorDB
+    from vectordb_light_spark.operators.ingest import IngestConfig, create_database
+    from vectordb_light_spark.sources.extract import load_directory
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("recoverable content " * 40)
+    db_root = str(tmp_path / "dbs")
+    _os.makedirs(db_root)
+    docs, _ = load_directory(spark, str(src))
+    create_database(
+        spark, docs, db_root, "crashy",
+        IngestConfig(chunk_size=150, chunk_overlap=30, target_files=1),
+    )
+    db_path = _os.path.join(db_root, "crashy")
+    n_before = spark.read.parquet(_os.path.join(db_path, "vectors")).count()
+    # simulate the crash window: first rename done, second never ran
+    _os.rename(
+        _os.path.join(db_path, "vectors"),
+        _os.path.join(db_path, "vectors.ivf-old"),
+    )
+    db = VectorDB.open(spark, db_root, "crashy", cache=False)
+    assert db.vectors.count() == n_before
+    assert _os.path.isdir(_os.path.join(db_path, "vectors"))
+    assert not _os.path.isdir(_os.path.join(db_path, "vectors.ivf-old"))
+    _shutil.rmtree(db_path)

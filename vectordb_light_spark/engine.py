@@ -98,11 +98,28 @@ class VectorDB:
         self._cache = cache
         with open(os.path.join(path, META_FILE)) as f:
             self.meta = json.load(f)
+        self._recover_interrupted_swap()
         self.vectors = spark.read.parquet(os.path.join(path, "vectors"))
         if cache:
             # Q15 warm cache: keep the columnar scan hot across queries.
             self.vectors = self.vectors.cache()
         self.documents = spark.read.parquet(os.path.join(path, "documents"))
+
+    def _recover_interrupted_swap(self) -> None:
+        """The index builders swap ``vectors/`` via two renames; a
+        crash between them leaves ``vectors.<tier>-old`` holding the
+        original store and no ``vectors/``. Restore the original on
+        open — the interrupted build is simply discarded (it never
+        updated ``_meta.json``, which is written only after a
+        successful swap)."""
+        vectors_dir = os.path.join(self.path, "vectors")
+        if os.path.isdir(vectors_dir):
+            return
+        for tier in ("srp", "pq", "ivf"):
+            old_dir = f"{vectors_dir}.{tier}-old"
+            if os.path.isdir(old_dir):
+                os.rename(old_dir, vectors_dir)
+                return
 
     @classmethod
     def open(cls, spark: SparkSession, db_root: str, name: str, **kw) -> "VectorDB":
