@@ -130,3 +130,20 @@ def test_zorder_rejects_single_column(spark, tmp_path):
             str(tmp_path / "zz"),
             ["x"],
         )
+
+
+def test_tune_session_restores_utc_timezone(spark):
+    """_tune_session must force session-UTC even on sessions handed to
+    us with another timezone (the driver hands queries a vanilla
+    session; epoch-micros hashes depend on this)."""
+    from vectordb_light_spark import session as S
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        S._TUNED.discard(id(spark))
+        S._tune_session(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        S._TUNED.add(id(spark))

@@ -469,9 +469,13 @@ def test_index_artifacts_roundtrip_preserve_ann_results(spark, emb, query, tmp_p
     ]
     assert got == fresh
 
-    # overwrite is atomic: saving a subset replaces the set
-    save_index_artifacts(db, {"pq_codebooks": books})
-    assert set(load_index_artifacts(db)) == {"pq_codebooks"}
+    # re-saving one tier MERGES (atomic swap of the union): the other
+    # tier's artifacts survive, and the re-saved array is the new one
+    save_index_artifacts(db, {"pq_codebooks": books * 2})
+    after = load_index_artifacts(db)
+    assert set(after) == {"pq_codebooks", "ivf_centroids"}
+    np.testing.assert_array_equal(after["pq_codebooks"], books * 2)
+    np.testing.assert_array_equal(after["ivf_centroids"], cents)
 
 
 def test_pq_n_codes_int8_bound_raises(spark, emb):
