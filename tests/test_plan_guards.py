@@ -88,3 +88,25 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name,col",
+    [
+        ("rel_forecast_revenue", "l_shipdate"),   # Q6: every conjunct at the scan
+        ("rel_events_gapfill", "user_id"),        # slice predicate at the scan
+        ("rel_shipping_priority", "o_orderdate"), # date filter at the scan
+        ("vq_filtered_topk", "label"),            # pre-filter reaches the scan
+    ],
+)
+def test_predicates_reach_the_scan(spark, name, col):
+    """Pushdown guard: the query's defining predicate must appear in a
+    FileScan's PushedFilters — a filter evaluated above the scan reads
+    (and decodes) every row at 100 TB."""
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        line for line in plan.splitlines()
+        if "PushedFilters: [" in line and col in line.split("PushedFilters:")[1]
+    ]
+    assert pushed, f"{name}: no PushedFilters containing {col!r}"
