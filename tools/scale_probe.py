@@ -257,5 +257,72 @@ def main() -> None:
         Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(out + "\n")
 
 
+#: Probes with data-linear plans — the only ones worth paying an x64
+#: replication for (the pairwise/clustering probes' x64 cost is
+#: dominated by the adversarial-replication pair blow-up, not plan
+#: behavior).
+BIG_PROBES = (
+    "winnow_fingerprints",
+    "batch_topk_100q",
+    "batch_topk_1000q",
+    "bm25_topk",
+    "mean_pool_64groups",
+    "pii_scrub",
+    "vocab_topk",
+    "range_search",
+)
+
+
+def main_big(factor: int = 64) -> None:
+    """One extra scale point (default x64 = 320k docs / 128k vectors)
+    for the linear probes; appends a section to SCALING.md with
+    --write."""
+    spark = get_spark("scale-probe-big")
+    spark.sparkContext.setLogLevel("ERROR")
+    d_docs = os.path.join(WORK, f"docs_x{factor}")
+    d_emb = os.path.join(WORK, f"emb_x{factor}")
+    try:
+        replicate(spark, "documents", "doc_id", factor, d_docs)
+        replicate(spark, "embeddings", "vec_id", factor, d_emb)
+        docs = spark.read.parquet(d_docs).select("doc_id", "text")
+        emb = spark.read.parquet(d_emb)
+        n_docs, n_vecs = docs.count(), emb.count()
+        all_probes = probes(spark, docs, emb)
+        lines = [
+            "",
+            f"## x{factor} point ({n_docs} docs / {n_vecs} vectors) — linear probes",
+            "",
+            "| probe | wall |",
+            "|---|---|",
+        ]
+        for name in BIG_PROBES:
+            fn = all_probes[name]
+            fn()  # warm-up
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            lines.append(f"| {name} | {round(best, 2)}s |")
+            print(f"x{factor} {name}: {round(best, 2)}s", flush=True)
+        lines += [
+            "",
+            f"Same plans as the x1-x16 table at {factor}x the base rows: the",
+            "linear probes' wall should track data volume (task count times",
+            "per-row codegen/Arrow cost), confirming no hidden super-linear",
+            "stage appears past the x16 point.",
+        ]
+        out = "\n".join(lines)
+        print(out)
+        if "--write" in sys.argv:
+            p = Path(__file__).resolve().parent.parent / "SCALING.md"
+            p.write_text(p.read_text().rstrip("\n") + "\n" + out + "\n")
+    finally:
+        shutil.rmtree(WORK, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--big" in sys.argv:
+        main_big()
+    else:
+        main()
