@@ -601,3 +601,81 @@ def test_feature_hash_spark_matches_driver_twin(spark):
     }
     want = set(feature_hash_query_weights(text, dim=64))
     assert got == want  # JVM md5/conv path ≡ Python hashlib twin
+
+
+# ---------------------------------------------------------------------------
+# OPQ — learned rotation before PQ
+# ---------------------------------------------------------------------------
+
+
+def test_opq_rotation_orthogonal_and_lowers_reconstruction_error(spark, emb):
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import (
+        _sampled_matrix,
+        pq_reconstruction_mse,
+        train_opq,
+        train_pq_codebooks,
+    )
+
+    R, books = train_opq(emb, m=8, n_codes=16, opq_iters=6)
+    np.testing.assert_allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+
+    # the OPQ objective: rotated-space reconstruction error must not
+    # exceed plain PQ's on the same sample
+    X = _sampled_matrix(emb, vec_col="embedding", id_col="vec_id", max_train=25_000)
+    pq_books = train_pq_codebooks(emb, m=8, n_codes=16)
+    assert pq_reconstruction_mse(X @ R, books) <= pq_reconstruction_mse(
+        X, pq_books
+    ) + 1e-12
+
+
+def test_opq_zero_iters_degenerates_to_pq(spark, emb):
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import (
+        add_opq_codes,
+        add_pq_codes,
+        train_opq,
+        train_pq_codebooks,
+    )
+
+    R, books = train_opq(emb, m=8, n_codes=16, opq_iters=0, n_iters_final=8)
+    np.testing.assert_array_equal(R, np.eye(R.shape[0]))
+    np.testing.assert_allclose(books, train_pq_codebooks(emb, m=8, n_codes=16))
+    got = {
+        r["vec_id"]: list(r["opq_code"])
+        for r in add_opq_codes(emb, R, books).select("vec_id", "opq_code").collect()
+    }
+    want = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in add_pq_codes(emb, train_pq_codebooks(emb, m=8, n_codes=16))
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    assert got == want
+
+
+def test_opq_full_pool_rerank_equals_exact(spark, emb):
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+    from vectordb_light_spark.operators.similarity import (
+        add_opq_codes,
+        ann_topk_opq,
+        train_opq,
+    )
+
+    R, books = train_opq(emb, m=8, n_codes=16, opq_iters=4)
+    coded = add_opq_codes(emb, R, books)
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    got = [
+        r["vec_id"]
+        for r in ann_topk_opq(coded, R, books, q, k=5, rerank_pool=10_000).collect()
+    ]
+    want = [
+        r["vec_id"]
+        for r in topk_cosine(
+            emb, q, SearchParams(k=5, threshold=0.0, assume_normalized=True),
+            id_col="vec_id", vec_col="embedding",
+        ).collect()
+    ]
+    assert got == want

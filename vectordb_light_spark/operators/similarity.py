@@ -880,6 +880,206 @@ def ann_topk_ivfpq(
 
 
 # ---------------------------------------------------------------------------
+# OPQ — optimized product quantization (learned rotation before PQ)
+# ---------------------------------------------------------------------------
+
+
+def _sampled_matrix(
+    df: DataFrame, *, vec_col: str, id_col: str, max_train: int
+) -> np.ndarray:
+    """Deterministic hash-sampled [n, dim] float64 matrix, rows sorted
+    by id — the shared trainer input shape (IVF/PQ/PCA/OPQ all train
+    on a sample, never the table)."""
+    proj = df.select(id_col, vec_col)
+    n = proj.count()
+    if n > max_train:
+        bound = int(max_train / n * 1_000_000)
+        proj = proj.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(bound)
+        )
+    rows = proj.collect()
+    rows.sort(key=lambda r: r[0])
+    return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def _pq_train_mat(mat: np.ndarray, m: int, n_codes: int, n_iters: int) -> np.ndarray:
+    """Per-subspace Lloyd on an in-memory sample → [m, n_codes, sub]
+    codebooks (the driver-local core of :func:`train_pq_codebooks`)."""
+    dim = mat.shape[1]
+    sub = dim // m
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for s in range(m):
+        block = mat[:, s * sub : (s + 1) * sub]
+        cents = block[:n_codes].copy()
+        for _ in range(n_iters):
+            d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (block @ cents.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = block[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def _pq_encode_mat(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """[n, m] int codes via per-subspace argmin-L2 (driver-local)."""
+    m, n_codes, sub = books.shape
+    codes = np.empty((mat.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        block = mat[:, s * sub : (s + 1) * sub]
+        cents = books[s]
+        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (block @ cents.T)
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def _pq_reconstruct_mat(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """[n, dim] reconstruction from codes (driver-local)."""
+    m, n_codes, sub = books.shape
+    out = np.empty((codes.shape[0], m * sub), dtype=np.float64)
+    for s in range(m):
+        out[:, s * sub : (s + 1) * sub] = books[s][codes[:, s]]
+    return out
+
+
+def pq_reconstruction_mse(mat: np.ndarray, books: np.ndarray) -> float:
+    """Mean squared reconstruction error of a sample under codebooks —
+    the PQ/OPQ training objective, exposed for eval/tests."""
+    codes = _pq_encode_mat(mat, books)
+    err = mat - _pq_reconstruct_mat(codes, books)
+    return float((err * err).sum(axis=1).mean())
+
+
+def train_opq(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    opq_iters: int = 8,
+    pq_iters: int = 4,
+    n_iters_final: int = 8,
+    max_train: int = 25_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ (Ge et al., "Optimized Product Quantization", CVPR 2013 —
+    public method, re-implemented): learn an orthogonal rotation R
+    that minimizes PQ reconstruction error, by alternating (a) PQ
+    codebook training in the rotated space with (b) the orthogonal
+    Procrustes solve ``R = U Vᵀ`` of ``svd(Xᵀ X̂)``. Returns
+    ``(R [dim, dim], codebooks [m, n_codes, dim//m])``; encode/search
+    rotate on the fly, so the STORE keeps original vectors and only
+    the m-byte code column is OPQ-specific.
+
+    Same scale shape as the other trainers: one hash-sampled scan,
+    then a driver-local numpy loop; the table is never rotated twice.
+    With ``opq_iters=0`` this degenerates to plain PQ (R = I).
+    """
+    if not 1 <= n_codes <= 128:
+        raise ValueError(f"n_codes must be in [1, 128] for int8 codes, got {n_codes}")
+    X = _sampled_matrix(df, vec_col=vec_col, id_col=id_col, max_train=max_train)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    R = np.eye(dim)
+    for _ in range(opq_iters):
+        Xr = X @ R
+        books = _pq_train_mat(Xr, m, n_codes, pq_iters)
+        codes = _pq_encode_mat(Xr, books)
+        Xhat = _pq_reconstruct_mat(codes, books)
+        U, _, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+    books = _pq_train_mat(X @ R, m, n_codes, n_iters_final)
+    return R, books
+
+
+def make_opq_encode_udf(rotation: np.ndarray, codebooks: np.ndarray):
+    """Arrow-batched rotate-then-encode: one extra [batch, dim] @
+    [dim, dim] matmul fused into the PQ encode stage — no rotated
+    vector column ever materializes in the store."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, ByteType
+
+    R = np.ascontiguousarray(rotation, dtype=np.float64)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    if n_codes > 128:
+        raise ValueError(
+            f"codebooks have {n_codes} codes; int8 storage allows at most 128"
+        )
+
+    @pandas_udf(ArrayType(ByteType(), containsNull=False))
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) @ R
+        if mat.shape[1] != m * sub:
+            raise ValueError(f"dim {mat.shape[1]} != m*sub {m * sub}")
+        return pd.Series(list(_pq_encode_mat(mat, books).astype(np.int8)))
+
+    return encode
+
+
+def add_opq_codes(
+    df: DataFrame,
+    rotation: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "opq_code",
+) -> DataFrame:
+    """Index build: attach the m-byte OPQ code (map-only). The store
+    keeps ORIGINAL vectors — rotation lives only inside the encoder
+    and the query path, so exact re-rank needs no inverse transform."""
+    return df.withColumn(
+        out_col, make_opq_encode_udf(rotation, codebooks)(F.col(vec_col))
+    )
+
+
+def ann_topk_opq(
+    encoded: DataFrame,
+    rotation: np.ndarray,
+    codebooks: np.ndarray,
+    query: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "opq_code",
+    rerank_pool: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ ADC top-k: rotate the QUERY driver-side (rotation preserves
+    inner products, so ADC in the rotated space estimates the same
+    cosine), scan the m-byte codes exactly like :func:`ann_topk_pq`,
+    and exact-re-rank the pool against the ORIGINAL vectors and the
+    ORIGINAL query — the rotation never touches the store's float
+    column."""
+    R = np.ascontiguousarray(rotation, dtype=np.float64)
+    qv = np.asarray(query, dtype=np.float64)
+    q_rot = [float(x) for x in (qv @ R)]
+    if not rerank_pool:
+        return ann_topk_pq(
+            encoded, codebooks, q_rot, k=k, id_col=id_col,
+            code_col=code_col, rerank_pool=None,
+        )
+    pool = ann_topk_pq(
+        encoded, codebooks, q_rot, k=int(rerank_pool), id_col=id_col,
+        code_col=code_col, rerank_pool=None,
+    ).select(id_col)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    exact = F.least(
+        F.greatest(dot_product(vec_col, q), F.lit(0.0)), F.lit(1.0)
+    )
+    return (
+        F.broadcast(pool)
+        .join(encoded.select(id_col, vec_col), id_col)
+        .withColumn("similarity_score", exact)
+        .orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop(vec_col)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dimensionality reduction — smaller vectors, same pipeline
 # ---------------------------------------------------------------------------
 

@@ -3048,6 +3048,38 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_opq_topk")
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ANN (operators/similarity.py train_opq — Ge et al. CVPR
+    2013): a learned orthogonal rotation minimizes PQ reconstruction
+    error before the 16×64 codebooks, cutting ADC distortion at the
+    SAME 16-byte scan cost as ann_pq_topk; the query rotates
+    driver-side and the exact re-rank runs against the original
+    vectors (the store never holds rotated floats). Alternating
+    Procrustes/k-means training is iterative numpy ⇒ no SQL twin
+    (rows-only); orthogonality, PQ-degeneracy at zero iterations,
+    objective improvement, and full-pool≡exact are asserted in
+    tests/test_similarity.py."""
+    from vectordb_light_spark.operators.similarity import (
+        add_opq_codes,
+        ann_topk_opq,
+        train_opq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    R, books = _trained(
+        (sf_dir, "opq16x64"),
+        lambda: train_opq(
+            emb, m=16, n_codes=64, opq_iters=4, max_train=5_000
+        ),
+    )
+    q = _query_vector(spark, sf_dir, 0)
+    coded = add_opq_codes(rebalance(emb), R, books)
+    return ann_topk_opq(coded, R, books, q, k=10, rerank_pool=50).withColumn(
+        "similarity_score", F.round("similarity_score", 6)
+    )
+
+
 @register(
     "mm_audio_windows",
     oracle="""
@@ -4079,6 +4111,7 @@ _REGISTRY_ORDER = [
     "ts_quality_score",
     "dd_remove_boilerplate",
     "ann_pq_topk",
+    "ann_opq_topk",
     "st_events_sessions",
     "vq_citations",
     "rel_shipping_priority",
