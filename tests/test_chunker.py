@@ -85,3 +85,26 @@ def test_pdf_page_split_default_page_one(spark):
         key=lambda r: r["chunk_index"],
     )
     assert [r["page_number"] for r in out] == [1, 7]
+
+
+def test_split_token_windows_stride_and_tail(spark):
+    from vectordb_light_spark.operators.chunker import split_token_windows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "  "), (3, None), (4, "only")],
+        "doc_id long, text string",
+    )
+    rows = split_token_windows(df, window=3, stride=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["window_index"], r["n_tokens"]))
+    # 5 tokens / window 3 / stride 2 → [a b c], [c d e], [e]
+    assert by_doc[1] == [(0, 3), (1, 3), (2, 1)]
+    assert by_doc[4] == [(0, 1)]
+    assert 2 not in by_doc and 3 not in by_doc  # empty/null emit nothing
+    # overlap: window 1 shares its first token with window 0's last
+    import hashlib
+
+    h = {r["window_index"]: r["window_hash"] for r in rows if r["doc_id"] == 1}
+    assert h[0] == hashlib.md5(b"a b c").hexdigest()
+    assert h[1] == hashlib.md5(b"c d e").hexdigest()

@@ -180,3 +180,46 @@ def split_pdf_pages(
         )
     )
     return exploded
+
+
+def split_token_windows(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-TOKEN-count windows with stride — the standard LLM
+    pre-tokenization chunking (context-window sized slices with
+    window−stride tokens of overlap), vs :func:`split_fixed_size`'s
+    character windows. Returns (id, window_index int, n_tokens int,
+    window_hash md5-of-joined-tokens); the trailing window may be
+    short, zero-token docs emit nothing.
+
+    All codegen builtins (split/filter/sequence/slice/md5) staged so
+    the tokenize runs once per row: scan → project → explode — no
+    shuffle, no Python. At 100 TB this is a map-only stage whose
+    output rows ≈ total_tokens/stride.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = staged.select(
+        id_col, "__toks", F.explode(starts).alias("__start")
+    )
+    win = F.slice(F.col("__toks"), F.col("__start") + 1, F.lit(window))
+    return (
+        exploded.select(
+            id_col,
+            (F.col("__start") / stride).cast("int").alias("window_index"),
+            F.size(win).cast("int").alias("n_tokens"),
+            F.md5(F.array_join(win, " ")).alias("window_hash"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )

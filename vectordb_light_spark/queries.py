@@ -3048,6 +3048,44 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipe_token_windows",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, s.i AS start,
+               list_slice(toks, s.i + 1, s.i + 64) AS win
+        FROM tok, UNNEST(generate_series(0, len(toks) - 1, 48)) AS s(i)
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS INT) AS window_index,
+           CAST(len(win) AS INT) AS n_tokens,
+           md5(array_to_string(win, ' ')) AS window_hash
+    FROM w WHERE len(win) > 0
+    ORDER BY doc_id, window_index
+    """,
+)
+def pipe_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (operators/chunker.py
+    split_token_windows): 64-token windows at stride 48 (16-token
+    overlap) — the LLM pre-tokenization slicing, complementing the
+    reference's CHARACTER chunker (T3) and the global sequence packer.
+    Map-only codegen stage; output rows ≈ tokens/stride. Window
+    content is hash-compared via md5 of the joined tokens (engine-
+    neutral)."""
+    from vectordb_light_spark.operators.chunker import split_token_windows
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    return split_token_windows(docs, window=64, stride=48).orderBy(
+        "doc_id", "window_index"
+    )
+
+
 @register("ann_opq_topk")
 def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN (operators/similarity.py train_opq — Ge et al. CVPR
@@ -4132,6 +4170,7 @@ _REGISTRY_ORDER = [
     "vq_chunks_only",
     "rel_region_volume",
     "pipe_chunk_fixed",
+    "pipe_token_windows",
     "prof_events_sketch",
     "ts_tfidf_top_terms",
     "dd_minhash_candidates",
