@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--src", required=True)
     p.add_argument("--chunk-size", type=int, default=1200)
     p.add_argument("--chunk-overlap", type=int, default=600)
+    # JSON embedder spec, e.g. '{"encoder": "hashing", "dim": 64}' or
+    # '{"encoder": "mini", "dim": 64}' (reference: model picker,
+    # constants.py:3-68)
+    p.add_argument("--embedder-spec", default=None)
 
     for cmd in ("search", "hybrid", "diverse", "chunks-only", "rag-prompt", "rag-chat"):
         p = sub.add_parser(cmd)
@@ -118,7 +122,15 @@ def main(argv: list[str] | None = None) -> int:
             docs,
             a.db_root,
             a.name,
-            IngestConfig(chunk_size=a.chunk_size, chunk_overlap=a.chunk_overlap),
+            IngestConfig(
+                chunk_size=a.chunk_size,
+                chunk_overlap=a.chunk_overlap,
+                **(
+                    {"embedder_spec": json.loads(a.embedder_spec)}
+                    if a.embedder_spec
+                    else {}
+                ),
+            ),
         )
         _emit({"meta": meta, "n_rejects": rejects.count()})
         return 0
