@@ -207,16 +207,7 @@ def train_ivf_centroids(
     Empty clusters keep their previous centroid. Returns unit-norm
     [n_centroids, dim] (unit inputs ⇒ max-dot assignment ≡ min-L2).
     """
-    proj = df.select(id_col, vec_col)
-    n = proj.count()
-    if n > max_train:
-        bound = int(max_train / n * 1_000_000)
-        proj = proj.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(bound)
-        )
-    rows = proj.collect()
-    rows.sort(key=lambda r: r[0])
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mat = _sampled_matrix(df, vec_col=vec_col, id_col=id_col, max_train=max_train)
     if dim is None:
         dim = mat.shape[1]
     centroids = mat[:n_centroids].copy()
@@ -695,16 +686,7 @@ def train_pq_codebooks(
         # from the END — wrong ADC scores, no error. 256-codeword PQ
         # needs a wider storage type first.
         raise ValueError(f"n_codes must be in [1, 128] for int8 codes, got {n_codes}")
-    proj = df.select(id_col, vec_col)
-    n = proj.count()
-    if n > max_train:
-        bound = int(max_train / n * 1_000_000)
-        proj = proj.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(bound)
-        )
-    rows = proj.collect()
-    rows.sort(key=lambda r: r[0])
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mat = _sampled_matrix(df, vec_col=vec_col, id_col=id_col, max_train=max_train)
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1099,16 +1081,7 @@ def train_pca_projection(
     principal directions (sign-normalized so the result is unique:
     each eigenvector's largest-|component| entry is made positive).
     """
-    proj = df.select(id_col, vec_col)
-    n = proj.count()
-    if n > max_train:
-        bound = int(max_train / n * 1_000_000)
-        proj = proj.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(bound)
-        )
-    rows = proj.collect()
-    rows.sort(key=lambda r: r[0])
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mat = _sampled_matrix(df, vec_col=vec_col, id_col=id_col, max_train=max_train)
     centered = mat - mat.mean(axis=0, keepdims=True)
     cov = centered.T @ centered / max(len(mat) - 1, 1)
     vals, vecs = np.linalg.eigh(cov)  # ascending
