@@ -4106,106 +4106,106 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: theoretical minimum). Unlisted (new) entries keep registration
 #: order at the end until measured.
 _REGISTRY_ORDER = [
-    "pipe_corpus_mix",
-    "prof_corpus_quantiles",
-    "rel_forecast_revenue",
-    "vq_topk_cosine",
-    "st_events_dedup",
-    "ann_srp_topk",
-    "skew_salted_user_join",
+    "rel_events_scd2",
+    "vq_grouped_topk",
+    "prof_value_histogram",
+    "pipe_weighted_sample",
+    "st_events_window",
+    "ts_vocab_topk",
     "emb_doc_mean_pool",
-    "ts_text_stats",
+    "skew_salted_user_join",
+    "ann_pca_topk",
+    "dd_duplicate_groups",
     "dq_events_constraints",
     "mm_audio_windows",
-    "dd_duplicate_groups",
-    "kw_bm25_topk",
     "sim_cosine_pairs_exact",
-    "pipe_weighted_sample",
-    "prof_value_histogram",
-    "vq_filtered_topk",
-    "rel_events_json",
+    "kw_bm25_topk",
+    "rel_join_nation_customers",
+    "pipe_stratified_take",
+    "prof_events_rollup",
+    "vq_threshold_after_topk",
     "st_events_sliding",
-    "ts_lang_id",
-    "ann_pca_topk",
+    "ts_text_stats",
+    "ann_srp_topk",
     "mm_frame_counts",
-    "dd_jaccard_pairs",
+    "dd_exact_dedup",
     "emb_feature_hash_topk",
     "sim_sparse_cosine_pairs",
     "kw_hybrid_rrf",
     "pipe_corpus_split",
-    "vq_topk_quantized",
+    "rel_events_gapfill",
     "prof_events_cube",
-    "rel_top_orders_by_revenue",
-    "st_events_window",
-    "ann_ivf_topk",
-    "ts_pii_scrub",
-    "dd_exact_dedup",
-    "emb_mini_encoder_topk",
-    "mm_image_pipeline",
-    "vq_postfilters",
-    "pipe_token_budget_mix",
-    "rel_customer_activity",
-    "prof_events_corr",
+    "vq_rag_prompt",
+    "st_events_dedup",
     "ts_quality_score",
+    "ann_ivf_topk",
+    "dd_jaccard_pairs",
+    "mm_image_pipeline",
+    "emb_mini_encoder_topk",
+    "rel_pricing_summary",
+    "pipe_doc_hash",
+    "prof_events_pivot",
+    "vq_filtered_topk",
+    "ts_lang_id",
     "dd_remove_boilerplate",
     "ann_pq_topk",
-    "ann_opq_topk",
     "st_events_sessions",
-    "vq_citations",
-    "rel_shipping_priority",
-    "pipe_doc_hash",
-    "prof_events_rollup",
-    "ts_vocab_topk",
+    "rel_events_cohorts",
+    "vq_postfilters",
+    "pipe_token_budget_mix",
+    "prof_events_corr",
+    "ts_pii_scrub",
     "dd_embedding_near_dups",
     "ann_topk_join",
     "st_user_running_totals",
-    "vq_batch_topk",
-    "rel_join_nation_customers",
+    "rel_forecast_revenue",
     "pipe_corpus_shuffle",
-    "prof_events_pivot",
-    "ts_repetition_filter",
+    "vq_range_search",
+    "prof_corpus_quantiles",
+    "ts_tfidf_top_terms",
+    "dd_containment_pairs",
+    "ann_opq_topk",
+    "st_clicks_attribution",
+    "rel_user_retention",
+    "pipe_corpus_mix",
+    "vq_batch_topk",
+    "ts_bigram_lm_score",
+    "prof_events_sketch",
     "dd_cross_corpus_candidates",
     "ann_ivfpq_topk",
-    "st_clicks_attribution",
-    "vq_chunks_only",
-    "rel_region_volume",
-    "pipe_chunk_fixed",
-    "pipe_token_windows",
-    "prof_events_sketch",
-    "ts_tfidf_top_terms",
-    "dd_minhash_candidates",
-    "ann_recall_contract",
-    "vq_threshold_after_topk",
-    "rel_orders_pareto",
-    "pipe_sequence_pack",
-    "prof_sketch_accuracy",
-    "ts_winnow_fingerprints",
-    "dd_simhash_near_dups",
-    "vq_rag_prompt",
-    "rel_user_retention",
-    "pipe_stratified_take",
-    "ts_bigram_lm_score",
-    "dd_containment_pairs",
-    "rel_events_moving_avg",
-    "vq_range_search",
-    "pipe_decontaminate",
-    "dd_duplicate_clusters",
-    "rel_events_cohorts",
-    "vq_grouped_topk",
-    "pipe_chunk_normalized",
-    "rel_pricing_summary",
-    "vq_mmr_rerank",
-    "pipe_training_corpus",
-    "rel_events_interval",
-    "pipe_pdf_page_chunks",
-    "rel_events_asof",
-    "pipe_hash_embed_topk",
     "rel_big_orders",
+    "vq_topk_cosine",
+    "pipe_token_windows",
+    "prof_sketch_accuracy",
+    "ts_repetition_filter",
+    "dd_simhash_near_dups",
+    "ann_recall_contract",
     "rel_events_funnel",
+    "vq_topk_quantized",
+    "pipe_sequence_pack",
+    "ts_winnow_fingerprints",
+    "dd_minhash_candidates",
+    "rel_events_interval",
+    "vq_citations",
+    "pipe_hash_embed_topk",
+    "dd_duplicate_clusters",
+    "rel_customer_activity",
+    "vq_mmr_rerank",
+    "pipe_decontaminate",
+    "rel_events_moving_avg",
+    "pipe_chunk_fixed",
+    "vq_chunks_only",
+    "rel_events_asof",
+    "pipe_chunk_normalized",
+    "rel_events_json",
+    "pipe_pdf_page_chunks",
+    "rel_orders_pareto",
+    "pipe_training_corpus",
+    "rel_shipping_priority",
+    "rel_top_orders_by_revenue",
     "rel_window_order_rank",
-    "rel_events_scd2",
-    "rel_events_gapfill",
     "rel_sessions_overlap",
+    "rel_region_volume",
 ]
 
 
