@@ -219,3 +219,32 @@ def test_stratified_take_exact_quotas_and_determinism(spark):
         for r in stratified_take(df, 10, strata_col="lang", seed=4).collect()
     }
     assert other != {r["doc_id"] for r in rows}
+
+
+def test_ring_negative_samples_properties(spark):
+    from vectordb_light_spark.operators.sampling import ring_negative_samples
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    rows = ring_negative_samples(
+        df, group_col="source", k=3, lookahead=6, n_buckets=2, seed=1
+    ).collect()
+    assert len(rows) == 60
+    src = {i: f"s{i % 3}" for i in range(60)}
+    for r in rows:
+        negs = [int(x) for x in r["negatives"].split(",")] if r["negatives"] else []
+        assert len(negs) == r["n_negatives"] <= 3
+        assert r["doc_id"] not in negs                    # never self
+        assert len(set(negs)) == len(negs)                # distinct
+        for n in negs:
+            assert src[n] != r["source"]                  # group excluded
+    # deterministic under repartitioning
+    again = {
+        (r["doc_id"], r["negatives"])
+        for r in ring_negative_samples(
+            df.repartition(7), group_col="source", k=3, lookahead=6,
+            n_buckets=2, seed=1,
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["negatives"]) for r in rows}

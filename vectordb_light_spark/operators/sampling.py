@@ -199,6 +199,69 @@ def stratified_take(
     ).where(F.col("take_rank") <= n)
 
 
+def ring_negative_samples(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    k: int = 3,
+    lookahead: int = 6,
+    n_buckets: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor's negatives are the next rows along a seeded-md5 ring,
+    optionally skipping candidates that share ``group_col`` (e.g. same
+    source — a trivial positive masquerading as a negative). Returns
+    (id, group?, negatives: comma-joined id string, n_negatives int).
+
+    Scale shape: rows hash into ``n_buckets`` independent rings
+    (bucket = md5 prefix), so the orderings are per-bucket windows —
+    one hash exchange, NO global single-partition sort. Ring ends
+    yield up to ``k`` fewer negatives (documented, deterministic);
+    raise ``lookahead`` when group collisions are common.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    bucket = (
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % n_buckets
+    )
+    staged = df.select(
+        F.col(id_col),
+        *( [F.col(group_col)] if group_col else [] ),
+        key.alias("__key"),
+        bucket.alias("__bucket"),
+    )
+    w = Window.partitionBy("__bucket").orderBy("__key", F.col(id_col))
+    cand_structs = [
+        F.struct(
+            F.lead(F.col(id_col), i).over(w).alias("nid"),
+            (
+                F.lead(F.col(group_col), i).over(w)
+                if group_col
+                else F.lit(None).cast("string")
+            ).alias("ng"),
+        )
+        for i in range(1, lookahead + 1)
+    ]
+    cands = F.array(*cand_structs)
+    if group_col:
+        keep = F.filter(
+            cands,
+            lambda c: c["nid"].isNotNull() & (c["ng"] != F.col(group_col)),
+        )
+    else:
+        keep = F.filter(cands, lambda c: c["nid"].isNotNull())
+    negs = F.slice(F.transform(keep, lambda c: c["nid"]), 1, k)
+    return staged.select(
+        id_col,
+        *( [group_col] if group_col else [] ),
+        F.array_join(F.transform(negs, lambda x: x.cast("string")), ",").alias(
+            "negatives"
+        ),
+        F.size(negs).cast("int").alias("n_negatives"),
+    )
+
+
 def mix_corpora(
     corpora: dict[str, tuple[DataFrame, float]],
     *,

@@ -3048,6 +3048,56 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _negative_samples_oracle_sql(seed=7, k=3, look=6, nb=8) -> str:
+    """DuckDB twin of pipe_negative_samples: same md5 ring key and
+    bucket split, the lead window unrolled into a struct list."""
+    leads = ", ".join(
+        f"{{'nid': lead(doc_id, {i}) OVER w, 'ng': lead(source, {i}) OVER w}}"
+        for i in range(1, look + 1)
+    )
+    return f"""
+    WITH staged AS (
+        SELECT doc_id, source,
+               md5(concat_ws(':', '{seed}', CAST(doc_id AS VARCHAR))) AS key,
+               CAST(('0x' || substr(md5(concat_ws(':', '{seed}',
+                    CAST(doc_id AS VARCHAR))), 1, 2)) AS INT) % {nb} AS bucket
+        FROM documents
+    ),
+    led AS (
+        SELECT doc_id, source, [{leads}] AS cands
+        FROM staged
+        WINDOW w AS (PARTITION BY bucket ORDER BY key, doc_id)
+    ),
+    picked AS (
+        SELECT doc_id, source,
+               list_slice(list_transform(
+                   list_filter(cands, c -> c.nid IS NOT NULL AND c.ng <> source),
+                   c -> CAST(c.nid AS VARCHAR)), 1, {k}) AS negs
+        FROM led
+    )
+    SELECT doc_id, source,
+           COALESCE(array_to_string(negs, ','), '') AS negatives,
+           CAST(len(negs) AS INT) AS n_negatives
+    FROM picked ORDER BY doc_id
+    """
+
+
+@register("pipe_negative_samples", oracle=_negative_samples_oracle_sql())
+def pipe_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling (operators/sampling.py
+    ring_negative_samples): each document's 3 negatives are the next
+    rows along a seeded-md5 ring, skipping same-source candidates
+    (trivial positives). Rows hash into 8 independent per-bucket
+    rings, so the ordering is a per-bucket window — one hash
+    exchange, NO global single-partition sort at any scale."""
+    from vectordb_light_spark.operators.sampling import ring_negative_samples
+
+    docs = load_docs(spark, sf_dir, "doc_id", "source")
+    return ring_negative_samples(
+        docs, group_col="source", k=3, lookahead=6, n_buckets=8, seed=7
+    ).orderBy("doc_id")
+
+
 @register(
     "pipe_token_windows",
     oracle=r"""
@@ -4176,6 +4226,7 @@ _REGISTRY_ORDER = [
     "rel_big_orders",
     "vq_topk_cosine",
     "pipe_token_windows",
+    "pipe_negative_samples",
     "prof_sketch_accuracy",
     "ts_repetition_filter",
     "dd_simhash_near_dups",
