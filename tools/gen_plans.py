@@ -59,6 +59,9 @@ NOTES = {
  'rel_events_gapfill': 'Calendar gap-fill: per-day aggregate, bounds aggregate, grid explode, left join back, and the LOCF window all key on user_id — one partitioning reused end-to-end; grid rows = keys x span-days, independent of event volume.',
  'vq_range_search': 'Radius search: one scan + map-side similarity filter — NO data-sized shuffle at all; the only exchange sorts the (result-sized) survivor set.',
  'dd_cross_corpus_candidates': 'Cross-corpus dedup: each corpus gets its own persisted signature+banding stage; the candidate join is a plain band-key equi-join (broadcast here by AQE size choice, shuffle hash join at scale) with no id-order guard needed; shuffle carries (band key, id, signature), never text.',
+ 'pipe_token_windows': 'Token windows: tokenize once per row (staged filter(split)), sequence+explode the stride starts, slice+md5 per window — scan -> project -> generate, all codegen, no shuffle before the output sort.',
+ 'pipe_negative_samples': 'Ring negative sampling: md5 key and bucket fold into the scan projection; ONE hashpartitioning(bucket) exchange feeds all six lead() windows; the group-exclusion filter and slice run on the lead array in the same stage — no global sort, no self-join.',
+ 'ann_opq_topk': 'OPQ/ADC: identical plan to ann_pq_topk (the rotation lives in the trained artifacts and the driver-side query transform) — the scan reads (id, 16-byte code), ADC is a JVM lookup expression, exact re-rank joins the 50-id pool back broadcast.',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',
