@@ -4156,107 +4156,107 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: theoretical minimum). Unlisted (new) entries keep registration
 #: order at the end until measured.
 _REGISTRY_ORDER = [
-    "rel_events_scd2",
-    "vq_grouped_topk",
-    "prof_value_histogram",
-    "pipe_weighted_sample",
-    "st_events_window",
-    "ts_vocab_topk",
-    "emb_doc_mean_pool",
-    "skew_salted_user_join",
-    "ann_pca_topk",
-    "dd_duplicate_groups",
-    "dq_events_constraints",
-    "mm_audio_windows",
-    "sim_cosine_pairs_exact",
-    "kw_bm25_topk",
-    "rel_join_nation_customers",
-    "pipe_stratified_take",
-    "prof_events_rollup",
-    "vq_threshold_after_topk",
-    "st_events_sliding",
-    "ts_text_stats",
-    "ann_srp_topk",
-    "mm_frame_counts",
-    "dd_exact_dedup",
-    "emb_feature_hash_topk",
-    "sim_sparse_cosine_pairs",
-    "kw_hybrid_rrf",
+    "rel_forecast_revenue",
     "pipe_corpus_split",
-    "rel_events_gapfill",
-    "prof_events_cube",
-    "vq_rag_prompt",
-    "st_events_dedup",
-    "ts_quality_score",
-    "ann_ivf_topk",
+    "prof_corpus_quantiles",
+    "vq_filtered_topk",
+    "st_events_window",
+    "ts_pii_scrub",
+    "ann_srp_topk",
+    "mm_audio_windows",
+    "dq_events_constraints",
+    "skew_salted_user_join",
     "dd_jaccard_pairs",
+    "emb_doc_mean_pool",
+    "kw_bm25_topk",
+    "sim_sparse_cosine_pairs",
+    "pipe_corpus_mix",
+    "rel_pricing_summary",
+    "prof_events_cube",
+    "st_events_dedup",
+    "vq_threshold_after_topk",
+    "ts_lang_id",
+    "ann_ivf_topk",
+    "mm_frame_counts",
+    "dd_duplicate_groups",
+    "emb_feature_hash_topk",
+    "sim_cosine_pairs_exact",
+    "kw_hybrid_rrf",
+    "prof_events_pivot",
+    "pipe_weighted_sample",
+    "vq_postfilters",
+    "rel_shipping_priority",
+    "ts_text_stats",
+    "st_events_sliding",
+    "dd_remove_boilerplate",
+    "ann_pca_topk",
     "mm_image_pipeline",
     "emb_mini_encoder_topk",
-    "rel_pricing_summary",
+    "prof_value_histogram",
     "pipe_doc_hash",
-    "prof_events_pivot",
-    "vq_filtered_topk",
-    "ts_lang_id",
-    "dd_remove_boilerplate",
+    "rel_top_orders_by_revenue",
+    "vq_topk_cosine",
+    "ts_quality_score",
+    "dd_exact_dedup",
     "ann_pq_topk",
     "st_events_sessions",
+    "prof_events_rollup",
+    "pipe_corpus_shuffle",
     "rel_events_cohorts",
-    "vq_postfilters",
-    "pipe_token_budget_mix",
-    "prof_events_corr",
-    "ts_pii_scrub",
+    "vq_citations",
+    "ts_vocab_topk",
     "dd_embedding_near_dups",
     "ann_topk_join",
     "st_user_running_totals",
-    "rel_forecast_revenue",
-    "pipe_corpus_shuffle",
-    "vq_range_search",
-    "prof_corpus_quantiles",
+    "pipe_token_budget_mix",
+    "rel_customer_activity",
+    "prof_events_corr",
+    "vq_rag_prompt",
     "ts_tfidf_top_terms",
-    "dd_containment_pairs",
-    "ann_opq_topk",
-    "st_clicks_attribution",
-    "rel_user_retention",
-    "pipe_corpus_mix",
-    "vq_batch_topk",
-    "ts_bigram_lm_score",
-    "prof_events_sketch",
-    "dd_cross_corpus_candidates",
     "ann_ivfpq_topk",
-    "rel_big_orders",
-    "vq_topk_cosine",
+    "dd_cross_corpus_candidates",
+    "st_clicks_attribution",
+    "pipe_stratified_take",
+    "rel_events_json",
+    "vq_range_search",
+    "prof_events_sketch",
+    "ts_winnow_fingerprints",
+    "ann_opq_topk",
+    "dd_containment_pairs",
+    "rel_region_volume",
+    "vq_chunks_only",
     "pipe_token_windows",
-    "pipe_negative_samples",
     "prof_sketch_accuracy",
     "ts_repetition_filter",
     "dd_simhash_near_dups",
     "ann_recall_contract",
-    "rel_events_funnel",
-    "vq_topk_quantized",
-    "pipe_sequence_pack",
-    "ts_winnow_fingerprints",
+    "rel_orders_pareto",
+    "vq_batch_topk",
+    "pipe_negative_samples",
+    "ts_bigram_lm_score",
     "dd_minhash_candidates",
     "rel_events_interval",
-    "vq_citations",
-    "pipe_hash_embed_topk",
-    "dd_duplicate_clusters",
-    "rel_customer_activity",
-    "vq_mmr_rerank",
-    "pipe_decontaminate",
-    "rel_events_moving_avg",
+    "vq_grouped_topk",
     "pipe_chunk_fixed",
-    "vq_chunks_only",
-    "rel_events_asof",
+    "dd_duplicate_clusters",
+    "rel_join_nation_customers",
+    "pipe_sequence_pack",
+    "vq_mmr_rerank",
+    "rel_events_gapfill",
+    "pipe_hash_embed_topk",
+    "vq_topk_quantized",
+    "rel_events_moving_avg",
+    "pipe_decontaminate",
+    "rel_user_retention",
     "pipe_chunk_normalized",
-    "rel_events_json",
+    "rel_big_orders",
     "pipe_pdf_page_chunks",
-    "rel_orders_pareto",
-    "pipe_training_corpus",
-    "rel_shipping_priority",
-    "rel_top_orders_by_revenue",
     "rel_window_order_rank",
+    "pipe_training_corpus",
+    "rel_events_scd2",
     "rel_sessions_overlap",
-    "rel_region_volume",
+    "rel_events_asof",
+    "rel_events_funnel",
 ]
 
 
