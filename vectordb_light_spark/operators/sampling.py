@@ -217,9 +217,14 @@ def ring_negative_samples(
 
     Scale shape: rows hash into ``n_buckets`` independent rings
     (bucket = md5 prefix), so the orderings are per-bucket windows —
-    one hash exchange, NO global single-partition sort. Ring ends
-    yield up to ``k`` fewer negatives (documented, deterministic);
-    raise ``lookahead`` when group collisions are common.
+    one hash exchange, NO global single-partition sort. Each bucket
+    sorts within one task, so SIZE ``n_buckets`` to the data: target
+    ~1M rows per bucket (e.g. 1e9 rows → n_buckets=1024). Negative
+    quality is unaffected by the split — buckets are themselves a
+    uniform random partition, so within-bucket successors are an
+    unbiased sample. Ring ends yield up to ``k`` fewer negatives
+    (documented, deterministic); raise ``lookahead`` when group
+    collisions are common.
     """
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     bucket = (
