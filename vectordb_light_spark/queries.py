@@ -4156,107 +4156,107 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: theoretical minimum). Unlisted (new) entries keep registration
 #: order at the end until measured.
 _REGISTRY_ORDER = [
-    "rel_forecast_revenue",
-    "pipe_corpus_split",
-    "prof_corpus_quantiles",
-    "vq_filtered_topk",
-    "st_events_window",
-    "ts_pii_scrub",
-    "ann_srp_topk",
-    "mm_audio_windows",
-    "dq_events_constraints",
-    "skew_salted_user_join",
-    "dd_jaccard_pairs",
-    "emb_doc_mean_pool",
-    "kw_bm25_topk",
-    "sim_sparse_cosine_pairs",
+    "prof_value_histogram",
+    "rel_events_scd2",
     "pipe_corpus_mix",
-    "rel_pricing_summary",
-    "prof_events_cube",
-    "st_events_dedup",
-    "vq_threshold_after_topk",
-    "ts_lang_id",
-    "ann_ivf_topk",
-    "mm_frame_counts",
-    "dd_duplicate_groups",
-    "emb_feature_hash_topk",
-    "sim_cosine_pairs_exact",
-    "kw_hybrid_rrf",
-    "prof_events_pivot",
-    "pipe_weighted_sample",
-    "vq_postfilters",
-    "rel_shipping_priority",
-    "ts_text_stats",
     "st_events_sliding",
-    "dd_remove_boilerplate",
+    "vq_grouped_topk",
+    "skew_salted_user_join",
+    "dd_duplicate_groups",
+    "emb_doc_mean_pool",
+    "ann_srp_topk",
+    "ts_vocab_topk",
+    "dq_events_constraints",
+    "mm_frame_counts",
+    "sim_cosine_pairs_exact",
+    "kw_bm25_topk",
+    "pipe_weighted_sample",
+    "prof_events_cube",
+    "rel_join_nation_customers",
+    "vq_topk_cosine",
+    "st_events_window",
+    "ts_lang_id",
     "ann_pca_topk",
+    "mm_audio_windows",
+    "dd_jaccard_pairs",
+    "emb_feature_hash_topk",
+    "sim_sparse_cosine_pairs",
+    "kw_hybrid_rrf",
+    "pipe_stratified_take",
+    "rel_pricing_summary",
+    "vq_threshold_after_topk",
+    "prof_events_pivot",
+    "st_events_dedup",
+    "ts_text_stats",
+    "ann_ivf_topk",
+    "dd_exact_dedup",
     "mm_image_pipeline",
     "emb_mini_encoder_topk",
-    "prof_value_histogram",
-    "pipe_doc_hash",
-    "rel_top_orders_by_revenue",
-    "vq_topk_cosine",
-    "ts_quality_score",
-    "dd_exact_dedup",
-    "ann_pq_topk",
-    "st_events_sessions",
+    "rel_forecast_revenue",
     "prof_events_rollup",
-    "pipe_corpus_shuffle",
-    "rel_events_cohorts",
-    "vq_citations",
-    "ts_vocab_topk",
-    "dd_embedding_near_dups",
-    "ann_topk_join",
-    "st_user_running_totals",
-    "pipe_token_budget_mix",
-    "rel_customer_activity",
-    "prof_events_corr",
+    "pipe_corpus_split",
+    "vq_postfilters",
+    "ts_pii_scrub",
+    "dd_remove_boilerplate",
+    "ann_opq_topk",
+    "st_events_sessions",
+    "rel_events_gapfill",
+    "prof_corpus_quantiles",
     "vq_rag_prompt",
-    "ts_tfidf_top_terms",
+    "pipe_token_budget_mix",
+    "ts_quality_score",
     "ann_ivfpq_topk",
+    "dd_minhash_candidates",
+    "st_user_running_totals",
+    "rel_shipping_priority",
+    "vq_citations",
+    "pipe_doc_hash",
+    "prof_events_corr",
+    "ts_repetition_filter",
+    "ann_pq_topk",
     "dd_cross_corpus_candidates",
     "st_clicks_attribution",
-    "pipe_stratified_take",
-    "rel_events_json",
-    "vq_range_search",
+    "rel_customer_activity",
+    "vq_filtered_topk",
+    "pipe_corpus_shuffle",
     "prof_events_sketch",
-    "ts_winnow_fingerprints",
-    "ann_opq_topk",
-    "dd_containment_pairs",
-    "rel_region_volume",
+    "ts_tfidf_top_terms",
+    "dd_embedding_near_dups",
+    "ann_topk_join",
+    "rel_events_json",
     "vq_chunks_only",
     "pipe_token_windows",
     "prof_sketch_accuracy",
-    "ts_repetition_filter",
-    "dd_simhash_near_dups",
+    "ts_winnow_fingerprints",
+    "dd_containment_pairs",
     "ann_recall_contract",
-    "rel_orders_pareto",
+    "rel_events_interval",
     "vq_batch_topk",
     "pipe_negative_samples",
     "ts_bigram_lm_score",
-    "dd_minhash_candidates",
-    "rel_events_interval",
-    "vq_grouped_topk",
-    "pipe_chunk_fixed",
-    "dd_duplicate_clusters",
-    "rel_join_nation_customers",
-    "pipe_sequence_pack",
-    "vq_mmr_rerank",
-    "rel_events_gapfill",
-    "pipe_hash_embed_topk",
+    "dd_simhash_near_dups",
+    "rel_top_orders_by_revenue",
     "vq_topk_quantized",
-    "rel_events_moving_avg",
+    "pipe_sequence_pack",
+    "dd_duplicate_clusters",
+    "rel_orders_pareto",
+    "vq_range_search",
+    "pipe_chunk_fixed",
+    "rel_events_cohorts",
     "pipe_decontaminate",
-    "rel_user_retention",
-    "pipe_chunk_normalized",
-    "rel_big_orders",
-    "pipe_pdf_page_chunks",
-    "rel_window_order_rank",
-    "pipe_training_corpus",
-    "rel_events_scd2",
-    "rel_sessions_overlap",
-    "rel_events_asof",
+    "vq_mmr_rerank",
+    "rel_region_volume",
+    "pipe_hash_embed_topk",
     "rel_events_funnel",
+    "pipe_chunk_normalized",
+    "rel_events_moving_avg",
+    "pipe_pdf_page_chunks",
+    "rel_user_retention",
+    "pipe_training_corpus",
+    "rel_big_orders",
+    "rel_events_asof",
+    "rel_window_order_rank",
+    "rel_sessions_overlap",
 ]
 
 
