@@ -105,8 +105,20 @@ def test_predicates_reach_the_scan(spark, name, col):
     (and decodes) every row at 100 TB."""
     df = QUERIES[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    pushed = [
-        line for line in plan.splitlines()
-        if "PushedFilters: [" in line and col in line.split("PushedFilters:")[1]
+    # Parse ONLY the bracketed filter list — the same FileScan line
+    # continues with ReadSchema (which always names the column) and the
+    # pushed IsNotNull, either of which would make a substring check
+    # vacuously pass even when the defining predicate was NOT pushed.
+    pushed_lists = [
+        line.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        for line in plan.splitlines()
+        if "PushedFilters: [" in line
     ]
-    assert pushed, f"{name}: no PushedFilters containing {col!r}"
+    comparison = [
+        f for lst in pushed_lists for f in lst.split(", ")
+        if col in f and not f.startswith("IsNotNull")
+    ]
+    assert comparison, (
+        f"{name}: no pushed comparison predicate on {col!r} "
+        f"(got {pushed_lists})"
+    )

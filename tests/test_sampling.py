@@ -248,3 +248,30 @@ def test_ring_negative_samples_properties(spark):
         ).collect()
     }
     assert again == {(r["doc_id"], r["negatives"]) for r in rows}
+
+
+def test_ring_negative_samples_null_group_semantics(spark):
+    """NULL groups behave as one 'unknown' group: NULL-group anchors
+    still receive non-NULL-group negatives, and two NULL-group rows
+    exclude each other (null-safe inequality, not SQL NULL
+    propagation)."""
+    from vectordb_light_spark.operators.sampling import ring_negative_samples
+
+    rows = [(i, None if i % 4 == 0 else f"s{i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = ring_negative_samples(
+        df, group_col="source", k=3, lookahead=8, n_buckets=1, seed=2
+    ).collect()
+    src = dict(rows)
+    got_any_for_null_anchor = False
+    for r in out:
+        negs = [int(x) for x in r["negatives"].split(",")] if r["negatives"] else []
+        if r["source"] is None and negs:
+            got_any_for_null_anchor = True
+        for n in negs:
+            # null-safe: equal groups (including NULL==NULL) excluded
+            assert not (src[n] is None and r["source"] is None)
+            assert src[n] != r["source"] or (
+                src[n] is None or r["source"] is None
+            )
+    assert got_any_for_null_anchor

@@ -559,3 +559,43 @@ def test_open_recovers_from_interrupted_index_swap(spark, tmp_path):
     assert _os.path.isdir(_os.path.join(db_path, "vectors"))
     assert not _os.path.isdir(_os.path.join(db_path, "vectors.ivf-old"))
     _shutil.rmtree(db_path)
+
+
+def test_open_compound_crash_restores_newest_old(spark, tmp_path):
+    """With vectors/ missing and TWO stale -old dirs, open() must
+    restore the most recently modified one (a fixed tier order could
+    resurrect a pre-build snapshot and lose rows); with vectors/
+    intact, leftover -old/-tmp dirs are garbage-collected."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from vectordb_light_spark.engine import VectorDB
+    from vectordb_light_spark.operators.ingest import IngestConfig, create_database
+    from vectordb_light_spark.sources.extract import load_directory
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("compound crash content " * 40)
+    db_root = str(tmp_path / "dbs")
+    _os.makedirs(db_root)
+    docs, _ = load_directory(spark, str(src))
+    create_database(
+        spark, docs, db_root, "cc",
+        IngestConfig(chunk_size=150, chunk_overlap=30, target_files=1),
+    )
+    db_path = _os.path.join(db_root, "cc")
+    vec = _os.path.join(db_path, "vectors")
+    # stale pq-old (older) vs current ivf-old (newer), vectors missing
+    _shutil.copytree(vec, vec + ".pq-old")
+    _time.sleep(0.05)
+    _os.rename(vec, vec + ".ivf-old")
+    _os.utime(vec + ".ivf-old")
+    db = VectorDB.open(spark, db_root, "cc", cache=False)
+    assert db.vectors.count() > 0
+    assert not _os.path.exists(vec + ".pq-old")
+    assert not _os.path.exists(vec + ".ivf-old")
+    # vectors intact + garbage dirs → cleaned on open
+    _os.makedirs(vec + ".srp-tmp")
+    VectorDB.open(spark, db_root, "cc", cache=False)
+    assert not _os.path.exists(vec + ".srp-tmp")

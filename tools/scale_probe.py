@@ -254,8 +254,18 @@ def main() -> None:
     out = "\n".join(lines)
     print(out)
     if "--write" in sys.argv:
-        Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(out + "\n")
+        # Preserve any x64 section main_big appended — a base-table
+        # refresh must not silently drop it.
+        p = Path(__file__).resolve().parent.parent / "SCALING.md"
+        tail = ""
+        if p.exists() and BIG_MARKER in p.read_text():
+            tail = BIG_MARKER + p.read_text().split(BIG_MARKER, 1)[1]
+        p.write_text(out + "\n" + tail)
 
+
+#: Section marker owned by main_big in SCALING.md (main preserves it,
+#: main_big replaces its own previous section instead of appending).
+BIG_MARKER = "\n## x64 point"
 
 #: Probes with data-linear plans — the only ones worth paying an x64
 #: replication for (the pairwise/clustering probes' x64 cost is
@@ -316,7 +326,8 @@ def main_big(factor: int = 64) -> None:
         print(out)
         if "--write" in sys.argv:
             p = Path(__file__).resolve().parent.parent / "SCALING.md"
-            p.write_text(p.read_text().rstrip("\n") + "\n" + out + "\n")
+            base = p.read_text().split(BIG_MARKER, 1)[0]
+            p.write_text(base.rstrip("\n") + "\n" + out + "\n")
     finally:
         shutil.rmtree(WORK, ignore_errors=True)
 

@@ -45,7 +45,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--chunk-size", type=int, default=1200)
     p.add_argument("--chunk-overlap", type=int, default=600)
     # JSON embedder spec, e.g. '{"encoder": "hashing", "dim": 64}' or
-    # '{"encoder": "mini", "dim": 64}' (reference: model picker,
+    # '{"encoder": "mini-transformer", "dim": 64}' (reference: model picker,
     # constants.py:3-68)
     p.add_argument("--embedder-spec", default=None)
 

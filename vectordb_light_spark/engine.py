@@ -108,18 +108,38 @@ class VectorDB:
     def _recover_interrupted_swap(self) -> None:
         """The index builders swap ``vectors/`` via two renames; a
         crash between them leaves ``vectors.<tier>-old`` holding the
-        original store and no ``vectors/``. Restore the original on
-        open — the interrupted build is simply discarded (it never
-        updated ``_meta.json``, which is written only after a
-        successful swap)."""
+        original store and no ``vectors/``. Restore on open — the
+        interrupted build is simply discarded (it never updated
+        ``_meta.json``, which is written only after a successful
+        swap).
+
+        When multiple ``-old`` dirs exist (compound crashes across
+        different builds), the MOST RECENTLY MODIFIED one is the true
+        pre-crash store — a fixed tier order could resurrect a stale
+        snapshot and silently lose rows ingested between builds. When
+        ``vectors/`` is intact, any leftover ``-old``/``-tmp`` dirs
+        are garbage from earlier interrupted builds and are removed.
+        """
+        import shutil
+
         vectors_dir = os.path.join(self.path, "vectors")
+        leftovers = [
+            os.path.join(self.path, d)
+            for d in os.listdir(self.path)
+            if d.startswith("vectors.")
+            and (d.endswith("-old") or d.endswith("-tmp"))
+        ]
         if os.path.isdir(vectors_dir):
+            for d in leftovers:
+                shutil.rmtree(d, ignore_errors=True)
             return
-        for tier in ("srp", "pq", "ivf"):
-            old_dir = f"{vectors_dir}.{tier}-old"
-            if os.path.isdir(old_dir):
-                os.rename(old_dir, vectors_dir)
-                return
+        olds = [d for d in leftovers if d.endswith("-old") and os.path.isdir(d)]
+        if olds:
+            newest = max(olds, key=os.path.getmtime)
+            os.rename(newest, vectors_dir)
+            for d in leftovers:
+                if d != newest:
+                    shutil.rmtree(d, ignore_errors=True)
 
     @classmethod
     def open(cls, spark: SparkSession, db_root: str, name: str, **kw) -> "VectorDB":

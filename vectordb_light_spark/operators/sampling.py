@@ -227,9 +227,11 @@ def ring_negative_samples(
     collisions are common.
     """
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    # 8 hex chars = 32 hash bits, so n_buckets scales to the documented
+    # sizing rule (2 chars would silently cap effective buckets at 256)
     bucket = (
-        F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % n_buckets
-    )
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
     staged = df.select(
         F.col(id_col),
         *( [F.col(group_col)] if group_col else [] ),
@@ -250,9 +252,15 @@ def ring_negative_samples(
     ]
     cands = F.array(*cand_structs)
     if group_col:
+        # null-safe inequality: NULL groups are treated as one
+        # "unknown" group (two NULL-source docs exclude each other,
+        # and a NULL-group anchor still receives non-NULL-group
+        # negatives) — plain != would NULL out and drop every
+        # candidate for NULL-group anchors.
         keep = F.filter(
             cands,
-            lambda c: c["nid"].isNotNull() & (c["ng"] != F.col(group_col)),
+            lambda c: c["nid"].isNotNull()
+            & ~c["ng"].eqNullSafe(F.col(group_col)),
         )
     else:
         keep = F.filter(cands, lambda c: c["nid"].isNotNull())

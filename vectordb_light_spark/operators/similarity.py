@@ -690,21 +690,7 @@ def train_pq_codebooks(
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    books = np.empty((m, n_codes, sub), dtype=np.float64)
-    for s in range(m):
-        block = mat[:, s * sub : (s + 1) * sub]
-        cents = block[:n_codes].copy()
-        for _ in range(n_iters):
-            # plain L2 k-means: argmin ||x-c||² = argmin c·c - 2x·c
-            d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (block @ cents.T)
-            assign = np.argmin(d2, axis=1)
-            for c in range(n_codes):
-                members = block[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        books[s] = cents
-    return books
+    return _pq_train_mat(mat, m, n_codes, n_iters)
 
 
 def make_pq_encode_udf(codebooks: np.ndarray):
@@ -726,13 +712,7 @@ def make_pq_encode_udf(codebooks: np.ndarray):
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         if mat.shape[1] != m * sub:
             raise ValueError(f"dim {mat.shape[1]} != m*sub {m * sub}")
-        codes = np.empty((mat.shape[0], m), dtype=np.int8)
-        for s in range(m):
-            block = mat[:, s * sub : (s + 1) * sub]
-            cents = books[s]
-            d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (block @ cents.T)
-            codes[:, s] = np.argmin(d2, axis=1).astype(np.int8)
-        return pd.Series(list(codes))
+        return pd.Series(list(_pq_encode_mat(mat, books).astype(np.int8)))
 
     return encode
 
@@ -761,6 +741,7 @@ def ann_topk_pq(
     code_col: str = "pq_code",
     rerank_pool: int | None = None,
     vec_col: str = "embedding",
+    rerank_query: list[float] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k in the compressed domain: the
     query stays un-quantized; per subspace the dot product against
@@ -809,7 +790,12 @@ def ann_topk_pq(
     if not rerank_pool:
         return adc.limit(k).drop(code_col)
     pool = adc.limit(int(rerank_pool)).select(id_col)
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    # rerank_query: the vector the exact re-rank scores against —
+    # differs from `query` when the ADC space is a transform of the
+    # store space (OPQ rotates the query for ADC but re-ranks the
+    # original vectors with the original query)
+    rq = np.asarray(rerank_query, dtype=np.float64) if rerank_query is not None else qv
+    q = F.array(*[F.lit(float(x)) for x in rq])
     exact = F.least(
         F.greatest(dot_product(vec_col, q), F.lit(0.0)), F.lit(1.0)
     )
@@ -1038,26 +1024,10 @@ def ann_topk_opq(
     R = np.ascontiguousarray(rotation, dtype=np.float64)
     qv = np.asarray(query, dtype=np.float64)
     q_rot = [float(x) for x in (qv @ R)]
-    if not rerank_pool:
-        return ann_topk_pq(
-            encoded, codebooks, q_rot, k=k, id_col=id_col,
-            code_col=code_col, rerank_pool=None,
-        )
-    pool = ann_topk_pq(
-        encoded, codebooks, q_rot, k=int(rerank_pool), id_col=id_col,
-        code_col=code_col, rerank_pool=None,
-    ).select(id_col)
-    q = F.array(*[F.lit(float(x)) for x in qv])
-    exact = F.least(
-        F.greatest(dot_product(vec_col, q), F.lit(0.0)), F.lit(1.0)
-    )
-    return (
-        F.broadcast(pool)
-        .join(encoded.select(id_col, vec_col), id_col)
-        .withColumn("similarity_score", exact)
-        .orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
-        .limit(k)
-        .drop(vec_col)
+    return ann_topk_pq(
+        encoded, codebooks, q_rot, k=k, id_col=id_col,
+        code_col=code_col, rerank_pool=rerank_pool, vec_col=vec_col,
+        rerank_query=[float(x) for x in qv],
     )
 
 

@@ -3059,8 +3059,9 @@ def _negative_samples_oracle_sql(seed=7, k=3, look=6, nb=8) -> str:
     WITH staged AS (
         SELECT doc_id, source,
                md5(concat_ws(':', '{seed}', CAST(doc_id AS VARCHAR))) AS key,
-               CAST(('0x' || substr(md5(concat_ws(':', '{seed}',
-                    CAST(doc_id AS VARCHAR))), 1, 2)) AS INT) % {nb} AS bucket
+               CAST(CAST(('0x' || substr(md5(concat_ws(':', '{seed}',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % {nb} AS INT)
+                   AS bucket
         FROM documents
     ),
     led AS (
@@ -3071,7 +3072,8 @@ def _negative_samples_oracle_sql(seed=7, k=3, look=6, nb=8) -> str:
     picked AS (
         SELECT doc_id, source,
                list_slice(list_transform(
-                   list_filter(cands, c -> c.nid IS NOT NULL AND c.ng <> source),
+                   list_filter(cands, c -> c.nid IS NOT NULL
+                               AND c.ng IS DISTINCT FROM source),
                    c -> CAST(c.nid AS VARCHAR)), 1, {k}) AS negs
         FROM led
     )
