@@ -103,8 +103,18 @@ def test_predicates_reach_the_scan(spark, name, col):
     """Pushdown guard: the query's defining predicate must appear in a
     FileScan's PushedFilters — a filter evaluated above the scan reads
     (and decodes) every row at 100 TB."""
-    df = QUERIES[name](spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Another test cache()-ing the same table fragment would swap the
+    # parquet FileScan for an InMemoryTableScan (no PushedFilters at
+    # all); and the default metadata truncation (100 chars) can cut
+    # the filter list mid-item. Neutralize both before planning.
+    spark.catalog.clearCache()
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     # Parse ONLY the bracketed filter list — the same FileScan line
     # continues with ReadSchema (which always names the column) and the
     # pushed IsNotNull, either of which would make a substring check
