@@ -275,3 +275,29 @@ def test_ring_negative_samples_null_group_semantics(spark):
                 src[n] is None or r["source"] is None
             )
     assert got_any_for_null_anchor
+
+
+def test_dsir_scores_favor_target_distribution(spark):
+    """Documents drawn from the target vocabulary must outscore
+    documents from a disjoint vocabulary, and per-doc scores must be
+    token-count aggregates (score of doc = sum of its token ratios)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.sampling import dsir_importance_scores
+
+    rows = (
+        [(i, "tgt", "alpha beta gamma delta " * 3) for i in range(20)]
+        + [(i + 20, "raw", "zeta eta theta iota " * 3) for i in range(20)]
+        + [(99, "raw", "alpha beta gamma delta " * 3)]  # target-like raw doc
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_importance_scores(df, F.col("lang") == "tgt").collect()
+    }
+    # every target-vocab doc outscores every disjoint-vocab doc,
+    # including the target-LIKE doc labeled raw (content, not label)
+    assert min(got[i] for i in range(20)) > max(got[i] for i in range(20, 40))
+    assert got[99] > max(got[i] for i in range(20, 40))
+    # identical content → identical score
+    assert abs(got[0] - got[99]) < 1e-12

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vectordb_light_spark.session import persist_if_batch
+
 HEX_SPACE = 16**8  # 8 hex chars = 32 bits of the md5
 
 
@@ -197,6 +199,75 @@ def stratified_take(
     return df.withColumn(
         "take_rank", F.row_number().over(w).cast("int")
     ).where(F.col("take_rank") <= n)
+
+
+def dsir_importance_scores(
+    docs: DataFrame,
+    target: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — public
+    method, re-implemented on hashed unigrams): score every document
+    by how much more likely its tokens are under the TARGET
+    distribution (rows where ``target`` is true) than under the raw
+    corpus — the importance weight ``Σ_tokens log(p_target/p_raw)``
+    over ``n_buckets`` hashed token buckets with Laplace smoothing.
+    Returns (id, dsir_score double, n_tok long); select by ranking or
+    feed the exponentiated score to :func:`weighted_sample`.
+
+    Scale shape: the bucket LM is ≤ ``n_buckets`` aggregate rows — ONE
+    token-bucket shuffle builds target and raw counts together, the
+    driver turns them into a log-ratio literal array, and scoring is a
+    map-side ``element_at`` sum + one groupBy(id). No UDFs anywhere;
+    the md5 bucket hash makes the whole pipeline engine-replicable.
+    """
+    import math
+
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != "",
+        )
+    ).alias("__t")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+    b = docs.select(F.col(id_col), target.alias("__tgt"), toks).select(
+        id_col, "__tgt", bucket.alias("__bucket")
+    )
+    b = persist_if_batch(b)
+    counts = (
+        b.groupBy("__bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.col("__tgt").cast("long")).alias("ct"),
+        )
+        .collect()
+    )
+    T = sum(r["ct"] for r in counts)
+    R = sum(r["cr"] for r in counts)
+    by_bucket = {r["__bucket"]: (r["ct"], r["cr"]) for r in counts}
+    lr = [0.0] * n_buckets
+    for i in range(n_buckets):
+        ct, cr = by_bucket.get(i, (0, 0))
+        lr[i] = math.log((ct + alpha) / (T + alpha * n_buckets)) - math.log(
+            (cr + alpha) / (R + alpha * n_buckets)
+        )
+    arr = F.array(*[F.lit(float(x)) for x in lr])
+    return (
+        b.withColumn("__lr", F.element_at(arr, F.col("__bucket") + 1))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__lr").alias("dsir_score"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
 
 
 def ring_negative_samples(

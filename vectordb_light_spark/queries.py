@@ -3048,6 +3048,73 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipe_dsir_select",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS INT)
+                   AS bucket
+        FROM tok
+    ),
+    tgt AS (SELECT bucket, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY bucket),
+    raw AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
+    tot AS (SELECT (SELECT COUNT(*) FROM b WHERE lang = 'en') AS T,
+                   (SELECT COUNT(*) FROM b) AS R),
+    lr AS (
+        SELECT raw.bucket,
+               ln((COALESCE(tgt.ct, 0) + 1.0) / (tot.T + 256.0))
+             - ln((raw.cr + 1.0) / (tot.R + 256.0)) AS logratio
+        FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot
+    ),
+    scored AS (
+        SELECT b.doc_id, SUM(lr.logratio) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM b JOIN lr ON b.bucket = lr.bucket
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS dsir_score, n_tok,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scored
+    ORDER BY rank
+    LIMIT 100
+    """,
+)
+def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/sampling.py
+    dsir_importance_scores — Xie et al. NeurIPS 2023): rank the
+    corpus by hashed-unigram importance toward the English subset —
+    Σ log(p_target/p_raw) over 256 md5 token buckets, Laplace-
+    smoothed. The bucket LM is one ≤256-row aggregate, scoring is a
+    map-side element_at sum — zero UDFs, and the md5 buckets make the
+    whole pipeline engine-replicable (verified margins: rank-100 cut
+    gap 4.4e-4, ≥1e-9 from rounding boundaries vs ~1e-12 cross-engine
+    ln drift). Top-100 selected; feed exp(score) to weighted_sample
+    for the paper's resampling step."""
+    from vectordb_light_spark.operators.sampling import dsir_importance_scores
+
+    docs = load_docs(spark, sf_dir, "doc_id", "lang", "text")
+    scored = dsir_importance_scores(docs, F.col("lang") == F.lit("en"))
+    w = Window.orderBy(F.col("dsir_score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 100)
+        .select(
+            "doc_id",
+            F.round("dsir_score", 6).alias("dsir_score"),
+            "n_tok",
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
 def _negative_samples_oracle_sql(seed=7, k=3, look=6, nb=8) -> str:
     """DuckDB twin of pipe_negative_samples: same md5 ring key and
     bucket split, the lead window unrolled into a struct list."""
@@ -4235,6 +4302,7 @@ _REGISTRY_ORDER = [
     "rel_events_interval",
     "vq_batch_topk",
     "pipe_negative_samples",
+    "pipe_dsir_select",
     "ts_bigram_lm_score",
     "dd_simhash_near_dups",
     "rel_top_orders_by_revenue",
