@@ -4225,105 +4225,105 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: theoretical minimum). Unlisted (new) entries keep registration
 #: order at the end until measured.
 _REGISTRY_ORDER = [
-    "prof_value_histogram",
-    "rel_events_scd2",
-    "pipe_corpus_mix",
-    "st_events_sliding",
-    "vq_grouped_topk",
-    "skew_salted_user_join",
-    "dd_duplicate_groups",
-    "emb_doc_mean_pool",
-    "ann_srp_topk",
+    "rel_forecast_revenue",
+    "pipe_corpus_split",
+    "prof_corpus_quantiles",
+    "st_events_window",
+    "vq_filtered_topk",
     "ts_vocab_topk",
+    "emb_doc_mean_pool",
+    "dd_duplicate_groups",
+    "ann_ivf_topk",
+    "skew_salted_user_join",
+    "mm_audio_windows",
     "dq_events_constraints",
-    "mm_frame_counts",
     "sim_cosine_pairs_exact",
     "kw_bm25_topk",
     "pipe_weighted_sample",
-    "prof_events_cube",
+    "prof_events_rollup",
     "rel_join_nation_customers",
-    "vq_topk_cosine",
-    "st_events_window",
-    "ts_lang_id",
-    "ann_pca_topk",
-    "mm_audio_windows",
+    "vq_threshold_after_topk",
+    "st_events_dedup",
+    "ann_srp_topk",
+    "ts_text_stats",
+    "mm_frame_counts",
     "dd_jaccard_pairs",
     "emb_feature_hash_topk",
     "sim_sparse_cosine_pairs",
     "kw_hybrid_rrf",
-    "pipe_stratified_take",
-    "rel_pricing_summary",
-    "vq_threshold_after_topk",
-    "prof_events_pivot",
-    "st_events_dedup",
-    "ts_text_stats",
-    "ann_ivf_topk",
+    "pipe_corpus_mix",
+    "prof_events_cube",
+    "rel_user_retention",
+    "vq_postfilters",
+    "st_events_sliding",
+    "ts_pii_scrub",
+    "ann_pca_topk",
     "dd_exact_dedup",
     "mm_image_pipeline",
     "emb_mini_encoder_topk",
-    "rel_forecast_revenue",
-    "prof_events_rollup",
-    "pipe_corpus_split",
-    "vq_postfilters",
-    "ts_pii_scrub",
+    "pipe_stratified_take",
+    "rel_events_gapfill",
+    "prof_value_histogram",
+    "vq_topk_quantized",
+    "ts_lang_id",
     "dd_remove_boilerplate",
     "ann_opq_topk",
     "st_events_sessions",
-    "rel_events_gapfill",
-    "prof_corpus_quantiles",
-    "vq_rag_prompt",
+    "rel_pricing_summary",
+    "vq_citations",
+    "prof_events_pivot",
     "pipe_token_budget_mix",
     "ts_quality_score",
+    "dd_embedding_near_dups",
     "ann_ivfpq_topk",
-    "dd_minhash_candidates",
     "st_user_running_totals",
-    "rel_shipping_priority",
-    "vq_citations",
+    "vq_topk_cosine",
+    "rel_events_funnel",
     "pipe_doc_hash",
     "prof_events_corr",
     "ts_repetition_filter",
     "ann_pq_topk",
-    "dd_cross_corpus_candidates",
+    "dd_minhash_candidates",
     "st_clicks_attribution",
     "rel_customer_activity",
-    "vq_filtered_topk",
+    "vq_grouped_topk",
     "pipe_corpus_shuffle",
     "prof_events_sketch",
     "ts_tfidf_top_terms",
-    "dd_embedding_near_dups",
+    "dd_cross_corpus_candidates",
     "ann_topk_join",
-    "rel_events_json",
-    "vq_chunks_only",
+    "rel_region_volume",
+    "vq_batch_topk",
     "pipe_token_windows",
     "prof_sketch_accuracy",
     "ts_winnow_fingerprints",
     "dd_containment_pairs",
     "ann_recall_contract",
-    "rel_events_interval",
-    "vq_batch_topk",
+    "rel_events_cohorts",
+    "vq_rag_prompt",
     "pipe_negative_samples",
-    "pipe_dsir_select",
     "ts_bigram_lm_score",
     "dd_simhash_near_dups",
-    "rel_top_orders_by_revenue",
-    "vq_topk_quantized",
-    "pipe_sequence_pack",
-    "dd_duplicate_clusters",
-    "rel_orders_pareto",
+    "rel_events_scd2",
     "vq_range_search",
     "pipe_chunk_fixed",
-    "rel_events_cohorts",
-    "pipe_decontaminate",
-    "vq_mmr_rerank",
-    "rel_region_volume",
-    "pipe_hash_embed_topk",
-    "rel_events_funnel",
-    "pipe_chunk_normalized",
+    "dd_duplicate_clusters",
     "rel_events_moving_avg",
-    "pipe_pdf_page_chunks",
-    "rel_user_retention",
-    "pipe_training_corpus",
+    "vq_chunks_only",
+    "pipe_sequence_pack",
+    "rel_events_interval",
+    "pipe_dsir_select",
+    "vq_mmr_rerank",
     "rel_big_orders",
+    "pipe_hash_embed_topk",
+    "rel_orders_pareto",
+    "pipe_chunk_normalized",
+    "rel_events_json",
+    "pipe_pdf_page_chunks",
+    "rel_top_orders_by_revenue",
+    "pipe_decontaminate",
+    "rel_shipping_priority",
+    "pipe_training_corpus",
     "rel_events_asof",
     "rel_window_order_rank",
     "rel_sessions_overlap",
