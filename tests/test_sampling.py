@@ -301,3 +301,19 @@ def test_dsir_scores_favor_target_distribution(spark):
     assert got[99] > max(got[i] for i in range(20, 40))
     # identical content → identical score
     assert abs(got[0] - got[99]) < 1e-12
+
+
+def test_dsir_null_target_rows_do_not_poison_counts(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.sampling import dsir_importance_scores
+
+    df = spark.createDataFrame(
+        [(1, "en", "alpha beta"), (2, None, "uniquetoken gamma"), (3, "de", "beta")],
+        "doc_id long, lang string, text string",
+    )
+    # lang IS NULL rows must count as not-target (a NULL predicate
+    # summed over an all-NULL bucket would crash the driver total)
+    out = {r["doc_id"]: r["dsir_score"] for r in
+           dsir_importance_scores(df, F.col("lang") == "en").collect()}
+    assert set(out) == {1, 2, 3}

@@ -89,6 +89,16 @@ def hash_bucket_column(id_col: Column | str, seed: int = 0) -> Column:
     )
 
 
+def hex_prefix_mod(hex_col: Column, n: int) -> Column:
+    """Uniform bucket id in [0, n) from the first 8 hex chars (32
+    bits) of an md5-hex column — 2 chars would silently cap effective
+    buckets at 256. Shared by the ring sampler and DSIR so the
+    Spark-vs-oracle bucketing can never diverge between call sites."""
+    return (
+        F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long") % n
+    ).cast("int")
+
+
 def bucket_sql(id_expr: str, seed: int = 0) -> str:
     """ANSI-SQL twin of :func:`hash_bucket_column` (same bytes)."""
     return f"substr(md5(concat_ws(':', CAST({id_expr} AS VARCHAR), '{int(seed)}')), 1, 8)"
@@ -234,19 +244,21 @@ def dsir_importance_scores(
             lambda x: x != "",
         )
     ).alias("__t")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("long")
-        % n_buckets
-    ).cast("int")
     b = docs.select(F.col(id_col), target.alias("__tgt"), toks).select(
-        id_col, "__tgt", bucket.alias("__bucket")
+        id_col,
+        "__tgt",
+        hex_prefix_mod(F.md5(F.col("__t")), n_buckets).alias("__bucket"),
     )
     b = persist_if_batch(b)
     counts = (
         b.groupBy("__bucket")
         .agg(
             F.count(F.lit(1)).alias("cr"),
-            F.sum(F.col("__tgt").cast("long")).alias("ct"),
+            # coalesce: a NULL target predicate (e.g. lang IS NULL
+            # rows) must count as not-target, not poison the sum —
+            # an all-NULL bucket would return ct=None and crash the
+            # driver-side total
+            F.sum(F.coalesce(F.col("__tgt").cast("long"), F.lit(0))).alias("ct"),
         )
         .collect()
     )
@@ -298,11 +310,7 @@ def ring_negative_samples(
     collisions are common.
     """
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
-    # 8 hex chars = 32 hash bits, so n_buckets scales to the documented
-    # sizing rule (2 chars would silently cap effective buckets at 256)
-    bucket = (
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_buckets
-    ).cast("int")
+    bucket = hex_prefix_mod(key, n_buckets)
     staged = df.select(
         F.col(id_col),
         *( [F.col(group_col)] if group_col else [] ),

@@ -3101,10 +3101,13 @@ def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_docs(spark, sf_dir, "doc_id", "lang", "text")
     scored = dsir_importance_scores(docs, F.col("lang") == F.lit("en"))
+    # TakeOrderedAndProject first (per-task heaps), THEN rank the
+    # <=100 survivors — a partition-less window over the full scored
+    # table would funnel every row through one task.
+    top = scored.orderBy(F.col("dsir_score").desc(), "doc_id").limit(100)
     w = Window.orderBy(F.col("dsir_score").desc(), "doc_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 100)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select(
             "doc_id",
             F.round("dsir_score", 6).alias("dsir_score"),
