@@ -306,3 +306,109 @@ def test_cross_corpus_candidates_find_near_dups_across_sides(spark):
     pairs = {(r["ref_id"], r["new_id"]): r["est_jaccard"] for r in out}
     assert (1, 1) in pairs and pairs[(1, 1)] >= 0.75
     assert (2, 9) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket cap (round 3): a duplicate cluster larger than max_bucket
+# must produce LINEARLY many candidate rows (star per signature
+# group), not |bucket|^2/2, and cluster-level dedup must see the same
+# connected components either way.
+# ---------------------------------------------------------------------------
+
+
+def _hot_corpus(spark, n_dups=400, n_noise=20):
+    """n_dups canonical-identical docs + a few distinct ones."""
+    rows = [(i, "shared boilerplate paragraph repeated across the crawl " * 4)
+            for i in range(n_dups)]
+    rows += [(1000 + i, f"unique document number {i} with its own words entirely "
+              * 3) for i in range(n_noise)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_bucket_emits_linear_star(spark):
+    df = _hot_corpus(spark)
+    out = minhash_lsh_candidates(
+        df, num_hashes=16, bands=4, max_bucket=64
+    ).collect()
+    star = [(r["id_a"], r["id_b"]) for r in out if r["id_a"] == 0]
+    # the 400-dup cluster collapses to a min-id star: 399 pairs, not 79800
+    assert len(out) < 1000
+    assert len(star) == 399
+    assert all(r["est_jaccard"] == 1.0 for r in out if r["id_a"] == 0)
+
+
+def test_minhash_cap_preserves_components(spark):
+    from vectordb_light_spark.operators.components import duplicate_clusters
+
+    df = _hot_corpus(spark, n_dups=80, n_noise=10)
+    capped = minhash_lsh_candidates(df, num_hashes=16, bands=4, max_bucket=16)
+    uncapped = minhash_lsh_candidates(df, num_hashes=16, bands=4, max_bucket=None)
+    c1 = {(r["doc_id"], r["cluster_id"])
+          for r in duplicate_clusters(
+              capped.where(F.col("est_jaccard") >= 0.75),
+              left_id="id_a", right_id="id_b").collect()}
+    c2 = {(r["doc_id"], r["cluster_id"])
+          for r in duplicate_clusters(
+              uncapped.where(F.col("est_jaccard") >= 0.75),
+              left_id="id_a", right_id="id_b").collect()}
+    assert c1 == c2
+
+
+def test_minhash_cap_neutral_below_threshold(spark):
+    df = _df(spark)
+    a = sorted((r["id_a"], r["id_b"], r["est_jaccard"])
+               for r in minhash_lsh_candidates(df, num_hashes=64, bands=16).collect())
+    b = sorted((r["id_a"], r["id_b"], r["est_jaccard"])
+               for r in minhash_lsh_candidates(
+                   df, num_hashes=64, bands=16, max_bucket=None).collect())
+    assert a == b
+
+
+def test_cross_corpus_hot_bucket_links_to_min_ref(spark):
+    from vectordb_light_spark.operators.dedup import minhash_lsh_candidates_cross
+
+    boiler = "shared boilerplate paragraph repeated across the crawl " * 4
+    ref = spark.createDataFrame(
+        [(i, boiler) for i in range(40)] + [(90, "distinct reference text here " * 5)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(200 + i, boiler) for i in range(40)]
+        + [(300, "unrelated new document content " * 5)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_candidates_cross(
+        new, ref, num_hashes=16, bands=4, max_bucket=8
+    ).collect()
+    pairs = {(r["ref_id"], r["new_id"]) for r in out}
+    # every hot new doc links to exactly the min ref id (0), not 40 refs
+    assert pairs == {(0, 200 + i) for i in range(40)}
+    assert all(r["est_jaccard"] == 1.0 for r in out)
+
+
+def test_simhash_block_scheme_widens_with_corpus(spark):
+    from vectordb_light_spark.operators.dedup import simhash_block_scheme
+
+    m_small, k_small = simhash_block_scheme(3, 64, 10**6)
+    m_big, k_big = simhash_block_scheme(3, 64, 10**9)
+    bits = lambda m, k: k * (64 // m)
+    assert bits(m_big, k_big) > bits(m_small, k_small)
+    # pigeonhole guarantee holds for both
+    assert k_small <= m_small - 3 and k_big <= m_big - 3
+
+
+def test_simhash_output_invariant_to_scheme(spark):
+    df = _hot_corpus(spark, n_dups=6, n_noise=8)
+    classic = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(
+            df, max_hamming=3, blocks=4, combo=1).collect())
+    combo = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(
+            df, max_hamming=3, blocks=5, combo=2).collect())
+    wide = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(
+            df, max_hamming=3, n_docs_hint=10**9).collect())
+    assert classic == combo == wide

