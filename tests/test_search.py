@@ -599,3 +599,73 @@ def test_open_compound_crash_restores_newest_old(spark, tmp_path):
     _os.makedirs(vec + ".srp-tmp")
     VectorDB.open(spark, db_root, "cc", cache=False)
     assert not _os.path.exists(vec + ".srp-tmp")
+
+
+def test_open_rolls_back_staged_artifacts_on_interrupted_rebuild(spark, tmp_path):
+    """A crash AFTER the vectors swap but BEFORE the artifact commit
+    (or mid-commit) must roll back to the matching pre-build snapshot:
+    old vectors AND old _index together — never new centroids beside
+    old cluster assignments (ADVICE r2: silent near-zero-recall)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import numpy as np
+
+    from vectordb_light_spark.engine import VectorDB
+    from vectordb_light_spark.operators.ingest import (
+        IngestConfig,
+        create_database,
+        load_index_artifacts,
+        stage_index_artifacts,
+    )
+    from vectordb_light_spark.sources.extract import load_directory
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("staged artifact rollback content " * 40)
+    db_root = str(tmp_path / "dbs")
+    _os.makedirs(db_root)
+    docs, _ = load_directory(spark, str(src))
+    create_database(
+        spark, docs, db_root, "stagey",
+        IngestConfig(chunk_size=150, chunk_overlap=30, target_files=1),
+    )
+    db_path = _os.path.join(db_root, "stagey")
+    db = VectorDB.open(spark, db_root, "stagey", cache=False)
+    db.build_ivf_index(n_centroids=2)
+    old_centroids = load_index_artifacts(db_path)["ivf_centroids"].copy()
+    n_before = spark.read.parquet(_os.path.join(db_path, "vectors")).count()
+
+    # simulate: rebuild trained NEW centroids, staged them, swapped
+    # vectors, then crashed before commit_index_artifacts
+    stage_index_artifacts(db_path, {"ivf_centroids": old_centroids + 99.0})
+    vec = _os.path.join(db_path, "vectors")
+    _shutil.copytree(vec, vec + ".ivf-old")
+    _os.utime(vec + ".ivf-old")
+    db2 = VectorDB.open(spark, db_root, "stagey", cache=False)
+    assert db2.vectors.count() == n_before
+    assert not _os.path.isdir(_os.path.join(db_path, "_index.tmp"))
+    np.testing.assert_array_equal(
+        load_index_artifacts(db_path)["ivf_centroids"], old_centroids
+    )
+
+    # simulate: crash MID-commit (_index renamed aside, tmp promoted)
+    stage_index_artifacts(db_path, {"ivf_centroids": old_centroids + 99.0})
+    _shutil.copytree(vec, vec + ".ivf-old")
+    _os.utime(vec + ".ivf-old")
+    _os.rename(
+        _os.path.join(db_path, "_index"), _os.path.join(db_path, "_index.old")
+    )
+    _os.rename(
+        _os.path.join(db_path, "_index.tmp"), _os.path.join(db_path, "_index")
+    )
+    db3 = VectorDB.open(spark, db_root, "stagey", cache=False)
+    assert db3.vectors.count() == n_before
+    np.testing.assert_array_equal(
+        load_index_artifacts(db_path)["ivf_centroids"], old_centroids
+    )
+    # meta was never rewritten by the crashed rebuild
+    with open(_os.path.join(db_path, "_meta.json")) as f:
+        assert _json.load(f)["ivf_index"]["n_centroids"] == 2
+    _shutil.rmtree(db_path)

@@ -106,40 +106,63 @@ class VectorDB:
         self.documents = spark.read.parquet(os.path.join(path, "documents"))
 
     def _recover_interrupted_swap(self) -> None:
-        """The index builders swap ``vectors/`` via two renames; a
-        crash between them leaves ``vectors.<tier>-old`` holding the
-        original store and no ``vectors/``. Restore on open — the
-        interrupted build is simply discarded (it never updated
-        ``_meta.json``, which is written only after a successful
-        swap).
+        """Restore a consistent (vectors, _index artifacts) snapshot
+        after a crash anywhere in an index build. Builders run: stage
+        artifacts to ``_index.tmp`` → write ``vectors.<tier>-tmp`` →
+        rename vectors aside (``-old``) → rename tmp in → commit
+        artifacts (``_index`` → ``_index.old``, ``.tmp`` → ``_index``)
+        → remove ``-old`` + ``_index.old`` together → write
+        ``_meta.json``. So on open:
+
+        - a surviving ``vectors.<tier>-old`` means the build never
+          reached joint cleanup — ROLL BACK: restore the newest
+          ``-old`` as ``vectors/`` (discarding a half-adopted new
+          store) and restore ``_index.old`` if the artifact commit
+          had started. Rolling forward is never safe here because the
+          artifact/vector pairing can't be verified.
+        - no ``-old`` means any ``_index.tmp`` / ``_index.old`` /
+          ``vectors.*-tmp`` leftovers are garbage from a build that
+          either finished cleanup or never touched ``vectors/`` —
+          remove them.
+
+        ``_meta.json`` is written strictly last, so a crash before it
+        costs at most a cosmetically-stale parameter block (search
+        reads PQ/IVF geometry from the artifact arrays, not meta) —
+        never NEW centroids/codebooks ranked against OLD assignments.
 
         When multiple ``-old`` dirs exist (compound crashes across
         different builds), the MOST RECENTLY MODIFIED one is the true
         pre-crash store — a fixed tier order could resurrect a stale
-        snapshot and silently lose rows ingested between builds. When
-        ``vectors/`` is intact, any leftover ``-old``/``-tmp`` dirs
-        are garbage from earlier interrupted builds and are removed.
+        snapshot and silently lose rows ingested between builds.
         """
         import shutil
 
         vectors_dir = os.path.join(self.path, "vectors")
+        index_dir = os.path.join(self.path, "_index")
         leftovers = [
             os.path.join(self.path, d)
             for d in os.listdir(self.path)
             if d.startswith("vectors.")
             and (d.endswith("-old") or d.endswith("-tmp"))
         ]
-        if os.path.isdir(vectors_dir):
-            for d in leftovers:
-                shutil.rmtree(d, ignore_errors=True)
-            return
         olds = [d for d in leftovers if d.endswith("-old") and os.path.isdir(d)]
         if olds:
+            # build died before joint cleanup: roll back vectors AND
+            # artifacts to the matching pre-build snapshot
             newest = max(olds, key=os.path.getmtime)
+            shutil.rmtree(vectors_dir, ignore_errors=True)
             os.rename(newest, vectors_dir)
             for d in leftovers:
                 if d != newest:
                     shutil.rmtree(d, ignore_errors=True)
+            if os.path.isdir(index_dir + ".old"):
+                shutil.rmtree(index_dir, ignore_errors=True)
+                os.rename(index_dir + ".old", index_dir)
+        else:
+            for d in leftovers:
+                shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(index_dir + ".old", ignore_errors=True)
+        shutil.rmtree(index_dir + ".tmp", ignore_errors=True)
 
     @classmethod
     def open(cls, spark: SparkSession, db_root: str, name: str, **kw) -> "VectorDB":
@@ -202,7 +225,10 @@ class VectorDB:
         float vectors and exact-re-ranks the ADC pool."""
         import shutil
 
-        from vectordb_light_spark.operators.ingest import save_index_artifacts
+        from vectordb_light_spark.operators.ingest import (
+            commit_index_artifacts,
+            stage_index_artifacts,
+        )
         from vectordb_light_spark.operators.similarity import (
             add_pq_codes,
             train_pq_codebooks,
@@ -213,7 +239,10 @@ class VectorDB:
         books = train_pq_codebooks(
             fresh, vec_col="vector", id_col="id", m=m, n_codes=n_codes
         )
-        save_index_artifacts(self.path, {"pq_codebooks": books})
+        # STAGED, not committed: committed artifacts must never get
+        # ahead of the vectors swap (a crash would pair NEW codebooks
+        # with OLD pq_code assignments — silent wrong results).
+        stage_index_artifacts(self.path, {"pq_codebooks": books})
         coded = add_pq_codes(fresh, books, vec_col="vector")
         tmp_dir = vectors_dir + ".pq-tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -225,7 +254,13 @@ class VectorDB:
         shutil.rmtree(old_dir, ignore_errors=True)
         os.rename(vectors_dir, old_dir)
         os.rename(tmp_dir, vectors_dir)
+        commit_index_artifacts(self.path)
+        # joint cleanup LAST: while vectors.<tier>-old exists, open-time
+        # recovery still has the matching pre-build snapshot to restore
         shutil.rmtree(old_dir)
+        shutil.rmtree(
+            os.path.join(self.path, "_index.old"), ignore_errors=True
+        )
         self.meta["pq_index"] = {"m": m, "n_codes": n_codes}
         with open(os.path.join(self.path, META_FILE), "w") as f:
             json.dump(self.meta, f)
@@ -277,7 +312,10 @@ class VectorDB:
         :meth:`build_pq_index`."""
         import shutil
 
-        from vectordb_light_spark.operators.ingest import save_index_artifacts
+        from vectordb_light_spark.operators.ingest import (
+            commit_index_artifacts,
+            stage_index_artifacts,
+        )
         from vectordb_light_spark.operators.similarity import (
             add_ivf_cluster,
             train_ivf_centroids,
@@ -288,7 +326,9 @@ class VectorDB:
         centroids = train_ivf_centroids(
             fresh, vec_col="vector", id_col="id", n_centroids=n_centroids
         )
-        save_index_artifacts(self.path, {"ivf_centroids": centroids})
+        # STAGED, not committed — see build_pq_index: new centroids
+        # must never go live before the matching cluster assignments.
+        stage_index_artifacts(self.path, {"ivf_centroids": centroids})
         clustered = add_ivf_cluster(fresh, centroids, vec_col="vector")
         tmp_dir = vectors_dir + ".ivf-tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -300,7 +340,11 @@ class VectorDB:
         shutil.rmtree(old_dir, ignore_errors=True)
         os.rename(vectors_dir, old_dir)
         os.rename(tmp_dir, vectors_dir)
+        commit_index_artifacts(self.path)
         shutil.rmtree(old_dir)
+        shutil.rmtree(
+            os.path.join(self.path, "_index.old"), ignore_errors=True
+        )
         self.meta["ivf_index"] = {"n_centroids": n_centroids}
         with open(os.path.join(self.path, META_FILE), "w") as f:
             json.dump(self.meta, f)

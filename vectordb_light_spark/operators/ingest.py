@@ -327,19 +327,18 @@ def compact_vectors(
 INDEX_DIR = "_index"
 
 
-def save_index_artifacts(db_path: str, artifacts: dict) -> list[str]:
-    """Persist trained ANN artifacts (IVF centroids, PQ codebooks,
-    PCA projections — numpy arrays) beside the store, atomically:
-    write to ``_index.tmp``, swap, remove old. Training is sampled
-    and deterministic but NOT free — a deployment trains once per
-    (re)build and every query session loads the artifacts instead of
-    re-collecting a sample (reference analogue: the FLAT index's
-    metadata sidecar, vector_db_creator.py:346-354).
-    """
+def stage_index_artifacts(db_path: str, artifacts: dict) -> list[str]:
+    """Write trained ANN artifacts (IVF centroids, PQ codebooks, PCA
+    projections — numpy arrays), MERGED with whatever is already
+    committed, into the staging dir ``_index.tmp`` — visible to
+    nothing until :func:`commit_index_artifacts` swaps it in. The
+    index builders stage before their vectors rewrite and commit only
+    after the vectors swap succeeds, so a crash mid-build can never
+    leave NEW artifacts beside OLD cluster/code assignments (which
+    would silently return near-zero-recall results)."""
     import numpy as np
 
-    out_dir = os.path.join(db_path, INDEX_DIR)
-    tmp_dir = out_dir + ".tmp"
+    tmp_dir = os.path.join(db_path, INDEX_DIR) + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir)
     # MERGE with what's already trained: building one index tier must
@@ -352,12 +351,36 @@ def save_index_artifacts(db_path: str, artifacts: dict) -> list[str]:
             raise ValueError(f"artifact name {name!r} must be alnum/underscore")
         np.save(os.path.join(tmp_dir, f"{name}.npy"), np.asarray(arr))
         names.append(name)
+    return sorted(names)
+
+
+def commit_index_artifacts(db_path: str) -> None:
+    """Swap staged ``_index.tmp`` into ``_index/``. The superseded
+    ``_index.old`` is KEPT — the caller removes it together with its
+    ``vectors.<tier>-old`` in the same cleanup step, so open-time
+    recovery can restore the matching (vectors, artifacts) snapshot
+    from any crash point."""
+    out_dir = os.path.join(db_path, INDEX_DIR)
+    tmp_dir = out_dir + ".tmp"
     old_dir = out_dir + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
     if os.path.isdir(out_dir):
         os.rename(out_dir, old_dir)
     os.rename(tmp_dir, out_dir)
-    shutil.rmtree(old_dir, ignore_errors=True)
-    return sorted(names)
+
+
+def save_index_artifacts(db_path: str, artifacts: dict) -> list[str]:
+    """Stage + commit in one step (atomic swap, old removed) — for
+    callers managing no concurrent vectors rewrite. Training is
+    sampled and deterministic but NOT free — a deployment trains once
+    per (re)build and every query session loads the artifacts instead
+    of re-collecting a sample (reference analogue: the FLAT index's
+    metadata sidecar, vector_db_creator.py:346-354).
+    """
+    names = stage_index_artifacts(db_path, artifacts)
+    commit_index_artifacts(db_path)
+    shutil.rmtree(os.path.join(db_path, INDEX_DIR) + ".old", ignore_errors=True)
+    return names
 
 
 def load_index_artifacts(db_path: str) -> dict:

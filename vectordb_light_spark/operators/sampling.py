@@ -37,7 +37,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vectordb_light_spark.session import persist_if_batch
 
 HEX_SPACE = 16**8  # 8 hex chars = 32 bits of the md5
 
@@ -249,7 +248,13 @@ def dsir_importance_scores(
         "__tgt",
         hex_prefix_mod(F.md5(F.col("__t")), n_buckets).alias("__bucket"),
     )
-    b = persist_if_batch(b)
+    # NOT persisted: the bucket-LM collect below and the returned
+    # per-doc aggregate each scan the exploded tokens once either way
+    # (the cache could not be dropped before the caller materializes
+    # the result), and pinning a token-count-sized explode
+    # MEMORY_AND_DISK for the rest of the session would contradict
+    # the operator's own scale shape. Two cheap map-side passes beat
+    # one leaked cache.
     counts = (
         b.groupBy("__bucket")
         .agg(

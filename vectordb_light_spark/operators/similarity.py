@@ -979,10 +979,12 @@ def make_opq_encode_udf(rotation: np.ndarray, codebooks: np.ndarray):
 
     @pandas_udf(ArrayType(ByteType(), containsNull=False))
     def encode(vecs: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) @ R
-        if mat.shape[1] != m * sub:
+        # validate BEFORE the rotation: a mismatched input dim must
+        # raise this ValueError, not an opaque matmul broadcast error
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.shape[1] != R.shape[0] or mat.shape[1] != m * sub:
             raise ValueError(f"dim {mat.shape[1]} != m*sub {m * sub}")
-        return pd.Series(list(_pq_encode_mat(mat, books).astype(np.int8)))
+        return pd.Series(list(_pq_encode_mat(mat @ R, books).astype(np.int8)))
 
     return encode
 
