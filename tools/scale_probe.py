@@ -40,6 +40,42 @@ def replicate(spark, table: str, id_col: str, factor: int, out: str) -> None:
     union.repartition(max(4, factor * 2)).write.mode("overwrite").parquet(out)
 
 
+def replicate_unique(spark, factor: int, out: str) -> None:
+    """Documents replicated with a PER-COPY text perturbation, so
+    duplicate clusters keep their base size instead of gaining
+    factor-many exact copies — the realistic bounded-cluster-density
+    protocol. True duplicate pairs grow linearly in the factor here,
+    isolating engine scaling from the adversarial protocol's
+    quadratic pair growth (see the NOTE under the main table)."""
+    df = load_table(spark, BASE, "documents").select("doc_id", "text")
+    # Rewrite every word boundary with a per-copy token: copy i of a
+    # doc shares ~no shingles with copy j (cross-copy Jaccard ≈ 0),
+    # while two base docs that were near-dups of each other remain
+    # near-dups WITHIN each copy — per-copy duplicate density equals
+    # the base corpus'.
+    parts = [
+        df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        .withColumn("text", F.regexp_replace("text", " ", f" v{i}x "))
+        for i in range(factor)
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    # ≥32 output files at every factor: the probe compares DATA
+    # scaling, so every point gets full local[32] map parallelism
+    # (at 4 files the x1 point measures task-count starvation, not
+    # the operator).
+    union.repartition(max(32, factor * 2)).write.mode("overwrite").parquet(out)
+
+
+def clusters_probe(docs):
+    from vectordb_light_spark.operators.components import duplicate_clusters
+    from vectordb_light_spark.operators.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(docs).where(F.col("est_jaccard") >= 0.75)
+    return duplicate_clusters(pairs, left_id="id_a", right_id="id_b").count()
+
+
 def probes(spark, docs, emb):
     """name -> thunk returning a materialized count. Operators chosen
     to cover the main cost classes: pandas-UDF text stage, LSH
@@ -151,10 +187,7 @@ def probes(spark, docs, emb):
         return vocab_topk(docs, k=50, min_count=2).count()
 
     def p_clusters():
-        from vectordb_light_spark.operators.components import duplicate_clusters
-
-        pairs = minhash_lsh_candidates(docs).where(F.col("est_jaccard") >= 0.75)
-        return duplicate_clusters(pairs, left_id="id_a", right_id="id_b").count()
+        return clusters_probe(docs)
 
     def p_range_search():
         from vectordb_light_spark.operators.search import range_search
@@ -332,8 +365,69 @@ def main_big(factor: int = 64) -> None:
         shutil.rmtree(WORK, ignore_errors=True)
 
 
+#: Section marker owned by main_clusters in SCALING.md.
+CLUSTERS_MARKER = "\n## duplicate_clusters on bounded-cluster replication"
+
+
+def main_clusters() -> None:
+    """The realistic-density clusters curve: duplicate_clusters_e2e
+    over ``replicate_unique`` data (per-copy text perturbation keeps
+    cluster sizes at their base values, so true pairs grow linearly).
+    Appends its own SCALING.md section with --write, separating engine
+    scaling from the adversarial protocol's quadratic pair growth."""
+    spark = get_spark("scale-probe-clusters")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[int, float] = {}
+    try:
+        for factor in SCALES:
+            d = os.path.join(WORK, f"docs_uq_x{factor}")
+            replicate_unique(spark, factor, d)
+            docs = spark.read.parquet(d).select("doc_id", "text")
+            clusters_probe(docs)  # warm-up
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                clusters_probe(docs)
+                best = min(best, time.time() - t0)
+            results[factor] = round(best, 2)
+            print(f"x{factor} clusters_realistic: {results[factor]}s", flush=True)
+    finally:
+        shutil.rmtree(WORK, ignore_errors=True)
+    lines = [
+        "",
+        CLUSTERS_MARKER.strip(),
+        "",
+        "| probe | " + " | ".join(f"x{f}" for f in SCALES) + " |",
+        "|---|" + "---|" * len(SCALES),
+        "| duplicate_clusters_e2e (bounded clusters) | "
+        + " | ".join(f"{results[f]}s" for f in SCALES)
+        + " |",
+        "",
+        "Replication perturbs each copy's text (`replicate_unique`), so",
+        "duplicate clusters keep their base sizes and true pairs grow",
+        "LINEARLY with the factor — the realistic-corpus curve. Compare",
+        "with the adversarial row in the main table, where every doc",
+        "gains factor-many exact copies and the hot-bucket cap",
+        "(operators/dedup.py DEFAULT_MAX_BUCKET) is what bounds the",
+        "blow-up per band bucket. Absolute x1 levels are NOT comparable",
+        "across the two protocols (the per-word copy token roughly",
+        "doubles text length here); the shape of each curve is the",
+        "signal.",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        p = Path(__file__).resolve().parent.parent / "SCALING.md"
+        txt = p.read_text()
+        if CLUSTERS_MARKER in txt:
+            txt = txt.split(CLUSTERS_MARKER, 1)[0]
+        p.write_text(txt.rstrip("\n") + "\n" + out + "\n")
+
+
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
+    elif "--clusters" in sys.argv:
+        main_clusters()
     else:
         main()
