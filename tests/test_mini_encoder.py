@@ -40,15 +40,18 @@ TEXTS = [
 
 
 def test_encode_shapes_unit_norm_determinism():
-    enc = MiniTransformerEmbedder(64, seed=7)
+    # weights_mode="seeded": this test pins the seeded-init contract;
+    # the default would load the shipped d64 checkpoint and make the
+    # seed irrelevant (covered in test_encoder_train.py)
+    enc = MiniTransformerEmbedder(64, seed=7, weights_mode="seeded")
     a = enc.encode(TEXTS)
     assert a.shape == (len(TEXTS), 64) and a.dtype == np.float32
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-5)
     # fresh instance, same seed → bit-identical weights and outputs
-    b = MiniTransformerEmbedder(64, seed=7).encode(TEXTS)
+    b = MiniTransformerEmbedder(64, seed=7, weights_mode="seeded").encode(TEXTS)
     assert np.array_equal(a, b)
     # different seed → different encoder
-    c = MiniTransformerEmbedder(64, seed=8).encode(TEXTS)
+    c = MiniTransformerEmbedder(64, seed=8, weights_mode="seeded").encode(TEXTS)
     assert not np.allclose(a, c, atol=1e-3)
 
 
@@ -108,6 +111,8 @@ def test_embed_documents_end_to_end_with_real_encoder(spark):
     with real inference inside, over the driver's documents table."""
     from vectordb_light_spark.session import load_table
 
+    # spec without a "weights" key resolves to seeded (old-store
+    # compatibility) — the driver-side twin must ask for the same
     spec = {"encoder": "mini-transformer", "dim": 32, "seed": 5, "max_seq": 64}
     docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(50)
     out = embed_documents(docs, spec).collect()
@@ -116,7 +121,7 @@ def test_embed_documents_end_to_end_with_real_encoder(spark):
     assert all(v.shape == (32,) for v in by_id.values())
     assert all(abs(float(np.linalg.norm(v)) - 1.0) < 1e-4 for v in by_id.values())
     # Spark-side vectors equal driver-side encode of the same text
-    enc = MiniTransformerEmbedder(32, seed=5, max_seq=64)
+    enc = MiniTransformerEmbedder(32, seed=5, max_seq=64, weights_mode="seeded")
     rows = {r["doc_id"]: r["text"] for r in docs.collect()}
     some = list(rows)[:5]
     local = enc.encode([rows[i] for i in some])

@@ -141,10 +141,19 @@ class MiniTransformerEmbedder:
     - E8 dtype policy: compute in ``dtype`` (float32|float16);
       STORAGE is always float32 (ingest.py enforces array<float>).
 
-    Weights are deterministically seeded (no pretrained checkpoint is
-    downloadable in this container) — the inference math is the real
-    thing; ``load_weights`` swaps in trained arrays without touching
-    the execution path.
+    Weights: ``weights_mode="pretrained"`` (default) loads the
+    in-repo contrastively-trained checkpoint matching this
+    architecture from ``assets/`` (trained by
+    tools/train_mini_encoder.py — span-pair InfoNCE over the sf0.1
+    corpus, backprop gradient-checked in
+    functions/encoder_train.py), falling back to the deterministic
+    seeded init when no matching checkpoint ships.
+    ``weights_mode="seeded"`` forces the seeded init (what every
+    pre-r3 database was built with — ``make_embedder`` defaults to it
+    for stored specs lacking a ``weights`` key, so old stores keep
+    embedding queries with the weights their vectors were built
+    from). ``load_weights`` swaps in any other checkpoint without
+    touching the execution path.
     """
 
     def __init__(
@@ -156,14 +165,20 @@ class MiniTransformerEmbedder:
         max_seq: int = 128,
         seed: int = 0,
         dtype: str = "float32",
+        weights_mode: str = "pretrained",
     ):
         if dim % n_heads:
             raise ValueError(f"dim {dim} not divisible by n_heads {n_heads}")
         if dtype not in ("float32", "float16"):
             raise ValueError(f"dtype must be float32|float16, got {dtype}")
+        if weights_mode not in ("pretrained", "seeded"):
+            raise ValueError(
+                f"weights_mode must be pretrained|seeded, got {weights_mode}"
+            )
         self.dim, self.n_layers, self.n_heads = dim, n_layers, n_heads
         self.max_seq, self.seed, self.dtype = max_seq, seed, dtype
         self._np_dtype = np.float32 if dtype == "float32" else np.float16
+        self.weights_tag = "seeded"
         rng = np.random.default_rng(seed)
         s = 1.0 / np.sqrt(dim)
         w = {"tok_emb": rng.normal(0.0, s, (258, dim))}
@@ -182,6 +197,15 @@ class MiniTransformerEmbedder:
         pe[:, 0::2] = np.sin(pos * freq)
         pe[:, 1::2] = np.cos(pos * freq)
         w["pos_emb"] = pe
+        if weights_mode == "pretrained":
+            import os
+
+            from vectordb_light_spark.functions import encoder_train as _et
+
+            ckpt = _et.checkpoint_path(dim, n_layers, n_heads, max_seq)
+            if os.path.isfile(ckpt):
+                w = _et.load_checkpoint(ckpt)
+                self.weights_tag = "pretrained-v1"
         self.load_weights(w)
 
     def load_weights(self, weights: dict[str, np.ndarray]) -> None:
@@ -199,6 +223,9 @@ class MiniTransformerEmbedder:
             "max_seq": self.max_seq,
             "seed": self.seed,
             "dtype": self.dtype,
+            # which weights actually loaded — persisted in _meta so a
+            # store is always reopened with the weights that built it
+            "weights": self.weights_tag,
         }
 
     def tokenize(self, text: str) -> list[int]:
@@ -342,14 +369,26 @@ def make_embedder(spec: dict):
     if kind == "hashing":
         return HashingEmbedder(dim=int(spec.get("dim", DEFAULT_DIM)), seed=int(spec.get("seed", 0)))
     if kind == "mini-transformer":
-        return MiniTransformerEmbedder(
+        # stored specs WITHOUT a weights key predate the shipped
+        # checkpoints: those stores were built with seeded weights, so
+        # reopening must embed queries the same way
+        stored = str(spec.get("weights", "seeded"))
+        enc = MiniTransformerEmbedder(
             int(spec.get("dim", DEFAULT_DIM)),
             n_layers=int(spec.get("layers", 2)),
             n_heads=int(spec.get("heads", 4)),
             max_seq=int(spec.get("max_seq", 128)),
             seed=int(spec.get("seed", 0)),
             dtype=str(spec.get("dtype", "float32")),
+            weights_mode="seeded" if stored == "seeded" else "pretrained",
         )
+        if enc.weights_tag != stored:
+            raise ValueError(
+                f"store was built with weights {stored!r} but this "
+                f"install resolves {enc.weights_tag!r} — refusing to "
+                "embed queries with mismatched weights"
+            )
+        return enc
     if kind == "sentence-transformers":
         return SentenceTransformerEmbedder(spec["model"], dim=spec.get("dim"))
     raise ValueError(f"unknown encoder spec: {spec!r}")

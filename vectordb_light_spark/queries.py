@@ -632,18 +632,21 @@ def emb_mini_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     padded+masked multi-head attention → masked mean-pool → L2 norm)
     inside mapInPandas, then exact top-10 cosine against doc 0's
     vector. Same plan shape a sentence-transformers deployment runs —
-    only the weight source differs (seeded vs downloaded)."""
+    with the in-repo contrastively-trained checkpoint when it ships
+    (assets/, tools/train_mini_encoder.py), seeded weights otherwise;
+    the spec's weights tag keeps query and document encoders in
+    lockstep either way."""
     from vectordb_light_spark.functions.embedding import (
         MiniTransformerEmbedder,
         embed_documents,
     )
     from vectordb_light_spark.operators.search import SearchParams, topk_cosine
 
-    spec = {"encoder": "mini-transformer", "dim": 32, "seed": 5, "max_seq": 64}
+    enc = MiniTransformerEmbedder(32, seed=5, max_seq=64)
+    spec = enc.spec
     docs = load_docs(spark, sf_dir, "doc_id", "text")
     embedded = embed_documents(docs, spec).drop("text")
     qtext = docs.where(F.col("doc_id") == 0).select("text").first()[0]
-    enc = MiniTransformerEmbedder(32, seed=5, max_seq=64)
     q = [float(x) for x in enc.encode([qtext])[0]]
     out = topk_cosine(
         embedded,
