@@ -147,3 +147,177 @@ def test_audio_windows_zero_duration_emits_no_window(spark):
     rows = audio_windows(one, window_ms=5000, hop_ms=2500).collect()
     assert [r["window_index"] for r in rows] == [0]
     assert rows[0]["win_end_ms"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Round 3: real stdlib decoders (sources/media.py) — BMP, PNG, WAV
+# ---------------------------------------------------------------------------
+
+
+def _checker(h, w):
+    """Deterministic RGB test image."""
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [(x * 7 + y * 3) % 256, (x * 13) % 256, (y * 11) % 256], axis=2
+    ).astype(np.uint8)
+    return px
+
+
+def test_bmp_roundtrip_and_decode():
+    from vectordb_light_spark.sources.media import bmp_decode, bmp_encode
+
+    px = _checker(13, 10)  # odd width exercises row padding
+    data = bmp_encode(px)
+    assert data[:2] == b"BM"
+    back = bmp_decode(data)
+    np.testing.assert_array_equal(back, px)
+
+
+def test_png_roundtrip_and_all_filters():
+    import struct
+    import zlib
+
+    from vectordb_light_spark.sources.media import png_decode, png_encode
+
+    for nch in (1, 2, 3, 4):
+        px = _checker(9, 7)[:, :, :3]
+        if nch == 1:
+            px = px[:, :, :1]
+        elif nch == 2:
+            px = np.concatenate([px[:, :, :1], px[:, :, 1:2]], axis=2)
+        elif nch == 4:
+            px = np.concatenate([px, px[:, :, :1]], axis=2)
+        back = png_decode(png_encode(px))
+        np.testing.assert_array_equal(back, px)
+
+    # hand-build a PNG exercising filters 1-4 (Sub/Up/Average/Paeth)
+    px = _checker(5, 6)
+    stride = 6 * 3
+    lines = []
+    prev = np.zeros(stride, np.int32)
+    for y in range(5):
+        cur = px[y].reshape(-1).astype(np.int32)
+        f = [1, 2, 3, 4, 0][y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            a = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            enc = (cur - a) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            a = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            enc = (cur - (a + prev) // 2) % 256
+        else:
+            a = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            c = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c)
+            )
+            enc = (cur - pred) % 256
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    raw = b"".join(lines)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(png_decode(data), px)
+
+
+def test_wav_roundtrip_and_real_pcm_windows(spark):
+    from vectordb_light_spark.operators.multimodal import audio_windows
+    from vectordb_light_spark.sources.media import wav_decode, wav_encode
+
+    rate = 8000
+    t = np.arange(rate * 2)  # 2 s clip
+    samples = (np.sin(2 * np.pi * 440 * t / rate) * 20000).astype(np.int16)
+    data = wav_encode(samples[:, None], rate)
+    back, r2 = wav_decode(data)
+    assert r2 == rate
+    np.testing.assert_array_equal(back[:, 0], samples)
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(data), ("wav", None, None, 1, rate, 2000))],
+        "media_id long, kind string, content binary, "
+        "media_meta struct<format string, width int, height int, "
+        "channels int, sample_rate int, duration_ms int>",
+    )
+    rows = (
+        audio_windows(media, window_ms=500, hop_ms=500)
+        .orderBy("window_index")
+        .collect()
+    )
+    assert len(rows) == 4
+    for r in rows:
+        win, _ = wav_decode(bytes(r["window_bytes"]))
+        lo = rate * r["win_start_ms"] // 1000
+        hi = rate * r["win_end_ms"] // 1000
+        np.testing.assert_array_equal(win[:, 0], samples[lo:hi])
+
+
+def test_decode_and_features_and_resize_on_real_images(spark):
+    from vectordb_light_spark.operators.multimodal import (
+        decode_images,
+        image_features,
+        resize_images,
+    )
+    from vectordb_light_spark.sources.media import (
+        bmp_decode,
+        bmp_encode,
+        png_decode,
+        png_encode,
+    )
+
+    bmp_px, png_px = _checker(20, 30), _checker(16, 16)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp_encode(bmp_px)), ("bmp", None, None, 3, 0, 0)),
+            (2, "image", bytearray(png_encode(png_px)), ("png", None, None, 3, 0, 0)),
+            (3, "image", bytearray(b"not an image at all"), ("jpg", None, None, 3, 0, 0)),
+        ],
+        "media_id long, kind string, content binary, "
+        "media_meta struct<format string, width int, height int, "
+        "channels int, sample_rate int, duration_ms int>",
+    )
+    got = {r["media_id"]: r for r in decode_images(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (30, 20)
+    assert abs(got[1]["px_mean"] - float(bmp_px.mean())) < 1e-6
+    assert abs(got[1]["px_std"] - float(bmp_px.std())) < 1e-6
+    assert (got[2]["width"], got[2]["height"]) == (16, 16)
+    assert abs(got[2]["px_mean"] - float(png_px.mean())) < 1e-6
+    # undecodable row still gets the deterministic fake, not a crash
+    assert got[3]["width"] > 0
+
+    feats = {r["media_id"]: r["features"] for r in image_features(media).collect()}
+    assert all(abs(sum(x * x for x in v) - 1.0) < 1e-4 for v in feats.values())
+    # real pixel features: identical pixels re-encoded differently
+    # (PNG vs BMP) must produce the SAME descriptor
+    alt = spark.createDataFrame(
+        [(9, "image", bytearray(png_encode(bmp_px)), ("png", None, None, 3, 0, 0))],
+        media.schema,
+    )
+    same = image_features(alt).collect()[0]["features"]
+    np.testing.assert_allclose(feats[1], same, atol=1e-6)
+
+    rows = {
+        r["media_id"]: r
+        for r in resize_images(media, 8, 6).collect()
+    }
+    small = bmp_decode(bytes(rows[1]["content"]))
+    assert small.shape == (6, 8, 3)
+    small_png = png_decode(bytes(rows[2]["content"]))
+    assert small_png.shape == (6, 8, 3)

@@ -16,13 +16,19 @@ does, so this module supplies the engine's media surface:
     resize_images    content → resized content        (mapInPandas)
     sample_frames    video row → exploded frame rows  (builtins+UDF)
 
-DECODERS ARE STUBBED: the real implementations need PIL / cv2 /
-librosa, none of which are in this container. Each stage tries the
-real library first and otherwise uses a clearly-marked DETERMINISTIC
-FAKE (byte-level arithmetic, stable across runs and executors) so the
-Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
-pass-through columns, explode semantics — is real and fully tested.
-Swapping in the real decoder changes only the inner per-row function.
+DECODER TIERS (round 3 ungated the stdlib formats): each stage
+resolves per row, best first —
+
+1. PIL / real codec when importable (not in this container);
+2. pure-stdlib decoders (sources/media.py, written from the public
+   specs): BMP and zlib-PNG pixels for the image stages, ``wave``
+   PCM for audio windows — REAL pixels/samples, real statistics,
+   real nearest-neighbor resizes, real PCM slices;
+3. for formats with no stdlib path (JPEG, MP3, video codecs): the
+   clearly-marked DETERMINISTIC FAKE (byte-level arithmetic, stable
+   across runs and executors), which keeps the Spark-side plumbing —
+   schemas, Arrow batch shapes, partitioning, pass-through columns,
+   explode semantics — real and fully tested.
 
 Scale notes: binary columns ride Parquet like any other column;
 ``spark.sql.files.maxPartitionBytes`` bounds task input so huge blobs
@@ -108,8 +114,11 @@ def _fake_resize(data: bytes, width: int, height: int) -> bytes:
 def decode_images(df: DataFrame, *, content_col: str = "content") -> DataFrame:
     """Decode stage: adds width/height/channels/px_mean/px_std.
 
-    Real path: PIL.Image.open over the bytes. Fallback: deterministic
-    fake (marked above). All input columns pass through."""
+    Per-row tiers: PIL → stdlib BMP/PNG (sources/media.py, REAL
+    pixels) → deterministic fake for other formats. All input columns
+    pass through."""
+    from vectordb_light_spark.sources.media import decode_image
+
     pil = _try_pil()
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
     schema = (
@@ -124,6 +133,7 @@ def decode_images(df: DataFrame, *, content_col: str = "content") -> DataFrame:
             metas = []
             for data in pdf[content_col]:
                 raw = bytes(data) if data is not None else b""
+                px = None if pil is not None else decode_image(raw)
                 if pil is not None:
                     img = pil.open(io.BytesIO(raw))
                     arr = np.asarray(img)
@@ -136,6 +146,16 @@ def decode_images(df: DataFrame, *, content_col: str = "content") -> DataFrame:
                             "px_std": float(arr.std()),
                         }
                     )
+                elif px is not None:
+                    metas.append(
+                        {
+                            "width": int(px.shape[1]),
+                            "height": int(px.shape[0]),
+                            "channels": int(px.shape[2]),
+                            "px_mean": float(px.mean()),
+                            "px_std": float(px.std()),
+                        }
+                    )
                 else:
                     metas.append(_fake_decode(raw))
             out = pdf.copy()
@@ -146,24 +166,50 @@ def decode_images(df: DataFrame, *, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def _pixel_features(px: np.ndarray, dim: int) -> np.ndarray:
+    """REAL pixel features for stdlib-decodable images: 16×16
+    nearest-resampled grayscale tile, folded into ``dim`` bins and
+    L2-normalized — the classic perceptual-thumbnail descriptor
+    (near-dup image detection), same shape/dtype contract a trained
+    vision encoder would return."""
+    from vectordb_light_spark.sources.media import resize_nearest
+
+    gray = px.astype(np.float32).mean(axis=2) if px.ndim == 3 else px.astype(np.float32)
+    tile = resize_nearest(gray, 16, 16).reshape(-1)
+    tile = tile - tile.mean()
+    out = np.zeros(dim, dtype=np.float32)
+    np.add.at(out, np.arange(tile.size) % dim, tile)
+    n = float(np.linalg.norm(out))
+    return out / max(n, 1e-12)
+
+
 def image_features(
     df: DataFrame, *, content_col: str = "content", out_col: str = "features", dim: int = 64
 ) -> DataFrame:
     """Feature-extraction stage: binary → L2-normalized array<float>.
 
-    Real path: a vision encoder (not available here) — raises
-    NotImplementedError if explicitly requested via spec; default uses
-    the deterministic fake so the downstream similarity/ANN operators
-    compose with media exactly as with text embeddings."""
+    Per-row tiers: stdlib BMP/PNG pixels → perceptual-thumbnail
+    descriptor (REAL pixel features, near-dup-image grade); other
+    formats → the deterministic byte-hash fake. A trained vision
+    encoder (not available in this container) would slot into the
+    same mapInPandas stage; downstream similarity/ANN operators
+    compose with media exactly as with text embeddings either way."""
+    from vectordb_light_spark.sources.media import decode_image
+
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
     schema = f"{fields}, `{out_col}` array<float>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_features(bytes(d) if d is not None else b"", dim)
-                for d in pdf[content_col]
-            ]
+            feats = []
+            for d in pdf[content_col]:
+                raw = bytes(d) if d is not None else b""
+                px = decode_image(raw)
+                feats.append(
+                    _pixel_features(px, dim)
+                    if px is not None
+                    else _fake_features(raw, dim)
+                )
             out = pdf.copy()
             out[out_col] = feats
             yield out
@@ -175,8 +221,17 @@ def resize_images(
     df: DataFrame, width: int, height: int, *, content_col: str = "content"
 ) -> DataFrame:
     """Resize stage: content replaced by the resized rendition, dims
-    recorded. Real path would be PIL thumbnail/resize; fake keeps the
-    byte-volume contract (w*h*3)."""
+    recorded. Tiers: PIL → stdlib decode + nearest-neighbor resample
+    re-encoded in the SAME format (BMP→BMP, PNG→PNG) → byte-volume
+    fake for undecodable formats."""
+    from vectordb_light_spark.sources.media import (
+        bmp_encode,
+        decode_image,
+        png_encode,
+        resize_nearest,
+        sniff_format,
+    )
+
     pil = _try_pil()
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
     schema = f"{fields}, resized_width int, resized_height int"
@@ -188,11 +243,16 @@ def resize_images(
             outs = []
             for data in pdf[content_col]:
                 raw = bytes(data) if data is not None else b""
+                px = None if pil is not None else decode_image(raw)
                 if pil is not None:
                     img = pil.open(io.BytesIO(raw)).resize((width, height))
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
                     outs.append(buf.getvalue())
+                elif px is not None:
+                    small = resize_nearest(px, width, height)
+                    enc = png_encode if sniff_format(raw) == "png" else bmp_encode
+                    outs.append(enc(small))
                 else:
                     outs.append(_fake_resize(raw, width, height))
             out = pdf.copy()
@@ -297,11 +357,13 @@ def audio_windows(
     Window COUNT and boundaries are pure builtins over
     ``media_meta.duration_ms`` (starts 0, hop, … < duration;
     ``win_end_ms`` clamped to the clip) — real, oracle-checkable
-    plumbing. PCM EXTRACTION (``with_pcm=True``) needs an audio
-    decoder (soundfile/librosa, absent in this container): the stub
-    slices the raw bytes proportionally to the window's time span,
-    deterministic per (row, window), keeping the mapInPandas batch
-    shape and schema contract a real decoder would have.
+    plumbing. PCM EXTRACTION (``with_pcm=True``) tiers per row: WAV
+    content decodes through the stdlib ``wave`` module and each
+    window's bytes are the REAL sample frames for its time span
+    (re-encoded as a standalone WAV clip at the source rate);
+    non-WAV formats (MP3 etc. — no stdlib codec) fall back to the
+    deterministic proportional byte slice, keeping the mapInPandas
+    batch shape and schema contract a real decoder would have.
     """
     duration = F.col(f"{meta_col}.duration_ms")
     n_windows = F.ceil(duration / F.lit(hop_ms)).cast("int")
@@ -332,6 +394,15 @@ def audio_windows(
     schema = f"{fields}, window_bytes binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vectordb_light_spark.sources.media import (
+            sniff_format,
+            wav_decode,
+            wav_encode,
+        )
+
+        # per-batch decode memo: one clip explodes into many window
+        # rows, but the WAV should inflate once per Arrow batch
+        memo: dict[bytes, tuple] = {}
         for pdf in batches:
             outs = []
             for data, lo, hi, dur in zip(
@@ -344,6 +415,21 @@ def audio_windows(
                 if not raw or not dur:
                     outs.append(b"")
                     continue
+                if sniff_format(raw) == "wav":
+                    hit = memo.get(raw)
+                    if hit is None:
+                        try:
+                            hit = wav_decode(raw)
+                        except Exception:  # malformed RIFF → stub path
+                            hit = (None, 0)
+                        memo[raw] = hit
+                    samples, rate = hit
+                    if samples is not None:
+                        a = int(rate * int(lo) / 1000)
+                        b = int(rate * int(hi) / 1000)
+                        b = min(max(b, a + 1), samples.shape[0])
+                        outs.append(wav_encode(samples[a:b], rate))
+                        continue
                 a = int(len(raw) * int(lo) / int(dur))
                 b = int(len(raw) * int(hi) / int(dur))
                 outs.append(raw[a:max(b, a + 1)])
