@@ -1233,21 +1233,63 @@ def sim_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_srp_topk")  # rows-only: seeded-Gaussian planes have no SQL twin
+#: Pool-membership contract oracle for the approximate tiers: the
+#: tier's top-10 must sit inside the EXACT top-100 (measured worst
+#: exact-rank across tiers and test SFs is 49 — a 2× margin). The
+#: trained index itself has no SQL twin (iterative numpy), so the
+#: oracle pins the CONTRACT values: 10 ranks, every one in-pool. A
+#: tier regression (short results, or a result drifting out of the
+#: exact pool) flips a value and fails the driver hash — a bounded
+#: hard check instead of the old rows-only row.
+_ANN_POOL_ORACLE = """
+    SELECT CAST(x AS INT) AS rank, CAST(1 AS INT) AS in_exact_top100
+    FROM range(1, 11) t(x) ORDER BY rank
+    """
+
+
+def _ann_pool_contract(
+    spark: SparkSession, sf_dir: str, out: DataFrame, *, qid: int = 0, pool: int = 100
+) -> DataFrame:
+    """(rank, in_exact_top100) for a tier's top-k output — the
+    driver-checkable form of "the approximate pool is a subset of the
+    exact pool". One extra exact scan (top-``pool``) per query; the
+    tier's own plan is unchanged underneath."""
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+
+    q = _query_vector(spark, sf_dir, qid)
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = topk_cosine(
+        emb, q, SearchParams(k=pool, threshold=-2.0),
+        id_col="vec_id", vec_col="embedding",
+    ).select("vec_id", F.lit(1).alias("__in"))
+    w = Window.orderBy(F.col("similarity_score").desc(), "vec_id")
+    return (
+        out.select("vec_id", "similarity_score")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .join(exact, "vec_id", "left")
+        .select(
+            "rank",
+            F.coalesce(F.col("__in"), F.lit(0)).cast("int").alias("in_exact_top100"),
+        )
+        .orderBy("rank")
+    )
+
+
+@register("ann_srp_topk", oracle=_ANN_POOL_ORACLE)
 def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k: Hamming-ball candidate prefilter on
     a 16-bit sign signature (bit_count(xor) scan, no vector math),
-    exact cosine rank within candidates. Recall vs the exact scan is
-    asserted in tests/test_similarity.py."""
+    exact cosine rank within candidates. Seeded-Gaussian planes have
+    no SQL twin, so the driver checks the pool-membership contract
+    (worst measured exact-rank 17); full recall curves live in
+    tests/test_similarity.py and ANN_EVAL.md."""
     from vectordb_light_spark.operators.similarity import add_srp_signature, ann_topk_srp
 
     q = _query_vector(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     indexed = add_srp_signature(emb, n_planes=16)
     out = ann_topk_srp(indexed, q, k=10, probe_hamming=6, n_planes=16)
-    return out.select(
-        "vec_id", F.round("similarity_score", 6).alias("similarity_score")
-    ).orderBy(F.col("similarity_score").desc(), "vec_id")
+    return _ann_pool_contract(spark, sf_dir, out)
 
 
 @register("ann_ivf_topk")  # rows-only: k-means training is iterative, non-SQL
@@ -3025,7 +3067,7 @@ def st_clicks_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_id", "buy_id")
 
 
-@register("ann_pq_topk")
+@register("ann_pq_topk", oracle=_ANN_POOL_ORACLE)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (operators/similarity.py): 16×64 PQ
     codebooks (sampled-Lloyd trained), m-byte codes, asymmetric-
@@ -3033,9 +3075,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     column — the compressed-domain scan reads 16 bytes/vector instead
     of 256 — then EXACT re-rank of the top-50 ADC pool (the production
     default per ANN_EVAL.md: recall@10 ≥ 0.9 at < 10% relative scan
-    cost). Trained index + argmin encode are iterative/numpy ⇒ no
-    SQL twin (rows-only check); recall and exact-ADC-parity are
-    asserted in tests/test_similarity.py."""
+    cost). Trained index + argmin encode are iterative/numpy ⇒ the
+    driver checks the pool-membership contract (worst measured
+    exact-rank 11); recall and exact-ADC-parity are asserted in
+    tests/test_similarity.py."""
     from vectordb_light_spark.operators.similarity import (
         add_pq_codes,
         ann_topk_pq,
@@ -3049,9 +3092,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _query_vector(spark, sf_dir, 0)
     coded = add_pq_codes(rebalance(emb), books)
-    return ann_topk_pq(coded, books, q, k=10, rerank_pool=50).withColumn(
-        "similarity_score", F.round("similarity_score", 6)
-    )
+    out = ann_topk_pq(coded, books, q, k=10, rerank_pool=50)
+    return _ann_pool_contract(spark, sf_dir, out)
 
 
 @register(
@@ -3214,7 +3256,7 @@ def pipe_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_opq_topk")
+@register("ann_opq_topk", oracle=_ANN_POOL_ORACLE)
 def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN (operators/similarity.py train_opq — Ge et al. CVPR
     2013): a learned orthogonal rotation minimizes PQ reconstruction
@@ -3222,9 +3264,10 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME 16-byte scan cost as ann_pq_topk; the query rotates
     driver-side and the exact re-rank runs against the original
     vectors (the store never holds rotated floats). Alternating
-    Procrustes/k-means training is iterative numpy ⇒ no SQL twin
-    (rows-only); orthogonality, PQ-degeneracy at zero iterations,
-    objective improvement, and full-pool≡exact are asserted in
+    Procrustes/k-means training is iterative numpy ⇒ the driver
+    checks the pool-membership contract (worst measured exact-rank
+    10); orthogonality, PQ-degeneracy at zero iterations, objective
+    improvement, and full-pool≡exact are asserted in
     tests/test_similarity.py."""
     from vectordb_light_spark.operators.similarity import (
         add_opq_codes,
@@ -3241,9 +3284,8 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _query_vector(spark, sf_dir, 0)
     coded = add_opq_codes(rebalance(emb), R, books)
-    return ann_topk_opq(coded, R, books, q, k=10, rerank_pool=50).withColumn(
-        "similarity_score", F.round("similarity_score", 6)
-    )
+    out = ann_topk_opq(coded, R, books, q, k=10, rerank_pool=50)
+    return _ann_pool_contract(spark, sf_dir, out)
 
 
 @register(
@@ -3290,13 +3332,14 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivfpq_topk")
+@register("ann_ivfpq_topk", oracle=_ANN_POOL_ORACLE)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×PQ composed (operators/similarity.py:ann_topk_ivfpq): the
     centroid probe prunes which rows are read (partition pruning when
     stored partitionBy(cluster)), the PQ code prunes what is read per
     row — nprobe/k × m-bytes multiplied. Iterative trained index ⇒
-    rows-only; recall/equivalence asserted in tests."""
+    the driver checks the pool-membership contract (worst measured
+    exact-rank 20); recall/equivalence asserted in tests."""
     from vectordb_light_spark.operators.similarity import (
         add_ivf_cluster,
         add_pq_codes,
@@ -3316,9 +3359,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _query_vector(spark, sf_dir, 0)
     indexed = add_pq_codes(add_ivf_cluster(rebalance(emb), cents), books)
-    return ann_topk_ivfpq(indexed, cents, books, q, k=10, nprobe=4).withColumn(
-        "similarity_score", F.round("similarity_score", 6)
-    )
+    out = ann_topk_ivfpq(indexed, cents, books, q, k=10, nprobe=4)
+    return _ann_pool_contract(spark, sf_dir, out)
 
 
 @register(
@@ -3798,13 +3840,14 @@ def ts_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs, extra_cols=("lang",)).orderBy("doc_id")
 
 
-@register("ann_pca_topk")
+@register("ann_pca_topk", oracle=_ANN_POOL_ORACLE)
 def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k in a PCA-reduced space (operators/similarity.py:
     train_pca_projection + project_vectors): 64→32 dims halves every
     downstream scan/shuffle/sketch byte; training is a sampled-
-    covariance eigendecomposition on the driver (eigensolve ⇒ no SQL
-    twin, rows-only); neighbor preservation asserted in tests."""
+    covariance eigendecomposition on the driver (eigensolve ⇒ the
+    driver checks the pool-membership contract; worst measured
+    exact-rank 49); neighbor preservation asserted in tests."""
     import numpy as np
 
     from vectordb_light_spark.operators.search import SearchParams, topk_cosine
@@ -3825,9 +3868,7 @@ def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
     )
-    return out.select(
-        "vec_id", F.round("similarity_score", 6).alias("similarity_score"), "rank"
-    ).orderBy("rank")
+    return _ann_pool_contract(spark, sf_dir, out)
 
 
 @register(
