@@ -70,10 +70,18 @@ def bm25_score(
         F.count(F.lit(1)).alias("_n_docs"),
         F.avg(F.size("_toks")).alias("_avgdl"),
     )
+    # explode_OUTER, deliberately: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, which synthesizes a
+    # size(tokenize(text)) > 0 filter and pushes it below the
+    # round-robin rebalance exchange — re-tokenizing the whole corpus
+    # at raw SCAN parallelism (a single task for a one-file local
+    # table) before the spread-out pass runs. Outer explode infers no
+    # filter; the null row an empty document produces dies in the
+    # isin() term filter anyway.
     matched = toks.select(
         id_col,
         F.size("_toks").alias("_dl"),
-        F.explode("_toks").alias("_term"),
+        F.explode_outer("_toks").alias("_term"),
     ).where(F.col("_term").isin(terms))
     tf = matched.groupBy(id_col, "_dl", "_term").agg(
         F.count(F.lit(1)).alias("_tf")

@@ -3320,8 +3320,11 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = media_from_documents(spark, sf_dir, kind="audio")
+    # no rebalance: with_pcm=False is all codegen builtins (no pandas
+    # stage to widen for) and the RoundRobin exchange alone cost as
+    # much as the query (r2 bench regression 0.50→1.02 s)
     return (
-        audio_windows(rebalance(media), with_pcm=False)
+        audio_windows(media, with_pcm=False)
         .select(
             "media_id",
             "window_index",
