@@ -185,7 +185,14 @@ def main() -> None:
     # IVFPQ (probe pruning x compressed rows) ± re-rank
     ivfpq = add_pq_codes(ivf, books64).cache()
     ivfpq.count()
-    for nprobe, pool in ((2, None), (4, None), (4, 50)):
+    for nprobe, pool in (
+        (2, None),
+        (4, None),
+        (4, 50),
+        (8, 50),
+        (8, 100),
+        (12, 100),
+    ):
         recs, fracs = [], []
         for qid, qv in queries:
             order = np.argsort(-(cents @ np.asarray(qv)))
@@ -239,6 +246,18 @@ def main() -> None:
         "lowers reconstruction MSE (asserted in tests); on real embedding",
         "distributions (which are strongly anisotropic) the same code is",
         "where the ADC-recall gain appears.",
+        "",
+        "IVFPQ reaches its ★ at nprobe=12/16 + rerank@100 (r3 sweep) —",
+        "but note what that config admits: scanning 75% of clusters",
+        "means the IVF pruning contributes almost nothing at this",
+        "corpus size, and plain PQ + rerank@50 dominates it (equal-or-",
+        "better recall at lower cost). The composed tier's real role is",
+        "the >RAM corpus regime, where `partitionBy(cluster)` storage",
+        "turns the probe fraction into SKIPPED FILES (IO, not CPU) and",
+        "a coarser-than-16 centroid book drives the probe fraction far",
+        "below 75% — this benchmark's 2000 in-memory vectors cannot",
+        "exhibit that; the recall contract pins the tier's floor",
+        "anyway (queries.py ann_recall_contract).",
     ]
     out = "\n".join(lines)
     print(out)

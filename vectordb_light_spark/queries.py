@@ -4507,24 +4507,30 @@ def emb_feature_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(3 AS INT) AS n_queries,
            CAST(1 AS INT) AS srp_recall_ok,
-           CAST(1 AS INT) AS pq_rerank_recall_ok
+           CAST(1 AS INT) AS pq_rerank_recall_ok,
+           CAST(1 AS INT) AS ivfpq_recall_ok
     """,
 )
 def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality contract as a hard driver signal: for 3 query
-    vectors, mean recall@10 of (a) SRP radius-8 probing and (b) PQ
-    ADC + exact re-rank, against the exact scan ground truth computed
-    in the same job — the oracle pins the CONTRACT (bounds hold:
-    SRP ≥ 0.6, PQ+rerank ≥ 0.8; measured operating points are 0.87 /
-    0.92-0.96 in ANN_EVAL.md, so the margins absorb per-query
-    variance). Everything is deterministic: seeded planes, seeded
-    sampled-Lloyd codebooks, fixed testdata."""
+    vectors, mean recall@10 of (a) SRP radius-8 probing, (b) PQ
+    ADC + exact re-rank, and (c) the composed IVFPQ tier at its r3 ★
+    operating point (nprobe=12/16 + rerank@100, ANN_EVAL.md), against
+    the exact scan ground truth computed in the same job — the oracle
+    pins the CONTRACT (bounds hold: SRP ≥ 0.6, PQ+rerank ≥ 0.8,
+    IVFPQ ≥ 0.8; measured operating points are 0.87 / 0.92-0.96 /
+    0.93 at sf0.1 and 1.0 at the contract SFs, so the margins absorb
+    per-query variance). Everything is deterministic: seeded planes,
+    seeded sampled-Lloyd codebooks and centroids, fixed testdata."""
     from vectordb_light_spark.operators.search import SearchParams, topk_cosine
     from vectordb_light_spark.operators.similarity import (
+        add_ivf_cluster,
         add_pq_codes,
         add_srp_signature,
+        ann_topk_ivfpq,
         ann_topk_pq,
         ann_topk_srp,
+        train_ivf_centroids,
         train_pq_codebooks,
     )
 
@@ -4535,9 +4541,14 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sf_dir, "pq16x64"),
         lambda: train_pq_codebooks(emb, m=16, n_codes=64, max_train=5_000),
     )
+    cents = _trained(
+        (sf_dir, "ivf16"),
+        lambda: train_ivf_centroids(emb, n_centroids=16, max_train=5_000),
+    )
     indexed = persist_if_batch(add_srp_signature(emb, n_planes=16))
     coded = persist_if_batch(add_pq_codes(emb, books))
-    srp_hits = pq_hits = 0
+    ivfpq = persist_if_batch(add_pq_codes(add_ivf_cluster(emb, cents), books))
+    srp_hits = pq_hits = ivfpq_hits = 0
     n_queries = 3
     for qid in range(n_queries):
         q = _query_vector(spark, sf_dir, qid)
@@ -4555,17 +4566,26 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()
         }
         pq = {r.vec_id for r in ann_topk_pq(coded, books, q, k=10, rerank_pool=50).collect()}
+        ivf = {
+            r.vec_id
+            for r in ann_topk_ivfpq(
+                ivfpq, cents, books, q, k=10, nprobe=12, rerank_pool=100
+            ).collect()
+        }
         srp_hits += len(exact & srp)
         pq_hits += len(exact & pq)
+        ivfpq_hits += len(exact & ivf)
     return spark.createDataFrame(
         [
             (
                 n_queries,
                 int(srp_hits / (10.0 * n_queries) >= 0.6),
                 int(pq_hits / (10.0 * n_queries) >= 0.8),
+                int(ivfpq_hits / (10.0 * n_queries) >= 0.8),
             )
         ],
-        "n_queries int, srp_recall_ok int, pq_rerank_recall_ok int",
+        "n_queries int, srp_recall_ok int, pq_rerank_recall_ok int,"
+        " ivfpq_recall_ok int",
     )
 
 
