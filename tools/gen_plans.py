@@ -62,6 +62,52 @@ NOTES = {
  'pipe_token_windows': 'Token windows: tokenize once per row (staged filter(split)), sequence+explode the stride starts, slice+md5 per window — scan -> project -> generate, all codegen, no shuffle before the output sort.',
  'pipe_negative_samples': 'Ring negative sampling: md5 key and bucket fold into the scan projection; ONE hashpartitioning(bucket) exchange feeds all six lead() windows; the group-exclusion filter and slice run on the lead array in the same stage — no global sort, no self-join.',
  'ann_opq_topk': 'OPQ/ADC: identical plan to ann_pq_topk (the rotation lives in the trained artifacts and the driver-side query transform) — the scan reads (id, 16-byte code), ADC is a JVM lookup expression, exact re-rank joins the 50-id pool back broadcast.',
+ 'ts_winnow_fingerprints': 'Winnowing: ONE Arrow-vectorized stage (pandas UDF computes k-gram hashes + per-window argmin + position dedup in numpy) after the rebalance exchange; no data-sized shuffle — the output exchange sorts result rows only.',
+ 'dd_duplicate_clusters': 'Transitive near-dup clusters: the banded candidate join (see dd_minhash_candidates, now hot-bucket-capped: oversized band buckets exit the pairwise join as signature-group stars) feeds iterative min-label propagation — each round ONE join + ONE groupBy on the node id (localCheckpoint breaks lineage), rounds ~ graph diameter; cluster size/keep are one Window over the final labels.',
+ 'ann_recall_contract': 'Recall contract: SRP, PQ+rerank, IVFPQ and the exact ground truth share the persisted scan + signature/code stages; each probe is a k-row TakeOrderedAndProject; the output is a 1-row literal check, so the plan cost IS the measured tiers.',
+ 'rel_events_json': 'JSON extraction: get_json_object folds into the scan-stage Project (one parse per row); the only exchange is the final small aggregate.',
+ 'rel_top_orders_by_revenue': 'Top orders: revenue aggregate runs partial+final around ONE hashpartitioning(orderkey) exchange; the global top-N is TakeOrderedAndProject — k rows per task, never a full sort.',
+ 'vq_rag_prompt': 'RAG prompt assembly: the k-row top-k result drives a BroadcastHashJoin back to chunk text (late materialization); concat_ws/format_string prompt building is a Project over k rows — corpus never re-shuffles.',
+ 'rel_shipping_priority': 'TPC-H Q3 shape: date predicates land in PushedFilters; customer enters broadcast; lineitem JOIN orders is the one data-sized exchange; top-10 by revenue is TakeOrderedAndProject.',
+ 'vq_chunks_only': 'Chunks-only formatting: identical read path to vq_topk_cosine (k-heap TakeOrderedAndProject, no vector-table shuffle); the formatting Project runs on k rows.',
+ 'pipe_doc_hash': 'Content hash: sha2 over canonical text is a map-side Project inside the scan stage; no exchange before the output sort.',
+ 'rel_window_order_rank': 'Ranking window: ONE hashpartitioning(custkey) exchange feeds row_number/rank/dense_rank in a single Window operator over one sort.',
+ 'rel_sessions_overlap': 'Interval overlap self-join: sessions bucketize to covered hours, the self-join is a hash equi-join on (user, hour) with the exact overlap predicate as post-filter, and dedup keeps each pair once — no BroadcastNestedLoopJoin at any size.',
+ 'pipe_chunk_fixed': 'Fixed-size chunker: substring windows from a sequence() explode — scan -> project -> generate, all codegen; chunk ids derive map-side; no shuffle before the output sort.',
+ 'pipe_corpus_shuffle': 'Deterministic corpus shuffle: the md5 sort key is a scan-stage Project; the ONLY exchange is the rangepartitioning for the global order — exactly the one shuffle a reproducible shuffle requires.',
+ 'prof_events_sketch': 'HLL++ sketches: approx_count_distinct partials combine map-side, so the exchange carries one sketch per (group x task) — never raw values; exact twin columns share the same scan.',
+ 'pipe_dsir_select': 'DSIR selection: token explode + md5 bucket fold map-side; the 256-bucket LM aggregate collects to the driver (bounded by n_buckets, not data), re-enters as a literal array, and per-doc scores are ONE groupBy(doc) over the exploded stage — no cache pinned past the call (r3).',
+ 'vq_mmr_rerank': 'MMR diversify: the candidate pool is a k-row TakeOrderedAndProject; the greedy argmax loop runs DRIVER-side over the collected 20-row pool by design (O(k^2) on 20 rows), so the cluster plan is exactly the exact-top-k read path.',
+ 'pipe_chunk_normalized': 'Normalized chunks: chunker explode (codegen) followed by ONE Arrow-vectorized normalize stage — the only Python in the plan, batched, after the explode so it sees chunk-sized rows.',
+ 'pipe_pdf_page_chunks': 'PDF page chunks: the [[pageN]] marker split and per-page substring windows are higher-order functions in the scan-stage Project + one Generate; page metadata rides along as columns — no shuffle before the output sort.',
+ 'pipe_training_corpus': 'Training-corpus assembly: split CASE + quality filters fold into the scan; chunk explode and the token-budget window share ONE hashpartitioning exchange.',
+ 'st_user_running_totals': 'Running totals (stream twin): batch form is ONE hashpartitioning(user_id) exchange feeding the cumulative Window; the streaming form is the same expression with per-key state (streaming tests).',
+ 'st_clicks_attribution': 'Stream-stream attribution join (batch twin): clicks and purchases shuffle ONCE each on user_id into a hash join with the time-bound predicate as post-filter; under readStream both sides carry watermarks so the state store GCs expired rows.',
+ 'pipe_hash_embed_topk': 'Hash-embed + search: the embedding is ONE Arrow mapInPandas stage over rebalanced rows; the top-k is TakeOrderedAndProject — embeddings never materialize to storage and the vector table never shuffles.',
+ 'pipe_corpus_split': 'Split assignment: the md5-threshold CASE is a scan-stage Project; the only exchange aggregates 3 split rows (partial counts map-side).',
+ 'prof_corpus_quantiles': 'Quantiles: approx_percentile partials combine map-side around ONE exchange of sketch rows; the exact-percentile twin shares the scan.',
+ 'st_events_window': 'Tumbling windows (stream twin): window() bucketing is a map-side Project; ONE keyed exchange into partial+final aggregates — identical expression runs under readStream with a watermark (streaming tests).',
+ 'vq_filtered_topk': 'Filtered top-k: the metadata predicate folds into the scan (PushedFilters), so the k-heap TakeOrderedAndProject sees only surviving rows — filter-BEFORE-search semantics with zero extra pass.',
+ 'dd_duplicate_groups': 'Duplicate groups: canonical-fingerprint groupBy (64-bit key shuffle) with HAVING count>1; min/max/count aggregate partially map-side; text never crosses the exchange.',
+ 'ann_ivf_topk': 'IVF probe: centroids rank driver-side (16 rows); the cluster isin() filter prunes the scan (partition pruning on a partitioned store); exact cosine + TakeOrderedAndProject run inside the probed subset only.',
+ 'dq_events_constraints': 'Constraint gate: five rules compile to conditional sums in ONE partial+final aggregate pair over ONE scan; the unpivot to rule rows is a literal Expand of the single aggregate row.',
+ 'sim_cosine_pairs_exact': 'Exact pairwise (bounded slice): the N x M block is a broadcast matrix BLAS matmul inside mapInPandas emitting only >=threshold pairs — no join-based pair explosion in the plan.',
+ 'prof_events_rollup': 'ROLLUP: one Expand + one partial/final HashAggregate pair produces all grouping sets in a single scan — not one scan per level.',
+ 'vq_threshold_after_topk': 'Threshold AFTER top-k (reference Q5 semantics): the similarity filter sits ABOVE TakeOrderedAndProject in the plan — provably not pushed into the scan, matching the reference ordering.',
+ 'st_events_dedup': 'Streaming dedup twin: batch form is a row_number window per event_id keyed by ONE exchange; under readStream the same keys hit dropDuplicates state with a watermark bound.',
+ 'ann_srp_topk': 'SRP probe: signature bit_count(xor) Hamming filter is a codegen predicate (no vector math on pruned rows); survivors get exact cosine + TakeOrderedAndProject; the r3 pool-membership join adds one broadcast of the 100-row exact pool.',
+ 'ts_text_stats': 'Text stats: token/punct counts are regexp builtins in the scan-stage Project; no exchange before the output sort.',
+ 'mm_frame_counts': 'Frame counts: with_bytes=False (r3) keeps the plan pure codegen — explode(sequence(duration/cadence)) + one partial+final aggregate; column pruning drops the binary content from the scan (ReadSchema).',
+ 'dd_jaccard_pairs': 'Exact Jaccard (bounded slice): the doc_id<250 filter pushes to the scan; the pair source is a size-ratio-prefiltered crossJoin on the 250-row slice with xxhash64 shingle sets — set ops on longs, not strings.',
+ 'st_events_sliding': 'Sliding windows (stream twin): window() with slide explodes each event into window-count rows map-side, then one keyed aggregate exchange — same expression under readStream.',
+ 'ann_pca_topk': 'PCA-reduced search: the 64->32 projection is one Arrow matmul stage; the reduced-space top-k is TakeOrderedAndProject; the r3 pool-membership join verifies against the full-space exact top-100 broadcast.',
+ 'mm_image_pipeline': 'Image pipeline: decode -> features -> resize are chained Arrow mapInPandas stages (stdlib BMP/PNG pixels where decodable, r3); map-only — no shuffle anywhere; binary rides as an opaque column.',
+ 'emb_mini_encoder_topk': 'Mini-transformer embed + search: ONE mapInPandas stage runs the numpy MHA forward (per-executor encoder cache, length-sorted batches; r3: contrastively-trained checkpoint); top-k is TakeOrderedAndProject against the broadcast query vector.',
+ 'vq_topk_quantized': 'Quantized-store search: the scan reads the int8 vector column (4x narrower IO); dequantize + cosine are codegen expressions; k-heap TakeOrderedAndProject; late materialization joins text back broadcast.',
+ 'ts_lang_id': 'Language ID: the n-gram profile score is a fold over literal profile weights inside the scan-stage Project — map-only, no Python, no shuffle.',
+ 'vq_citations': 'Citations: the k-row result joins chunk/page metadata broadcast; page-range compaction (sort + adjacent-merge) is a higher-order-function Project over per-doc arrays built by ONE groupBy(doc).',
+ 'pipe_token_budget_mix': 'Token-budget mix: per-source cumulative token Window and the budget filter share ONE hashpartitioning(source) exchange; the final per-source aggregate reuses the same partitioning.',
+ 'ts_quality_score': 'Quality score: length/stopword/punct components are all codegen builtins in one Project; thresholding is a map-side filter — scan -> project -> sort only.',
 }
 out = ['# PLANS — physical-plan audit of headline queries',
  '',

@@ -270,15 +270,19 @@ def sample_frames(
     every_ms: int = 1000,
     content_col: str = "content",
     meta_col: str = "media_meta",
+    with_bytes: bool = True,
 ) -> DataFrame:
     """Frame-sampling stage for video rows: one output row per sampled
-    frame at ``every_ms`` intervals (frame_index, frame_ts_ms,
-    frame_bytes).
+    frame at ``every_ms`` intervals (frame_index, frame_ts_ms, and —
+    with ``with_bytes`` — frame_bytes).
 
     The frame COUNT and timestamps are pure builtins over
-    media_meta.duration_ms — real plumbing. Frame EXTRACTION requires
-    a video decoder (cv2/ffmpeg, absent): the fake slices the content
-    bytes deterministically per frame index.
+    media_meta.duration_ms — real plumbing; ``with_bytes=False``
+    skips the per-frame byte stage entirely (pure codegen, and column
+    pruning then drops the binary content from the scan), which is
+    what count/metadata consumers should use. Frame EXTRACTION
+    requires a video decoder (cv2/ffmpeg, absent): the fake slices
+    the content bytes deterministically per frame index.
     """
     n_frames = F.greatest(
         (F.col(f"{meta_col}.duration_ms") / every_ms).cast("int"), F.lit(1)
@@ -286,6 +290,8 @@ def sample_frames(
     exploded = df.withColumn(
         "frame_index", F.explode(F.sequence(F.lit(0), n_frames - 1))
     ).withColumn("frame_ts_ms", F.col("frame_index") * every_ms)
+    if not with_bytes:
+        return exploded
 
     fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in exploded.schema

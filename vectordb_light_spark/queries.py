@@ -1498,16 +1498,16 @@ def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: media rows exploded to one row
     per sampled frame (500 ms cadence); per-media frame count and last
-    frame timestamp. The count/timestamp arithmetic is the real
-    operator (builtins over media_meta.duration_ms); frame byte
-    extraction is the documented deterministic fake."""
+    frame timestamp. ``with_bytes=False``: counting frames must not
+    pay the per-frame byte stage — the plan is pure codegen and
+    column pruning drops the binary content from the scan."""
     from vectordb_light_spark.operators.multimodal import (
         media_from_documents,
         sample_frames,
     )
 
     media = media_from_documents(spark, sf_dir, kind="video")
-    frames = sample_frames(media, every_ms=500)
+    frames = sample_frames(media, every_ms=500, with_bytes=False)
     return (
         frames.groupBy("media_id")
         .agg(
