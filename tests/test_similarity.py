@@ -679,3 +679,37 @@ def test_opq_full_pool_rerank_equals_exact(spark, emb):
         ).collect()
     ]
     assert got == want
+
+
+def test_embedding_near_dup_hot_bucket_and_scheme_invariance(spark):
+    """r3: identical embeddings collapse to a cosine-verified star
+    above max_bucket (linear rows), and the combo blocking scheme
+    leaves the output invariant below the cap."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    rows = [(i, [float(x) for x in base]) for i in range(60)]  # 60 identical
+    for j in range(8):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    capped = embedding_near_dup_pairs(df, threshold=0.99, max_bucket=16).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in capped}
+    # the 60-dup cluster is a min-id star: 59 pairs, not 1770
+    assert ids == {(0, i) for i in range(1, 60)}
+    assert all(abs(r["cosine"] - 1.0) < 1e-5 for r in capped)
+
+    small = spark.createDataFrame(rows[55:], "vec_id long, embedding array<float>")
+    out_a = sorted(
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(
+            small, threshold=0.9, max_bucket=None).collect())
+    out_b = sorted(
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(
+            small, threshold=0.9, max_bucket=None, n_docs_hint=10**9).collect())
+    assert out_a == out_b

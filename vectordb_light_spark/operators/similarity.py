@@ -587,18 +587,34 @@ def embedding_near_dup_pairs(
     n_planes: int = DEFAULT_PLANES,
     seed: int = DEFAULT_SEED,
     max_hamming: int = 2,
+    n_docs_hint: int | None = None,
+    max_bucket: int | None = 128,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at scale: SRP block join
-    (equi-join on signature quarters within Hamming ≤ max_hamming via
-    pigeonhole blocks) → exact cosine verify.
+    """Embedding-cosine near-duplicate pairs at scale: SRP combo-block
+    join (equi-join on k-of-m signature block combinations within
+    Hamming ≤ max_hamming — the same scheme as
+    ``dedup.simhash_block_scheme``, output-invariant by pigeonhole +
+    the exact Hamming/cosine verify) → exact cosine verify.
 
-    Shuffle carries (block key, id, signature, vector); the O(N²)
-    verify runs only inside blocks. cos θ ≥ 0.9 ⇒ angle ≤ 25.8° ⇒
-    expected sig Hamming ≤ n_planes·angle/π ≈ 2.3 bits at 16 planes —
-    the default block radius is matched to the default threshold.
+    Shuffle carries (block key, id, signature); the O(N²) verify runs
+    only inside blocks. cos θ ≥ 0.9 ⇒ angle ≤ 25.8° ⇒ expected sig
+    Hamming ≤ n_planes·angle/π ≈ 2.3 bits at 16 planes — the default
+    radius is matched to the default threshold. At scale, pass
+    ``n_docs_hint`` (widens keys; raise ``n_planes`` with it — 16
+    sign bits cannot separate 10⁹ rows no matter the blocking) and
+    keep ``max_bucket`` on: identical embeddings share identical
+    signatures BY CONSTRUCTION, so a duplicate cluster of D rows
+    would emit D²/2 block-join pairs in one task; buckets above the
+    cap instead link members to their signature-group min id (a
+    star, still cosine-verified) — bounded at cap² pairs per bucket,
+    cluster connectivity preserved for identical-signature groups.
     """
-    n_blocks = max_hamming + 1  # pigeonhole: ≤h differing bits ⇒ ≥1 equal block
-    bits_per_block = n_planes // n_blocks
+    from vectordb_light_spark.operators.dedup import (
+        _block_combo_keys,
+        simhash_block_scheme,
+    )
+
+    m, k = simhash_block_scheme(max_hamming, n_planes, n_docs_hint)
     indexed = _persist_if_batch(
         add_srp_signature(
             df, vec_col=vec_col, out_col="__sig", n_planes=n_planes, seed=seed
@@ -609,37 +625,51 @@ def embedding_near_dup_pairs(
     # vectors are joined back for the surviving candidates afterwards
     # (late materialization, same principle as the read path's Q6).
     slim = indexed.select("__id", "__sig")
-    mask = (1 << bits_per_block) - 1
     blocks = slim.select(
         "__id",
         "__sig",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("__sig"), i * bits_per_block)
-                    .bitwiseAND(F.lit(mask).cast("long"))
-                    for i in range(n_blocks)
-                ]
-            )
+            _block_combo_keys(F.col("__sig"), n_planes, m, k)
         ).alias("__b_idx", "__b_val"),
     )
-    a = blocks.select(
+    keys = ["__b_idx", "__b_val"]
+    if max_bucket is not None:
+        blocks = _persist_if_batch(blocks)
+        hot_keys = (
+            blocks.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .where(F.col("__bc") > max_bucket)
+            .select(*keys)
+        )
+        cold = blocks.join(hot_keys, keys, "left_anti")
+        hot = blocks.join(hot_keys, keys, "left_semi")
+    else:
+        cold, hot = blocks, None
+    a = cold.select(
         F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
-        "__b_idx", "__b_val",
+        *keys,
     )
-    b = blocks.select(
+    b = cold.select(
         F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
-        "__b_idx", "__b_val",
+        *keys,
     )
     pairs = (
-        a.join(b, ["__b_idx", "__b_val"])
+        a.join(b, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming
         )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if hot is not None:
+        mins = hot.groupBy(*keys, "__sig").agg(F.min("__id").alias("id_a"))
+        stars = (
+            hot.join(mins, [*keys, "__sig"])
+            .where(F.col("__id") != F.col("id_a"))
+            .select("id_a", F.col("__id").alias("id_b"))
+        )
+        pairs = pairs.unionByName(stars)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     va = indexed.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"))
     vb = indexed.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
     return (
