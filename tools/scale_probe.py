@@ -260,7 +260,9 @@ def main() -> None:
         "",
         "Reading: winnow / batch-top-k are data-linear (per-row stages and one",
         "scan per query batch). minhash candidate joins scale with candidate",
-        "count (near-linear on this corpus: band keys are uniform hashes).",
+        "count (near-linear here; duplicate clusters share band keys BY",
+        "construction, so buckets above DEFAULT_MAX_BUCKET collapse to",
+        "signature-group stars — the cap that bounds the worst task).",
         "cosine_pairs_exact is O(N·M) by construction — its curve is the",
         "argument for the LSH tiers past broadcast reach (similarity.py).",
         "bm25_topk is data-linear: the matched-postings shuffle grows with",
