@@ -713,3 +713,38 @@ def test_embedding_near_dup_hot_bucket_and_scheme_invariance(spark):
         (r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(
             small, threshold=0.9, max_bucket=None, n_docs_hint=10**9).collect())
     assert out_a == out_b
+
+
+def test_topk_join_right_bucket_cap(spark):
+    """r3: a hot right-side bucket (many near-identical rights) is
+    truncated deterministically; every left still gets k results and
+    the cap is inert on small buckets (same output with/without)."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import ann_topk_join_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    rights = [(i, [float(x) for x in base]) for i in range(120)]
+    for j in range(6):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rights.append((500 + j, [float(x) for x in v]))
+    right = spark.createDataFrame(rights, "r_id long, r_vec array<float>")
+    left = spark.createDataFrame(
+        [(1, [float(x) for x in base])], "l_id long, l_vec array<float>"
+    )
+    out = ann_topk_join_lsh(left, right, k=5, bands=16, max_right_bucket=20).collect()
+    assert len(out) == 5
+    assert all(abs(r["cosine"] - 1.0) < 1e-5 for r in out)
+    # lowest right ids survive the deterministic truncation
+    assert {r["r_id"] for r in out} == {0, 1, 2, 3, 4}
+
+    small_r = spark.createDataFrame(rights[115:], "r_id long, r_vec array<float>")
+    a = sorted((r["l_id"], r["r_id"], r["rank"]) for r in
+               ann_topk_join_lsh(left, small_r, k=3, bands=16).collect())
+    b = sorted((r["l_id"], r["r_id"], r["rank"]) for r in
+               ann_topk_join_lsh(left, small_r, k=3, bands=16,
+                                 max_right_bucket=None).collect())
+    assert a == b

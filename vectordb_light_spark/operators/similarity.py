@@ -442,6 +442,7 @@ def ann_topk_join_lsh(
     n_planes: int = 64,
     bands: int = 16,
     seed: int = DEFAULT_SEED,
+    max_right_bucket: int | None = 256,
 ) -> DataFrame:
     """Approximate top-k similarity JOIN for large×large inputs:
     every left row gets its ≤k most-cosine-similar right rows.
@@ -450,15 +451,24 @@ def ann_topk_join_lsh(
     :func:`~vectordb_light_spark.operators.search.topk_cosine_batch`'s
     broadcastable-queries contract. Both sides are SRP-signed
     (vectorized matmul stage), banded into ``bands`` exact-match keys,
-    and candidates meet in a band equi-join whose keys are uniform
-    hash values (no skew); the exact dot product runs only on
-    candidates, and a per-left window keeps the top-k. Recall is the
-    LSH S-curve P[meet] = 1-(1-p^r)^b with p = 1-θ/π — at 64 planes /
-    16 bands ≈ .97 for cos ≥ .8 pairs; raise ``bands`` (smaller r) for
-    more recall / more candidates. Output: (left id, right id, cosine,
-    rank). Vectors ride the banded rows (one exploded copy per band);
-    for very wide vectors trade that for a late re-join on id as in
-    :func:`embedding_near_dup_pairs_banded`.
+    and candidates meet in a band equi-join; the exact dot product
+    runs only on candidates, and a per-left window keeps the top-k.
+    Recall is the LSH S-curve P[meet] = 1-(1-p^r)^b with p = 1-θ/π —
+    at 64 planes / 16 bands ≈ .97 for cos ≥ .8 pairs; raise ``bands``
+    (smaller r) for more recall / more candidates. Output: (left id,
+    right id, cosine, rank). Vectors ride the banded rows (one
+    exploded copy per band); for very wide vectors trade that for a
+    late re-join on id as in :func:`embedding_near_dup_pairs_banded`.
+
+    RANDOM band-key collisions are uniform, but near-identical right
+    rows share band keys BY CONSTRUCTION — a boilerplate cluster of D
+    rights would put every left in its bucket against all D.
+    ``max_right_bucket`` truncates each (band, key) bucket to the
+    lowest right ids (deterministic), bounding the worst task at
+    |left bucket| × cap candidates; a dropped right can still meet a
+    left through its other ``bands − 1`` keys, and at the default the
+    cap only engages on buckets > 256 — documented recall tradeoff
+    inside hot buckets only. ``None`` disables.
     """
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1 if bits_per_band < 64 else -1
@@ -486,6 +496,17 @@ def ann_topk_join_lsh(
 
     a = banded(left, left_id, left_vec)
     b = banded(right, right_id, right_vec)
+    if max_right_bucket is not None:
+        # one extra exchange of the banded right side, on the SAME
+        # keys the join shuffles on (partitioning reused downstream)
+        wb = Window.partitionBy("__b_idx", "__b_val").orderBy(
+            F.col(right_id).asc()
+        )
+        b = (
+            b.withColumn("__rn", F.row_number().over(wb))
+            .where(F.col("__rn") <= F.lit(max_right_bucket))
+            .drop("__rn")
+        )
     cand = (
         a.join(b, ["__b_idx", "__b_val"])
         .dropDuplicates([left_id, right_id])
