@@ -748,3 +748,22 @@ def test_topk_join_right_bucket_cap(spark):
                ann_topk_join_lsh(left, small_r, k=3, bands=16,
                                  max_right_bucket=None).collect())
     assert a == b
+
+
+def test_banded_near_dup_hot_bucket_star(spark):
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import (
+        embedding_near_dup_pairs_banded,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    rows = [(i, [float(x) for x in base]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs_banded(
+        df, threshold=0.95, max_bucket=8
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, i) for i in range(1, 50)}
+    assert all(abs(r["cosine"] - 1.0) < 1e-5 for r in out)

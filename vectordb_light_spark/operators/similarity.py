@@ -532,6 +532,7 @@ def embedding_near_dup_pairs_banded(
     bands: int = 8,
     seed: int = DEFAULT_SEED,
     hamming_slack: float = 1.35,
+    max_bucket: int | None = 128,
 ) -> DataFrame:
     """High-threshold near-dup pairs via SRP BANDING (minhash-style
     S-curve, probabilistic recall) — the preferred scale path when
@@ -546,6 +547,12 @@ def embedding_near_dup_pairs_banded(
          ceil(n_planes·θ_threshold/π·slack) bits — one bit_count(xor)
       3. exact dot-product verify ≥ threshold
     Shuffle carries (band key, id, one long); vectors join back late.
+
+    ``max_bucket`` is the hot-bucket star collapse shared with the
+    other LSH tiers: identical embeddings share every band key by
+    construction, so buckets above the cap link members to their
+    signature-group min id (still cosine-verified) instead of
+    emitting |bucket|²/2 pairs in one task.
     """
     import math
 
@@ -573,21 +580,42 @@ def embedding_near_dup_pairs_banded(
             )
         ).alias("__b_idx", "__b_val"),
     )
-    a = banded.select(
+    keys = ["__b_idx", "__b_val"]
+    if max_bucket is not None:
+        banded = _persist_if_batch(banded)
+        hot_keys = (
+            banded.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .where(F.col("__bc") > max_bucket)
+            .select(*keys)
+        )
+        cold = banded.join(hot_keys, keys, "left_anti")
+        hot = banded.join(hot_keys, keys, "left_semi")
+    else:
+        cold, hot = banded, None
+    a = cold.select(
         F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
-        "__b_idx", "__b_val",
+        *keys,
     )
-    b = banded.select(
+    b = cold.select(
         F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
-        "__b_idx", "__b_val",
+        *keys,
     )
     pairs = (
-        a.join(b, ["__b_idx", "__b_val"])
+        a.join(b, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .where(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= h_max)
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if hot is not None:
+        mins = hot.groupBy(*keys, "__sig").agg(F.min("__id").alias("id_a"))
+        stars = (
+            hot.join(mins, [*keys, "__sig"])
+            .where(F.col("__id") != F.col("id_a"))
+            .select("id_a", F.col("__id").alias("id_b"))
+        )
+        pairs = pairs.unionByName(stars)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     va = indexed.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"))
     vb = indexed.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
     return (
