@@ -321,3 +321,51 @@ def test_decode_and_features_and_resize_on_real_images(spark):
     assert small.shape == (6, 8, 3)
     small_png = png_decode(bytes(rows[2]["content"]))
     assert small_png.shape == (6, 8, 3)
+
+
+def test_media_codec_roundtrip_property():
+    """Property: ANY uint8 image round-trips bit-exact through both
+    stdlib codecs, and any int16 clip through WAV."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from vectordb_light_spark.sources.media import (
+        bmp_decode,
+        bmp_encode,
+        png_decode,
+        png_encode,
+        wav_decode,
+        wav_encode,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 3, 4])
+            ),
+        )
+    )
+    def roundtrip_images(px):
+        np.testing.assert_array_equal(png_decode(png_encode(px)), px)
+        if px.shape[2] == 3:
+            np.testing.assert_array_equal(bmp_decode(bmp_encode(px)), px)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        arrays(
+            np.int16,
+            st.tuples(st.integers(1, 400), st.sampled_from([1, 2])),
+        ),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def roundtrip_wav(samples, rate):
+        back, r = wav_decode(wav_encode(samples, rate))
+        assert r == rate
+        np.testing.assert_array_equal(back, samples)
+
+    roundtrip_images()
+    roundtrip_wav()
