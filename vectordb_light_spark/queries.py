@@ -1292,12 +1292,15 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_pool_contract(spark, sf_dir, out)
 
 
-@register("ann_ivf_topk")  # rows-only: k-means training is iterative, non-SQL
+@register("ann_ivf_topk", oracle=_ANN_POOL_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: spherical k-means centroids (Lloyd
     iterations as Spark aggregations), nprobe-pruned cluster scan,
     exact rank within probes. With cluster-partitioned storage each
-    probe is a partition-pruned read."""
+    probe is a partition-pruned read. Iterative training has no SQL
+    twin, so the driver checks the pool-membership contract (worst
+    measured exact-rank 10 — the probes recover the exact top-10 at
+    the contract SFs)."""
     from vectordb_light_spark.operators.similarity import (
         add_ivf_cluster,
         ann_topk_ivf,
@@ -1310,18 +1313,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = train_ivf_centroids(emb, n_centroids=8, n_iters=3)
     indexed = add_ivf_cluster(emb, cents)
     out = ann_topk_ivf(indexed, cents, q, k=10, nprobe=4)
-    return out.select(
-        "vec_id", F.round("similarity_score", 6).alias("similarity_score")
-    ).orderBy(F.col("similarity_score").desc(), "vec_id")
+    return _ann_pool_contract(spark, sf_dir, out)
 
 
-@register("ann_topk_join")  # rows-only: SRP-banded LSH join, recall-tested
+#: Per-left pool-membership contract for the LSH top-k join: all 50
+#: lefts × 5 ranks, each result inside its left's EXACT top-50
+#: (measured worst exact-rank 8 across the test SFs — a 6× margin).
+_ANN_JOIN_POOL_ORACLE = """
+    SELECT CAST(l.x AS BIGINT) AS l_id, CAST(r.x AS INT) AS rank,
+           CAST(1 AS INT) AS in_exact_top50
+    FROM range(0, 50) l(x), range(1, 6) r(x)
+    ORDER BY l_id, rank
+    """
+
+
+@register("ann_topk_join", oracle=_ANN_JOIN_POOL_ORACLE)
 def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large×large approximate top-k similarity JOIN: every left
     vector gets its ≤5 most-similar right vectors via SRP band
     equi-join + exact verify + per-left window rank — the tier past
-    broadcastable queries (neither side collected). Recall vs the
-    exact batch join is asserted in tests/test_similarity.py."""
+    broadcastable queries (neither side collected). The seeded SRP
+    planes have no SQL twin, so the driver checks the per-left
+    pool-membership contract (each result inside its left's exact
+    top-50; worst measured exact-rank 8); recall vs the exact batch
+    join is asserted in tests/test_similarity.py."""
+    from vectordb_light_spark.operators.search import topk_cosine_batch
     from vectordb_light_spark.operators.similarity import ann_topk_join_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1332,9 +1348,30 @@ def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("r_id"), F.col("embedding").alias("r_vec")
     )
     out = ann_topk_join_lsh(left, right, k=5, bands=16)
-    return out.select(
-        "l_id", "r_id", F.round("cosine", 6).alias("cosine"), "rank"
-    ).orderBy("l_id", "rank")
+    exact_pool = topk_cosine_batch(
+        emb,
+        left.select(
+            F.col("l_id").alias("query_id"), F.col("l_vec").alias("query_vec")
+        ),
+        k=50,
+        threshold=-1.0,
+        id_col="vec_id",
+        vec_col="embedding",
+        assume_normalized=False,
+    ).select(
+        F.col("query_id").alias("l_id"),
+        F.col("vec_id").alias("r_id"),
+        F.lit(1).alias("__in"),
+    )
+    return (
+        out.join(exact_pool, ["l_id", "r_id"], "left")
+        .select(
+            "l_id",
+            "rank",
+            F.coalesce(F.col("__in"), F.lit(0)).cast("int").alias("in_exact_top50"),
+        )
+        .orderBy("l_id", "rank")
+    )
 
 
 def _embedding_near_dup_oracle_sql() -> str:
