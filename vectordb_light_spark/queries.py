@@ -1555,7 +1555,77 @@ def mm_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_image_pipeline")  # rows-only: fake decoder has no SQL twin
+@register(
+    "mm_image_decode",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id AS media_id,
+               substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 1024) AS a
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT media_id,
+           CAST(16 AS INT) AS width,
+           CAST(greatest(CAST(ceil(length(a) / 16.0) AS BIGINT), 1) AS INT)
+               AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(3 * COALESCE(list_aggregate(
+                   list_transform(generate_series(1, length(a)),
+                                  i -> ord(substr(a, i, 1))), 'sum'),
+               0) AS BIGINT) AS px_sum
+    FROM s
+    ORDER BY media_id
+    """,
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, driver-verified bit-for-bit: each document's
+    printable-ASCII bytes (≤1024) become a 16-wide grayscale→RGB BMP
+    via ``sources/media.bmp_encode`` (zero-padded last row), the
+    stage chain decodes it back with the pure-stdlib BMP parser
+    (operators/multimodal.decode_images), and the oracle recomputes
+    width/height/px byte-sum from the SAME text with independent SQL
+    byte math — a decode error of a single pixel anywhere in the 200
+    images flips px_sum and fails the hash. px_sum is recovered as
+    round(px_mean·W·H·C): the mean is an exact double rational (sums
+    ≤ 255·1024·3 ≪ 2⁵³), so the round-trip is exact."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as _np
+    import pandas as _pd
+
+    from vectordb_light_spark.operators.multimodal import decode_images
+    from vectordb_light_spark.sources.media import bmp_encode
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text").where(F.col("doc_id") < 200)
+
+    def build(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for media_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = "".join(
+                    c for c in (text or "") if " " <= c <= "~"
+                ).encode("ascii")[:1024]
+                h = max(-(-len(raw) // 16), 1)
+                buf = _np.zeros(h * 16, dtype=_np.uint8)
+                buf[: len(raw)] = _np.frombuffer(raw, dtype=_np.uint8)
+                out_rows.append((int(media_id), bmp_encode(buf.reshape(h, 16))))
+            yield _pd.DataFrame(out_rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(build, schema="media_id long, content binary")
+    decoded = decode_images(media)
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round(
+            F.col("px_mean") * F.col("width") * F.col("height") * F.col("channels")
+        )
+        .cast("long")
+        .alias("px_sum"),
+    ).orderBy("media_id")
+
+
+@register("mm_image_pipeline")  # rows-only: SRP-over-features has no SQL twin
 def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image pipeline plumbing: binary media → decode (dims + pixel
     stats) → feature extraction (unit array<float>) → SRP top-5
@@ -4329,6 +4399,7 @@ _REGISTRY_ORDER = [
     "dd_cross_corpus_candidates",
     "dd_duplicate_clusters",
     "ann_recall_contract",
+    "mm_image_decode",
     "rel_events_scd2",
     "vq_grouped_topk",
     "vq_topk_cosine",
