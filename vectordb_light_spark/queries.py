@@ -2376,24 +2376,31 @@ def prof_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(1 AS INT) AS hll_within_5pct
+           CAST(1 AS INT) AS hll_within_5pct,
+           CAST(1 AS INT) AS gk_p50_in_rank_band
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
 def prof_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy contract: exact distinct users per event type
-    alongside a BOUND CHECK that the HLL++ estimate (rsd=2%) lands
-    within 5% of exact. The oracle pins the exact counts and requires
-    every bound check to hold (TRUE column) — the estimate itself is
-    implementation-defined, so this is the strongest SQL-checkable
-    statement about a sketch; the estimate's value is additionally
-    error-bound-tested in tests/test_profiling.py."""
+    alongside BOUND CHECKS that (a) the HLL++ estimate (rsd=2%) lands
+    within 5% of exact and (b) the Greenwald-Khanna p50 estimate
+    (accuracy 10000 ⇒ rank error ≤ 1e-4) lands inside the exact
+    [p45, p55] value band — the rank-error guarantee restated as a
+    verifiable value predicate. The oracle pins the exact counts and
+    requires every bound to hold (TRUE columns) — the estimates
+    themselves are implementation-defined, so this is the strongest
+    SQL-checkable statement about the sketch tier; estimate values
+    are additionally error-bound-tested in tests/test_profiling.py."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("gk_p50"),
+            F.expr("percentile(value, 0.45)").alias("p45"),
+            F.expr("percentile(value, 0.55)").alias("p55"),
         )
         .select(
             "event_type",
@@ -2402,6 +2409,10 @@ def prof_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("approx_users") - F.col("exact_users"))
                 <= 0.05 * F.col("exact_users")
             ).cast("int").alias("hll_within_5pct"),
+            (
+                (F.col("gk_p50") >= F.col("p45"))
+                & (F.col("gk_p50") <= F.col("p55"))
+            ).cast("int").alias("gk_p50_in_rank_band"),
         )
         .orderBy("event_type")
     )
