@@ -361,8 +361,16 @@ def main_big(factor: int = 64) -> None:
         print(out)
         if "--write" in sys.argv:
             p = Path(__file__).resolve().parent.parent / "SCALING.md"
-            base = p.read_text().split(BIG_MARKER, 1)[0]
-            p.write_text(base.rstrip("\n") + "\n" + out + "\n")
+            txt = p.read_text()
+            # preserve sections that live AFTER this one (e.g. the
+            # bounded-cluster table) — only replace our own span
+            head, _, rest = txt.partition(BIG_MARKER)
+            tail = ""
+            if rest and CLUSTERS_MARKER in rest:
+                tail = CLUSTERS_MARKER + rest.split(CLUSTERS_MARKER, 1)[1]
+            p.write_text(
+                head.rstrip("\n") + "\n" + out + "\n" + tail
+            )
     finally:
         shutil.rmtree(WORK, ignore_errors=True)
 
