@@ -4395,8 +4395,10 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   (c) every entry with NO driver row in the latest round
 #:       (CORRECTNESS_r02), cheapest-first by BENCH_FULL sf0.1 solo
 #:       timing so a time-capped driver still grades most of them;
-#:   (d) the two rows-only ANN entries at positions 51-52 (weakest
-#:       marginal signal — pool-membership contracts cover them);
+#:   (d) ann_pq/ivfpq_topk at positions 52-53 — during ordering they
+#:       were rows-only; both since gained pool-membership contract
+#:       oracles (local-green at sf0.001+sf0.01), so falling past a
+#:       50-count cut costs the least marginal signal;
 #:   (e) the 50 r2-graded (all hash-green) entries, rotated to the
 #:       back in their prior family-round-robin order — they re-earn
 #:       rows next round.
