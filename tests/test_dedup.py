@@ -412,3 +412,132 @@ def test_simhash_output_invariant_to_scheme(spark):
         for r in simhash_near_dups(
             df, max_hamming=3, n_docs_hint=10**9).collect())
     assert classic == combo == wide
+
+
+# ---------------------------------------------------------------------------
+# Hot-cluster star collapse for SimHash (round 4): identical-sketch
+# clusters above max_cluster emit a linear min-id star instead of
+# C(m,k)*D^2/2 join rows; components unchanged; explicit scheme
+# overrides are pigeonhole-validated.
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_hot_cluster_emits_linear_star(spark):
+    df = _hot_corpus(spark, n_dups=400, n_noise=20)
+    out = simhash_near_dups(df, max_hamming=3, max_cluster=64).collect()
+    star = [(r["id_a"], r["id_b"]) for r in out if r["id_a"] == 0]
+    # the 400-identical cluster collapses to a min-id star: 399 rows
+    # (hamming 0), never 79800 clique rows
+    assert len(star) == 399
+    assert all(r["hamming"] == 0 for r in out if r["id_a"] == 0)
+    assert len(out) < 1000
+
+
+def test_simhash_cap_preserves_components(spark):
+    from vectordb_light_spark.operators.components import duplicate_clusters
+
+    df = _hot_corpus(spark, n_dups=80, n_noise=10)
+    capped = simhash_near_dups(df, max_hamming=3, max_cluster=16)
+    uncapped = simhash_near_dups(df, max_hamming=3, max_cluster=None)
+    c1 = {(r["doc_id"], r["cluster_id"])
+          for r in duplicate_clusters(
+              capped, left_id="id_a", right_id="id_b").collect()}
+    c2 = {(r["doc_id"], r["cluster_id"])
+          for r in duplicate_clusters(
+              uncapped, left_id="id_a", right_id="id_b").collect()}
+    assert c1 == c2
+
+
+def test_simhash_cap_keeps_rep_external_edges(spark):
+    # a hot identical cluster plus ONE near (not identical) neighbour:
+    # the representative must still meet the neighbour via the combo
+    # join after the collapse.
+    base = "shared boilerplate paragraph repeated across the crawl " * 4
+    rows = [(i, base) for i in range(50)]
+    rows.append((999, base + " tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_near_dups(df, max_hamming=6, max_cluster=8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 999) in pairs  # rep ↔ external neighbour survives
+    assert {(0, i) for i in range(1, 50)} <= pairs  # star edges
+
+
+def test_simhash_blocks_only_override_takes_k1(spark):
+    # blocks=4 with max_hamming=3 used to inherit the adaptive k=2 —
+    # a silent pigeonhole violation (k > m - h). It now takes k=1
+    # (classic scheme) and stays output-invariant.
+    df = _hot_corpus(spark, n_dups=6, n_noise=8)
+    blocks_only = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(df, max_hamming=3, blocks=4).collect())
+    default = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(df, max_hamming=3).collect())
+    assert blocks_only == default
+
+
+def test_simhash_invalid_scheme_raises(spark):
+    import pytest
+
+    df = _hot_corpus(spark, n_dups=2, n_noise=2)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(df, max_hamming=3, blocks=4, combo=2).collect()
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(df, max_hamming=2, blocks=3, combo=2).collect()
+
+
+def test_combo_only_override_grows_blocks(spark):
+    from vectordb_light_spark.operators.dedup import resolve_block_scheme
+
+    assert resolve_block_scheme(3, 64, None, None, 2) == (5, 2)
+    assert resolve_block_scheme(3, 64, None, 4, None) == (4, 1)
+    assert resolve_block_scheme(2, 64, None, 6, 3) == (6, 3)
+
+
+def test_auto_hint_counts_corpus(spark):
+    # the default n_docs_hint="auto" must not change output (scheme
+    # invariance) and must accept explicit ints / None unchanged
+    df = _hot_corpus(spark, n_dups=5, n_noise=10)
+    auto = sorted((r["id_a"], r["id_b"]) for r in
+                  simhash_near_dups(df, max_hamming=2).collect())
+    none = sorted((r["id_a"], r["id_b"]) for r in
+                  simhash_near_dups(df, max_hamming=2, n_docs_hint=None).collect())
+    assert auto == none
+
+
+def test_graded_sf_stays_under_production_caps(spark):
+    """The driver-graded SFs must keep every LSH band bucket and every
+    identical-sketch cluster under DEFAULT_MAX_BUCKET, so the capped
+    production defaults and the uncapped oracle-twin registry entries
+    are output-identical on graded data (ADVICE r3: hash equality must
+    not silently hinge on this — assert it)."""
+    import os
+
+    from vectordb_light_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        lsh_band_keys,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text")
+            .where(F.length(F.trim(F.col("text"))) > 0)
+        )
+        sig = add_minhash_signature(
+            docs, num_hashes=16, seed=42, hash_family="poly31"
+        )
+        banded = sig.select(
+            F.posexplode(
+                lsh_band_keys(F.col("minhash"), 4, 4, "poly31")
+            ).alias("i", "k")
+        )
+        max_bucket = (
+            banded.groupBy("i", "k").count().agg(F.max("count")).first()[0]
+        )
+        assert max_bucket <= DEFAULT_MAX_BUCKET, (sf_dir, max_bucket)
+        sk = add_simhash64(docs, hash_family="poly31")
+        max_cluster = (
+            sk.groupBy("simhash").count().agg(F.max("count")).first()[0]
+        )
+        assert max_cluster <= DEFAULT_MAX_BUCKET, (sf_dir, max_cluster)

@@ -694,6 +694,40 @@ def _block_combo_keys(
     return F.array(*keys)
 
 
+def resolve_block_scheme(
+    max_hamming: int,
+    total_bits: int,
+    n_docs_hint: int | None,
+    blocks: int | None,
+    combo: int | None,
+) -> tuple[int, int]:
+    """Resolve (m, k) from optional explicit overrides, VALIDATING the
+    pigeonhole guarantee k ≤ m − max_hamming (the invariant every
+    caller's docstring promises — a silently lossy scheme would drop
+    in-bound pairs with no signal). Blocks-only overrides take k=1
+    (the classic scheme, always guaranteed for m ≥ h+1) rather than
+    inheriting an adaptive k sized for a different m; combo-only
+    overrides grow m to max_hamming + k."""
+    if blocks is None and combo is None:
+        return simhash_block_scheme(max_hamming, total_bits, n_docs_hint)
+    if combo is None:
+        m, k = blocks, 1
+    elif blocks is None:
+        m, k = max_hamming + combo, combo
+    else:
+        m, k = blocks, combo
+    if k < 1 or m < max_hamming + k:
+        raise ValueError(
+            f"blocking scheme (blocks={m}, combo={k}) violates the "
+            f"pigeonhole guarantee k <= blocks - max_hamming "
+            f"({max_hamming}): pairs within the Hamming bound would "
+            f"be silently dropped"
+        )
+    if m > total_bits:
+        raise ValueError(f"blocks={m} exceeds sketch width {total_bits}")
+    return m, k
+
+
 def simhash_near_dups(
     df: DataFrame,
     *,
@@ -702,9 +736,10 @@ def simhash_near_dups(
     shingle_n: int = 4,
     max_hamming: int = 3,
     hash_family: str = "splitmix64",
-    n_docs_hint: int | None = None,
+    n_docs_hint: int | None | str = "auto",
     blocks: int | None = None,
     combo: int | None = None,
+    max_cluster: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block the sketch on sub-key
     combinations (see :func:`simhash_block_scheme`), then verify exact
@@ -712,13 +747,32 @@ def simhash_near_dups(
     max_hamming) plus the exact verify make the output INVARIANT to
     the blocking scheme — (m, k) tunes only the join's bucket sizes,
     so the oracle twin stays bit-identical under any valid scheme.
+    Explicit ``blocks``/``combo`` overrides are validated against the
+    guarantee (blocks-only takes k=1) — see
+    :func:`resolve_block_scheme`.
 
     Block-join shuffle volume is C(m,k) rows × ~24 bytes per doc.
-    Pass ``n_docs_hint`` at scale so key width grows with the corpus
-    (a fixed 16-bit key space forces bucket loads ∝ N at N ≫ 10⁷ no
-    matter how uniform the data); ``blocks``/``combo`` override the
-    scheme explicitly. With ``hash_family="poly31"`` the sketch
-    occupies bits 0-30 and schemes size against 31 bits.
+    ``n_docs_hint`` sizes the key width to the corpus (a fixed 16-bit
+    key space forces bucket loads ∝ N at N ≫ 10⁷ no matter how
+    uniform the data); the default ``"auto"`` derives it from a
+    ``df.count()`` — a metadata-cheap pass for parquet sources, and
+    the price of an adaptive scheme that engages without caller
+    knowledge (pass an int or ``None`` to skip the count). With
+    ``hash_family="poly31"`` the sketch occupies bits 0-30 and
+    schemes size against 31 bits.
+
+    ``max_cluster`` is the hot-cluster star collapse shared with the
+    LSH tiers: IDENTICAL sketches (exact duplicates — the most common
+    dedup case) share every combo key, so a cluster of D docs would
+    emit C(m,k)·D²/2 rows through the join and Hamming verify.
+    Sketch-groups above the cap skip the pairwise join: members link
+    to the group's min id as a star (Hamming 0 by definition) and
+    only the representative enters the combo join. Connected
+    components are unchanged (member ↔ rep ↔ external neighbours);
+    only direct member↔external pairs inside hot groups are dropped —
+    the documented recall tradeoff, mirroring
+    :func:`minhash_lsh_candidates`. ``None`` disables (exact clique
+    semantics at any cluster size — the oracle-twin configuration).
 
     If ``max_hamming`` is too wide for a guaranteed scheme
     (≥ total_bits/2), blocking degrades to the classic lossy
@@ -726,11 +780,15 @@ def simhash_near_dups(
     from vectordb_light_spark.session import persist_if_batch
 
     total_bits = 31 if hash_family == "poly31" else 64
-    if blocks is None or combo is None:
-        m, k = simhash_block_scheme(max_hamming, total_bits, n_docs_hint)
-        m, k = blocks or m, combo or k
-    else:
-        m, k = blocks, combo
+    if n_docs_hint == "auto":
+        # Only priced when the adaptive scheme is actually consulted;
+        # streaming inputs can't count() — fall back to the unhinted
+        # default scheme.
+        needs_hint = blocks is None and combo is None
+        n_docs_hint = (
+            df.count() if needs_hint and not df.isStreaming else None
+        )
+    m, k = resolve_block_scheme(max_hamming, total_bits, n_docs_hint, blocks, combo)
     # Persisted: both self-join sides consume the sketch stage.
     keyed = persist_if_batch(
         add_simhash64(
@@ -741,6 +799,34 @@ def simhash_near_dups(
             hash_family=hash_family,
         ).select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sim"))
     )
+    stars = None
+    if max_cluster is not None:
+        # Hot-sketch split BEFORE the C(m,k) explode: the group count
+        # is one narrow (sim, id) shuffle, and the hot-sketch set is
+        # tiny in practice so AQE broadcasts the semi/anti probes.
+        hot_sims = (
+            keyed.groupBy("__sim")
+            .agg(F.count(F.lit(1)).alias("__sc"))
+            .where(F.col("__sc") > max_cluster)
+            .select("__sim")
+        )
+        hot = keyed.join(hot_sims, "__sim", "left_semi")
+        reps = hot.groupBy("__sim").agg(F.min("__id").alias("__id"))
+        stars = (
+            hot.join(reps.withColumnRenamed("__id", "id_a"), "__sim")
+            .where(F.col("__id") != F.col("id_a"))
+            .select(
+                "id_a",
+                F.col("__id").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        # Representatives re-enter the combo join carrying the whole
+        # group's sketch once, so hot groups still meet their
+        # Hamming-close external neighbours.
+        keyed = keyed.join(hot_sims, "__sim", "left_anti").unionByName(
+            reps.select("__id", "__sim")
+        )
     combos = keyed.select(
         "__id",
         "__sim",
@@ -754,17 +840,22 @@ def simhash_near_dups(
     b = combos.select(
         F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"), "__q_idx", "__q_val"
     )
-    return (
+    pairs = (
         a.join(b, ["__q_idx", "__q_val"])
         .where(F.col("id_a") < F.col("id_b"))
         # Hamming verify BEFORE the pair-dedup: one bit_count per
         # candidate is far cheaper than shuffling non-pairs through
         # the distinct exchange.
-        .withColumn("hamming", hamming64("sim_a", "sim_b"))
+        .withColumn("hamming", hamming64("sim_a", "sim_b").cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+    if stars is not None:
+        # Disjoint by construction: hot members never reach the combo
+        # join, so no pair can appear on both sides of the union.
+        pairs = pairs.unionByName(stars)
+    return pairs
 
 
 # ---------------------------------------------------------------------------

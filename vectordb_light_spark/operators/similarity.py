@@ -636,7 +636,7 @@ def embedding_near_dup_pairs(
     n_planes: int = DEFAULT_PLANES,
     seed: int = DEFAULT_SEED,
     max_hamming: int = 2,
-    n_docs_hint: int | None = None,
+    n_docs_hint: int | None | str = "auto",
     max_bucket: int | None = 128,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: SRP combo-block
@@ -644,6 +644,9 @@ def embedding_near_dup_pairs(
     Hamming ≤ max_hamming — the same scheme as
     ``dedup.simhash_block_scheme``, output-invariant by pigeonhole +
     the exact Hamming/cosine verify) → exact cosine verify.
+    ``n_docs_hint`` defaults to ``"auto"``: a ``df.count()`` sizes the
+    key width to the corpus so the adaptive scheme engages without
+    caller knowledge (pass an int or ``None`` to skip the count).
 
     Shuffle carries (block key, id, signature); the O(N²) verify runs
     only inside blocks. cos θ ≥ 0.9 ⇒ angle ≤ 25.8° ⇒ expected sig
@@ -663,6 +666,8 @@ def embedding_near_dup_pairs(
         simhash_block_scheme,
     )
 
+    if n_docs_hint == "auto":
+        n_docs_hint = df.count() if not df.isStreaming else None
     m, k = simhash_block_scheme(max_hamming, n_planes, n_docs_hint)
     indexed = _persist_if_batch(
         add_srp_signature(

@@ -1057,7 +1057,12 @@ def dd_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``poly31`` oracle-twin hash family so DuckDB replays signature,
     banding, and estimate bit-for-bit; the production default
     (splitmix64/xxhash64, 64 hashes) shares every line of plan and is
-    recall-tested in tests/test_dedup.py."""
+    recall-tested in tests/test_dedup.py. ``max_bucket=None`` pins the
+    uncapped all-pairs semantics the SQL twin models — hash equality
+    must not hinge on a data property (no graded band bucket above the
+    production cap); the capped production default is unit- and
+    scale-probe-tested, and the graded SFs are asserted under the cap
+    in tests/test_dedup.py."""
     from vectordb_light_spark.operators.dedup import (
         canonical_text,
         minhash_lsh_candidates,
@@ -1066,7 +1071,7 @@ def dd_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_docs(spark, sf_dir).where(F.length(canonical_text("text")) > 0)
     return (
         minhash_lsh_candidates(
-            docs, num_hashes=16, bands=4, hash_family="poly31"
+            docs, num_hashes=16, bands=4, hash_family="poly31", max_bucket=None
         )
         .where(F.col("est_jaccard") >= 0.75)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
@@ -1095,7 +1100,9 @@ def dd_cross_corpus_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup a fresh crawl against the existing training set at the
     near-dup level, complementing pipe_decontaminate's exact-gram
     containment. Two independently-banded sides, band equi-join,
-    est-Jaccard ≥ 0.75; the poly31 family gives DuckDB bit-parity."""
+    est-Jaccard ≥ 0.75; the poly31 family gives DuckDB bit-parity.
+    ``max_bucket=None`` pins the uncapped semantics the SQL twin
+    models (see dd_minhash_candidates)."""
     from vectordb_light_spark.operators.dedup import (
         canonical_text,
         minhash_lsh_candidates_cross,
@@ -1106,7 +1113,8 @@ def dd_cross_corpus_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") >= 250)
     return (
         minhash_lsh_candidates_cross(
-            new, ref, num_hashes=16, bands=4, hash_family="poly31"
+            new, ref, num_hashes=16, bands=4, hash_family="poly31",
+            max_bucket=None,
         )
         .where(F.col("est_jaccard") >= 0.75)
         .select(
@@ -1151,12 +1159,18 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k ≤ m − h) + exact verify, but ~4× fewer candidates than
     single-block keys on this bit-biased templated corpus. The
     64-bit splitmix64 production sketch is the same plan with
-    ``n_docs_hint`` widening the keys as the corpus grows."""
+    ``n_docs_hint`` widening the keys as the corpus grows.
+    ``max_cluster=None`` pins the uncapped all-pairs clique the SQL
+    twin models; the hot-cluster star collapse (production default)
+    is unit- and scale-probe-tested, and graded SFs are asserted
+    under the cap in tests/test_dedup.py."""
     from vectordb_light_spark.operators.dedup import canonical_text, simhash_near_dups
 
     docs = load_docs(spark, sf_dir).where(F.length(canonical_text("text")) > 0)
     return (
-        simhash_near_dups(docs, max_hamming=2, hash_family="poly31")
+        simhash_near_dups(
+            docs, max_hamming=2, hash_family="poly31", max_cluster=None
+        )
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
     )
@@ -2888,8 +2902,11 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_docs(spark, sf_dir).where(F.length(canonical_text("text")) > 0)
+    # max_bucket=None: the recursive-CTE oracle models the uncapped
+    # pair graph (see dd_minhash_candidates); the capped default is
+    # scale-probe-tested separately.
     pairs = minhash_lsh_candidates(
-        docs, num_hashes=16, bands=4, hash_family="poly31"
+        docs, num_hashes=16, bands=4, hash_family="poly31", max_bucket=None
     ).where(F.col("est_jaccard") >= 0.75)
     return (
         duplicate_clusters(pairs, left_id="id_a", right_id="id_b")
