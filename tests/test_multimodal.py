@@ -369,3 +369,45 @@ def test_media_codec_roundtrip_property():
 
     roundtrip_images()
     roundtrip_wav()
+
+
+def test_bmp_decode_8bit_palette_and_bitfields_rejection():
+    """8-bit BMPs must map through their color table (not return raw
+    palette indices as gray), and BI_BITFIELDS files (whose channel
+    masks we don't parse) must be rejected so they fall through to the
+    documented fake tier (ADVICE r3)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from vectordb_light_spark.sources.media import bmp_decode
+
+    # hand-build a 2x2 8-bit palettized BMP: indices 0..3 → distinct RGB
+    w = h = 2
+    palette = b"".join(
+        struct.pack("<BBBB", b, g, r, 0)
+        for r, g, b in [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    ) + b"\x00" * 4 * 252
+    row0 = bytes([0, 1]) + b"\x00\x00"  # 4-byte row padding
+    row1 = bytes([2, 3]) + b"\x00\x00"
+    body = row1 + row0  # bottom-up
+    pixel_off = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(body), 0, 0, pixel_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, 256, 0
+    )
+    px = bmp_decode(header + info + palette + body)
+    assert px.shape == (2, 2, 3)
+    np.testing.assert_array_equal(px[0, 0], [255, 0, 0])
+    np.testing.assert_array_equal(px[0, 1], [0, 255, 0])
+    np.testing.assert_array_equal(px[1, 0], [0, 0, 255])
+    np.testing.assert_array_equal(px[1, 1], [7, 8, 9])
+
+    # same geometry but compression=3 (BI_BITFIELDS) → rejected
+    info_bf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 32, 3, 16, 2835, 2835, 0, 0
+    )
+    hdr_bf = struct.pack("<2sIHHI", b"BM", 14 + 40 + 16, 0, 0, 14 + 40)
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        bmp_decode(hdr_bf + info_bf + b"\x00" * 16)

@@ -669,3 +669,56 @@ def test_open_rolls_back_staged_artifacts_on_interrupted_rebuild(spark, tmp_path
     with open(_os.path.join(db_path, "_meta.json")) as f:
         assert _json.load(f)["ivf_index"]["n_centroids"] == 2
     _shutil.rmtree(db_path)
+
+
+def test_open_rolls_back_standalone_artifact_commit_crash(spark, tmp_path):
+    """A standalone save_index_artifacts (no vectors swap in flight)
+    that crashes BETWEEN its two renames leaves _index.old as the ONLY
+    surviving artifact copy (_index missing, _index.tmp staged).
+    open()'s no-vectors-old branch must roll _index.old back, not
+    garbage-collect it — deleting it would leave _meta.json advertising
+    an index whose artifacts are gone (ADVICE r3)."""
+    import os as _os
+    import shutil as _shutil
+
+    import numpy as np
+
+    from vectordb_light_spark.engine import VectorDB
+    from vectordb_light_spark.operators.ingest import (
+        IngestConfig,
+        create_database,
+        load_index_artifacts,
+        stage_index_artifacts,
+    )
+    from vectordb_light_spark.sources.extract import load_directory
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("standalone artifact crash content " * 40)
+    db_root = str(tmp_path / "dbs")
+    _os.makedirs(db_root)
+    docs, _ = load_directory(spark, str(src))
+    create_database(
+        spark, docs, db_root, "solo",
+        IngestConfig(chunk_size=150, chunk_overlap=30, target_files=1),
+    )
+    db_path = _os.path.join(db_root, "solo")
+    db = VectorDB.open(spark, db_root, "solo", cache=False)
+    db.build_ivf_index(n_centroids=2)
+    old_centroids = load_index_artifacts(db_path)["ivf_centroids"].copy()
+
+    # simulate save_index_artifacts crashing between its two renames:
+    # stage new artifacts, rename _index aside, never promote the tmp
+    stage_index_artifacts(db_path, {"ivf_centroids": old_centroids + 99.0})
+    _os.rename(
+        _os.path.join(db_path, "_index"), _os.path.join(db_path, "_index.old")
+    )
+    assert not _os.path.isdir(_os.path.join(db_path, "_index"))
+    VectorDB.open(spark, db_root, "solo", cache=False)
+    assert _os.path.isdir(_os.path.join(db_path, "_index"))
+    assert not _os.path.isdir(_os.path.join(db_path, "_index.old"))
+    assert not _os.path.isdir(_os.path.join(db_path, "_index.tmp"))
+    np.testing.assert_array_equal(
+        load_index_artifacts(db_path)["ivf_centroids"], old_centroids
+    )
+    _shutil.rmtree(db_path)

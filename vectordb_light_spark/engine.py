@@ -161,6 +161,13 @@ class VectorDB:
         else:
             for d in leftovers:
                 shutil.rmtree(d, ignore_errors=True)
+            if not os.path.isdir(index_dir) and os.path.isdir(index_dir + ".old"):
+                # standalone save_index_artifacts crashed between its
+                # two renames (_index → _index.old done, .tmp → _index
+                # not): _index.old is the ONLY surviving artifact copy
+                # and _meta.json still advertises the index — roll it
+                # back before the cleanup below would destroy it.
+                os.rename(index_dir + ".old", index_dir)
             shutil.rmtree(index_dir + ".old", ignore_errors=True)
         shutil.rmtree(index_dir + ".tmp", ignore_errors=True)
 

@@ -60,10 +60,15 @@ def sniff_format(data: bytes) -> str | None:
 
 
 def bmp_decode(data: bytes) -> np.ndarray:
-    """Uncompressed BMP → uint8 array [H, W, C] (C = 1, 3 or 4).
+    """Uncompressed BMP → uint8 array [H, W, C] (C = 3 or 4; 8-bit
+    palettized files are mapped through their color table to RGB).
     Handles bottom-up (positive height) and top-down rows and the
     4-byte row padding. Raises ValueError on compressed/unsupported
-    variants."""
+    variants — including BI_BITFIELDS (compression=3), whose channel
+    masks this decoder does not parse; assuming fixed BGR(A) order
+    there would return wrong pixels for externally-produced files, so
+    such inputs fall through to the caller's documented fallback tier
+    instead."""
     if data[:2] != b"BM" or len(data) < 54:
         raise ValueError("not a BMP file")
     pixel_off = struct.unpack_from("<I", data, 10)[0]
@@ -73,7 +78,7 @@ def bmp_decode(data: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     compression = struct.unpack_from("<I", data, 30)[0]
-    if compression not in (0, 3) or bpp not in (8, 24, 32):
+    if compression != 0 or bpp not in (8, 24, 32):
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
     topdown = height < 0
     height = abs(height)
@@ -88,8 +93,21 @@ def bmp_decode(data: bytes) -> np.ndarray:
     px = rows[:, : width * nch].reshape(height, width, nch)
     if not topdown:
         px = px[::-1]
-    if nch >= 3:  # BGR(A) → RGB(A)
-        px = px[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]
+    if bpp == 8:
+        # mandatory BGRX color table between the info header and the
+        # pixel data; biClrUsed (offset 46) of 0 means the full 256
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > pixel_off:
+            raise ValueError("truncated BMP color table")
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, [2, 1, 0]]  # BGRX → RGB
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        return np.ascontiguousarray(pal[idx])
+    px = px[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]  # BGR(A) → RGB(A)
     return np.ascontiguousarray(px)
 
 
