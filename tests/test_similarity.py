@@ -767,3 +767,43 @@ def test_banded_near_dup_hot_bucket_star(spark):
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, i) for i in range(1, 50)}
     assert all(abs(r["cosine"] - 1.0) < 1e-5 for r in out)
+
+
+def test_topk_join_left_bucket_salting_is_output_neutral(spark):
+    """r4: a hot LEFT bucket (boilerplate cluster of lefts sharing a
+    band key) is salted across reducers against replicas of the
+    truncated right bucket — pure repartitioning, so the output must
+    be IDENTICAL with salting on, off, and at different salt counts,
+    and every left row still gets its top-k."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import ann_topk_join_lsh
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    # 60 near-identical lefts (one hot band bucket) + 5 distinct
+    lefts = [(i, [float(x) for x in base]) for i in range(60)]
+    for j in range(5):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        lefts.append((900 + j, [float(x) for x in v]))
+    rights = []
+    for j in range(25):
+        v = base + 0.05 * rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rights.append((j, [float(x) for x in v]))
+    left = spark.createDataFrame(lefts, "l_id long, l_vec array<float>")
+    right = spark.createDataFrame(rights, "r_id long, r_vec array<float>")
+
+    def run(**kw):
+        return sorted(
+            (r["l_id"], r["r_id"], r["rank"])
+            for r in ann_topk_join_lsh(left, right, k=3, bands=16, **kw).collect()
+        )
+
+    salted = run(max_left_bucket=10, left_salts=4)
+    unsalted = run(max_left_bucket=None)
+    more_salts = run(max_left_bucket=10, left_salts=7)
+    assert salted == unsalted == more_salts
+    assert len({l for l, _, _ in salted}) == 60 + 5  # every left served

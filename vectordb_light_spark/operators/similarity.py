@@ -443,6 +443,8 @@ def ann_topk_join_lsh(
     bands: int = 16,
     seed: int = DEFAULT_SEED,
     max_right_bucket: int | None = 256,
+    max_left_bucket: int | None = 4096,
+    left_salts: int = 8,
 ) -> DataFrame:
     """Approximate top-k similarity JOIN for large×large inputs:
     every left row gets its ≤k most-cosine-similar right rows.
@@ -469,6 +471,21 @@ def ann_topk_join_lsh(
     left through its other ``bands − 1`` keys, and at the default the
     cap only engages on buckets > 256 — documented recall tradeoff
     inside hot buckets only. ``None`` disables.
+
+    ``max_left_bucket`` bounds the LEFT side's skew: the right
+    truncation makes hot tasks linear in the left bucket (never
+    quadratic), but a boilerplate cluster of D left rows in one band
+    bucket still lands one D × ``max_right_bucket`` join task. Left
+    buckets above the cap are SALTED — each hot left row takes a
+    deterministic ``xxhash64(id) % left_salts`` suffix on its join
+    key and the (already truncated) right bucket replicates across
+    the ``left_salts`` replicas — so the worst task is bounded at
+    ``max_left_bucket × max_right_bucket / left_salts`` candidates
+    independent of cluster size. Pure repartitioning: every (left,
+    right) candidate pair still meets exactly once, so output is
+    UNCHANGED — salting trades a ``left_salts``× replication of hot
+    right buckets (tiny: ≤256 rows each) for even reducer load.
+    ``None`` disables.
     """
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1 if bits_per_band < 64 else -1
@@ -496,19 +513,47 @@ def ann_topk_join_lsh(
 
     a = banded(left, left_id, left_vec)
     b = banded(right, right_id, right_vec)
+    keys = ["__b_idx", "__b_val"]
     if max_right_bucket is not None:
         # one extra exchange of the banded right side, on the SAME
         # keys the join shuffles on (partitioning reused downstream)
-        wb = Window.partitionBy("__b_idx", "__b_val").orderBy(
-            F.col(right_id).asc()
-        )
+        wb = Window.partitionBy(*keys).orderBy(F.col(right_id).asc())
         b = (
             b.withColumn("__rn", F.row_number().over(wb))
             .where(F.col("__rn") <= F.lit(max_right_bucket))
             .drop("__rn")
         )
+    if max_left_bucket is not None:
+        # Left-skew salting: hot left buckets spread across
+        # ``left_salts`` reducers against replicas of their (already
+        # truncated) right bucket. The hot-key set is tiny, so AQE
+        # broadcasts the semi/anti probes; persist so the SRP stage
+        # feeds the count and both probes once.
+        a = _persist_if_batch(a)
+        hot_keys = (
+            a.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__lc"))
+            .where(F.col("__lc") > max_left_bucket)
+            .select(*keys)
+        )
+        cold_a = a.join(hot_keys, keys, "left_anti")
+        hot_a = a.join(hot_keys, keys, "left_semi").withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(left_id)), F.lit(left_salts)).cast("int"),
+        )
+        hot_b = b.join(hot_keys, keys, "left_semi").withColumn(
+            "__salt",
+            # sequence of int literals explodes to int — matches the
+            # cast pmod on the left side
+            F.explode(F.sequence(F.lit(0), F.lit(left_salts - 1))),
+        )
+        joined = cold_a.join(b, keys).unionByName(
+            hot_a.join(hot_b, [*keys, "__salt"]).drop("__salt")
+        )
+    else:
+        joined = a.join(b, keys)
     cand = (
-        a.join(b, ["__b_idx", "__b_val"])
+        joined
         .dropDuplicates([left_id, right_id])
         .withColumn("cosine", cosine_similarity(left_vec, right_vec))
     )
