@@ -80,26 +80,34 @@ def main() -> None:
                 F.col("doc_id"),
             )
         )
-        root = tempfile.mkdtemp(prefix="bench-ingest-")
-        try:
-            t0 = time.time()
-            meta = create_database(
-                spark, docs, root, "benchdb",
-                IngestConfig(
-                    chunk_size=1200, chunk_overlap=600,
-                    embedder_spec={"encoder": "hashing", "dim": 64, "seed": 0},
-                    target_files=8,
-                ),
-            )
-            wall = time.time() - t0
-            n_chunks = int(meta["observed"].get("n_chunks", 0))
-            ingest = {
-                "ingest_wall_s": round(wall, 3),
-                "ingest_chunks": n_chunks,
-                "ingest_chunks_per_s": round(n_chunks / wall, 1) if wall else 0,
-            }
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
+        # Same denoising as the queries (r3 verdict: the one
+        # un-denoised probe moved 1.6x on host CPU steal with no code
+        # change): one untimed warm-up build, then min-of-2 timed
+        # builds, each into a fresh directory.
+        cfg = IngestConfig(
+            chunk_size=1200, chunk_overlap=600,
+            embedder_spec={"encoder": "hashing", "dim": 64, "seed": 0},
+            target_files=8,
+        )
+        wall, n_chunks = float("inf"), 0
+        for i in range(3):
+            root = tempfile.mkdtemp(prefix="bench-ingest-")
+            try:
+                t0 = time.time()
+                meta = create_database(spark, docs, root, "benchdb", cfg)
+                dt = time.time() - t0
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+            if i == 0:
+                continue  # warm-up (python-worker spawn, footer cache)
+            if dt < wall:
+                wall = dt
+                n_chunks = int(meta["observed"].get("n_chunks", 0))
+        ingest = {
+            "ingest_wall_s": round(wall, 3),
+            "ingest_chunks": n_chunks,
+            "ingest_chunks_per_s": round(n_chunks / wall, 1) if wall else 0,
+        }
     except Exception as e:  # noqa: BLE001
         print(f"bench error in ingest: {e}", file=sys.stderr)
 
