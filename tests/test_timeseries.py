@@ -49,3 +49,78 @@ def test_gapfill_rows_scale_with_span_not_events(spark):
     out = resample_daily_gapfill(ev).collect()
     assert len(out) == 2
     assert all(r["n_events"] == 50 for r in out)
+
+
+def _ts(d, h=0):
+    return datetime.datetime(2024, 1, d, h)
+
+
+def _scd2_of(spark, rows):
+    """One-shot SCD2 rebuild of a (key, eid, attr, ts) log — the
+    ground truth scd2_merge must reproduce incrementally."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    log = spark.createDataFrame(
+        rows, "k long, eid long, attr string, ts timestamp"
+    )
+    w = Window.partitionBy("k").orderBy("ts", "eid")
+    return log.select(
+        "k", "eid", "attr",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+    )
+
+
+def test_scd2_merge_equals_rebuild(spark):
+    """Incremental merge == one-shot rebuild: chains multiple batch
+    changes per key, closes open rows at the batch's first change,
+    inserts brand-new keys, passes untouched keys through."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.timeseries import scd2_merge
+
+    hist = [
+        (1, 10, "a", _ts(1)), (1, 11, "b", _ts(3)),   # key updated by batch
+        (2, 20, "x", _ts(2)),                          # key untouched
+    ]
+    batch = [
+        (1, 12, "c", _ts(5)), (1, 13, "d", _ts(7)),   # two chained changes
+        (3, 30, "n", _ts(6)), (3, 31, "m", _ts(8)),   # new key, chained
+    ]
+    dim = _scd2_of(spark, hist)
+    changes = spark.createDataFrame(
+        batch, "k long, eid long, attr string, ts timestamp"
+    )
+    got = scd2_merge(
+        dim, changes, key_col="k", ts_col="ts", order_cols=("eid",)
+    )
+    want = _scd2_of(spark, hist + batch)
+    key = lambda r: (r["k"], r["eid"])
+    assert sorted(map(tuple, got.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, want.collect()), key=lambda t: t[:2]
+    )
+    # untouched key 2 still open; key 1's old open row closed at _ts(5)
+    rows = {(r["k"], r["eid"]): r for r in got.collect()}
+    assert rows[(2, 20)]["is_current"] == 1
+    assert rows[(1, 11)]["valid_to"] == _ts(5)
+    assert rows[(1, 13)]["is_current"] == 1 and rows[(3, 31)]["is_current"] == 1
+
+
+def test_scd2_merge_dim_is_not_shuffled(spark):
+    """The dimension side must reach the output through anti/broadcast
+    joins only — no exchange keyed on the dim (cost ∝ batch, the 100 TB
+    MERGE contract). The only hash exchanges in the plan belong to the
+    batch aggregate/window."""
+    from vectordb_light_spark.operators.timeseries import scd2_merge
+
+    dim = _scd2_of(spark, [(i, i, "a", _ts(1 + i % 5)) for i in range(200)])
+    changes = spark.createDataFrame(
+        [(1, 900, "z", _ts(20))], "k long, eid long, attr string, ts timestamp"
+    )
+    plan = scd2_merge(
+        dim, changes, key_col="k", ts_col="ts", order_cols=("eid",)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -29,6 +29,11 @@ CORPUS = "/root/testdata/sf0.1/documents.parquet"
 CONFIGS = [
     dict(dim=32, n_layers=2, n_heads=4, max_seq=64, steps=2000, lr=1.5e-3),
     dict(dim=64, n_layers=2, n_heads=4, max_seq=128, steps=1200, lr=1.5e-3),
+    # r4 capacity notch: 4x the matmul width, 2x the depth of the d64
+    # default — the largest config that still trains in well under an
+    # hour of numpy BLAS on this host (ANN_EVAL.md records the
+    # retrieval-quality delta vs d64).
+    dict(dim=128, n_layers=4, n_heads=4, max_seq=128, steps=1200, lr=1e-3),
 ]
 
 
@@ -36,9 +41,14 @@ def main() -> None:
     steps_override = None
     if "--steps" in sys.argv:
         steps_override = int(sys.argv[sys.argv.index("--steps") + 1])
+    only_dim = None
+    if "--only-dim" in sys.argv:
+        only_dim = int(sys.argv[sys.argv.index("--only-dim") + 1])
     texts = pq.read_table(CORPUS, columns=["text"]).column("text").to_pylist()
     print(f"corpus: {len(texts)} docs")
     for cfg in CONFIGS:
+        if only_dim is not None and cfg["dim"] != only_dim:
+            continue
         cfg = dict(cfg)
         if steps_override is not None:
             cfg["steps"] = steps_override

@@ -67,3 +67,81 @@ def resample_daily_gapfill(
         "day_value_e4",
         F.last("day_value_e4", ignorenulls=True).over(w).alias("carry_value_e4"),
     )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    changes: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str = "valid_from",
+    order_cols: tuple[str, ...] = (),
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """CDC MERGE into an SCD-type-2 dimension (the warehouse
+    ``MERGE INTO dim USING batch`` upsert, expressed as pure
+    DataFrame ops — no table format required): each change row closes
+    the key's open version and appends a new one.
+
+    ``dim``: (key, attrs..., valid_from, valid_to, is_current) — the
+    current SCD2 table. ``changes``: (key, attrs..., ts_col [+
+    order_cols tie-breakers]) — the change batch; every change ts
+    must be ≥ the key's open valid_from (standard CDC forward-append;
+    out-of-order feeds need a repair pass first, as in any warehouse).
+
+    Semantics = incremental equals rebuild: merging batch B into the
+    SCD2 of history H yields exactly the SCD2 of H ∪ B — multiple
+    changes per key chain in (ts, order_cols) order inside the batch,
+    the key's previously-open row closes at the batch's first change,
+    and new keys insert their chains from scratch.
+
+    Scale shape: ``dim`` is never shuffled or rewritten — untouched
+    keys pass through an anti join against the (tiny) changed-key
+    set, and the close-the-open-row update is a broadcast join of the
+    per-key first-change ts; only the batch itself takes a window
+    exchange (on its own size, not the dimension's). That is the
+    whole point of MERGE at 100 TB: cost ∝ |batch| + one dim scan,
+    never ∝ |dim| shuffles.
+    """
+    # order_cols are tie-breakers AND carried attributes (e.g. the
+    # change's event id) — only the key and the version ts are not
+    # attribute columns
+    attr_cols = [
+        c for c in changes.columns if c not in {key_col, ts_col}
+    ]
+    out_cols = [key_col, *attr_cols, valid_from, valid_to, current_col]
+
+    first_change = changes.groupBy(key_col).agg(
+        F.min(ts_col).alias("__first_ts")
+    )
+    untouched = dim.join(
+        F.broadcast(first_change.select(key_col)), key_col, "left_anti"
+    )
+    joined = dim.join(F.broadcast(first_change), key_col, "inner")
+    closed = joined.select(
+        key_col,
+        *attr_cols,
+        F.col(valid_from),
+        F.when(
+            F.col(current_col).cast("boolean"), F.col("__first_ts")
+        ).otherwise(F.col(valid_to)).alias(valid_to),
+        F.lit(0).cast(dim.schema[current_col].dataType).alias(current_col),
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    nxt = F.lead(ts_col).over(w)
+    fresh = changes.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias(valid_from),
+        nxt.alias(valid_to),
+        nxt.isNull().cast(dim.schema[current_col].dataType).alias(current_col),
+    )
+    return (
+        untouched.select(*out_cols)
+        .unionByName(closed.select(*out_cols))
+        .unionByName(fresh.select(*out_cols))
+    )

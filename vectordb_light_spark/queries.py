@@ -4477,6 +4477,7 @@ _REGISTRY_ORDER = [
     "ann_recall_contract",
     "mm_image_decode",
     "rel_events_scd2",
+    "rel_scd2_merge",
     "vq_grouped_topk",
     "vq_topk_cosine",
     "rel_events_json",
@@ -4887,6 +4888,66 @@ def rel_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us", "event_id")
     )
+
+
+@register(
+    "rel_scd2_merge",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, event_id, event_type, ts FROM events
+        WHERE (user_id < 20 AND ts < TIMESTAMP '2024-01-20')
+           OR (user_id < 40 AND ts >= TIMESTAMP '2024-01-20')
+    )
+    SELECT user_id, event_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(LEAD(ts) OVER w) AS BIGINT) AS valid_to_us,
+           CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
+    FROM log
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from_us, event_id
+    """,
+)
+def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE upsert into an SCD2 dimension
+    (operators/timeseries.py scd2_merge): the pre-cutoff events build
+    the dimension (rel_events_scd2's shape), the post-cutoff events —
+    over a WIDER key range, so the batch both updates existing keys
+    and inserts new ones — merge in as a change batch. The oracle is
+    the strongest possible statement about MERGE semantics:
+    incremental-merge output must equal a one-shot SCD2 REBUILD over
+    the whole log (single LEAD window in DuckDB). Engine plan: the
+    dimension is never shuffled — untouched keys pass an anti join
+    against the tiny changed-key set, open rows close via a broadcast
+    of per-key first-change timestamps, and only the batch pays a
+    window exchange."""
+    from vectordb_light_spark.operators.timeseries import scd2_merge
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    hist = ev.where((F.col("user_id") < 20) & (F.col("ts") < cutoff))
+    batch = ev.where(
+        (F.col("user_id") < 40) & (F.col("ts") >= cutoff)
+    ).select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = hist.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+    )
+    merged = scd2_merge(
+        dim, batch, key_col="user_id", ts_col="ts", order_cols=("event_id",)
+    )
+    return merged.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    ).orderBy("user_id", "valid_from_us", "event_id")
 
 
 @register(
