@@ -411,3 +411,67 @@ def test_bmp_decode_8bit_palette_and_bitfields_rejection():
     hdr_bf = struct.pack("<2sIHHI", b"BM", 14 + 40 + 16, 0, 0, 14 + 40)
     with pytest.raises(ValueError, match="unsupported BMP"):
         bmp_decode(hdr_bf + info_bf + b"\x00" * 16)
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Baseline JPEG codec (r4): encode/decode round-trip at 4:4:4,
+    4:2:0, grayscale, odd dimensions, and restart intervals — errors
+    bounded by quantization (smooth gradients, q90)."""
+    import numpy as np
+
+    from vectordb_light_spark.sources.media import (
+        decode_image,
+        jpeg_decode,
+        jpeg_encode,
+        sniff_format,
+    )
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    px = np.stack(
+        [np.clip(xx * 3, 0, 255), np.clip(yy * 4, 0, 255),
+         np.clip(120 + 0.5 * xx + 0.5 * yy, 0, 255)],
+        axis=2,
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        for ri in (0, 3):
+            data = jpeg_encode(px, quality=90, subsampling=sub,
+                               restart_interval=ri)
+            assert sniff_format(data) == "jpeg"
+            back = jpeg_decode(data)
+            assert back.shape == px.shape
+            err = np.abs(back.astype(int) - px.astype(int))
+            assert err.max() <= (10 if sub == "444" else 20), (sub, ri)
+    gray = np.clip(yy * 6, 0, 255).astype(np.uint8)
+    back = jpeg_decode(jpeg_encode(gray, quality=85))
+    assert back.shape == (37, 53, 1)
+    assert np.abs(back[:, :, 0].astype(int) - gray.astype(int)).max() <= 12
+    # dispatch integration
+    assert decode_image(jpeg_encode(px)).shape == px.shape
+    # progressive marker (SOF2) must fall through to the fake tier
+    import pytest
+
+    data = bytearray(jpeg_encode(px))
+    idx = data.find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="coding process"):
+        jpeg_decode(bytes(data))
+    assert decode_image(bytes(data)) is None
+
+
+def test_jpeg_contract_margin():
+    """mm_jpeg_decode pins within_tol at |mean - const| <= 3; require
+    the measured worst error across all 256-step constants at >= 2x
+    margin so codec wobble can't flip the driver flag."""
+    import numpy as np
+
+    from vectordb_light_spark.sources.media import jpeg_decode, jpeg_encode
+
+    worst = 0.0
+    for i in range(0, 256, 17):
+        rgb = (i * 7 % 256, i * 13 % 256, i * 29 % 256)
+        img = np.tile(np.array(rgb, dtype=np.uint8)[None, None, :], (16, 24, 1))
+        back = jpeg_decode(
+            jpeg_encode(img, quality=90, subsampling="420", restart_interval=2)
+        )
+        worst = max(worst, abs(float(back.mean()) - sum(rgb) / 3.0))
+    assert worst <= 1.5, worst

@@ -21,10 +21,11 @@ resolves per row, best first —
 
 1. PIL / real codec when importable (not in this container);
 2. pure-stdlib decoders (sources/media.py, written from the public
-   specs): BMP and zlib-PNG pixels for the image stages, ``wave``
-   PCM for audio windows — REAL pixels/samples, real statistics,
-   real nearest-neighbor resizes, real PCM slices;
-3. for formats with no stdlib path (JPEG, MP3, video codecs): the
+   specs): BMP, zlib-PNG and (r4) baseline-JPEG pixels for the image
+   stages, ``wave`` PCM for audio windows — REAL pixels/samples, real
+   statistics, real nearest-neighbor resizes, real PCM slices;
+3. for formats with no stdlib path (MP3, video codecs,
+   progressive/arithmetic JPEG): the
    clearly-marked DETERMINISTIC FAKE (byte-level arithmetic, stable
    across runs and executors), which keeps the Spark-side plumbing —
    schemas, Arrow batch shapes, partitioning, pass-through columns,

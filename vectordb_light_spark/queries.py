@@ -1639,6 +1639,84 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@register(
+    "mm_jpeg_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(24 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST((doc_id * 7) % 256 AS INT) AS r,
+           CAST((doc_id * 13) % 256 AS INT) AS g,
+           CAST((doc_id * 29) % 256 AS INT) AS b,
+           CAST(1 AS INT) AS within_tol
+    FROM documents WHERE doc_id < 200
+    ORDER BY media_id
+    """,
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under a bounded contract (r4 — the
+    codec is sources/media.py jpeg_encode/jpeg_decode, written from
+    ITU-T T.81): each doc id becomes a constant-color 24x16 RGB image
+    encoded as 4:2:0 JFIF WITH a restart interval (the full decoder
+    path: marker parse, stream-defined Huffman/quant tables, MCU
+    entropy decode across RST boundaries, dequant+IDCT, chroma
+    upsample, YCbCr→RGB), decoded back by the stage chain
+    (multimodal.decode_images real tier). JPEG is lossy, so instead
+    of a bit-exact px_sum the oracle pins the geometry plus a
+    within_tol flag: the decoded mean must sit within 3/255 of the
+    encoded constant — a constant image survives quantization to
+    within half a DC quant step per channel (measured ≤1.2 at q90,
+    2.5x margin, tests/test_multimodal.py)."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as _np
+    import pandas as _pd
+
+    from vectordb_light_spark.operators.multimodal import decode_images
+    from vectordb_light_spark.sources.media import jpeg_encode
+
+    docs = load_docs(spark, sf_dir, "doc_id").where(F.col("doc_id") < 200)
+
+    def build(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["doc_id"]:
+                i = int(media_id)
+                rgb = (i * 7 % 256, i * 13 % 256, i * 29 % 256)
+                img = _np.tile(
+                    _np.array(rgb, dtype=_np.uint8)[None, None, :], (16, 24, 1)
+                )
+                rows.append(
+                    (
+                        i,
+                        jpeg_encode(
+                            img, quality=90, subsampling="420",
+                            restart_interval=2,
+                        ),
+                        float(sum(rgb)) / 3.0,
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "content", "want"])
+
+    media = docs.mapInPandas(
+        build, schema="media_id long, content binary, want double"
+    )
+    decoded = decode_images(media)
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        ((F.col("media_id") * 7) % 256).cast("int").alias("r"),
+        ((F.col("media_id") * 13) % 256).cast("int").alias("g"),
+        ((F.col("media_id") * 29) % 256).cast("int").alias("b"),
+        (F.abs(F.col("px_mean") - F.col("want")) <= 3.0)
+        .cast("int")
+        .alias("within_tol"),
+    ).orderBy("media_id")
+
+
 @register("mm_image_pipeline")  # rows-only: SRP-over-features has no SQL twin
 def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image pipeline plumbing: binary media → decode (dims + pixel
@@ -4476,6 +4554,7 @@ _REGISTRY_ORDER = [
     "dd_duplicate_clusters",
     "ann_recall_contract",
     "mm_image_decode",
+    "mm_jpeg_decode",
     "rel_events_scd2",
     "rel_scd2_merge",
     "vq_grouped_topk",

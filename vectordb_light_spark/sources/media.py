@@ -14,11 +14,16 @@ written from the public format specifications:
   8-bit gray/RGB/RGBA/gray+alpha.
 - WAV: RIFF PCM via the stdlib ``wave`` module (8/16/32-bit int
   PCM), decoded to [n_frames, channels] numpy.
+- JPEG (r4): baseline sequential DCT per ITU-T T.81 + JFIF — marker
+  parse, canonical Huffman from the stream's own DHT, dequantize +
+  IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart intervals; encoder emits
+  baseline 4:4:4 with the spec's Annex-K example tables.
 
 Decoders return numpy pixel/sample arrays, so the Spark stages
 (operators/multimodal.py) compute REAL statistics, features, resizes,
 and PCM windows for these formats and fall back to the documented
-fakes only for formats with no stdlib path (JPEG, MP3, video).
+fakes only for formats with no stdlib path (MP3, video, and
+progressive/arithmetic JPEG variants).
 """
 
 from __future__ import annotations
@@ -37,6 +42,8 @@ __all__ = [
     "bmp_encode",
     "png_decode",
     "png_encode",
+    "jpeg_decode",
+    "jpeg_encode",
     "wav_decode",
     "wav_encode",
     "resize_nearest",
@@ -51,6 +58,8 @@ def sniff_format(data: bytes) -> str | None:
         return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -281,14 +290,17 @@ def wav_encode(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray | None:
-    """Sniff + decode BMP/PNG to uint8 [H, W, C]; None when the format
-    has no stdlib decoder (caller falls back to PIL or the fake)."""
+    """Sniff + decode BMP/PNG/baseline-JPEG to uint8 [H, W, C]; None
+    when the format has no stdlib decoder or uses an unsupported
+    variant (caller falls back to PIL or the fake)."""
     fmt = sniff_format(data)
     try:
         if fmt == "bmp":
             return bmp_decode(data)
         if fmt == "png":
             return png_decode(data)
+        if fmt == "jpeg":
+            return jpeg_decode(data)
     except ValueError:
         return None
     return None
@@ -302,3 +314,529 @@ def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * h // height).clip(0, h - 1)
     xs = (np.arange(width) * w // width).clip(0, w - 1)
     return np.ascontiguousarray(px[ys][:, xs])
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T T.81 / JFIF)
+# ---------------------------------------------------------------------------
+# Pure-Python/numpy codec by the same spec-driven pattern as the PNG
+# and BMP codecs above: the encoder writes baseline 4:4:4 JFIF with
+# the spec's example quantization tables (Annex K.1/K.2) and example
+# Huffman tables (Annex K.3), and the decoder reads ANY baseline
+# (SOF0) stream — tables come from the file's own DQT/DHT segments,
+# arbitrary 1- or 3-component sampling factors (4:4:4 / 4:2:2 / 4:2:0)
+# and restart intervals included. Progressive (SOF2) and arithmetic
+# coding raise ValueError and fall through to the caller's documented
+# fallback tier.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# Annex K.3 example Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: F = D @ block @ D.T, inverse
+    block = D.T @ F @ D."""
+    x = np.arange(8)
+    d = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _huff_encode_table(bits, vals) -> dict:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals) -> dict:
+    """Canonical Huffman: (length, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _encode_block(w: _BitWriter, coefs: np.ndarray, pred: int, dc_t, ac_t) -> int:
+    """Huffman-encode one zigzagged, quantized 64-coef block; returns
+    the new DC predictor."""
+    dc = int(coefs[0])
+    diff = dc - pred
+    mag = abs(diff)
+    cat = mag.bit_length()
+    code, ln = dc_t[cat]
+    w.write(code, ln)
+    if cat:
+        w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(coefs[1:])[0]
+    last_nz = nz[-1] + 1 if nz.size else 0
+    for i in range(1, last_nz + 1):
+        v = int(coefs[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_t[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        cat = abs(v).bit_length()
+        code, ln = ac_t[(run << 4) | cat]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_t[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def jpeg_encode(
+    px: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 [H, W] / [H, W, 1] (grayscale) or [H, W, 3] (RGB) →
+    baseline JFIF bytes (Annex-K tables scaled by ``quality`` per the
+    widely-published IJG convention). ``subsampling``: ``"444"`` (one
+    block per component per MCU) or ``"420"`` (2x2 luma blocks per
+    MCU over box-averaged half-resolution chroma — the common camera
+    layout, and the coverage path for the decoder's upsampler)."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError(f"need [H, W], [H, W, 1] or [H, W, 3], got {px.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444|420, got {subsampling}")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    qluma = np.clip((_QUANT_LUMA * scale + 50) // 100, 1, 255)
+    qchroma = np.clip((_QUANT_CHROMA * scale + 50) // 100, 1, 255)
+    qtabs = [qluma, qchroma]
+
+    if gray:
+        comps = [(px.astype(np.float64) - 128.0, 1, 1, 0)]
+    else:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # box-average to half resolution (pad odd dims by edge)
+            def half(p):
+                pp = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                return (
+                    pp[0::2, 0::2] + pp[1::2, 0::2]
+                    + pp[0::2, 1::2] + pp[1::2, 1::2]
+                ) / 4.0
+
+            comps = [
+                (y - 128.0, 2, 2, 0),
+                (half(cb) - 128.0, 1, 1, 1),
+                (half(cr) - 128.0, 1, 1, 1),
+            ]
+        else:
+            comps = [
+                (y - 128.0, 1, 1, 0),
+                (cb - 128.0, 1, 1, 1),
+                (cr - 128.0, 1, 1, 1),
+            ]
+
+    dc_l = _huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = []
+    for p, ch, cv, qid in comps:
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        pp = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+        padded.append((pp, ch, cv, qid))
+    writer = _BitWriter()
+    preds = [0] * len(comps)
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                writer.flush()  # byte-align before the marker
+                writer.out += bytes(
+                    [0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8]
+                )
+                preds = [0] * len(comps)
+            mcu_n += 1
+            for ci, (p, ch, cv, qid) in enumerate(padded):
+                dc_t, ac_t = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8]
+                        coefs = _DCT @ block @ _DCT.T
+                        zz = np.round(
+                            coefs.ravel()[_ZIGZAG] / qtabs[qid][_ZIGZAG]
+                        ).astype(np.int64)
+                        preds[ci] = _encode_block(
+                            writer, zz, preds[ci], dc_t, ac_t
+                        )
+    writer.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(qluma[z]) for z in _ZIGZAG))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(int(qchroma[z]) for z in _ZIGZAG))
+    ncomp = len(comps)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (_, ch, cv, qid) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, qid])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+    if not gray:
+        out += seg(0xC4, bytes([0x01]) + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS))
+        out += seg(0xC4, bytes([0x11]) + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if (ci == 0 or gray) else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    marker and exposes it for the restart-interval handler."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:  # a real marker: pad with 1-bits, remember it
+                self.marker = nxt
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align, consume the RSTn marker, resume."""
+        self.acc, self.n, self.marker = 0, 0, None
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing JPEG restart marker")
+
+
+def _decode_huff(r: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG (SOF0) → uint8 [H, W, C] (C = 1 or 3).
+    Tables are read from the stream's own DQT/DHT segments; arbitrary
+    sampling factors (4:4:4 / 4:2:2 / 4:2:0) and restart intervals
+    supported; chroma upsampling is nearest-neighbor. Progressive /
+    arithmetic / 12-bit streams raise ValueError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    comps = None  # list of (id, h, v, tq)
+    h = w = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                tab = np.zeros(64)
+                tab[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, i + 1)
+                qt[tq] = tab
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec = body[0]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF{marker - 0xC0})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tdta >> 4, tdta & 0xF))
+            entropy_start = pos
+            break
+    if comps is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    if len(scan) != len(comps):
+        raise ValueError("JPEG multi-scan streams unsupported")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+
+    scan_info = []
+    for cs, td, ta in scan:
+        comp = next(c for c in comps if c[0] == cs)
+        scan_info.append((comp, huff[(0, td)], huff[(1, ta)]))
+
+    r = _BitReader(data, entropy_start)
+    preds = {c[0][0]: 0 for c in scan_info}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.restart()
+                preds = {k: 0 for k in preds}
+            mcu_count += 1
+            for (cid, ch, cv, tq), dc_t, ac_t in scan_info:
+                qtab = qt[tq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64)
+                        cat = _decode_huff(r, dc_t)
+                        diff = _extend(r.read_bits(cat), cat) if cat else 0
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huff(r, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, cat = sym >> 4, sym & 0xF
+                            if cat == 0:
+                                if run != 15:
+                                    raise ValueError("bad JPEG AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(r.read_bits(cat), cat)
+                            k += 1
+                        block = np.zeros(64)
+                        block[_ZIGZAG] = zz * qtab
+                        sb = _DCT.T @ block.reshape(8, 8) @ _DCT
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = sb
+
+    # upsample to full geometry, crop, color-convert
+    chans = []
+    for cid, ch, cv, tq in comps:
+        p = planes[cid] + 128.0
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        chans.append(p[:h, :w])
+    if len(chans) == 1:
+        out = chans[0][:, :, None]
+    elif len(chans) == 3:
+        y, cb, cr = chans
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        out = np.stack([r_, g_, b_], axis=2)
+    else:
+        raise ValueError(f"unsupported JPEG component count {len(chans)}")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
