@@ -4525,132 +4525,129 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry ordering
 # ---------------------------------------------------------------------------
 
-#: Signal-value ordering (round 3). The correctness driver grades a
-#: ~50-entry prefix (r1: first 50 of 80; r2: first 50 of 102), so the
-#: order allocates that budget by priority class:
-#:   (a) formerly driver-FAILED entries (pipe_sequence_pack,
-#:       ts_winnow_fingerprints — fixed in r2, never re-graded);
-#:   (b) entries whose implementation changed this round (dedup LSH
-#:       band-cap + SimHash rework) plus ann_recall_contract, the
-#:       hardest ANN signal;
-#:   (c) every entry with NO driver row in the latest round
-#:       (CORRECTNESS_r02), cheapest-first by BENCH_FULL sf0.1 solo
-#:       timing so a time-capped driver still grades most of them;
-#:   (d) ann_pq/ivfpq_topk at positions 52-53 — during ordering they
-#:       were rows-only; both since gained pool-membership contract
-#:       oracles (local-green at sf0.001+sf0.01), so falling past a
-#:       50-count cut costs the least marginal signal;
-#:   (e) the 50 r2-graded (all hash-green) entries, rotated to the
-#:       back in their prior family-round-robin order — they re-earn
-#:       rows next round.
-#: Unlisted (new) entries keep registration order at the end until
-#: measured and folded in.
+#: Signal-value ordering (round 4 — rebuilt each round from the
+#: latest CORRECTNESS_r{N}.json + BENCH_FULL.json). The correctness
+#: driver grades a ~50-entry prefix, so the order allocates that
+#: budget by priority class:
+#:   (a) ann_pq_topk / ann_ivfpq_topk at positions 1-2 — the only two
+#:       entries never driver-graded in any round (both carry
+#:       pool-membership contract oracles, local-green at both SFs);
+#:   (b) the two NEW r4 entries (mm_jpeg_decode, rel_scd2_merge);
+#:   (c) entries whose implementation or oracle changed in r4
+#:       (prof_events_sketch contract upgrade; dedup entries pinned
+#:       to max_bucket/max_cluster=None; simhash star collapse;
+#:       ann_topk_join left-salting; mm_image_decode's BMP hardening);
+#:   (d) entries with NO r3 driver row (graded r1/r2 only — stalest
+#:       signal), cheapest-first by BENCH_FULL sf0.1 solo timing so a
+#:       time-capped driver still grades most of them;
+#:   (e) the 50 r3-graded (all green) entries rotated to the back,
+#:       cheapest-first — they re-earn rows next round.
 _REGISTRY_ORDER = [
-    "pipe_sequence_pack",
-    "ts_winnow_fingerprints",
-    "dd_minhash_candidates",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "mm_jpeg_decode",
+    "rel_scd2_merge",
+    "prof_events_sketch",
     "dd_simhash_near_dups",
+    "dd_minhash_candidates",
     "dd_cross_corpus_candidates",
     "dd_duplicate_clusters",
-    "ann_recall_contract",
+    "ann_topk_join",
+    "dd_embedding_near_dups",
     "mm_image_decode",
-    "mm_jpeg_decode",
+    "prof_value_histogram",
+    "rel_forecast_revenue",
+    "pipe_corpus_split",
+    "pipe_weighted_sample",
+    "st_events_sliding",
+    "pipe_corpus_mix",
+    "prof_corpus_quantiles",
+    "rel_join_nation_customers",
+    "mm_frame_counts",
+    "mm_audio_windows",
+    "prof_events_rollup",
+    "rel_pricing_summary",
+    "pipe_stratified_take",
+    "rel_events_gapfill",
+    "vq_citations",
+    "vq_topk_quantized",
+    "st_events_window",
+    "vq_threshold_after_topk",
+    "prof_events_cube",
+    "prof_events_pivot",
+    "vq_postfilters",
+    "ts_vocab_topk",
+    "st_events_dedup",
+    "skew_salted_user_join",
+    "emb_doc_mean_pool",
+    "rel_user_retention",
+    "vq_filtered_topk",
+    "pipe_token_budget_mix",
+    "ts_pii_scrub",
+    "ts_lang_id",
+    "ts_text_stats",
+    "dq_events_constraints",
+    "dd_duplicate_groups",
+    "ann_srp_topk",
+    "dd_jaccard_pairs",
+    "ann_pca_topk",
+    "sim_cosine_pairs_exact",
+    "dd_exact_dedup",
+    "ann_ivf_topk",
+    "kw_bm25_topk",
+    "dd_remove_boilerplate",
+    "pipe_hash_embed_topk",
+    "mm_image_pipeline",
+    "emb_feature_hash_topk",
+    "sim_sparse_cosine_pairs",
+    "emb_mini_encoder_topk",
+    "st_events_sessions",
+    "ann_opq_topk",
+    "kw_hybrid_rrf",
+    "ts_quality_score",
     "rel_events_scd2",
-    "rel_scd2_merge",
     "vq_grouped_topk",
     "vq_topk_cosine",
-    "rel_events_json",
-    "rel_events_cohorts",
-    "rel_top_orders_by_revenue",
-    "vq_rag_prompt",
-    "rel_shipping_priority",
-    "rel_events_interval",
     "rel_customer_activity",
-    "rel_orders_pareto",
-    "vq_chunks_only",
-    "pipe_doc_hash",
+    "rel_events_interval",
+    "rel_events_cohorts",
     "rel_region_volume",
-    "rel_big_orders",
+    "pipe_corpus_shuffle",
+    "rel_top_orders_by_revenue",
+    "rel_shipping_priority",
+    "rel_events_json",
+    "pipe_doc_hash",
     "rel_events_funnel",
-    "prof_events_corr",
+    "vq_chunks_only",
+    "vq_rag_prompt",
     "rel_events_moving_avg",
-    "pipe_negative_samples",
-    "vq_range_search",
-    "rel_events_asof",
+    "rel_big_orders",
+    "rel_orders_pareto",
+    "prof_events_corr",
     "vq_batch_topk",
+    "rel_events_asof",
+    "vq_range_search",
     "pipe_token_windows",
+    "pipe_negative_samples",
+    "pipe_chunk_fixed",
     "rel_window_order_rank",
     "rel_sessions_overlap",
-    "pipe_chunk_fixed",
-    "pipe_corpus_shuffle",
-    "ts_repetition_filter",
-    "prof_sketch_accuracy",
-    "prof_events_sketch",
-    "pipe_dsir_select",
     "ts_tfidf_top_terms",
+    "ts_repetition_filter",
+    "pipe_dsir_select",
     "vq_mmr_rerank",
     "pipe_decontaminate",
     "pipe_chunk_normalized",
+    "pipe_sequence_pack",
     "pipe_pdf_page_chunks",
+    "ts_winnow_fingerprints",
     "ts_bigram_lm_score",
     "pipe_training_corpus",
-    "ann_topk_join",
-    "dd_containment_pairs",
     "st_user_running_totals",
+    "dd_containment_pairs",
     "st_clicks_attribution",
-    "pipe_hash_embed_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "rel_forecast_revenue",
-    "pipe_corpus_split",
-    "prof_corpus_quantiles",
-    "st_events_window",
-    "vq_filtered_topk",
-    "ts_vocab_topk",
-    "emb_doc_mean_pool",
-    "dd_duplicate_groups",
-    "ann_ivf_topk",
-    "skew_salted_user_join",
-    "mm_audio_windows",
-    "dq_events_constraints",
-    "sim_cosine_pairs_exact",
-    "kw_bm25_topk",
-    "pipe_weighted_sample",
-    "prof_events_rollup",
-    "rel_join_nation_customers",
-    "vq_threshold_after_topk",
-    "st_events_dedup",
-    "ann_srp_topk",
-    "ts_text_stats",
-    "mm_frame_counts",
-    "dd_jaccard_pairs",
-    "emb_feature_hash_topk",
-    "sim_sparse_cosine_pairs",
-    "kw_hybrid_rrf",
-    "pipe_corpus_mix",
-    "prof_events_cube",
-    "rel_user_retention",
-    "vq_postfilters",
-    "st_events_sliding",
-    "ts_pii_scrub",
-    "ann_pca_topk",
-    "dd_exact_dedup",
-    "mm_image_pipeline",
-    "emb_mini_encoder_topk",
-    "pipe_stratified_take",
-    "rel_events_gapfill",
-    "prof_value_histogram",
-    "vq_topk_quantized",
-    "ts_lang_id",
-    "dd_remove_boilerplate",
-    "ann_opq_topk",
-    "st_events_sessions",
-    "rel_pricing_summary",
-    "vq_citations",
-    "prof_events_pivot",
-    "pipe_token_budget_mix",
-    "ts_quality_score",
-    "dd_embedding_near_dups",
+    "prof_sketch_accuracy",
+    "ann_recall_contract",
 ]
 
 
