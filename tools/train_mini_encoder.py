@@ -30,10 +30,11 @@ CONFIGS = [
     dict(dim=32, n_layers=2, n_heads=4, max_seq=64, steps=2000, lr=1.5e-3),
     dict(dim=64, n_layers=2, n_heads=4, max_seq=128, steps=1200, lr=1.5e-3),
     # r4 capacity notch: 4x the matmul width, 2x the depth of the d64
-    # default — the largest config that still trains in well under an
-    # hour of numpy BLAS on this host (ANN_EVAL.md records the
-    # retrieval-quality delta vs d64).
-    dict(dim=128, n_layers=4, n_heads=4, max_seq=128, steps=1200, lr=1e-3),
+    # default. ~8 s/step of numpy BLAS on this host (≈2 h for the
+    # shipped 900-step run); lr matches the proven d64 schedule — at
+    # 1e-3 the InfoNCE loss sat at chance (ln 64 ≈ 4.16) through step
+    # 200. ANN_EVAL.md records the retrieval-quality delta vs d64.
+    dict(dim=128, n_layers=4, n_heads=4, max_seq=128, steps=900, lr=1.5e-3),
 ]
 
 
