@@ -282,12 +282,16 @@ def train_contrastive(
     seed=0,
     log_every=50,
     log=print,
+    snapshot_every=0,
+    snapshot=None,
 ):
     """Train from the seeded init on span-pair InfoNCE with Adam.
     Returns (weights, history). Deterministic for a fixed corpus and
     seed. CPU cost: one step at batch 64 / seq ≤128 / dim 64 is a few
     hundred ms of BLAS — minutes, not hours, for the shipped
-    checkpoints."""
+    checkpoints (the d128/4-layer notch is ~10 s/step: hours, so long
+    runs pass ``snapshot_every``/``snapshot(step, weights)`` to persist
+    progress and stay stoppable at any point)."""
     rng = np.random.default_rng(seed)
     w = seeded_weights(dim, n_layers, n_heads, max_seq, seed=seed)
     w = {k: v.astype(np.float64) for k, v in w.items()}
@@ -318,6 +322,8 @@ def train_contrastive(
         history.append(float(loss))
         if log_every and step % log_every == 0:
             log(f"step {step}: loss {loss:.4f}")
+        if snapshot_every and snapshot is not None and step % snapshot_every == 0:
+            snapshot(step, {k: v.astype(np.float32) for k, v in w.items()})
     return w, history
 
 
