@@ -438,13 +438,13 @@ def main_clusters() -> None:
 CAPPED_MARKER = "\n## x64 capped-dedup point"
 
 
-def main_capped(factor: int = 64) -> None:
-    """r4: one x64 point (320k docs) for the CAPPED dedup paths, past
-    the x16 curve in the main table — confirms the hot-bucket /
-    hot-cluster caps keep the band joins bounded as the adversarial
-    duplicate clusters grow to 64x their base size, and that the
-    bounded-cluster (realistic-density) clusters pipeline stays
-    near-linear. Appends its own SCALING.md section with --write."""
+def main_capped(factors: tuple[int, ...] = (4, 16, 64)) -> None:
+    """r4: full adversarial curves for the CAPPED dedup paths up to
+    x64 (320k docs) — confirms the hot-bucket (MinHash) and
+    hot-cluster (SimHash) caps keep the band joins bounded as the
+    adversarial duplicate clusters grow to 64x their base size — plus
+    one x64 point extending the bounded-cluster (realistic-density)
+    clusters curve. Appends its own SCALING.md section with --write."""
     from vectordb_light_spark.operators.dedup import (
         minhash_lsh_candidates,
         simhash_near_dups,
@@ -452,56 +452,66 @@ def main_capped(factor: int = 64) -> None:
 
     spark = get_spark("scale-probe-capped")
     spark.sparkContext.setLogLevel("ERROR")
-    results: dict[str, float] = {}
+    results: dict[str, dict[int, float]] = {}
+    clusters_x64 = None
     try:
-        d_adv = os.path.join(WORK, f"docs_x{factor}")
-        d_uq = os.path.join(WORK, f"docs_uq_x{factor}")
-        replicate(spark, "documents", "doc_id", factor, d_adv)
-        replicate_unique(spark, factor, d_uq)
-        adv = spark.read.parquet(d_adv).select("doc_id", "text")
+        for factor in factors:
+            d_adv = os.path.join(WORK, f"docs_x{factor}")
+            replicate(spark, "documents", "doc_id", factor, d_adv)
+            adv = spark.read.parquet(d_adv).select("doc_id", "text")
+
+            def p_minhash_adv():
+                return minhash_lsh_candidates(adv).count()
+
+            def p_simhash_adv():
+                return simhash_near_dups(adv, max_hamming=3).count()
+
+            for name, fn in (
+                ("minhash_lsh_candidates (adversarial, capped)", p_minhash_adv),
+                ("simhash_near_dups (adversarial, capped)", p_simhash_adv),
+            ):
+                fn()  # warm-up
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    fn()
+                    best = min(best, time.time() - t0)
+                results.setdefault(name, {})[factor] = round(best, 2)
+                print(f"x{factor} {name}: {round(best, 2)}s", flush=True)
+        d_uq = os.path.join(WORK, f"docs_uq_x{factors[-1]}")
+        replicate_unique(spark, factors[-1], d_uq)
         uq = spark.read.parquet(d_uq).select("doc_id", "text")
-        n_adv = adv.count()
-
-        def p_minhash_adv():
-            return minhash_lsh_candidates(adv).count()
-
-        def p_simhash_adv():
-            return simhash_near_dups(adv, max_hamming=3).count()
-
-        def p_clusters_uq():
-            return clusters_probe(uq)
-
-        for name, fn in (
-            ("minhash_lsh_candidates (adversarial, capped)", p_minhash_adv),
-            ("simhash_near_dups (adversarial, capped)", p_simhash_adv),
-            ("duplicate_clusters_e2e (bounded clusters)", p_clusters_uq),
-        ):
-            fn()  # warm-up
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                fn()
-                best = min(best, time.time() - t0)
-            results[name] = round(best, 2)
-            print(f"x{factor} {name}: {results[name]}s", flush=True)
+        clusters_probe(uq)  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            clusters_probe(uq)
+            best = min(best, time.time() - t0)
+        clusters_x64 = round(best, 2)
+        print(f"x{factors[-1]} clusters_bounded: {clusters_x64}s", flush=True)
     finally:
         shutil.rmtree(WORK, ignore_errors=True)
+    cols = " | ".join(f"x{f}" for f in factors)
     lines = [
         "",
-        CAPPED_MARKER.strip() + f" ({n_adv} docs)",
+        CAPPED_MARKER.strip() + f" (up to {factors[-1]}x = ~{factors[-1] * 5000} docs)",
         "",
-        "| probe | wall |",
-        "|---|---|",
-    ] + [f"| {n} | {v}s |" for n, v in results.items()] + [
+        f"| probe | {cols} |",
+        "|---|" + "---|" * len(factors),
+    ] + [
+        "| " + n + " | " + " | ".join(f"{results[n][f]}s" for f in factors) + " |"
+        for n in results
+    ] + [
+        f"| duplicate_clusters_e2e (bounded clusters) | — | — | {clusters_x64}s |",
         "",
-        "Adversarial x64 gives every base doc 64 exact copies, so every",
-        "duplicate cluster is 64x its base size — without the hot-bucket",
+        "Adversarial xN gives every base doc N exact copies, so every",
+        "duplicate cluster is N x its base size — without the hot-bucket",
         "(MinHash) and hot-cluster (SimHash) caps these band self-joins",
-        "would emit ~4096x the base pair volume in a handful of tasks.",
-        "Compare against the x16 adversarial rows in the main table: the",
-        "wall should grow ~4x (data) + the linear star output, not 16x",
-        "(pairs). The bounded-cluster row extends the realistic-density",
-        "curve one point further; its pair volume is linear by protocol.",
+        "would emit ~N^2 x the base pair volume in a handful of tasks.",
+        "With the caps the wall should track DATA volume (~4x per step),",
+        "not pair volume (~16x per step). The bounded-cluster row extends",
+        "the realistic-density curve of the section above to x64; its",
+        "true-pair volume is linear by protocol.",
     ]
     out = "\n".join(lines)
     print(out)
