@@ -169,7 +169,7 @@ def test_make_embedder_weight_tag_roundtrip_and_mismatch_guard():
         make_embedder(bad)
 
 
-_CKPT128 = et.checkpoint_path(128, 4, 4, 128)
+_CKPT128 = et.checkpoint_path(128, 2, 4, 128)
 
 
 @pytest.mark.skipif(
@@ -196,10 +196,10 @@ def test_d128_checkpoint_beats_seeded_and_reports_vs_d64():
         .to_pylist()
     )
     trained = et.eval_retrieval(
-        enc._w, texts, n_layers=4, n_heads=4, max_seq=128, seed=77
+        enc._w, texts, n_layers=2, n_heads=4, max_seq=128, seed=77
     )
     base = et.eval_retrieval(
-        seeded._w, texts, n_layers=4, n_heads=4, max_seq=128, seed=77
+        seeded._w, texts, n_layers=2, n_heads=4, max_seq=128, seed=77
     )
     assert trained["mrr"] > base["mrr"] * 2
     assert trained["top1"] >= 0.3
