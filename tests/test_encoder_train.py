@@ -109,6 +109,30 @@ def test_short_training_run_reduces_loss_and_is_deterministic():
     assert min(h1[-4:]) < h1[0]  # loss moved down from the seeded init
 
 
+def test_resume_from_init_weights_continues_training():
+    texts = [
+        f"document number {i} talks about topic {i % 7} in detail "
+        f"with phrasing variant {i % 3} and more prose to crop spans from"
+        for i in range(80)
+    ]
+    kw = dict(dim=16, n_heads=2, max_seq=32, batch=16, log_every=0)
+    w1, h1 = et.train_contrastive(texts, steps=6, **kw)
+    snap = {k: v.astype(np.float32) for k, v in w1.items()}
+    w2, h2 = et.train_contrastive(
+        texts, steps=6, seed=1, init_weights=snap, **kw
+    )
+    # the resumed run starts from the snapshot, not the seeded init
+    assert not np.array_equal(
+        w2["tok_emb"], et.seeded_weights(16, 2, 2, 32)["tok_emb"]
+    )
+    assert len(h2) == 6 and all(np.isfinite(h2))
+    # shape mismatch is rejected loudly
+    bad = dict(snap)
+    bad["tok_emb"] = bad["tok_emb"][:, :8]
+    with pytest.raises(ValueError, match="init_weights"):
+        et.train_contrastive(texts, steps=1, init_weights=bad, **kw)
+
+
 _CKPT = et.checkpoint_path(64, 2, 4, 128)
 
 
@@ -176,17 +200,18 @@ _CKPT128 = et.checkpoint_path(128, 2, 4, 128)
     not os.path.isfile(_CKPT128), reason="d128 checkpoint not trained yet"
 )
 def test_d128_checkpoint_beats_seeded_and_reports_vs_d64():
-    """r4 capacity notch: the shipped d128/4-layer checkpoint must beat
-    the seeded init by a wide margin on held-out span retrieval (the
-    same contract as d64); its delta vs the d64 checkpoint is reported
-    in ANN_EVAL.md rather than asserted (more capacity needs more
-    steps than one round's budget — honest comparison there)."""
+    """r4 capacity notch: the shipped d128/2-layer checkpoint (4x the
+    d64 default's parameter count via width — the 4-layer variant did
+    not converge within a round budget, see tools/train_mini_encoder.py)
+    must beat the seeded init by a wide margin on held-out span
+    retrieval (the same contract as d64); its delta vs the d64
+    checkpoint is reported in ANN_EVAL.md rather than asserted."""
     import pyarrow.parquet as pq
 
-    enc = MiniTransformerEmbedder(128, n_layers=4, n_heads=4, max_seq=128)
+    enc = MiniTransformerEmbedder(128, n_layers=2, n_heads=4, max_seq=128)
     assert enc.weights_tag == "pretrained-v1"
     seeded = MiniTransformerEmbedder(
-        128, n_layers=4, n_heads=4, max_seq=128, weights_mode="seeded"
+        128, n_layers=2, n_heads=4, max_seq=128, weights_mode="seeded"
     )
     texts = (
         pq.read_table(

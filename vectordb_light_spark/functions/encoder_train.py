@@ -284,6 +284,7 @@ def train_contrastive(
     log=print,
     snapshot_every=0,
     snapshot=None,
+    init_weights=None,
 ):
     """Train from the seeded init on span-pair InfoNCE with Adam.
     Returns (weights, history). Deterministic for a fixed corpus and
@@ -291,10 +292,25 @@ def train_contrastive(
     hundred ms of BLAS — minutes, not hours, for the shipped
     checkpoints (the d128/4-layer notch is ~10 s/step: hours, so long
     runs pass ``snapshot_every``/``snapshot(step, weights)`` to persist
-    progress and stay stoppable at any point)."""
+    progress and stay stoppable at any point).
+
+    ``init_weights`` resumes from a prior snapshot instead of the
+    seeded init (shapes must match the config). Adam moments and the
+    sampling RNG restart, so a resumed run is not bit-identical to an
+    uninterrupted one — it is a warm restart, which is all a crashed
+    long run needs; pass a different ``seed`` to avoid replaying the
+    same early batch sequence."""
     rng = np.random.default_rng(seed)
-    w = seeded_weights(dim, n_layers, n_heads, max_seq, seed=seed)
-    w = {k: v.astype(np.float64) for k, v in w.items()}
+    if init_weights is not None:
+        expect = seeded_weights(dim, n_layers, n_heads, max_seq, seed=seed)
+        if set(init_weights) != set(expect) or any(
+            init_weights[k].shape != expect[k].shape for k in expect
+        ):
+            raise ValueError("init_weights do not match the model config")
+        w = init_weights
+    else:
+        w = seeded_weights(dim, n_layers, n_heads, max_seq, seed=seed)
+    w = {k: np.array(v, dtype=np.float64) for k, v in w.items()}
     mstate = {k: np.zeros_like(v) for k, v in w.items() if k != "pos_emb"}
     vstate = {k: np.zeros_like(v) for k, v in w.items() if k != "pos_emb"}
     b1, b2, eps = 0.9, 0.999, 1e-8
