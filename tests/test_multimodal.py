@@ -475,3 +475,113 @@ def test_jpeg_contract_margin():
         )
         worst = max(worst, abs(float(back.mean()) - sum(rgb) / 3.0))
     assert worst <= 1.5, worst
+
+
+def test_avi_mjpeg_roundtrip_and_parse():
+    """r4: AVI RIFF container (avi_encode/avi_parse) carries MJPEG
+    frames losslessly — parsed chunks are byte-identical to the JPEG
+    streams that went in, and timing metadata round-trips."""
+    import pytest
+
+    from vectordb_light_spark.sources.media import (
+        avi_encode,
+        avi_parse,
+        jpeg_decode,
+        jpeg_encode,
+        sniff_format,
+    )
+
+    frames = [
+        jpeg_encode(np.full((16, 24, 3), c, np.uint8)) for c in (5, 130, 250)
+    ]
+    avi = avi_encode(frames, 12.5, 24, 16)
+    assert sniff_format(avi) == "avi"
+    v = avi_parse(avi)
+    assert (v["fps"], v["n_frames"], v["width"], v["height"]) == (12.5, 3, 24, 16)
+    assert [bytes(f) for f in v["frames"]] == frames
+    px = jpeg_decode(v["frames"][2])
+    assert px.shape == (16, 24, 3) and abs(float(px.mean()) - 250) <= 3
+    with pytest.raises(ValueError):
+        avi_parse(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        avi_encode([], 10, 2, 2)
+
+
+def test_gif_roundtrip_interlace_transparency_disposal():
+    import pytest
+
+    from vectordb_light_spark.sources.media import (
+        gif_decode,
+        gif_encode,
+        sniff_format,
+    )
+
+    f1 = np.zeros((10, 12, 3), np.uint8)
+    f1[:, :6] = [255, 0, 0]
+    f1[:, 6:] = [0, 0, 255]
+    f2 = np.zeros((10, 12, 3), np.uint8)
+    f2[:5] = [0, 255, 0]
+    f2[5:] = [7, 8, 9]
+    g = gif_encode([f1, f2], delay_ms=200)
+    assert sniff_format(g) == "gif"
+    frames, delays = gif_decode(g)
+    assert delays == [200, 200]
+    assert np.array_equal(frames[0], f1) and np.array_equal(frames[1], f2)
+    # single frame, >2 colors exercises wider LZW code widths
+    rng = np.random.default_rng(0)
+    big = rng.integers(0, 255, size=(9, 7, 3), dtype=np.uint8)
+    big = (big // 32) * 32  # <=8 levels/channel keeps palette <=256? no —
+    big = np.stack([big[:, :, 0]] * 3, axis=2)  # grayscale → <=256 colors
+    fr, _ = gif_decode(gif_encode([big]))
+    assert np.array_equal(fr[0], big)
+    with pytest.raises(ValueError):
+        gif_decode(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        gif_encode([np.zeros((2, 2, 4), np.uint8)])
+
+
+def test_sample_frames_real_avi_and_gif_tiers(spark):
+    """r4: video rows whose content is MJPEG-AVI return the REAL
+    stored JPEG stream nearest each sampled timestamp; GIF rows the
+    composed frame PNG-encoded; anything else keeps the documented
+    fake. One 2s@2fps AVI sampled every 500 ms hits frames 0..3
+    exactly."""
+    from vectordb_light_spark.sources.media import (
+        avi_encode,
+        gif_encode,
+        jpeg_decode,
+        jpeg_encode,
+        png_decode,
+    )
+
+    jpgs = [
+        jpeg_encode(np.full((16, 24, 3), 40 * (i + 1), np.uint8))
+        for i in range(4)
+    ]
+    avi = avi_encode(jpgs, 2.0, 24, 16)
+    gif_frames = [np.full((6, 8, 3), [i * 80, 0, 255 - i * 80], np.uint8) for i in range(3)]
+    gif = gif_encode(gif_frames, delay_ms=700)  # frames start at 0/700/1400 ms
+    meta = {"format": "raw", "width": None, "height": None, "channels": None,
+            "sample_rate": 16000, "duration_ms": 2000}
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(avi), meta),
+         (2, "video", bytearray(gif), meta),
+         (3, "video", bytearray(b"\x00opaque-codec-bytes" * 8), meta)],
+        "media_id long, kind string, content binary, media_meta struct<"
+        "format string, width int, height int, channels int, "
+        "sample_rate int, duration_ms int>",
+    )
+    rows = {
+        (r["media_id"], r["frame_index"]): bytes(r["frame_bytes"])
+        for r in sample_frames(df, every_ms=500).collect()
+    }
+    assert len(rows) == 12  # 3 videos x 4 sampled frames
+    for fi in range(4):
+        assert rows[(1, fi)] == jpgs[fi]  # bit-identical stored JPEG
+        px = jpeg_decode(rows[(1, fi)])
+        assert abs(float(px.mean()) - 40 * (fi + 1)) <= 3
+    # GIF: ts 0,500 → frame 0; 1000 → frame 1; 1500 → frame 2
+    for fi, want in ((0, 0), (1, 0), (2, 1), (3, 2)):
+        assert np.array_equal(png_decode(rows[(2, fi)]), gif_frames[want])
+    # unknown codec keeps the fake 64-byte window
+    assert len(rows[(3, 0)]) == 64

@@ -40,6 +40,7 @@ pruning on ``kind`` works when the table is partitioned by it.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -281,9 +282,15 @@ def sample_frames(
     media_meta.duration_ms — real plumbing; ``with_bytes=False``
     skips the per-frame byte stage entirely (pure codegen, and column
     pruning then drops the binary content from the scan), which is
-    what count/metadata consumers should use. Frame EXTRACTION
-    requires a video decoder (cv2/ffmpeg, absent): the fake slices
-    the content bytes deterministically per frame index.
+    what count/metadata consumers should use.
+
+    Frame EXTRACTION tiers (r4): MJPEG-AVI rows return the REAL
+    stored JPEG stream nearest ``frame_ts_ms`` (sources/media.py
+    avi_parse — zero re-encode), animated-GIF rows the composed frame
+    at that timestamp PNG-encoded (gif_decode); other codecs fall to
+    the documented deterministic fake (no stdlib decoder exists).
+    Exploded rows of one video land in the same Arrow batch, so the
+    container is parsed once per (video, batch), not once per frame.
     """
     n_frames = F.greatest(
         (F.col(f"{meta_col}.duration_ms") / every_ms).cast("int"), F.lit(1)
@@ -300,13 +307,46 @@ def sample_frames(
     schema = f"{fields}, frame_bytes binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vectordb_light_spark.sources.media import (
+            avi_parse,
+            gif_decode,
+            png_encode,
+            sniff_format,
+        )
+
         for pdf in batches:
             frames = []
-            for data, idx in zip(pdf[content_col], pdf["frame_index"]):
+            parsed: dict[bytes, object] = {}  # per-batch container memo
+            for data, idx, ts in zip(
+                pdf[content_col], pdf["frame_index"], pdf["frame_ts_ms"]
+            ):
                 raw = bytes(data) if data is not None else b""
                 if not raw:
                     frames.append(b"")
                     continue
+                fmt = sniff_format(raw)
+                try:
+                    if fmt == "avi":
+                        if raw not in parsed:
+                            parsed[raw] = avi_parse(raw)
+                        v = parsed[raw]
+                        fi = min(
+                            int(round(float(ts) / 1000.0 * v["fps"])),
+                            v["n_frames"] - 1,
+                        )
+                        frames.append(v["frames"][fi])
+                        continue
+                    if fmt == "gif":
+                        if raw not in parsed:
+                            fr, delays = gif_decode(raw)
+                            starts = np.cumsum([0] + delays[:-1])
+                            parsed[raw] = (fr, [png_encode(f) for f in fr], starts)
+                        fr, pngs, starts = parsed[raw]
+                        fi = int(np.searchsorted(starts, float(ts), "right") - 1)
+                        frames.append(pngs[max(fi, 0)])
+                        continue
+                except (ValueError, struct.error):
+                    pass  # corrupt container → fake tier below
                 # fake: a deterministic 64-byte window per frame index
                 start = (int(idx) * 97) % max(len(raw), 1)
                 frames.append((raw * 2)[start : start + 64])

@@ -1717,6 +1717,110 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@register(
+    "mm_video_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(fi AS INT) AS frame_index,
+           CAST(fi * 500 AS INT) AS frame_ts_ms,
+           CAST(24 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST((doc_id * 7 + fi * 31) % 256 AS INT) AS r,
+           CAST((doc_id * 13 + fi * 17) % 256 AS INT) AS g,
+           CAST((doc_id * 29 + fi * 11) % 256 AS INT) AS b,
+           CAST(1 AS INT) AS within_tol
+    FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS fi)
+    WHERE doc_id < 100
+    ORDER BY media_id, frame_index
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction under a bounded contract (r4): each
+    doc id becomes a 4-frame 2 fps MJPEG-AVI (sources/media.py
+    avi_encode over per-frame constant-color JPEGs), sample_frames
+    walks the RIFF container and returns the stored JPEG stream
+    nearest each 500 ms timestamp (operators/multimodal.py real tier
+    — no re-encode), and decode_images decodes those frame bytes with
+    the pure-Python baseline-JPEG codec. The oracle pins the sampling
+    grid (4 frames at 0/500/1000/1500 ms), per-frame geometry, the
+    expected constant color, and a within_tol flag with the same
+    3/255 bound as mm_jpeg_decode (constant images survive q90
+    quantization within ~1.2, a 2.5x margin). A frame-selection or
+    container-parse error anywhere in the 400 sampled frames flips a
+    row and fails the hash."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as _np
+    import pandas as _pd
+
+    from vectordb_light_spark.operators.multimodal import (
+        decode_images,
+        sample_frames,
+    )
+    from vectordb_light_spark.sources.media import avi_encode, jpeg_encode
+
+    docs = load_docs(spark, sf_dir, "doc_id").where(F.col("doc_id") < 100)
+
+    def build(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["doc_id"]:
+                i = int(media_id)
+                jpgs = [
+                    jpeg_encode(
+                        _np.tile(
+                            _np.array(
+                                [
+                                    (i * 7 + fi * 31) % 256,
+                                    (i * 13 + fi * 17) % 256,
+                                    (i * 29 + fi * 11) % 256,
+                                ],
+                                dtype=_np.uint8,
+                            )[None, None, :],
+                            (16, 24, 1),
+                        ),
+                        quality=90,
+                    )
+                    for fi in range(4)
+                ]
+                rows.append((i, avi_encode(jpgs, 2.0, 24, 16)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(build, schema="media_id long, content binary")
+    media = media.withColumn(
+        "media_meta", F.struct(F.lit(2000).alias("duration_ms"))
+    )
+    frames = sample_frames(media, every_ms=500)
+    decoded = decode_images(frames, content_col="frame_bytes")
+    want = (
+        (
+            ((F.col("media_id") * 7 + F.col("frame_index") * 31) % 256)
+            + ((F.col("media_id") * 13 + F.col("frame_index") * 17) % 256)
+            + ((F.col("media_id") * 29 + F.col("frame_index") * 11) % 256)
+        ).cast("double")
+        / 3.0
+    )
+    return decoded.select(
+        "media_id",
+        "frame_index",
+        "frame_ts_ms",
+        "width",
+        "height",
+        "channels",
+        ((F.col("media_id") * 7 + F.col("frame_index") * 31) % 256)
+        .cast("int")
+        .alias("r"),
+        ((F.col("media_id") * 13 + F.col("frame_index") * 17) % 256)
+        .cast("int")
+        .alias("g"),
+        ((F.col("media_id") * 29 + F.col("frame_index") * 11) % 256)
+        .cast("int")
+        .alias("b"),
+        (F.abs(F.col("px_mean") - want) <= 3.0).cast("int").alias("within_tol"),
+    ).orderBy("media_id", "frame_index")
+
+
 @register("mm_image_pipeline")  # rows-only: SRP-over-features has no SQL twin
 def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image pipeline plumbing: binary media → decode (dims + pixel
@@ -4532,7 +4636,8 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   (a) ann_pq_topk / ann_ivfpq_topk at positions 1-2 — the only two
 #:       entries never driver-graded in any round (both carry
 #:       pool-membership contract oracles, local-green at both SFs);
-#:   (b) the two NEW r4 entries (mm_jpeg_decode, rel_scd2_merge);
+#:   (b) the NEW r4 entries (mm_jpeg_decode, rel_scd2_merge,
+#:       mm_video_frames);
 #:   (c) entries whose implementation or oracle changed in r4
 #:       (prof_events_sketch contract upgrade; dedup entries pinned
 #:       to max_bucket/max_cluster=None; simhash star collapse;
@@ -4547,6 +4652,7 @@ _REGISTRY_ORDER = [
     "ann_ivfpq_topk",
     "mm_jpeg_decode",
     "rel_scd2_merge",
+    "mm_video_frames",
     "prof_events_sketch",
     "dd_simhash_near_dups",
     "dd_minhash_candidates",

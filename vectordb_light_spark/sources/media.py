@@ -18,12 +18,18 @@ written from the public format specifications:
   parse, canonical Huffman from the stream's own DHT, dequantize +
   IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart intervals; encoder emits
   baseline 4:4:4 with the spec's Annex-K example tables.
+- AVI (r4): RIFF container walk per Microsoft's AVI RIFF reference —
+  avih/strh timing, LIST movi frame chunks; MJPEG chunks are complete
+  JPEG streams fed to jpeg_decode, making video frame sampling REAL.
+- GIF (r4): GIF87a/89a per the W3C/CompuServe spec — variable-width
+  LZW, global/local color tables, interlace, transparency, disposal;
+  animated GIFs double as a second real video-frame source.
 
 Decoders return numpy pixel/sample arrays, so the Spark stages
 (operators/multimodal.py) compute REAL statistics, features, resizes,
-and PCM windows for these formats and fall back to the documented
-fakes only for formats with no stdlib path (MP3, video, and
-progressive/arithmetic JPEG variants).
+frame samples, and PCM windows for these formats and fall back to the
+documented fakes only for formats with no stdlib path (MP3, non-MJPEG
+video codecs, and progressive/arithmetic JPEG variants).
 """
 
 from __future__ import annotations
@@ -46,6 +52,10 @@ __all__ = [
     "jpeg_encode",
     "wav_decode",
     "wav_encode",
+    "avi_parse",
+    "avi_encode",
+    "gif_decode",
+    "gif_encode",
     "resize_nearest",
 ]
 
@@ -58,8 +68,12 @@ def sniff_format(data: bytes) -> str | None:
         return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -290,9 +304,9 @@ def wav_encode(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray | None:
-    """Sniff + decode BMP/PNG/baseline-JPEG to uint8 [H, W, C]; None
-    when the format has no stdlib decoder or uses an unsupported
-    variant (caller falls back to PIL or the fake)."""
+    """Sniff + decode BMP/PNG/baseline-JPEG/GIF (first frame) to uint8
+    [H, W, C]; None when the format has no stdlib decoder or uses an
+    unsupported variant (caller falls back to PIL or the fake)."""
     fmt = sniff_format(data)
     try:
         if fmt == "bmp":
@@ -301,6 +315,8 @@ def decode_image(data: bytes) -> np.ndarray | None:
             return png_decode(data)
         if fmt == "jpeg":
             return jpeg_decode(data)
+        if fmt == "gif":
+            return gif_decode(data)[0][0]
     except ValueError:
         return None
     return None
@@ -840,3 +856,323 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     else:
         raise ValueError(f"unsupported JPEG component count {len(chans)}")
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# AVI container (Microsoft 'AVI RIFF File Reference'), MJPEG + raw DIB
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(data: bytes, off: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a RIFF level."""
+    while off + 8 <= end:
+        fcc = data[off : off + 4]
+        size = struct.unpack_from("<I", data, off + 4)[0]
+        yield fcc, off + 8, size
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def avi_encode(frames: list[bytes], fps: float, width: int, height: int) -> bytes:
+    """JPEG frame streams → an AVI RIFF file with one MJPG video
+    stream (avih/strh/strf headers + LIST movi '00dc' chunks + idx1),
+    per the public AVI RIFF spec. Fixture/sink twin of ``avi_parse``."""
+    if not frames or fps <= 0:
+        raise ValueError("need >=1 frame and positive fps")
+    usec = int(round(1_000_000 / fps))
+    n = len(frames)
+    maxbuf = max(len(f) for f in frames)
+
+    def chunk(fcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fcc + payload)
+
+    avih = struct.pack(
+        "<14I", usec, maxbuf * int(round(fps)), 0, 0x10, n, 0, 1, maxbuf,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1000, int(round(fps * 1000)),
+                      0, n, maxbuf, 0, -1)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_payload)
+    # idx1: one entry per frame, offsets relative to the 'movi' fourcc
+    idx_entries, off = [], 4
+    for f in frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_parse(data: bytes) -> dict:
+    """AVI bytes → {fps, n_frames, width, height, frames: [bytes]}.
+
+    Walks RIFF levels for the avih header and the LIST movi frame
+    chunks ('##dc'/'##db' of stream 00). Frame payloads are returned
+    raw (MJPEG chunks are complete JPEG streams — feed jpeg_decode);
+    no codec assumption is made here beyond chunk framing."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    fps, width, height, total = 0.0, 0, 0, 0
+    frames: list[bytes] = []
+    for fcc, p, sz in _riff_chunks(data, 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])):
+        if fcc != b"LIST":
+            continue
+        kind = data[p : p + 4]
+        if kind == b"hdrl":
+            for f2, p2, s2 in _riff_chunks(data, p + 4, p + sz):
+                if f2 == b"avih" and s2 >= 40:
+                    usec, _, _, _, total, _, _, _, width, height = struct.unpack_from(
+                        "<10I", data, p2
+                    )
+                    fps = 1_000_000 / usec if usec else 0.0
+                elif f2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    for f3, p3, s3 in _riff_chunks(data, p2 + 4, p2 + s2):
+                        if f3 == b"strh" and s3 >= 32 and data[p3 : p3 + 4] == b"vids":
+                            scale, rate = struct.unpack_from("<II", data, p3 + 20)
+                            if scale and rate:
+                                fps = rate / scale
+        elif kind == b"movi":
+            for f2, p2, s2 in _riff_chunks(data, p + 4, p + sz):
+                if f2[:2] == b"00" and f2[2:4] in (b"dc", b"db"):
+                    frames.append(data[p2 : p2 + s2])
+    if not frames:
+        raise ValueError("AVI has no stream-00 video frames")
+    return {
+        "fps": fps or 25.0,
+        "n_frames": len(frames) or total,
+        "width": width,
+        "height": height,
+        "frames": frames,
+    }
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF89a specification: LZW-compressed indexed frames)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(min_code: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: variable code width starting min_code+1,
+    CLEAR/END codes, dictionary capped at 4096 entries."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code + 1
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _lzw_encode(min_code: int, indices: list[int]) -> bytes:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    nxt, width = end + 1, min_code + 1
+    emit(clear, width)
+    run = b""
+    for idx in indices:
+        cand = run + bytes([idx])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if nxt < 4096:
+            table[cand] = nxt
+            if nxt == (1 << width) and width < 12:
+                width += 1
+            nxt += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt, width = end + 1, min_code + 1
+        run = bytes([idx])
+    if run:
+        emit(table[run], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(
+    frames: list[np.ndarray], delay_ms: int = 100
+) -> bytes:
+    """uint8 [H, W, 3] frames (<=256 distinct colors across all
+    frames) → animated GIF89a with a global color table and one
+    full-canvas image per frame. Fixture/sink twin of gif_decode."""
+    if not frames:
+        raise ValueError("need >=1 frame")
+    h, w = frames[0].shape[:2]
+    colors: dict[tuple, int] = {}
+    for fr in frames:
+        if fr.shape[:2] != (h, w) or fr.ndim != 3 or fr.shape[2] != 3:
+            raise ValueError("all frames must be [H, W, 3] and same size")
+        for c in {tuple(int(v) for v in px) for px in fr.reshape(-1, 3)}:
+            colors.setdefault(c, len(colors))
+    if len(colors) > 256:
+        raise ValueError(f"gif_encode supports <=256 colors, got {len(colors)}")
+    depth = max(2, (len(colors) - 1).bit_length())  # GCT size >= 4 entries
+    gct = np.zeros(((1 << depth), 3), dtype=np.uint8)
+    for rgb, i in colors.items():
+        gct[i] = rgb
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    out += gct.tobytes()
+    if len(frames) > 1:
+        # Netscape looping application extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    lut = {rgb: i for rgb, i in colors.items()}
+    for fr in frames:
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", 0x04, max(delay_ms // 10, 1), 0
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        idx = [lut[tuple(int(v) for v in px)] for px in fr.reshape(-1, 3)]
+        min_code = max(depth, 2)
+        out.append(min_code)
+        comp = _lzw_encode(min_code, idx)
+        for i in range(0, len(comp), 255):
+            blk = comp[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """GIF87a/89a bytes → (frames as uint8 [H, W, 3] composed onto the
+    logical canvas, per-frame delays in ms). Honors local color
+    tables, interlace, transparency, and disposal methods 0-3."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    delay_cs, transp, disposal = 0, -1, 0
+    while pos < len(data):
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and data[pos] >= 4:
+                flags = data[pos + 1]
+                delay_cs = struct.unpack_from("<H", data, pos + 2)[0]
+                transp = data[pos + 4] if flags & 1 else -1
+                disposal = (flags >> 2) & 0x7
+            while data[pos]:  # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        table = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = data[pos]
+        pos += 1
+        comp = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            comp += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(_lzw_decode(min_code, bytes(comp))[: fw * fh], dtype=np.int32)
+        if idx.size < fw * fh:
+            raise ValueError("truncated GIF frame data")
+        grid = idx.reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows in 4 passes
+            order = np.concatenate([
+                np.arange(0, fh, 8), np.arange(4, fh, 8),
+                np.arange(2, fh, 4), np.arange(1, fh, 2),
+            ])
+            deinter = np.empty_like(grid)
+            deinter[order] = grid
+            grid = deinter
+        prev = canvas.copy()
+        region = canvas[top : top + fh, left : left + fw]
+        px = table[grid.clip(0, len(table) - 1)]
+        if transp >= 0:
+            m = grid != transp
+            region[m] = px[m]
+        else:
+            region[:] = px
+        frames.append(canvas.copy())
+        delays.append(delay_cs * 10)
+        if disposal == 2:
+            canvas[top : top + fh, left : left + fw] = 0
+        elif disposal == 3:
+            canvas = prev
+        delay_cs, transp, disposal = 0, -1, 0
+    if not frames:
+        raise ValueError("GIF has no image frames")
+    return frames, delays
