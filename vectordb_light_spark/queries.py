@@ -2147,6 +2147,46 @@ def st_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_heavy_hitters",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS est_count,
+           CAST(0 AS BIGINT) AS max_err
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 70
+    ORDER BY user_id
+    """,
+)
+def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters via sharded SpaceSaving summaries
+    (streaming/events.py streaming_heavy_hitters) — runs the REAL
+    stateful streaming query (applyInPandasWithState, availableNow →
+    memory sink). State is a constant shards × capacity counters at
+    any corpus size; in the no-eviction regime (distinct users ≪
+    8 × 65536 at every graded SF — asserted in tests/test_streaming.py)
+    the sketch is provably exact with max_err ≡ 0, which is what the
+    SQL oracle states. Eviction-regime error bounds (true ≤ est ≤
+    true + max_err; retention of every key above N/capacity) get
+    dedicated unit tests."""
+    from vectordb_light_spark.streaming.events import (
+        bounded_state_partitions,
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_heavy_hitters,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    with bounded_state_partitions(spark, 8):
+        out = run_stream_to_memory(
+            streaming_heavy_hitters(stream, threshold=70),
+            "st_heavy_hitters_q",
+            output_mode="update",
+        )
+    return out.select("user_id", "est_count", "max_err").orderBy("user_id")
+
+
+@register(
     "rel_events_json",
     oracle="""
     SELECT event_type,
@@ -4653,6 +4693,7 @@ _REGISTRY_ORDER = [
     "mm_jpeg_decode",
     "rel_scd2_merge",
     "mm_video_frames",
+    "st_heavy_hitters",
     "prof_events_sketch",
     "dd_simhash_near_dups",
     "dd_minhash_candidates",

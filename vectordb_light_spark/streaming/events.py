@@ -227,6 +227,111 @@ def user_totals_batch(events: DataFrame) -> DataFrame:
     )
 
 
+def spacesaving_merge(
+    summary: dict[int, tuple[int, int]],
+    batch_counts: dict[int, int],
+    capacity: int,
+) -> dict[int, tuple[int, int]]:
+    """Fold a batch's key→count map into a SpaceSaving summary of
+    ``capacity`` (count, max_err) counters, in place. Keys merge in
+    sorted order and eviction picks the smallest key among minimum
+    counts, so state evolution is deterministic for a given batch
+    sequence. Invariants (unit-tested): true ≤ est ≤ true + max_err,
+    and any key with true frequency > total/capacity is retained."""
+    for k in sorted(batch_counts):
+        c = batch_counts[k]
+        if k in summary:
+            cnt, err = summary[k]
+            summary[k] = (cnt + c, err)
+        elif len(summary) < capacity:
+            summary[k] = (c, 0)
+        else:  # evict the min count (smallest key among ties)
+            mk = min(summary, key=lambda q: (summary[q][0], q))
+            mc = summary[mk][0]
+            del summary[mk]
+            summary[k] = (mc + c, mc)
+    return summary
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    threshold: int = 1,
+    capacity: int = 65536,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters via SHARDED SpaceSaving summaries
+    (Metwally et al., "Efficient Computation of Frequent and Top-k
+    Elements in Data Streams", ICDT 2005) — emit every key whose
+    estimated count is ≥ ``threshold``.
+
+    Scale design: keys hash into ``shards`` state groups, each
+    carrying ONE SpaceSaving summary of ``capacity`` counters across
+    micro-batches (applyInPandasWithState). A key lives in exactly one
+    shard, so the union of shard summaries needs no cross-shard merge
+    — total state is a constant shards × capacity counters no matter
+    how many events or distinct keys flow through, which is the whole
+    point at 100 TB (an exact groupBy count over billions of keys
+    would grow state without bound).
+
+    Accuracy contract: each summary guarantees
+    ``true ≤ est ≤ true + max_err`` and retains every key whose true
+    shard-local frequency exceeds shard_events / capacity. When a
+    shard sees ≤ capacity distinct keys it never evicts, every
+    max_err is 0 and counts are EXACT — the regime the registry
+    oracle pins (asserted against graded SFs in tests); the overflow
+    bounds get their own unit tests.
+    """
+    import pickle
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, est_count long, max_err long"
+    state_schema = "blob binary"
+
+    def update(key, pdfs, state: GroupState):
+        summary: dict[int, tuple[int, int]] = (
+            pickle.loads(bytes(state.get[0])) if state.exists else {}
+        )
+        batch_counts: dict[int, int] = {}
+        for pdf in pdfs:
+            for k, c in pdf[key_col].value_counts().items():
+                batch_counts[int(k)] = batch_counts.get(int(k), 0) + int(c)
+        spacesaving_merge(summary, batch_counts, capacity)
+        state.update((pickle.dumps(summary, protocol=4),))
+        keys = sorted(k for k, (cnt, _) in summary.items() if cnt >= threshold)
+        yield pd.DataFrame(
+            {
+                key_col: keys,
+                "est_count": [summary[k][0] for k in keys],
+                "max_err": [summary[k][1] for k in keys],
+            }
+        )
+
+    sharded = events.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(shards))
+    )
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def heavy_hitters_batch(
+    events: DataFrame, *, key_col: str = "user_id", threshold: int = 1
+) -> DataFrame:
+    """Exact batch twin of :func:`streaming_heavy_hitters` — in the
+    no-eviction regime the sketch output equals this aggregate with
+    max_err ≡ 0."""
+    return (
+        events.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("est_count"))
+        .where(F.col("est_count") >= threshold)
+        .withColumn("max_err", F.lit(0).cast("long"))
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, *, output_mode: str = "complete"
 ) -> DataFrame:
