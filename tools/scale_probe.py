@@ -523,6 +523,112 @@ def main_capped(factors: tuple[int, ...] = (4, 16, 64)) -> None:
         p.write_text(txt.rstrip("\n") + "\n" + out + "\n")
 
 
+#: Section marker owned by main_hh in SCALING.md.
+HH_MARKER = "\n## streaming heavy hitters (sharded SpaceSaving)"
+
+
+def main_hh(factors: tuple[int, ...] = (1, 4, 16)) -> None:
+    """r4: events replicated with per-copy user_id offsets (distinct
+    keys grow linearly with data) through the full streaming query —
+    wall should track data volume while retained state stays bounded
+    by shards x capacity. A low-capacity variant forces the eviction
+    regime to show the bound engaging. Appends its own SCALING.md
+    section with --write."""
+    from vectordb_light_spark.streaming.events import (
+        bounded_state_partitions,
+        normalize_event_ts,
+        streaming_heavy_hitters,
+        run_stream_to_memory,
+    )
+
+    spark = get_spark("scale-probe-hh")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict[int, float]] = {}
+    state_rows: dict[str, dict[int, int]] = {}
+    keys_by_factor: dict[int, int] = {}
+    try:
+        for factor in factors:
+            d = os.path.join(WORK, f"events_x{factor}")
+            ev = load_table(spark, BASE, "events")
+            parts = [
+                ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+                .withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+                for i in range(factor)
+            ]
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionByName(p)
+            union.repartition(max(8, factor * 2)).write.mode("overwrite").parquet(d)
+            batch = spark.read.parquet(d)
+            keys_by_factor[factor] = batch.select("user_id").distinct().count()
+
+            def run(capacity: int, tag: str, factor=factor, d=d, batch=batch):
+                def go():
+                    stream = normalize_event_ts(
+                        spark.readStream.schema(batch.schema).parquet(d)
+                    )
+                    with bounded_state_partitions(spark, 8):
+                        out = run_stream_to_memory(
+                            streaming_heavy_hitters(
+                                stream, threshold=1, capacity=capacity
+                            ),
+                            f"hh_probe_{tag}_x{factor}",
+                            output_mode="update",
+                        )
+                    return out.count()
+
+                n = go()  # warm-up
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    go()
+                    best = min(best, time.time() - t0)
+                results.setdefault(tag, {})[factor] = round(best, 2)
+                state_rows.setdefault(tag, {})[factor] = n
+                print(
+                    f"x{factor} heavy_hitters[{tag}]: {round(best, 2)}s "
+                    f"({n} retained / {keys_by_factor[factor]} keys)",
+                    flush=True,
+                )
+
+            run(65536, "exact_regime")
+            run(512, "capacity_512")
+    finally:
+        shutil.rmtree(WORK, ignore_errors=True)
+    cols = " | ".join(f"x{f}" for f in factors)
+    lines = [
+        "",
+        HH_MARKER.strip(),
+        "",
+        f"| variant | {cols} |",
+        "|---|" + "---|" * len(factors),
+    ] + [
+        "| " + tag + " | " + " | ".join(
+            f"{results[tag][f]}s ({state_rows[tag][f]}/{keys_by_factor[f]})"
+            for f in factors
+        ) + " |"
+        for tag in results
+    ] + [
+        "",
+        "Cells: wall (retained counters / distinct keys). Replication",
+        "offsets user_id per copy, so distinct keys grow with the data.",
+        "In the exact regime (capacity 65536/shard) every key is",
+        "retained with max_err 0 and wall tracks data volume. At",
+        "capacity 512 x 8 shards the summaries saturate at 4096",
+        "counters no matter how many keys flow through — constant",
+        "state is the 100 TB property; retention/error bounds are",
+        "unit-tested (tests/test_streaming.py).",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        p = Path(__file__).resolve().parent.parent / "SCALING.md"
+        txt = p.read_text()
+        if HH_MARKER in txt:
+            txt = txt.split(HH_MARKER, 1)[0]
+        p.write_text(txt.rstrip("\n") + "\n" + out + "\n")
+
+
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
@@ -530,5 +636,7 @@ if __name__ == "__main__":
         main_clusters()
     elif "--capped" in sys.argv:
         main_capped()
+    elif "--hh" in sys.argv:
+        main_hh()
     else:
         main()
