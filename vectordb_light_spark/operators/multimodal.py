@@ -21,10 +21,12 @@ resolves per row, best first —
 
 1. PIL / real codec when importable (not in this container);
 2. pure-stdlib decoders (sources/media.py, written from the public
-   specs): BMP, zlib-PNG and (r4) baseline-JPEG pixels for the image
-   stages, ``wave`` PCM for audio windows — REAL pixels/samples, real
-   statistics, real nearest-neighbor resizes, real PCM slices;
-3. for formats with no stdlib path (MP3, video codecs,
+   specs): BMP, zlib-PNG, (r4) baseline-JPEG and GIF pixels for the
+   image stages, ``wave`` PCM for audio windows, and (r4) MJPEG-AVI /
+   animated-GIF frames for sample_frames — REAL pixels/samples/
+   frames, real statistics, real nearest-neighbor resizes, real PCM
+   slices;
+3. for formats with no stdlib path (MP3, non-MJPEG video codecs,
    progressive/arithmetic JPEG): the
    clearly-marked DETERMINISTIC FAKE (byte-level arithmetic, stable
    across runs and executors), which keeps the Spark-side plumbing —
