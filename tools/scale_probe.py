@@ -289,13 +289,41 @@ def main() -> None:
     out = "\n".join(lines)
     print(out)
     if "--write" in sys.argv:
-        # Preserve any x64 section main_big appended — a base-table
-        # refresh must not silently drop it.
+        # Preserve every probe-owned section — a base-table refresh
+        # must not silently drop any of them.
         p = Path(__file__).resolve().parent.parent / "SCALING.md"
         tail = ""
-        if p.exists() and BIG_MARKER in p.read_text():
-            tail = BIG_MARKER + p.read_text().split(BIG_MARKER, 1)[1]
+        if p.exists():
+            txt = p.read_text()
+            idxs = [txt.find(m) for m in _all_markers() if txt.find(m) >= 0]
+            if idxs:
+                tail = txt[min(idxs):]
         p.write_text(out + "\n" + tail)
+
+
+#: All section markers, in canonical document order. _write_section
+#: replaces exactly one section and preserves every other, so
+#: re-running any probe with --write never drops another probe's
+#: measurements.
+def _all_markers():
+    return (BIG_MARKER, CLUSTERS_MARKER, CAPPED_MARKER, HH_MARKER)
+
+
+def _write_section(marker: str, out: str) -> None:
+    p = Path(__file__).resolve().parent.parent / "SCALING.md"
+    txt = p.read_text() if p.exists() else ""
+    if marker in txt:
+        head, rest = txt.split(marker, 1)
+        idxs = [
+            rest.find(m)
+            for m in _all_markers()
+            if m != marker and rest.find(m) >= 0
+        ]
+        tail = rest[min(idxs):] if idxs else ""
+        txt = head.rstrip("\n") + "\n" + out + "\n" + tail
+    else:
+        txt = txt.rstrip("\n") + "\n" + out + "\n"
+    p.write_text(txt)
 
 
 #: Section marker owned by main_big in SCALING.md (main preserves it,
@@ -360,17 +388,7 @@ def main_big(factor: int = 64) -> None:
         out = "\n".join(lines)
         print(out)
         if "--write" in sys.argv:
-            p = Path(__file__).resolve().parent.parent / "SCALING.md"
-            txt = p.read_text()
-            # preserve sections that live AFTER this one (e.g. the
-            # bounded-cluster table) — only replace our own span
-            head, _, rest = txt.partition(BIG_MARKER)
-            tail = ""
-            if rest and CLUSTERS_MARKER in rest:
-                tail = CLUSTERS_MARKER + rest.split(CLUSTERS_MARKER, 1)[1]
-            p.write_text(
-                head.rstrip("\n") + "\n" + out + "\n" + tail
-            )
+            _write_section(BIG_MARKER, out)
     finally:
         shutil.rmtree(WORK, ignore_errors=True)
 
@@ -427,11 +445,7 @@ def main_clusters() -> None:
     out = "\n".join(lines)
     print(out)
     if "--write" in sys.argv:
-        p = Path(__file__).resolve().parent.parent / "SCALING.md"
-        txt = p.read_text()
-        if CLUSTERS_MARKER in txt:
-            txt = txt.split(CLUSTERS_MARKER, 1)[0]
-        p.write_text(txt.rstrip("\n") + "\n" + out + "\n")
+        _write_section(CLUSTERS_MARKER, out)
 
 
 #: Section marker owned by main_capped in SCALING.md.
@@ -516,11 +530,7 @@ def main_capped(factors: tuple[int, ...] = (4, 16, 64)) -> None:
     out = "\n".join(lines)
     print(out)
     if "--write" in sys.argv:
-        p = Path(__file__).resolve().parent.parent / "SCALING.md"
-        txt = p.read_text()
-        if CAPPED_MARKER in txt:
-            txt = txt.split(CAPPED_MARKER, 1)[0]
-        p.write_text(txt.rstrip("\n") + "\n" + out + "\n")
+        _write_section(CAPPED_MARKER, out)
 
 
 #: Section marker owned by main_hh in SCALING.md.
@@ -622,11 +632,7 @@ def main_hh(factors: tuple[int, ...] = (1, 4, 16)) -> None:
     out = "\n".join(lines)
     print(out)
     if "--write" in sys.argv:
-        p = Path(__file__).resolve().parent.parent / "SCALING.md"
-        txt = p.read_text()
-        if HH_MARKER in txt:
-            txt = txt.split(HH_MARKER, 1)[0]
-        p.write_text(txt.rstrip("\n") + "\n" + out + "\n")
+        _write_section(HH_MARKER, out)
 
 
 if __name__ == "__main__":

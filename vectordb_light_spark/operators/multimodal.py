@@ -341,14 +341,19 @@ def sample_frames(
                     if fmt == "gif":
                         if raw not in parsed:
                             fr, delays = gif_decode(raw)
-                            starts = np.cumsum([0] + delays[:-1])
+                            # zero-delay frames (no/empty GCE) still
+                            # occupy a timeline slot, else every ts
+                            # would map to the last frame
+                            starts = np.cumsum(
+                                [0] + [max(d, 1) for d in delays[:-1]]
+                            )
                             parsed[raw] = (fr, [png_encode(f) for f in fr], starts)
                         fr, pngs, starts = parsed[raw]
                         fi = int(np.searchsorted(starts, float(ts), "right") - 1)
                         frames.append(pngs[max(fi, 0)])
                         continue
-                except (ValueError, struct.error):
-                    pass  # corrupt container → fake tier below
+                except (ValueError, struct.error, IndexError):
+                    pass  # corrupt/truncated container → fake tier below
                 # fake: a deterministic 64-byte window per frame index
                 start = (int(idx) * 97) % max(len(raw), 1)
                 frames.append((raw * 2)[start : start + 64])

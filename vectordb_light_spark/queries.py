@@ -1791,7 +1791,9 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media.withColumn(
         "media_meta", F.struct(F.lit(2000).alias("duration_ms"))
     )
-    frames = sample_frames(media, every_ms=500)
+    # the container bytes are consumed by sample_frames; don't drag
+    # them through the decode Arrow stage on every exploded frame row
+    frames = sample_frames(media, every_ms=500).drop("content", "media_meta")
     decoded = decode_images(frames, content_col="frame_bytes")
     want = (
         (
@@ -4677,7 +4679,7 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:       entries never driver-graded in any round (both carry
 #:       pool-membership contract oracles, local-green at both SFs);
 #:   (b) the NEW r4 entries (mm_jpeg_decode, rel_scd2_merge,
-#:       mm_video_frames);
+#:       mm_video_frames, st_heavy_hitters);
 #:   (c) entries whose implementation or oracle changed in r4
 #:       (prof_events_sketch contract upgrade; dedup entries pinned
 #:       to max_bucket/max_cluster=None; simhash star collapse;

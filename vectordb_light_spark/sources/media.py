@@ -317,7 +317,9 @@ def decode_image(data: bytes) -> np.ndarray | None:
             return jpeg_decode(data)
         if fmt == "gif":
             return gif_decode(data)[0][0]
-    except ValueError:
+    except (ValueError, struct.error, IndexError):
+        # struct.error/IndexError: truncated streams cut inside a
+        # header or sub-block chain — same fallback as bad magic
         return None
     return None
 

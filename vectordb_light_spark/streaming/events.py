@@ -237,19 +237,40 @@ def spacesaving_merge(
     sorted order and eviction picks the smallest key among minimum
     counts, so state evolution is deterministic for a given batch
     sequence. Invariants (unit-tested): true ≤ est ≤ true + max_err,
-    and any key with true frequency > total/capacity is retained."""
+    and any key with true frequency > total/capacity is retained.
+
+    Eviction uses a lazily-built min-heap with stale-entry skipping
+    (the dict stays authoritative), so a batch of B fresh keys against
+    a full summary costs O((B + cap) log cap), not B × cap linear
+    scans — the difference between a stall and a shrug when millions
+    of new keys hit a saturated 65536-counter shard."""
+    import heapq
+
+    heap: list[tuple[int, int]] | None = None  # (count, key), lazy
     for k in sorted(batch_counts):
         c = batch_counts[k]
         if k in summary:
             cnt, err = summary[k]
             summary[k] = (cnt + c, err)
+            if heap is not None:
+                heapq.heappush(heap, (cnt + c, k))
         elif len(summary) < capacity:
             summary[k] = (c, 0)
+            if heap is not None:
+                heapq.heappush(heap, (c, k))
         else:  # evict the min count (smallest key among ties)
-            mk = min(summary, key=lambda q: (summary[q][0], q))
-            mc = summary[mk][0]
+            if heap is None:
+                heap = [(cnt, q) for q, (cnt, _) in summary.items()]
+                heapq.heapify(heap)
+            while True:  # skip entries stale from updates/evictions
+                mc, mk = heap[0]
+                if summary.get(mk, (None,))[0] == mc:
+                    break
+                heapq.heappop(heap)
+            heapq.heappop(heap)
             del summary[mk]
             summary[k] = (mc + c, mc)
+            heapq.heappush(heap, (mc + c, k))
     return summary
 
 
@@ -287,7 +308,14 @@ def streaming_heavy_hitters(
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+    dt = events.schema[key_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"streaming_heavy_hitters needs an integral key column; "
+            f"{key_col} is {dt.simpleString()} (hash it to a long first)"
+        )
     out_schema = f"{key_col} long, est_count long, max_err long"
     state_schema = "blob binary"
 
