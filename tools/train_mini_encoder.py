@@ -29,13 +29,16 @@ CORPUS = "/root/testdata/sf0.1/documents.parquet"
 CONFIGS = [
     dict(dim=32, n_layers=2, n_heads=4, max_seq=64, steps=2000, lr=1.5e-3),
     dict(dim=64, n_layers=2, n_heads=4, max_seq=128, steps=1200, lr=1.5e-3),
-    # r4 capacity notch: 4x the parameter count of the d64 default at
-    # the PROVEN 2-layer dynamics. The 4-layer variant was trained and
-    # measured first: ~10 s/step, InfoNCE loss still ~4.10 (chance =
-    # ln 64 = 4.16) at step 400 with span-retrieval BELOW the seeded
-    # init (0.085 vs 0.122 MRR) — depth needs more steps than a round
-    # budget affords, so the shipped notch widens instead of deepens.
-    # ANN_EVAL.md records the measurements.
+    # r4 capacity notch — measured NEGATIVE, not shipped (ANN_EVAL.md
+    # has the full table): neither d128 depth clears the shipping gate
+    # within a round budget. 4-layer: chance loss at step 400,
+    # retrieval below seeded (0.085 vs 0.122 MRR), stopped. 2-layer at
+    # this config (1250 steps incl. a warm restart): loss ~4.01,
+    # retrieval below seeded; a 3e-3 hedge reached mrr 0.161 (1.3x
+    # seeded — best d128 point, still far from d64's 0.377). Plateau
+    # escape grows with width AND depth; budget >=3000 steps before
+    # re-attempting. Config kept for reproducibility; the gate test
+    # skips until a checkpoint actually clears the bar.
     dict(dim=128, n_layers=2, n_heads=4, max_seq=128, steps=1200, lr=1.5e-3),
 ]
 
