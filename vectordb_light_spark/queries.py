@@ -2916,6 +2916,52 @@ def rel_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_events_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def rel_events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap analytics: per-user time-between-events
+    in exact integer MICROseconds (sums of integers are
+    order-independent, so no float canonicalization risk — the same
+    rule as rel_events_moving_avg). Window ordering ties on
+    (ts, event_id) so duplicate timestamps are deterministic in both
+    engines. One hashpartitioning(user_id) exchange serves the lag
+    window AND the final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.withColumn("_gap", gap)
+        .where(F.col("_gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("_gap").alias("total_gap_us"),
+            F.max("_gap").alias("max_gap_us"),
+            F.min("_gap").alias("min_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "st_events_dedup",
     oracle="""
     WITH doubled AS (
@@ -4679,7 +4725,7 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:       entries never driver-graded in any round (both carry
 #:       pool-membership contract oracles, local-green at both SFs);
 #:   (b) the NEW r4 entries (mm_jpeg_decode, rel_scd2_merge,
-#:       mm_video_frames, st_heavy_hitters);
+#:       mm_video_frames, st_heavy_hitters, rel_events_gaps);
 #:   (c) entries whose implementation or oracle changed in r4
 #:       (prof_events_sketch contract upgrade; dedup entries pinned
 #:       to max_bucket/max_cluster=None; simhash star collapse;
@@ -4696,6 +4742,7 @@ _REGISTRY_ORDER = [
     "rel_scd2_merge",
     "mm_video_frames",
     "st_heavy_hitters",
+    "rel_events_gaps",
     "prof_events_sketch",
     "dd_simhash_near_dups",
     "dd_minhash_candidates",
