@@ -364,6 +364,99 @@ def sample_frames(
     return exploded.mapInPandas(run, schema=schema)
 
 
+def audio_features(
+    df: DataFrame,
+    *,
+    n_bands: int = 16,
+    max_samples: int = 65536,
+    content_col: str = "content",
+) -> DataFrame:
+    """Spectral feature extraction for audio rows (r4): adds
+    ``features array<float>`` (log band energies, L2-normalized),
+    ``rms double``, ``dominant_band int`` (band of the FFT argmax
+    bin), ``peak_hz double``, and ``sr int``.
+
+    Real tier: WAV content decodes through the stdlib ``wave`` module
+    to mono float, a power spectrum over the first ``max_samples``
+    frames comes from ``numpy.fft.rfft`` (real DSP, no third-party
+    deps), and the band energies split the 0..Nyquist range into
+    ``n_bands`` equal slices. Non-WAV formats (MP3 etc. — no stdlib
+    codec) fall to the deterministic byte-hash fake with sentinel
+    scalars (rms/peak -1, band -1), mirroring image_features.
+
+    Scale: map-only Arrow stage, bounded per row by ``max_samples``
+    regardless of clip length; binary rides the scan like any column.
+    """
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    schema = (
+        f"{fields}, features array<float>, rms double, "
+        "dominant_band int, peak_hz double, sr int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vectordb_light_spark.sources.media import sniff_format, wav_decode
+
+        for pdf in batches:
+            feats, rmss, bands, peaks, srs = [], [], [], [], []
+            for data in pdf[content_col]:
+                raw = bytes(data) if data is not None else b""
+                decoded = None
+                if sniff_format(raw) == "wav":
+                    try:
+                        decoded = wav_decode(raw)
+                    except (ValueError, EOFError, struct.error, IndexError):
+                        decoded = None
+                if decoded is None:
+                    feats.append(_fake_features(raw, n_bands))
+                    rmss.append(-1.0)
+                    bands.append(-1)
+                    peaks.append(-1.0)
+                    srs.append(-1)
+                    continue
+                samples, sr = decoded
+                mono = samples.astype(np.float64).mean(axis=1)
+                mono /= 32768.0 if samples.dtype.itemsize == 2 else (
+                    128.0 if samples.dtype.itemsize == 1 else 2147483648.0
+                )
+                mono = mono[:max_samples]
+                n = len(mono)
+                if n == 0:
+                    feats.append(_fake_features(raw, n_bands))
+                    rmss.append(0.0)
+                    bands.append(-1)
+                    peaks.append(-1.0)
+                    srs.append(int(sr))
+                    continue
+                power = np.abs(np.fft.rfft(mono)) ** 2
+                freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                nyq = sr / 2.0
+                # band of the argmax bin (DC excluded so silence-plus-
+                # offset clips don't all land in band 0)
+                k = 1 + int(np.argmax(power[1:])) if len(power) > 1 else 0
+                band = min(int(freqs[k] // (nyq / n_bands)), n_bands - 1)
+                edges = np.minimum(
+                    (freqs // (nyq / n_bands)).astype(int), n_bands - 1
+                )
+                be = np.zeros(n_bands)
+                np.add.at(be, edges, power)
+                v = np.log1p(be)
+                norm = float(np.linalg.norm(v))
+                feats.append((v / norm if norm > 0 else v).astype(np.float32))
+                rmss.append(float(np.sqrt(np.mean(mono**2))))
+                bands.append(band)
+                peaks.append(float(freqs[k]))
+                srs.append(int(sr))
+            out = pdf.copy()
+            out["features"] = feats
+            out["rms"] = rmss
+            out["dominant_band"] = bands
+            out["peak_hz"] = peaks
+            out["sr"] = srs
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # Test-table synthesis (no binary tables ship in the driver testdata)
 # ---------------------------------------------------------------------------

@@ -1823,6 +1823,73 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_index")
 
 
+@register(
+    "mm_audio_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16000 AS INT) AS sr,
+           CAST((265 + (doc_id % 30) * 130) // 500 AS INT) AS dominant_band,
+           CAST(1 AS INT) AS peak_within_tol,
+           CAST(1 AS INT) AS rms_within_tol
+    FROM documents WHERE doc_id < 200
+    ORDER BY media_id
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction under a bounded contract (r4):
+    each doc id becomes a 0.5 s 16 kHz mono sine WAV at
+    265 + (doc_id % 30)·130 Hz (sources/media.py wav_encode), and
+    operators/multimodal.audio_features runs the numpy rfft power
+    spectrum over the real PCM. The oracle pins the sample rate, the
+    EXACT dominant band (frequencies sit ≥5 Hz from every 500 Hz band
+    edge; the argmax-bin band is exact for all 30 tones — verified),
+    a peak-frequency flag (|peak − true| ≤ 4 Hz; measured worst error
+    1.0 Hz at the 2 Hz bin width = 4× margin), and an RMS flag
+    (|rms − A/√2| ≤ 0.01; measured 1.4e-5 = ~700× margin). A spectrum,
+    windowing, or band-edge error anywhere in the 200 clips flips a
+    row and fails the hash."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as _np
+    import pandas as _pd
+
+    from vectordb_light_spark.operators.multimodal import audio_features
+    from vectordb_light_spark.sources.media import wav_encode
+
+    docs = load_docs(spark, sf_dir, "doc_id").where(F.col("doc_id") < 200)
+    sr, n, amp = 16000, 8000, 16000
+
+    def build(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        t = _np.arange(n) / sr
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["doc_id"]:
+                i = int(media_id)
+                freq = 265 + (i % 30) * 130
+                pcm = (amp * _np.sin(2 * _np.pi * freq * t)).astype(
+                    _np.int16
+                ).reshape(-1, 1)
+                rows.append((i, wav_encode(pcm, sr), float(freq)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content", "freq"])
+
+    media = docs.mapInPandas(
+        build, schema="media_id long, content binary, freq double"
+    )
+    out = audio_features(media)
+    want_rms = (amp / 32768.0) / float(_np.sqrt(2.0))
+    return out.select(
+        "media_id",
+        "sr",
+        "dominant_band",
+        (F.abs(F.col("peak_hz") - F.col("freq")) <= 4.0)
+        .cast("int")
+        .alias("peak_within_tol"),
+        (F.abs(F.col("rms") - F.lit(want_rms)) <= 0.01)
+        .cast("int")
+        .alias("rms_within_tol"),
+    ).orderBy("media_id")
+
+
 @register("mm_image_pipeline")  # rows-only: SRP-over-features has no SQL twin
 def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image pipeline plumbing: binary media → decode (dims + pixel
@@ -4743,6 +4810,7 @@ _REGISTRY_ORDER = [
     "mm_video_frames",
     "st_heavy_hitters",
     "rel_events_gaps",
+    "mm_audio_features",
     "prof_events_sketch",
     "dd_simhash_near_dups",
     "dd_minhash_candidates",
