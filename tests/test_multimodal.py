@@ -269,6 +269,41 @@ def test_wav_roundtrip_and_real_pcm_windows(spark):
         np.testing.assert_array_equal(win[:, 0], samples[lo:hi])
 
 
+def test_audio_features_8bit_wav_centered(spark):
+    """Regression (r5): 8-bit WAV PCM is unsigned 0..255 — the mono
+    signal must be centered on 128 before normalization, or silence
+    carries a ~1.0 DC offset that dominates rms and band-0 energy."""
+    from vectordb_light_spark.operators.multimodal import audio_features
+    from vectordb_light_spark.sources.media import wav_encode
+
+    rate, dur = 8000, 1.0
+    t = np.arange(int(rate * dur)) / rate
+    amp = 100  # of 127 full-scale
+    tone8 = (128 + amp * np.sin(2 * np.pi * 1000 * t)).astype(np.uint8)
+    silence8 = np.full(len(t), 128, dtype=np.uint8)
+    tone16 = (amp / 128.0 * 32767 * np.sin(2 * np.pi * 1000 * t)).astype(
+        np.int16
+    )
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav_encode(tone8[:, None], rate))),
+            (2, bytearray(wav_encode(silence8[:, None], rate))),
+            (3, bytearray(wav_encode(tone16[:, None], rate))),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    want_rms = (amp / 128.0) / np.sqrt(2.0)
+    # 8-bit tone: rms matches amplitude/sqrt(2), not 1.0+offset
+    assert abs(rows[1]["rms"] - want_rms) < 0.02, rows[1]["rms"]
+    assert abs(rows[1]["peak_hz"] - 1000.0) < 4.0
+    # 8-bit silence: rms ~0 (buggy path reported ~1.0)
+    assert rows[2]["rms"] < 0.01, rows[2]["rms"]
+    # 8-bit and 16-bit encodings of the same tone agree closely
+    assert abs(rows[1]["rms"] - rows[3]["rms"]) < 0.02
+    assert rows[1]["dominant_band"] == rows[3]["dominant_band"]
+
+
 def test_decode_and_features_and_resize_on_real_images(spark):
     from vectordb_light_spark.operators.multimodal import (
         decode_images,
@@ -456,6 +491,31 @@ def test_jpeg_roundtrip_all_modes():
     with pytest.raises(ValueError, match="coding process"):
         jpeg_decode(bytes(data))
     assert decode_image(bytes(data)) is None
+
+
+def test_jpeg_roundtrip_low_quality_high_frequency():
+    """Regression (r5): dequantization must index the quant table in
+    zigzag order. At q<=75 the scaled Annex-K tables are far from
+    flat, so natural-order indexing mis-scales every AC coefficient —
+    noise content decoded with mean abs error ~37 instead of ~7. Pin
+    the corrected error envelope on high-frequency content."""
+    import numpy as np
+
+    from vectordb_light_spark.sources.media import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(32, 40, 3), dtype=np.uint8)
+    # 4:4:4 only: 4:2:0 chroma decimation dominates on noise content
+    # regardless of dequant correctness. Measured on this content:
+    # fixed mean err 28.1 (q50) / 15.4 (q75); buggy 42.7 / 37.6.
+    for q, bound in ((50, 33.0), (75, 25.0)):
+        back = jpeg_decode(jpeg_encode(px, quality=q, subsampling="444"))
+        err = np.abs(back.astype(int) - px.astype(int))
+        assert err.mean() <= bound, (q, err.mean())
+    gray = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    back = jpeg_decode(jpeg_encode(gray, quality=60))
+    # measured: fixed 11.6, buggy 35.0
+    assert np.abs(back[:, :, 0].astype(int) - gray.astype(int)).mean() <= 20.0
 
 
 def test_jpeg_contract_margin():

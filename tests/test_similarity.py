@@ -746,8 +746,15 @@ def test_topk_join_right_bucket_cap(spark):
                ann_topk_join_lsh(left, small_r, k=3, bands=16).collect())
     b = sorted((r["l_id"], r["r_id"], r["rank"]) for r in
                ann_topk_join_lsh(left, small_r, k=3, bands=16,
-                                 max_right_bucket=None).collect())
+                                 max_right_bucket=None,
+                                 max_left_bucket=None).collect())
     assert a == b
+    # r5: salting without a right cap has no worst-task bound — rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="max_left_bucket salting"):
+        ann_topk_join_lsh(left, small_r, k=3, bands=16,
+                          max_right_bucket=None, max_left_bucket=100)
 
 
 def test_banded_near_dup_hot_bucket_star(spark):

@@ -415,9 +415,17 @@ def audio_features(
                     continue
                 samples, sr = decoded
                 mono = samples.astype(np.float64).mean(axis=1)
-                mono /= 32768.0 if samples.dtype.itemsize == 2 else (
-                    128.0 if samples.dtype.itemsize == 1 else 2147483648.0
-                )
+                if samples.dtype.itemsize == 1:
+                    # 8-bit WAV PCM is unsigned 0..255: center on the
+                    # 128 midpoint before scaling, or silence carries a
+                    # ~1.0 DC offset that dominates rms and band-0.
+                    mono = (mono - 128.0) / 128.0
+                else:
+                    mono /= (
+                        32768.0
+                        if samples.dtype.itemsize == 2
+                        else 2147483648.0
+                    )
                 mono = mono[:max_samples]
                 n = len(mono)
                 if n == 0:

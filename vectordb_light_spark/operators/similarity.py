@@ -485,8 +485,19 @@ def ann_topk_join_lsh(
     right) candidate pair still meets exactly once, so output is
     UNCHANGED — salting trades a ``left_salts``× replication of hot
     right buckets (tiny: ≤256 rows each) for even reducer load.
-    ``None`` disables.
+    ``None`` disables. Salting requires ``max_right_bucket``: the
+    worst-task bound comes from replicating TRUNCATED right buckets,
+    so ``max_left_bucket`` with ``max_right_bucket=None`` would
+    replicate unbounded buckets ``left_salts`` times without bounding
+    anything — that combination raises ``ValueError``.
     """
+    if max_left_bucket is not None and max_right_bucket is None:
+        raise ValueError(
+            "max_left_bucket salting requires max_right_bucket: the "
+            "worst-task bound (max_left_bucket x max_right_bucket / "
+            "left_salts) only holds for truncated right buckets; pass "
+            "max_left_bucket=None to disable salting instead"
+        )
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1 if bits_per_band < 64 else -1
     # posexplode keeps (band index, band value) so different bands

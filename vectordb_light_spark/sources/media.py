@@ -834,7 +834,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                             zz[k] = _extend(r.read_bits(cat), cat)
                             k += 1
                         block = np.zeros(64)
-                        block[_ZIGZAG] = zz * qtab
+                        # zz holds zigzag-ordered coefficients; qtab is
+                        # stored de-zigzagged (natural order, see DQT
+                        # parse), so it must be re-indexed into zigzag
+                        # order before the element-wise dequantization.
+                        block[_ZIGZAG] = zz * qtab[_ZIGZAG]
                         sb = _DCT.T @ block.reshape(8, 8) @ _DCT
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
