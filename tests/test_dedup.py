@@ -541,3 +541,116 @@ def test_graded_sf_stays_under_production_caps(spark):
             sk.groupBy("simhash").count().agg(F.max("count")).first()[0]
         )
         assert max_cluster <= DEFAULT_MAX_BUCKET, (sf_dir, max_cluster)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (r5: repeated_spans / remove_repeated_spans)
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_spans_mines_cross_doc_regions(spark):
+    """A 30-token blurb shared by 3 docs is mined as one maximal span
+    per occurrence; an 8-token shared phrase stays below the 16-token
+    bar; a unique doc yields nothing."""
+    from vectordb_light_spark.operators.dedup import repeated_spans
+
+    blurb = " ".join(f"b{i}" for i in range(30))
+    short = "one two three four five six seven eight"
+    rows = [
+        (1, f"alpha beta {blurb} gamma delta"),
+        (2, f"{blurb} tail words here now yes ok fine sure"),
+        (3, "totally unique content with no repeats anywhere at all ever"),
+        (4, f"head words {short} unique tail alpha9 beta9 gamma9"),
+        (5, f"other start {short} different ending tokens here now"),
+        (6, f"p1 p2 p3 {blurb} q1 {blurb} q2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["span_tokens"]
+        for r in repeated_spans(df, anchor=8, min_span_tokens=16).collect()
+    }
+    assert (1, 2, 32) in spans and spans[(1, 2, 32)] == 30
+    assert (2, 0, 30) in spans
+    # both occurrences inside doc 6 are found once corpus-hot
+    assert (6, 3, 33) in spans and (6, 34, 64) in spans
+    assert not any(d in (3, 4, 5) for d, _, _ in spans)
+
+
+def test_repeated_spans_within_doc_only_does_not_fire(spark):
+    """Self-repetition inside ONE doc is ts_repetition_filter's job:
+    min_docs counts DISTINCT documents."""
+    from vectordb_light_spark.operators.dedup import repeated_spans
+
+    blurb = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, f"{blurb} mid {blurb}"), (2, "nothing shared with that doc")],
+        "doc_id long, text string",
+    )
+    assert repeated_spans(df, anchor=8, min_span_tokens=16).count() == 0
+
+
+def test_repeated_spans_abutting_covers_merge(spark):
+    """Two 8-token hot regions that touch merge into one 16-token
+    island (each alone would miss the bar)."""
+    from vectordb_light_spark.operators.dedup import repeated_spans
+
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    # a and b abut in docs 1/2 — every straddling 8-gram is also
+    # shared, so the cover is one seamless [start, start+16) region
+    df = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {a} {b} y1 y2"),
+            (2, f"z1 {a} {b} z2 z3 z4"),
+            (3, "filler text with no shared grams at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"]): r["span_tokens"]
+        for r in repeated_spans(df, anchor=8, min_span_tokens=16).collect()
+    }
+    assert spans == {(1, 2): 16, (2, 1): 16}
+
+
+def test_remove_repeated_spans_strips_all_occurrences(spark):
+    """Removal drops EVERY occurrence (Lee et al. released-tool
+    policy), preserves case and token order, and reports counts;
+    docs that are entirely repeated come back empty."""
+    from vectordb_light_spark.operators.dedup import remove_repeated_spans
+
+    blurb = " ".join(f"B{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, f"Keep Me {blurb} And Me"),
+            (2, f"{blurb}"),
+            (3, f"Front {blurb} Mid {blurb} End"),
+            (4, "Nothing Repeated In This One At All Today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["removed_tokens"])
+        for r in remove_repeated_spans(
+            df, anchor=8, min_span_tokens=16
+        ).collect()
+    }
+    assert out[1] == ("Keep Me And Me", 20)
+    assert out[2] == ("", 20)
+    assert out[3] == ("Front Mid End", 40)
+    assert out[4] == ("Nothing Repeated In This One At All Today", 0)
+
+
+def test_repeated_spans_hot_span_stays_linear(spark):
+    """Adversarial: ONE span repeated across 400 docs emits exactly
+    one span row per doc (never pairs) — output linear in corpus
+    size, the property that keeps a million-fold repeated license
+    blurb bounded at 100 TB."""
+    from vectordb_light_spark.operators.dedup import repeated_spans
+
+    blurb = " ".join(f"h{i}" for i in range(24))
+    rows = [(i, f"u{i}a u{i}b {blurb} u{i}c u{i}d") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_spans(df, anchor=8, min_span_tokens=16).collect()
+    assert len(spans) == 400
+    assert all(r["span_tokens"] == 24 for r in spans)

@@ -132,3 +132,34 @@ def test_predicates_reach_the_scan(spark, name, col):
         f"{name}: no pushed comparison predicate on {col!r} "
         f"(got {pushed_lists})"
     )
+
+
+def test_plans_md_covers_every_registered_query():
+    """Doc-sync guard (r5): PLANS.md must carry one audited section
+    per registry entry, and gen_plans NOTES must not drift from the
+    live registry — regenerate with `python tools/gen_plans.py`
+    whenever a query is added."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    sections = {
+        m.group(1)
+        for m in re.finditer(
+            r"^## ([a-z0-9_]+)$", (root / "PLANS.md").read_text(), re.M
+        )
+    }
+    assert sections == set(QUERIES), (
+        f"PLANS.md drift: missing {sorted(set(QUERIES) - sections)}, "
+        f"stale {sorted(sections - set(QUERIES))}"
+    )
+    notes_keys = set(
+        re.findall(
+            r"\n '([a-z0-9_]+)':",
+            (root / "tools" / "gen_plans.py").read_text(),
+        )
+    )
+    assert notes_keys == set(QUERIES), (
+        f"gen_plans NOTES drift: missing {sorted(set(QUERIES) - notes_keys)}, "
+        f"stale {sorted(notes_keys - set(QUERIES))}"
+    )

@@ -1107,3 +1107,188 @@ def ngram_contamination(
             (F.coalesce(F.col("n_shared_grams"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level exact-substring dedup (repeated-span mining; beyond-reference)
+# ---------------------------------------------------------------------------
+
+
+def _anchor_grams(
+    df: DataFrame, *, id_col: str, text_col: str, anchor: int
+) -> DataFrame:
+    """(id, pos, gk) rows: one md5 key per token ``anchor``-gram, with
+    its 0-based start position in the document's whitespace token
+    stream. Tokens are lower-cased for the KEY only (positions refer
+    to the case-preserving split, which is whitespace-identical).
+    Documents shorter than ``anchor`` tokens emit nothing — they
+    cannot contain a repeated span at this granularity (exact_dedup
+    owns whole-short-doc duplication). Staged projections keep the
+    tokenize out of the per-element lambda (see module docstring)."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    ).where(F.size("__toks") >= anchor)
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - anchor),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice("__toks", i + 1, anchor), " ")
+                    ).alias("gk"),
+                ),
+            )
+        ).alias("__a"),
+    )
+    return grams.select(id_col, "__a.pos", "__a.gk")
+
+
+def repeated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor: int = 8,
+    min_docs: int = 2,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Mine maximal cross-document repeated token spans — the
+    exact-substring dedup tier (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed for
+    Spark: where the paper builds a corpus-wide suffix array, this
+    uses sliding token ``anchor``-gram hashes as span anchors, which
+    detects exactly the spans of ≥ ``anchor`` tokens shared by
+    ≥ ``min_docs`` DISTINCT documents. remove_boilerplate is the
+    paragraph-exact sibling; this tier catches a 60-token quote
+    duplicated MID-paragraph across 10k pages, which no paragraph or
+    whole-doc hash sees. Within-document self-repetition is
+    ts_repetition_filter's job and does not trigger here.
+
+    Returns one row per maximal repeated region: (id, span_start,
+    span_end, span_tokens), 0-based token positions, end exclusive,
+    only regions with ≥ ``min_span_tokens`` tokens (default: 2 ×
+    ``anchor``, so an isolated common phrase of exactly one anchor
+    does not fire). Overlapping and ABUTTING anchor covers merge into
+    one region (gaps-and-islands over the per-doc position stream).
+
+    Scale: the only wide ops are (a) a groupBy on the 128-bit gram
+    key to find hot anchors — count-style aggregation, constant
+    memory per key, partial-agg friendly, never collect_set; (b) an
+    equi-join of gram rows against the hot-key set — output is at
+    most the gram-row count (LINEAR in corpus tokens; no pair
+    emission anywhere, so a million-fold repeated span costs a
+    million rows, not a million²); AQE broadcasts the hot set when
+    small and splits skewed build keys otherwise; and (c) a per-doc
+    window for the interval merge, bounded by document length. The
+    shuffle never carries text — md5 keys and int positions only.
+    """
+    from pyspark.sql import Window
+
+    from vectordb_light_spark.session import persist_if_batch
+
+    if min_span_tokens is None:
+        min_span_tokens = 2 * anchor
+    # both the hot-anchor aggregation and the cover join consume the
+    # gram rows — persist so tokenize + per-gram md5 run once
+    grams = persist_if_batch(
+        _anchor_grams(df, id_col=id_col, text_col=text_col, anchor=anchor)
+    )
+    hot = (
+        grams.groupBy("gk")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("gk")
+    )
+    cov = grams.join(hot, "gk").select(
+        id_col,
+        F.col("pos").alias("__s"),
+        (F.col("pos") + anchor).alias("__e"),
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max_end = F.max("__e").over(w_prev)
+    islands = cov.withColumn(
+        "__isl",
+        F.sum(
+            F.when(
+                prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("__s").alias("span_start"),
+            F.max("__e").alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start"))
+        .where(F.col("span_tokens") >= min_span_tokens)
+        .drop("__isl")
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor: int = 8,
+    min_docs: int = 2,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Strip every occurrence of the repeated regions mined by
+    :func:`repeated_spans` from every document (the Lee et al. 2022
+    released tool's remove-all-copies policy; retain-one belongs to
+    cluster-level dedup, not substring surgery). Returns the original
+    rows with ``text_col`` rebuilt from the kept tokens (whitespace
+    normalized to single spaces, case preserved) plus
+    ``removed_tokens``; documents that were entirely repeated come
+    back with empty text, mirroring remove_boilerplate.
+
+    The span list joins back 1:1 on the id (a handful of int pairs
+    per doc), and the rebuild is a single higher-order filter over
+    the token array — no shuffle beyond repeated_spans' own.
+    """
+    spans = repeated_spans(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        anchor=anchor,
+        min_docs=min_docs,
+        min_span_tokens=min_span_tokens,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            "__spans",
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    out = (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            "__kept", F.when(F.col("__spans").isNull(), toks).otherwise(kept)
+        )
+        .withColumn(
+            "removed_tokens",
+            (F.size(toks) - F.size("__kept")).cast("int"),
+        )
+        .withColumn(text_col, F.array_join("__kept", " "))
+        .drop("__spans", "__kept")
+    )
+    return out

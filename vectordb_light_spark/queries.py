@@ -1217,6 +1217,178 @@ def dd_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Exact-substring dedup entries (r5): the synthetic corpus carries a
+# few natural cross-doc duplicates, and the entries inject two fixed
+# blurbs — a 30-token "license" appended to doc_id % 5 == 0 and a
+# 10-token "newsletter" line prepended to doc_id % 7 == 0 — so the
+# miner sees spans above AND below the 16-token bar. The SQL twin
+# replays the same injection and the same algorithm, so every output
+# is data-driven (no pinned expectations).
+_BLURB_A = (
+    "this corpus is released under the creative commons attribution "
+    "license please retain this notice when redistributing copies and "
+    "cite the original collection maintainers in all derivative works "
+    "thank you"
+)
+_BLURB_B = "subscribe to our weekly newsletter for updates and exclusive offers"
+
+_SPAN_MINE_CTES = r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'subscribe to our weekly newsletter for updates and exclusive offers '
+                  ELSE '' END
+             || text ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' this corpus is released under the creative commons attribution license please retain this notice when redistributing copies and cite the original collection maintainers in all derivative works thank you'
+                  ELSE '' END AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM base
+    ),
+    g0 AS (
+      SELECT doc_id,
+             UNNEST(list_transform(generate_series(1, len(toks) - 7),
+                    i -> {'pos': i - 1,
+                          'gk': md5(array_to_string(toks[i:i+7], ' '))})) AS a
+      FROM tok WHERE len(toks) >= 8
+    ),
+    g AS (SELECT doc_id, a.pos AS pos, a.gk AS gk FROM g0),
+    hot AS (SELECT gk FROM g GROUP BY gk HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM g
+            WHERE gk IN (SELECT gk FROM hot)),
+    ord AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM cov
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s) AS island
+      FROM ord
+    ),
+    spans AS (
+      SELECT doc_id, min(s) AS ss, max(e) AS se
+      FROM isl GROUP BY doc_id, island
+      HAVING max(e) - min(s) >= 16
+    )
+"""
+
+
+def _docs_with_blurbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_BLURB_B + " ")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" " + _BLURB_A)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+@register(
+    "dd_repeated_spans",
+    oracle=_SPAN_MINE_CTES
+    + """
+    SELECT doc_id, CAST(ss AS INT) AS span_start,
+           CAST(se AS INT) AS span_end,
+           CAST(se - ss AS INT) AS span_tokens
+    FROM spans
+    ORDER BY doc_id, span_start
+    """,
+)
+def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-substring mining (dedup.py repeated_spans):
+    the Lee et al. 2022 dedup tier — maximal token spans repeated
+    across >= 2 distinct documents, anchored on sliding token 8-gram
+    md5 keys, merged per doc via gaps-and-islands, reported above a
+    16-token bar. Catches a quote duplicated MID-paragraph that no
+    paragraph hash (dd_remove_boilerplate) or doc-level Jaccard tier
+    sees. Linear everywhere: hot-anchor detection is a count-style
+    groupBy on 128-bit keys, the anchor join emits at most one row
+    per gram occurrence (never pairs), and the merge window is
+    per-document."""
+    from vectordb_light_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(
+        _docs_with_blurbs(spark, sf_dir),
+        anchor=8,
+        min_docs=2,
+        min_span_tokens=16,
+    ).orderBy("doc_id", "span_start")
+
+
+@register(
+    "dd_strip_repeated_spans",
+    oracle=_SPAN_MINE_CTES
+    + r"""
+    ,
+    tokp0 AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS rtoks FROM base
+    ),
+    tokp AS (
+      SELECT doc_id,
+             UNNEST(list_transform(generate_series(1, len(rtoks)),
+                    i -> {'pos': i - 1, 'tok': rtoks[i]})) AS a
+      FROM tokp0
+    ),
+    tokf AS (SELECT doc_id, a.pos AS pos, a.tok AS tok FROM tokp),
+    keptt AS (
+      SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS text
+      FROM tokf t
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = t.doc_id
+                          AND t.pos >= s.ss AND t.pos < s.se)
+      GROUP BY t.doc_id
+    ),
+    rem AS (
+      SELECT doc_id, CAST(sum(se - ss) AS INT) AS removed_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(rem.removed_tokens, 0) AS removed_tokens,
+           md5(COALESCE(keptt.text, '')) AS kept_md5
+    FROM base b
+    LEFT JOIN rem ON b.doc_id = rem.doc_id
+    LEFT JOIN keptt ON b.doc_id = keptt.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def dd_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (dedup.py remove_repeated_spans): strip
+    every occurrence of the mined repeated regions from every document
+    — the Lee et al. 2022 released tool's remove-all-copies policy —
+    and rebuild the text from kept tokens (single-space joined, case
+    preserved). Output is the md5 of each rebuilt document plus the
+    removed-token count, for all docs; a single mis-kept token
+    anywhere flips a hash. The rebuild is one higher-order filter
+    over the token array (no UDF), and the span list joins back 1:1
+    on doc_id."""
+    from vectordb_light_spark.operators.dedup import remove_repeated_spans
+
+    out = remove_repeated_spans(
+        _docs_with_blurbs(spark, sf_dir),
+        anchor=8,
+        min_docs=2,
+        min_span_tokens=16,
+    )
+    return out.select(
+        "doc_id",
+        "removed_tokens",
+        F.md5("text").alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search at scale (ANN; beyond-reference north star)
 # ---------------------------------------------------------------------------
@@ -4803,6 +4975,8 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:   (e) the 50 r3-graded (all green) entries rotated to the back,
 #:       cheapest-first — they re-earn rows next round.
 _REGISTRY_ORDER = [
+    "dd_repeated_spans",
+    "dd_strip_repeated_spans",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "mm_jpeg_decode",
