@@ -304,6 +304,79 @@ def test_audio_features_8bit_wav_centered(spark):
     assert rows[1]["dominant_band"] == rows[3]["dominant_band"]
 
 
+def _mp3_frames(
+    n: int,
+    *,
+    version_bits: int = 3,
+    bitrate_idx: int = 9,
+    rate_idx: int = 0,
+    channel_mode: int = 0,
+) -> bytes:
+    """Synthetic MPEG audio frame chain: REAL headers (ISO 11172-3
+    layout), zeroed payloads — mp3_metadata only reads headers."""
+    from vectordb_light_spark.sources.media import _mp3_frame_header
+
+    b1 = 0xE0 | (version_bits << 3) | (0x1 << 1) | 0x1  # Layer III
+    b2 = (bitrate_idx << 4) | (rate_idx << 2)
+    b3 = channel_mode << 6
+    hdr = bytes([0xFF, b1, b2, b3])
+    size = _mp3_frame_header(hdr, 0)["size"]
+    return (hdr + b"\x00" * (size - 4)) * n
+
+
+def test_mp3_metadata_frame_chain():
+    """r5 (verdict #8): duration / bitrate / sample rate / channels
+    parsed from real MPEG frame headers, incl. an ID3v2 prefix and a
+    mono MPEG2 variant; garbage raises."""
+    import pytest
+
+    from vectordb_light_spark.sources.media import mp3_metadata, sniff_format
+
+    data = _mp3_frames(10)  # MPEG1 L3, 44100 Hz, 128 kbps, stereo
+    assert sniff_format(data) == "mp3"
+    m = mp3_metadata(data)
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["n_frames"] == 10 and m["bitrate_kbps"] == 128
+    assert abs(m["duration_s"] - 10 * 1152 / 44100) < 1e-9
+    assert (m["layer"], m["mpeg_version"]) == (3, "1")
+
+    # ID3v2 prefix: syncsafe size 200, zero padding before the frames
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 200 >> 7, 200 & 0x7F]) + b"\x00" * 200
+    m2 = mp3_metadata(id3 + data)
+    assert sniff_format(id3 + data) == "mp3"
+    assert (m2["n_frames"], m2["sample_rate"]) == (10, 44100)
+
+    # MPEG2 Layer III mono, 24000 Hz (rate_idx 1), 64 kbps (idx 8)
+    m3 = mp3_metadata(
+        _mp3_frames(4, version_bits=2, bitrate_idx=8, rate_idx=1, channel_mode=3)
+    )
+    assert (m3["sample_rate"], m3["channels"]) == (24000, 1)
+    assert abs(m3["duration_s"] - 4 * 576 / 24000) < 1e-9
+    assert m3["mpeg_version"] == "2"
+
+    with pytest.raises(ValueError):
+        mp3_metadata(b"\xff\xe0 definitely not frames" * 10)
+
+
+def test_audio_features_mp3_real_sample_rate(spark):
+    """MP3 rows stay on the labeled fake feature tier but carry a
+    REAL sr from the frame chain; non-audio garbage keeps sr -1."""
+    from vectordb_light_spark.operators.multimodal import audio_features
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_mp3_frames(5))),
+            (2, bytearray(_mp3_frames(3, version_bits=2, bitrate_idx=8, rate_idx=1))),
+            (3, bytearray(b"not audio")),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert rows[1]["sr"] == 44100 and rows[2]["sr"] == 24000
+    assert rows[1]["rms"] == -1.0  # still the labeled fake tier
+    assert rows[3]["sr"] == -1
+
+
 def test_decode_and_features_and_resize_on_real_images(spark):
     from vectordb_light_spark.operators.multimodal import (
         decode_images,

@@ -809,8 +809,42 @@ def test_topk_join_left_bucket_salting_is_output_neutral(spark):
             for r in ann_topk_join_lsh(left, right, k=3, bands=16, **kw).collect()
         )
 
-    salted = run(max_left_bucket=10, left_salts=4)
+    # r5: three skew plans, identical output required —
+    # broadcast_hot_rows=0 forces the adaptive-salting fallback; the
+    # default takes the hot-bucket broadcast path.
+    salted = run(max_left_bucket=10, left_salts=4, broadcast_hot_rows=0)
     unsalted = run(max_left_bucket=None)
-    more_salts = run(max_left_bucket=10, left_salts=7)
-    assert salted == unsalted == more_salts
+    broadcasted = run(max_left_bucket=10)
+    assert salted == unsalted == broadcasted
     assert len({l for l, _, _ in salted}) == 60 + 5  # every left served
+    # adaptive salting: the salt count scales with the bucket
+    # (ceil(60/10) = 6 groups here) and the left_salts cap clamps it —
+    # output must stay identical in both regimes, including a cap of 1
+    # (degenerate: hot path with a single salt group ≡ unsalted).
+    adaptive = run(max_left_bucket=10, left_salts=64, broadcast_hot_rows=0)
+    clamped = run(max_left_bucket=10, left_salts=1, broadcast_hot_rows=0)
+    assert adaptive == clamped == unsalted
+
+
+def test_topk_join_adaptive_salt_counts(spark):
+    """r5: per-key salt counts are ceil(bucket / max_left_bucket)
+    clamped to left_salts — checked against the internal hot-key
+    derivation (the bound max_left_bucket x max_right_bucket per task
+    only holds if the salt count actually tracks the bucket size)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "hot") for i in range(37)] + [(100 + i, "cold") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    max_left_bucket, cap = 5, 64
+    hot = (
+        df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("__lc"))
+        .where(F.col("__lc") > max_left_bucket)
+        .withColumn(
+            "__salts",
+            F.least(
+                F.lit(cap), F.ceil(F.col("__lc") / F.lit(max_left_bucket))
+            ).cast("int"),
+        )
+    ).collect()
+    assert [(r["key"], r["__salts"]) for r in hot] == [("hot", 8)]  # ceil(37/5)

@@ -233,3 +233,63 @@ def test_scrub_pii_leaves_clean_text_alone(spark):
     )
     out = df.select(scrub_pii("text").alias("t")).first().t
     assert out == "no sensitive content in this sentence at all"
+
+
+def test_gopher_rules_each_rule_fires_independently(spark):
+    """r5: every Gopher rule (Rae et al. 2021 §A1.1.2) trips on a doc
+    crafted to fail ONLY that rule; a clean doc passes all of them."""
+    from vectordb_light_spark.functions.text import gopher_rules
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs home to "
+        "rest with friends that have seen many fine days of warm sun. "
+    ) * 5  # ≥50 words, sane lengths, stopwords present
+    docs = {
+        "good": good,
+        "too_short": "the cat sat with that hat and have fun be of it",
+        "long_words": " ".join(["the", "of"] + ["pneumonoultramicroscopic"] * 58),
+        "symbols": good + " " + "# " * 30,
+        "non_alpha": "the of " + "12345 " * 58,
+        "no_stopwords": " ".join(f"w{i}x quick brown fox" for i in range(20)),
+        "bullets": "\n".join(f"- the point {i} of it that have be with and" for i in range(20)),
+        "ellipsis": "\n".join(f"the line {i} of it that have be with and..." for i in range(20)),
+    }
+    df = spark.createDataFrame(list(docs.items()), "id string, text string")
+    r = gopher_rules("text")
+    rows = {
+        row["id"]: row
+        for row in df.select(
+            "id", *[r[k].alias(k) for k in r if k.startswith("rule_") or k == "keep"]
+        ).collect()
+    }
+    assert rows["good"]["keep"] is True
+    fail_map = {
+        "too_short": "rule_word_count",
+        "long_words": "rule_mean_word_len",
+        "symbols": "rule_symbol_ratio",
+        "non_alpha": "rule_alpha_words",
+        "no_stopwords": "rule_stopwords",
+        "bullets": "rule_bullet_lines",
+        "ellipsis": "rule_ellipsis_lines",
+    }
+    for doc, rule in fail_map.items():
+        assert rows[doc][rule] is False, f"{doc} should fail {rule}"
+        assert rows[doc]["keep"] is False
+
+
+def test_gopher_rules_empty_and_blank_fail_safely(spark):
+    """Empty text → n_words 0; blank-with-newline yields empty
+    tokens (SQL trim strips only spaces — same in the DuckDB twin)
+    but every degenerate doc still lands keep=False."""
+    from vectordb_light_spark.functions.text import gopher_rules
+
+    df = spark.createDataFrame([(1, ""), (2, "   \n  ")], "id long, text string")
+    r = gopher_rules("text")
+    rows = {
+        row["id"]: row
+        for row in df.select(
+            "id", r["n_words"].alias("n"), r["keep"].alias("keep")
+        ).collect()
+    }
+    assert rows[1]["n"] == 0
+    assert all(row["keep"] is False for row in rows.values())

@@ -306,7 +306,7 @@ def main() -> None:
 #: re-running any probe with --write never drops another probe's
 #: measurements.
 def _all_markers():
-    return (BIG_MARKER, CLUSTERS_MARKER, CAPPED_MARKER, HH_MARKER)
+    return (BIG_MARKER, CLUSTERS_MARKER, CAPPED_MARKER, HH_MARKER, LSHSALT_MARKER, SCD2_MARKER)
 
 
 def _write_section(marker: str, out: str) -> None:
@@ -635,6 +635,536 @@ def main_hh(factors: tuple[int, ...] = (1, 4, 16)) -> None:
         _write_section(HH_MARKER, out)
 
 
+LSHSALT_MARKER = "\n## Salted LSH top-k join: adversarial mega-cluster"
+
+
+def main_lshsalt(sizes: tuple[int, ...] = (4096, 16384, 65536)) -> None:
+    """r5 (verdict #5): a single mega LEFT cluster (identical vectors
+    → identical SRP signature in every band → ONE hot band bucket per
+    band) driven through ann_topk_join_lsh at growing cluster sizes,
+    measuring wall AND the worst single task (Spark event log) for:
+
+    - unsalted  (max_left_bucket=None): the hot bucket is one join
+      task per band — worst task grows linearly with the cluster.
+    - fixed 8   (left_salts=8, the r4 default): 8-way split; worst
+      task still grows once the cluster passes 8 x max_left_bucket.
+    - adaptive  (left_salts=64, r5): per-key salt count
+      ceil(bucket/max_left_bucket) — worst task stays bounded at
+      ~max_left_bucket x max_right_bucket candidates.
+
+    Runs in its OWN SparkSession with the event log enabled so worst-
+    task durations are measured, not argued. Appends its SCALING.md
+    section with --write.
+    """
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    from vectordb_light_spark.operators.similarity import ann_topk_join_lsh
+
+    evdir = os.path.join(WORK, "eventlog")
+    os.makedirs(evdir, exist_ok=True)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-probe-lshsalt")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{evdir}")
+        # single uncompressed JSON file so the probe can tail it live
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _eventlog_path():
+        logs = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(evdir)
+            for f in files
+            if not f.startswith(".") and "local-" in f
+        ]
+        return max(logs, key=os.path.getmtime)
+
+    def max_task_ms(offset: int) -> tuple[int, int]:
+        """(new offset, worst task wall ms) over TaskEnd events past
+        ``offset`` bytes of the in-progress event log."""
+        path = _eventlog_path()
+        worst = 0
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            data = fh.read()
+        for line in data.splitlines():
+            try:
+                ev = _json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("Event") == "SparkListenerTaskEnd":
+                info = ev.get("Task Info", {})
+                dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
+                worst = max(worst, dur)
+        return offset + len(data), worst
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=32)
+    base /= np.linalg.norm(base)
+    dim = 32
+
+    def vecs(n, center=None, noise=0.0, seed=0):
+        r = np.random.default_rng(seed)
+        if center is None:
+            m = r.normal(size=(n, dim))
+        else:
+            m = np.tile(center, (n, 1)) + noise * r.normal(size=(n, dim))
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return m
+
+    # right side: 512 near-cluster rows (hot right bucket, truncated
+    # to max_right_bucket) + 2048 background
+    right_rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(
+            np.vstack([vecs(512, base, 0.05, seed=1), vecs(2048, seed=2)])
+        )
+    ]
+    right = spark.createDataFrame(
+        right_rows, "r_id long, r_vec array<float>"
+    ).repartition(8)
+    right.write.mode("overwrite").parquet(os.path.join(WORK, "lsh_right"))
+    right = spark.read.parquet(os.path.join(WORK, "lsh_right"))
+
+    variants = {
+        "unsalted": dict(max_left_bucket=None),
+        "fixed_8_salts": dict(
+            max_left_bucket=1024, left_salts=8, broadcast_hot_rows=0
+        ),
+        "adaptive_64cap": dict(
+            max_left_bucket=1024, left_salts=64, broadcast_hot_rows=0
+        ),
+        "hot_broadcast": dict(max_left_bucket=1024),
+    }
+    walls: dict[str, dict[int, float]] = {}
+    worst: dict[str, dict[int, int]] = {}
+    offset = 0
+    try:
+        for size in sizes:
+            # mega cluster: identical vectors (identical signature in
+            # EVERY band) + 2048 distinct background lefts
+            left_rows = [
+                (i, [float(x) for x in base]) for i in range(size)
+            ] + [
+                (10_000_000 + i, [float(x) for x in v])
+                for i, v in enumerate(vecs(2048, seed=3))
+            ]
+            d_left = os.path.join(WORK, f"lsh_left_{size}")
+            spark.createDataFrame(
+                left_rows, "l_id long, l_vec array<float>"
+            ).repartition(16).write.mode("overwrite").parquet(d_left)
+            left = spark.read.parquet(d_left)
+            for tag, kw in variants.items():
+                def go():
+                    return ann_topk_join_lsh(
+                        left, right, k=5, n_planes=64, bands=4,
+                        max_right_bucket=64, **kw,
+                    ).count()
+
+                go()  # warm-up
+                offset, _ = max_task_ms(offset)  # drain warm-up events
+                best, best_worst = float("inf"), 0
+                for _ in range(2):
+                    t0 = time.time()
+                    n = go()
+                    dt = time.time() - t0
+                    offset, w = max_task_ms(offset)
+                    if dt < best:
+                        best, best_worst = dt, w
+                walls.setdefault(tag, {})[size] = round(best, 2)
+                worst.setdefault(tag, {})[size] = best_worst
+                print(
+                    f"cluster {size} [{tag}]: wall {best:.2f}s, "
+                    f"worst task {best_worst} ms ({n} rows)",
+                    flush=True,
+                )
+    finally:
+        spark.stop()  # close the event log before deleting its dir
+        shutil.rmtree(WORK, ignore_errors=True)
+    cols = " | ".join(f"{s:,}" for s in sizes)
+    lines = [
+        "",
+        LSHSALT_MARKER.strip(),
+        "",
+        f"| variant | {cols} |",
+        "|---|" + "---|" * len(sizes),
+    ] + [
+        "| " + tag + " | " + " | ".join(
+            f"{walls[tag][s]}s / {worst[tag][s]}ms" for s in sizes
+        ) + " |"
+        for tag in variants
+    ] + [
+        "",
+        "Cells: wall / worst single task (event-log measured). One",
+        "mega cluster of identical left vectors (identical SRP",
+        "signature in every band) + 2k background lefts joins 2.5k",
+        "rights (512 forming a hot right bucket, truncated to",
+        "max_right_bucket=64); bands=4, max_left_bucket=1024. The",
+        "unsalted worst task grows with the cluster (one bucket = one",
+        "join task per band); the r4 fixed 8-way salt caps it only up",
+        "to 8x1024 rows; adaptive salting (ceil(bucket/cap) salt",
+        "groups, here 4 -> 16 -> 64) bounds the per-reducer candidate",
+        "count, but a stage-level event-log breakdown showed AQE",
+        "coalescing the salted reducers back into ~4 fat tasks (AQE",
+        "sizes reducers by shuffle-INPUT bytes and cannot see the",
+        "multiplying join's output) — hence the r5 default",
+        "hot_broadcast plan: the truncated hot right buckets (tiny)",
+        "broadcast and hot lefts join MAP-SIDE with no exchange, no",
+        "reducer, no skew at any cluster size. Output is identical",
+        "across all four plans (tests/test_similarity.py); total work",
+        "stays linear in cluster size (every left still owes its",
+        "top-k), so wall grows linearly at fixed parallelism while",
+        "the worst TASK stays bounded - on a 1000-executor cluster",
+        "the balanced stages scale out; the unsalted straggler",
+        "cannot.",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        _write_section(LSHSALT_MARKER, out)
+
+
+SCD2_MARKER = "\n## SCD2 CDC merge: dim-size invariance"
+
+
+def main_scd2(dim_sizes: tuple[int, ...] = (500_000, 2_000_000, 8_000_000)) -> None:
+    """r5 (verdict #9): measure the scd2_merge no-dim-shuffle claim.
+
+    A fixed 5k-key / 10k-row change batch merges into parquet SCD2
+    dimensions of growing size; per run the event log reports total
+    shuffle-write bytes and the worst task. The claim: shuffle volume
+    is ∝ |batch| (flat across dim sizes — the dim passes through
+    anti/broadcast joins, map-only), so the only dim-size-dependent
+    cost is the unavoidable scan. Appends its SCALING.md section with
+    --write.
+    """
+    import json as _json
+
+    from pyspark.sql import SparkSession
+
+    from vectordb_light_spark.operators.timeseries import scd2_merge
+
+    evdir = os.path.join(WORK, "eventlog")
+    os.makedirs(evdir, exist_ok=True)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-probe-scd2")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{evdir}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _evlog():
+        return max(
+            (
+                os.path.join(r, f)
+                for r, _, fs in os.walk(evdir)
+                for f in fs
+                if "local-" in f and not f.startswith(".")
+            ),
+            key=os.path.getmtime,
+        )
+
+    def run_metrics(offset: int) -> tuple[int, int, int]:
+        """(new offset, shuffle bytes written, worst task ms)."""
+        with open(_evlog(), "rb") as fh:
+            fh.seek(offset)
+            data = fh.read()
+        shuffle = worst = 0
+        for line in data.splitlines():
+            try:
+                ev = _json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("Event") != "SparkListenerTaskEnd":
+                continue
+            tm = ev.get("Task Metrics", {})
+            shuffle += tm.get("Shuffle Write Metrics", {}).get(
+                "Shuffle Bytes Written", 0
+            )
+            ti = ev.get("Task Info", {})
+            worst = max(worst, ti.get("Finish Time", 0) - ti.get("Launch Time", 0))
+        return offset + len(data), shuffle, worst
+
+    # fixed change batch: 5k keys x 2 changes
+    batch = (
+        spark.range(5000)
+        .selectExpr(
+            "id AS cust_key",
+            "CAST('gold' AS string) AS tier",
+            "timestamp'2025-06-01 00:00:00' AS valid_from",
+        )
+        .unionByName(
+            spark.range(5000).selectExpr(
+                "id AS cust_key",
+                "CAST('plat' AS string) AS tier",
+                "timestamp'2025-07-01 00:00:00' AS valid_from",
+            )
+        )
+    )
+    d_batch = os.path.join(WORK, "scd2_batch")
+    batch.write.mode("overwrite").parquet(d_batch)
+    batch = spark.read.parquet(d_batch)
+    results = []
+    offset = 0
+    try:
+        for n in dim_sizes:
+            d_dim = os.path.join(WORK, f"scd2_dim_{n}")
+            (
+                spark.range(n)
+                .selectExpr(
+                    "id AS cust_key",
+                    "CAST('base' AS string) AS tier",
+                    "timestamp'2025-01-01 00:00:00' AS valid_from",
+                    "CAST(NULL AS timestamp) AS valid_to",
+                    "CAST(1 AS int) AS is_current",
+                )
+                .repartition(32)
+                .write.mode("overwrite")
+                .parquet(d_dim)
+            )
+            dim = spark.read.parquet(d_dim)
+
+            def go(dim=dim):
+                return scd2_merge(
+                    dim, batch, key_col="cust_key", ts_col="valid_from"
+                ).count()
+
+            rows = go()  # warm-up
+            offset, _, _ = run_metrics(offset)
+            best = float("inf")
+            best_m = (0, 0)
+            for _ in range(2):
+                t0 = time.time()
+                go()
+                dt = time.time() - t0
+                offset, sh, worst = run_metrics(offset)
+                if dt < best:
+                    best, best_m = dt, (sh, worst)
+            results.append((n, best, best_m[0], best_m[1], rows))
+            print(
+                f"dim {n:,}: wall {best:.2f}s, shuffle {best_m[0] / 1024:.0f} KiB, "
+                f"worst task {best_m[1]} ms, out rows {rows:,}",
+                flush=True,
+            )
+    finally:
+        spark.stop()
+        shutil.rmtree(WORK, ignore_errors=True)
+    lines = [
+        "",
+        SCD2_MARKER.strip(),
+        "",
+        "| dim rows | wall | shuffle written | worst task | out rows |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| {n:,} | {w:.2f}s | {sh / 1024:.0f} KiB | {wt} ms | {rows:,} |"
+        for n, w, sh, wt, rows in results
+    ] + [
+        "",
+        "Fixed 10k-row change batch merged into growing SCD2",
+        "dimensions (scd2_merge, operators/timeseries.py). Shuffle",
+        "volume stays ~flat at batch scale across a 16x dim growth —",
+        "the dimension is never exchanged (anti + broadcast joins,",
+        "map-only); only the unavoidable dim scan grows. That is the",
+        "MERGE cost model a 100 TB dimension needs: cost ∝ |batch| +",
+        "one scan, never ∝ |dim| shuffles.",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        _write_section(SCD2_MARKER, out)
+
+
+IVFIO_MARKER = "\n## IVF >RAM IO pruning (measured, x64 partitioned store)"
+
+
+def main_ivfio(factor: int = 64, n_centroids: int = 16) -> None:
+    """r5 (verdict #6): measure — don't argue — the IVF >RAM story.
+
+    Builds a 128k-vector (x64) store written ``partitionBy(
+    ivf_cluster)`` and runs the probe at nprobe ∈ {1, 4, 12, 16},
+    reporting files read / files skipped and rows scanned from the
+    Spark task metrics (event log): partition pruning turns the probe
+    fraction into SKIPPED FILES (IO the cluster never does), which is
+    the property that matters when the corpus doesn't fit in RAM.
+    Writes its section into ANN_EVAL.md with --write.
+    """
+    import json as _json
+
+    from pyspark.sql import SparkSession
+
+    from vectordb_light_spark.operators.similarity import (
+        add_ivf_cluster,
+        ann_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    evdir = os.path.join(WORK, "eventlog")
+    os.makedirs(evdir, exist_ok=True)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-probe-ivfio")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{evdir}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _evlog():
+        return max(
+            (
+                os.path.join(r, f)
+                for r, _, fs in os.walk(evdir)
+                for f in fs
+                if "local-" in f and not f.startswith(".")
+            ),
+            key=os.path.getmtime,
+        )
+
+    def scan_metrics(offset: int) -> tuple[int, int, int]:
+        """(new offset, files read, records read) summed over TaskEnd
+        events past ``offset``."""
+        with open(_evlog(), "rb") as fh:
+            fh.seek(offset)
+            data = fh.read()
+        files = records = 0
+        for line in data.splitlines():
+            try:
+                ev = _json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("Event") != "SparkListenerTaskEnd":
+                continue
+            for acc in ev.get("Task Info", {}).get("Accumulables", []):
+                if acc.get("Name") == "number of files read":
+                    files += int(acc.get("Update", 0))
+            records += (
+                ev.get("Task Metrics", {})
+                .get("Input Metrics", {})
+                .get("Records Read", 0)
+            )
+        return offset + len(data), files, records
+
+    store = os.path.join(WORK, "ivf_store")
+    rows_tbl: dict[int, tuple] = {}
+    try:
+        d_emb = os.path.join(WORK, f"emb_x{factor}")
+        replicate(spark, "embeddings", "vec_id", factor, d_emb)
+        emb = spark.read.parquet(d_emb).select("vec_id", "embedding")
+        n_rows = emb.count()
+        cents = train_ivf_centroids(emb, n_centroids=n_centroids)
+        # the scale layout the docstrings promise: one directory per
+        # cluster; repartition inside each so files stay ~even
+        add_ivf_cluster(emb, cents).repartition(
+            n_centroids * 4, "ivf_cluster"
+        ).write.partitionBy("ivf_cluster").mode("overwrite").parquet(store)
+        indexed = spark.read.parquet(store)
+        total_files = sum(
+            1
+            for r, _, fs in os.walk(store)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        query = [
+            float(x)
+            for x in emb.orderBy("vec_id").first()["embedding"]
+        ]
+        offset = 0
+        for nprobe in (1, 4, 12, n_centroids):
+            def go():
+                return ann_topk_ivf(
+                    indexed, cents, query, k=10, nprobe=nprobe
+                ).collect()
+
+            go()  # warm-up (footer cache, python workers)
+            offset, _, _ = scan_metrics(offset)
+            t0 = time.time()
+            go()
+            dt = time.time() - t0
+            offset, files, records = scan_metrics(offset)
+            rows_tbl[nprobe] = (files, total_files, records, n_rows, dt)
+            print(
+                f"nprobe={nprobe}: files {files}/{total_files}, "
+                f"rows {records}/{n_rows}, wall {dt:.2f}s",
+                flush=True,
+            )
+    finally:
+        spark.stop()
+        shutil.rmtree(WORK, ignore_errors=True)
+    lines = [
+        "",
+        IVFIO_MARKER.strip(),
+        "",
+        f"x{factor} embeddings ({n_rows:,} vectors) written",
+        f"`partitionBy(ivf_cluster)` ({n_centroids} clusters,",
+        f"{total_files} files); per-probe scan cost from Spark task",
+        "metrics (event log), steady-state after a warm-up:",
+        "",
+        "| nprobe | files read | files skipped | rows scanned | scan frac | wall |",
+        "|---|---|---|---|---|---|",
+    ] + [
+        f"| {np_} | {f} | {tf - f} | {rec:,} | {rec / nr:.1%} | {dt:.2f}s |"
+        for np_, (f, tf, rec, nr, dt) in sorted(rows_tbl.items())
+    ] + [
+        "",
+        "Partition pruning reaches the FileIndex: nprobe/16 of the",
+        "files are READ and the rest are never opened — on a >RAM",
+        "corpus that fraction is IO the cluster never performs, which",
+        "is the regime the IVF tier exists for (the in-memory",
+        "benchmark above cannot exhibit it). Rows scanned tracks the",
+        "probed clusters' actual share (clusters are not equal-sized).",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        p = Path(__file__).resolve().parent.parent / "ANN_EVAL.md"
+        txt = p.read_text()
+        if IVFIO_MARKER in txt:
+            head, rest = txt.split(IVFIO_MARKER, 1)
+            nxt = rest.find("\n## ")
+            tail = rest[nxt:] if nxt >= 0 else ""
+            txt = head.rstrip("\n") + "\n" + out + "\n" + tail
+        else:
+            txt = txt.rstrip("\n") + "\n" + out + "\n"
+        p.write_text(txt)
+
+
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
@@ -644,5 +1174,11 @@ if __name__ == "__main__":
         main_capped()
     elif "--hh" in sys.argv:
         main_hh()
+    elif "--lshsalt" in sys.argv:
+        main_lshsalt()
+    elif "--ivfio" in sys.argv:
+        main_ivfio()
+    elif "--scd2" in sys.argv:
+        main_scd2()
     else:
         main()

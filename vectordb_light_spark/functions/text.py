@@ -177,6 +177,74 @@ def quality_score(col: Column | str) -> Column:
     return (len_score * 0.4 + punct_ok * 0.3 + sw_ok * 0.3).cast("double")
 
 
+#: The Gopher "required words" list (Rae et al. 2021 §A1.1.2): a doc
+#: must contain ≥2 of these to pass the stopword rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(col: Column | str) -> dict[str, Column]:
+    """Gopher-style document-quality RULES (Rae et al. 2021 §A1.1.2),
+    each an independent boolean column plus the signals they test —
+    all JVM-side builtins (regexp_count / split / filter), zero UDFs,
+    so the filter rides whole-stage codegen over a 100 TB scan:
+
+    - ``rule_word_count``:     50 ≤ words ≤ 100,000
+    - ``rule_mean_word_len``:  3 ≤ mean word length ≤ 10
+    - ``rule_symbol_ratio``:   (# + ellipsis) / words ≤ 0.1
+    - ``rule_alpha_words``:    ≥ 80 % of words contain a letter
+    - ``rule_stopwords``:      ≥ 2 of the 8 Gopher required words
+    - ``rule_bullet_lines``:   ≤ 90 % of lines start with a bullet
+    - ``rule_ellipsis_lines``: ≤ 30 % of lines end with an ellipsis
+    - ``keep``: AND of all rules.
+
+    Returns {name: Column}; select what you need. Empty/blank docs
+    fail the word-count rule and divide-by-zero guards return 0
+    ratios, matching the oracle twin (queries.py ts_gopher_filter).
+    """
+    t = F.trim(_c(col))
+    toks = F.split(t, r"\s+")
+    n_words = whitespace_token_count(t)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(nonspace / n_words)
+    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(t, F.lit(r"#|\.\.\.|…")) / n_words
+    )
+    alpha_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_words
+    )
+    stop_hits = sum(
+        F.when(F.lower(t).rlike(rf"\b{sw}\b"), 1).otherwise(0)
+        for sw in GOPHER_STOPWORDS
+    )
+    lines = F.split(_c(col), r"\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")))
+        / n_lines
+    )
+    rules = {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "rule_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "rule_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "rule_symbol_ratio": symbol_ratio <= 0.1,
+        "rule_alpha_words": alpha_frac >= 0.8,
+        "rule_stopwords": F.lit(stop_hits) >= 2,
+        "rule_bullet_lines": bullet_frac <= 0.9,
+        "rule_ellipsis_lines": ellipsis_frac <= 0.3,
+    }
+    keep = None
+    for name, c in rules.items():
+        if name.startswith("rule_"):
+            keep = c if keep is None else (keep & c)
+    rules["keep"] = keep
+    return rules
+
+
 # Per-language function-word profiles for the n-gram/stopword lang-ID
 # heuristic. Word-boundary regex counts are cheap JVM scans and the
 # scoring is pure arithmetic — ANSI-SQL-mirrorable for the oracle.

@@ -380,9 +380,12 @@ def audio_features(
     to mono float, a power spectrum over the first ``max_samples``
     frames comes from ``numpy.fft.rfft`` (real DSP, no third-party
     deps), and the band energies split the 0..Nyquist range into
-    ``n_bands`` equal slices. Non-WAV formats (MP3 etc. — no stdlib
-    codec) fall to the deterministic byte-hash fake with sentinel
-    scalars (rms/peak -1, band -1), mirroring image_features.
+    ``n_bands`` equal slices. Non-WAV formats fall to the
+    deterministic byte-hash fake with sentinel scalars (rms/peak -1,
+    band -1), mirroring image_features — except that MP3 rows get a
+    REAL ``sr`` from the frame-header chain
+    (:func:`~vectordb_light_spark.sources.media.mp3_metadata`; PCM
+    decode is the only part out of stdlib scope).
 
     Scale: map-only Arrow stage, bounded per row by ``max_samples``
     regardless of clip length; binary rides the scan like any column.
@@ -394,24 +397,38 @@ def audio_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from vectordb_light_spark.sources.media import sniff_format, wav_decode
+        from vectordb_light_spark.sources.media import (
+            mp3_metadata,
+            sniff_format,
+            wav_decode,
+        )
 
         for pdf in batches:
             feats, rmss, bands, peaks, srs = [], [], [], [], []
             for data in pdf[content_col]:
                 raw = bytes(data) if data is not None else b""
                 decoded = None
-                if sniff_format(raw) == "wav":
+                fmt = sniff_format(raw)
+                if fmt == "wav":
                     try:
                         decoded = wav_decode(raw)
                     except (ValueError, EOFError, struct.error, IndexError):
                         decoded = None
                 if decoded is None:
+                    # r5: MP3 PCM decode stays out of stdlib scope, but
+                    # the frame headers parse for real — fake features
+                    # keep a REAL sample rate for MP3 rows.
+                    sr_real = -1
+                    if fmt == "mp3":
+                        try:
+                            sr_real = int(mp3_metadata(raw)["sample_rate"])
+                        except (ValueError, KeyError, IndexError):
+                            sr_real = -1
                     feats.append(_fake_features(raw, n_bands))
                     rmss.append(-1.0)
                     bands.append(-1)
                     peaks.append(-1.0)
-                    srs.append(-1)
+                    srs.append(sr_real)
                     continue
                 samples, sr = decoded
                 mono = samples.astype(np.float64).mean(axis=1)

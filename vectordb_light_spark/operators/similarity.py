@@ -444,7 +444,8 @@ def ann_topk_join_lsh(
     seed: int = DEFAULT_SEED,
     max_right_bucket: int | None = 256,
     max_left_bucket: int | None = 4096,
-    left_salts: int = 8,
+    left_salts: int = 64,
+    broadcast_hot_rows: int = 262_144,
 ) -> DataFrame:
     """Approximate top-k similarity JOIN for large×large inputs:
     every left row gets its ≤k most-cosine-similar right rows.
@@ -475,21 +476,39 @@ def ann_topk_join_lsh(
     ``max_left_bucket`` bounds the LEFT side's skew: the right
     truncation makes hot tasks linear in the left bucket (never
     quadratic), but a boilerplate cluster of D left rows in one band
-    bucket still lands one D × ``max_right_bucket`` join task. Left
-    buckets above the cap are SALTED — each hot left row takes a
-    deterministic ``xxhash64(id) % left_salts`` suffix on its join
-    key and the (already truncated) right bucket replicates across
-    the ``left_salts`` replicas — so the worst task is bounded at
-    ``max_left_bucket × max_right_bucket / left_salts`` candidates
-    independent of cluster size. Pure repartitioning: every (left,
-    right) candidate pair still meets exactly once, so output is
-    UNCHANGED — salting trades a ``left_salts``× replication of hot
-    right buckets (tiny: ≤256 rows each) for even reducer load.
-    ``None`` disables. Salting requires ``max_right_bucket``: the
-    worst-task bound comes from replicating TRUNCATED right buckets,
-    so ``max_left_bucket`` with ``max_right_bucket=None`` would
-    replicate unbounded buckets ``left_salts`` times without bounding
-    anything — that combination raises ``ValueError``.
+    bucket still lands one D × ``max_right_bucket`` join task. Keys
+    whose left bucket exceeds the cap get one of two skew-free plans:
+
+    - **Hot-bucket broadcast (preferred)**: the hot keys' TRUNCATED
+      right buckets total ≤ n_hot × ``max_right_bucket`` rows; when
+      that fits ``broadcast_hot_rows`` they broadcast and the hot
+      lefts join MAP-SIDE on their existing partitioning — no
+      exchange of hot left rows, no reducer, hence no skew at ANY
+      cluster size, and immune to the AQE coalescing trap (AQE sizes
+      reducers by shuffle-INPUT bytes and cannot see a multiplying
+      join's output, so salted reducers can get merged back into a
+      few fat tasks — measured in SCALING.md "Salted LSH" section).
+    - **Adaptive salting (fallback)** when the hot-key set itself is
+      too large to broadcast: each hot key splits into ``s = min(
+      left_salts, ceil(bucket/max_left_bucket))`` salt groups, each
+      hot left row takes a deterministic ``xxhash64(id) % s`` join-
+      key suffix, and the truncated right bucket replicates across
+      the ``s`` replicas — per-reducer candidates bounded at
+      ``max_left_bucket × max_right_bucket`` until the ``left_salts``
+      replication cap engages at clusters > ``left_salts ×
+      max_left_bucket``.
+
+    Both plans are pure repartitioning: every (left, right) candidate
+    pair still meets exactly once, so output is UNCHANGED vs the
+    unsalted join (asserted across all three paths in
+    tests/test_similarity.py). ``None`` disables. Skew handling
+    requires ``max_right_bucket``: both bounds come from TRUNCATED
+    right buckets, so ``max_left_bucket`` with
+    ``max_right_bucket=None`` would replicate/broadcast unbounded
+    buckets — that combination raises ``ValueError``. Measured:
+    SCALING.md "Salted LSH top-k join" section (x16 mega-cluster
+    growth; broadcast path flattens the worst join task where the
+    unsalted plan's grows 24×).
     """
     if max_left_bucket is not None and max_right_bucket is None:
         raise ValueError(
@@ -535,32 +554,64 @@ def ann_topk_join_lsh(
             .drop("__rn")
         )
     if max_left_bucket is not None:
-        # Left-skew salting: hot left buckets spread across
-        # ``left_salts`` reducers against replicas of their (already
-        # truncated) right bucket. The hot-key set is tiny, so AQE
-        # broadcasts the semi/anti probes; persist so the SRP stage
-        # feeds the count and both probes once.
+        # Left-skew handling. Persist so the SRP stage feeds the
+        # hot-key count and both probes once.
         a = _persist_if_batch(a)
         hot_keys = (
             a.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__lc"))
             .where(F.col("__lc") > max_left_bucket)
-            .select(*keys)
+            .withColumn(
+                "__salts",
+                F.least(
+                    F.lit(left_salts),
+                    F.ceil(F.col("__lc") / F.lit(max_left_bucket)),
+                ).cast("int"),
+            )
+            .select(*keys, "__salts")
         )
-        cold_a = a.join(hot_keys, keys, "left_anti")
-        hot_a = a.join(hot_keys, keys, "left_semi").withColumn(
-            "__salt",
-            F.pmod(F.xxhash64(F.col(left_id)), F.lit(left_salts)).cast("int"),
-        )
-        hot_b = b.join(hot_keys, keys, "left_semi").withColumn(
-            "__salt",
-            # sequence of int literals explodes to int — matches the
-            # cast pmod on the left side
-            F.explode(F.sequence(F.lit(0), F.lit(left_salts - 1))),
-        )
-        joined = cold_a.join(b, keys).unionByName(
-            hot_a.join(hot_b, [*keys, "__salt"]).drop("__salt")
-        )
+        n_hot = hot_keys.count()
+        if n_hot == 0:
+            joined = a.join(b, keys)
+        else:
+            cold_a = a.join(hot_keys.select(*keys), keys, "left_anti")
+            hot_a = a.join(hot_keys.select(*keys), keys, "left_semi")
+            hot_b = b.join(hot_keys.select(*keys), keys, "left_semi")
+            if n_hot * max_right_bucket <= broadcast_hot_rows:
+                # PREFERRED: the truncated hot right buckets are tiny
+                # (≤ n_hot × max_right_bucket rows), so broadcast them
+                # and join the hot lefts MAP-SIDE on their existing
+                # partitioning — no exchange of the hot left rows, no
+                # reducer skew, and no AQE coalescing trap (AQE sizes
+                # reducers by shuffle-input bytes and cannot see a
+                # multiplying join's output, so a salted hot bucket
+                # can get merged back into a handful of fat tasks —
+                # measured in SCALING.md "Salted LSH" section).
+                hot_join = hot_a.join(F.broadcast(hot_b), keys)
+            else:
+                # FALLBACK (hot-key set too large to broadcast):
+                # adaptive salting — each hot key splits into
+                # ceil(bucket/max_left_bucket) ≤ left_salts salt
+                # groups; the truncated right bucket replicates
+                # across them. Pure repartitioning, output unchanged.
+                hot_ac = a.join(hot_keys, keys).withColumn(
+                    "__salt",
+                    F.pmod(
+                        F.xxhash64(F.col(left_id)), F.col("__salts")
+                    ).cast("int"),
+                )
+                hot_bc = b.join(hot_keys, keys).withColumn(
+                    "__salt",
+                    # sequence of int bounds explodes to int —
+                    # matches the cast pmod on the left side
+                    F.explode(F.sequence(F.lit(0), F.col("__salts") - 1)),
+                )
+                hot_join = (
+                    hot_ac.drop("__salts")
+                    .join(hot_bc.drop("__salts"), [*keys, "__salt"])
+                    .drop("__salt")
+                )
+            joined = cold_a.join(b, keys).unionByName(hot_join)
     else:
         joined = a.join(b, keys)
     cand = (

@@ -783,6 +783,97 @@ def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_gopher_filter",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               trim(text) AS tt,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END AS n_words,
+               length(regexp_replace(trim(text), '\s', '', 'g')) AS nonspace,
+               len(regexp_extract_all(trim(text), '#|\.\.\.|…')) AS n_sym,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(list_filter(
+                        regexp_split_to_array(trim(text), '\s+'),
+                        x -> regexp_matches(x, '[A-Za-z]')))
+               END AS n_alpha,
+               (CASE WHEN regexp_matches(lower(trim(text)), '\bthe\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text)), '\bbe\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text)), '\bto\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text)), '\bof\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text)), '\band\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text)), '\bthat\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text)), '\bhave\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text)), '\bwith\b') THEN 1 ELSE 0 END
+               ) AS stop_hits,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words = 0 THEN 0.0
+                    ELSE nonspace::DOUBLE / n_words END AS mean_wl,
+               CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_sym::DOUBLE / n_words END AS symbol_ratio,
+               CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_alpha::DOUBLE / n_words END AS alpha_frac,
+               stop_hits,
+               len(list_filter(lines,
+                   x -> regexp_matches(trim(x), '^[-*•]')))::DOUBLE
+                   / len(lines) AS bullet_frac,
+               len(list_filter(lines,
+                   x -> regexp_matches(trim(x), '(\.\.\.|…)$')))::DOUBLE
+                   / len(lines) AS ellipsis_frac
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           ROUND(mean_wl, 6) AS mean_word_len,
+           n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+           mean_wl >= 3.0 AND mean_wl <= 10.0 AS rule_mean_word_len,
+           symbol_ratio <= 0.1 AS rule_symbol_ratio,
+           alpha_frac >= 0.8 AS rule_alpha_words,
+           stop_hits >= 2 AS rule_stopwords,
+           bullet_frac <= 0.9 AS rule_bullet_lines,
+           ellipsis_frac <= 0.3 AS rule_ellipsis_lines,
+           (n_words >= 50 AND n_words <= 100000)
+               AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+               AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+               AND stop_hits >= 2 AND bullet_frac <= 0.9
+               AND ellipsis_frac <= 0.3 AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def ts_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality RULE filter (Rae et al. 2021
+    §A1.1.2): word count / mean word length / symbol ratio / alpha
+    fraction / required stopwords / bullet + ellipsis line ratios,
+    each surfaced as an independent boolean plus the combined
+    ``keep`` — the standard pre-training corpus gate. All JVM-side
+    builtins (functions/text.py gopher_rules), zero UDFs, so the
+    filter rides whole-stage codegen over a 100 TB scan."""
+    from vectordb_light_spark.functions.text import gopher_rules
+
+    docs = load_docs(spark, sf_dir)
+    r = gopher_rules("text")
+    return docs.select(
+        "doc_id",
+        r["n_words"].cast("int").alias("n_words"),
+        F.round(r["mean_word_len"], 6).alias("mean_word_len"),
+        r["rule_word_count"].alias("rule_word_count"),
+        r["rule_mean_word_len"].alias("rule_mean_word_len"),
+        r["rule_symbol_ratio"].alias("rule_symbol_ratio"),
+        r["rule_alpha_words"].alias("rule_alpha_words"),
+        r["rule_stopwords"].alias("rule_stopwords"),
+        r["rule_bullet_lines"].alias("rule_bullet_lines"),
+        r["rule_ellipsis_lines"].alias("rule_ellipsis_lines"),
+        r["keep"].alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
     "ts_winnow_fingerprints",
     oracle=r"""
     WITH c AS (
@@ -5086,6 +5177,7 @@ _REGISTRY_ORDER = [
     "ts_pii_scrub",
     "ts_lang_id",
     "ts_text_stats",
+    "ts_gopher_filter",
     "dq_events_constraints",
     "dd_duplicate_groups",
     "ann_srp_topk",

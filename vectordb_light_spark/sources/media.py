@@ -74,6 +74,13 @@ def sniff_format(data: bytes) -> str | None:
         return "jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:3] == b"ID3" or (
+        len(data) >= 4
+        and data[0] == 0xFF
+        and (data[1] & 0xE0) == 0xE0
+        and _mp3_frame_header(data, 0) is not None
+    ):
+        return "mp3"
     return None
 
 
@@ -296,6 +303,127 @@ def wav_encode(samples: np.ndarray, rate: int) -> bytes:
         f.setframerate(int(rate))
         f.writeframes(np.ascontiguousarray(samples).tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# MP3 — frame-header METADATA only (r5, verdict #8). An MPEG audio
+# PCM decoder (hybrid filterbank + Huffman) is beyond reasonable
+# pure-stdlib scope, but the frame headers are a documented fixed
+# 32-bit layout (ISO/IEC 11172-3 §2.4.1.3), so duration / bitrate /
+# sample rate / channel count are parsed for real; feature extraction
+# for MP3 rows stays on the labeled fake tier.
+# ---------------------------------------------------------------------------
+
+#: kbps by (version_group, layer, bitrate_index); version_group is
+#: 1 for MPEG1, 2 for MPEG2/2.5. Index 0 is "free" (unparseable
+#: frame size), 15 is invalid.
+_MP3_KBPS = {
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+#: Hz by (version_bits, rate_index); version bits: 0=MPEG2.5, 2=MPEG2,
+#: 3=MPEG1 (1 is reserved).
+_MP3_HZ = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_header(data: bytes, off: int) -> dict | None:
+    """Parse one MPEG audio frame header at ``off``; None if invalid."""
+    if off + 4 > len(data):
+        return None
+    b0, b1, b2, b3 = data[off], data[off + 1], data[off + 2], data[off + 3]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version_bits = (b1 >> 3) & 0x3
+    layer_bits = (b1 >> 1) & 0x3
+    if version_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # bits 3/2/1 → Layer I/II/III
+    bitrate_idx = (b2 >> 4) & 0xF
+    rate_idx = (b2 >> 2) & 0x3
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        return None  # free/invalid bitrate or reserved rate
+    vgroup = 1 if version_bits == 3 else 2
+    kbps = _MP3_KBPS[(vgroup, layer)][bitrate_idx]
+    hz = _MP3_HZ[version_bits][rate_idx]
+    padding = (b2 >> 1) & 0x1
+    channel_mode = (b3 >> 6) & 0x3
+    if layer == 1:
+        samples = 384
+        size = (12 * kbps * 1000 // hz + padding) * 4
+    else:
+        samples = 1152 if (layer == 2 or vgroup == 1) else 576
+        size = samples // 8 * kbps * 1000 // hz + padding
+    return {
+        "kbps": kbps,
+        "hz": hz,
+        "samples": samples,
+        "size": size,
+        "channels": 1 if channel_mode == 3 else 2,
+        "layer": layer,
+        "mpeg_version": {3: "1", 2: "2", 0: "2.5"}[version_bits],
+    }
+
+
+def _mp3_first_frame(data: bytes) -> int | None:
+    """Offset of the first frame whose SUCCESSOR also parses (a lone
+    sync pattern in arbitrary bytes is common; two chained valid
+    headers almost never are), or a valid final frame at EOF."""
+    off = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # ID3v2: 4-byte syncsafe size at bytes 6..9, after a 10-byte
+        # header
+        size = 0
+        for b in data[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        off = 10 + size
+    end = min(len(data) - 4, off + 65536)
+    while off <= end:
+        h = _mp3_frame_header(data, off)
+        if h is not None:
+            nxt = off + h["size"]
+            if nxt >= len(data) or _mp3_frame_header(data, nxt) is not None:
+                return off
+        off += 1
+    return None
+
+
+def mp3_metadata(data: bytes, *, max_frames: int = 100_000) -> dict:
+    """Walk the frame chain: real duration / mean bitrate / sample
+    rate / channels without decoding audio. Raises ValueError when no
+    frame chain exists. Bounded per row by ``max_frames``."""
+    off = _mp3_first_frame(data)
+    if off is None:
+        raise ValueError("no MPEG audio frame chain found")
+    n = 0
+    dur = 0.0
+    kbps_sum = 0
+    first = _mp3_frame_header(data, off)
+    while off + 4 <= len(data) and n < max_frames:
+        h = _mp3_frame_header(data, off)
+        if h is None:
+            break
+        n += 1
+        dur += h["samples"] / h["hz"]
+        kbps_sum += h["kbps"]
+        off += h["size"]
+    return {
+        "sample_rate": first["hz"],
+        "channels": first["channels"],
+        "n_frames": n,
+        "duration_s": dur,
+        "bitrate_kbps": kbps_sum / n,
+        "layer": first["layer"],
+        "mpeg_version": first["mpeg_version"],
+    }
 
 
 # ---------------------------------------------------------------------------
