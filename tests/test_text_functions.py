@@ -293,3 +293,46 @@ def test_gopher_rules_empty_and_blank_fail_safely(spark):
     }
     assert rows[1]["n"] == 0
     assert all(row["keep"] is False for row in rows.values())
+
+
+def test_c4_rules_line_filter_and_page_rules(spark):
+    """r5: each C4 line-filter clause and page rule fires on a doc
+    crafted to trip ONLY it (Raffel et al. 2020 §2.2)."""
+    from vectordb_light_spark.functions.text import c4_rules
+
+    good_line = "This sentence has enough words and ends properly."
+    docs = {
+        "good": "\n".join([good_line] * 4),
+        # line-filter victims: the page keeps OTHER lines
+        "no_punct": good_line + "\n" + "this line just trails off",
+        "short_line": good_line + "\nToo short here.",
+        "js_line": good_line + "\nEnable javascript to view this content.",
+        "policy_line": good_line + "\nSee our privacy policy for details now.",
+        # page-rule victims
+        "few_sentences": "Only one good sentence lives on this page.",
+        "lorem": "\n".join([good_line] * 4) + "\nlorem ipsum dolor",
+        "brace": "\n".join([good_line] * 4) + "\nfunction() {",
+        "bad_word": "\n".join([good_line] * 4) + "\nbuy viagra now",
+    }
+    df = spark.createDataFrame(list(docs.items()), "id string, text string")
+    r = c4_rules("text")
+    rows = {
+        row["id"]: row
+        for row in df.select(
+            "id",
+            r["n_lines_kept"].alias("nl"),
+            r["cleaned_text"].alias("ct"),
+            *[r[k].alias(k) for k in r if k.startswith("rule_") or k == "keep"],
+        ).collect()
+    }
+    assert rows["good"]["keep"] is True and rows["good"]["nl"] == 4
+    # line filter drops exactly the offending line, page survives
+    for doc in ("no_punct", "short_line", "js_line", "policy_line"):
+        assert rows[doc]["nl"] == 1, doc
+        assert rows[doc]["ct"] == good_line, doc
+    assert rows["few_sentences"]["rule_min_sentences"] is False
+    assert rows["lorem"]["rule_no_lorem"] is False
+    assert rows["brace"]["rule_no_brace"] is False
+    assert rows["bad_word"]["rule_no_bad_words"] is False
+    for doc in ("few_sentences", "lorem", "brace", "bad_word"):
+        assert rows[doc]["keep"] is False, doc

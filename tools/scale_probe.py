@@ -1009,14 +1009,15 @@ def main_ivfio(factor: int = 64, n_centroids: int = 16) -> None:
 
     Builds a 128k-vector (x64) store written ``partitionBy(
     ivf_cluster)`` and runs the probe at nprobe ∈ {1, 4, 12, 16},
-    reporting files read / files skipped and rows scanned from the
-    Spark task metrics (event log): partition pruning turns the probe
+    reporting partitions/files read vs skipped, bytes read, and rows
+    scanned from the executed plan's FileSourceScan SQL metrics
+    (``numPartitions``/``numFiles``/``filesSize``/``numOutputRows``
+    are driver-side listing metrics, so the event log's per-task
+    accumulables never carry them): partition pruning turns the probe
     fraction into SKIPPED FILES (IO the cluster never does), which is
     the property that matters when the corpus doesn't fit in RAM.
     Writes its section into ANN_EVAL.md with --write.
     """
-    import json as _json
-
     from pyspark.sql import SparkSession
 
     from vectordb_light_spark.operators.similarity import (
@@ -1025,8 +1026,6 @@ def main_ivfio(factor: int = 64, n_centroids: int = 16) -> None:
         train_ivf_centroids,
     )
 
-    evdir = os.path.join(WORK, "eventlog")
-    os.makedirs(evdir, exist_ok=True)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -1035,10 +1034,6 @@ def main_ivfio(factor: int = 64, n_centroids: int = 16) -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", f"file://{evdir}")
-        .config("spark.eventLog.compress", "false")
-        .config("spark.eventLog.rolling.enabled", "false")
         .config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
@@ -1046,40 +1041,27 @@ def main_ivfio(factor: int = 64, n_centroids: int = 16) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def _evlog():
-        return max(
-            (
-                os.path.join(r, f)
-                for r, _, fs in os.walk(evdir)
-                for f in fs
-                if "local-" in f and not f.startswith(".")
-            ),
-            key=os.path.getmtime,
-        )
+    def scan_node_metrics(df) -> tuple[int, int, int, int]:
+        """(numPartitions, numFiles, numOutputRows, filesSize bytes)
+        from the collected DataFrame's parquet scan node — per-
+        QueryExecution, so read them off the exact df just collected."""
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            if "FileSourceScan" not in node.getClass().getName():
+                continue
+            m = node.metrics()
 
-    def scan_metrics(offset: int) -> tuple[int, int, int]:
-        """(new offset, files read, records read) summed over TaskEnd
-        events past ``offset``."""
-        with open(_evlog(), "rb") as fh:
-            fh.seek(offset)
-            data = fh.read()
-        files = records = 0
-        for line in data.splitlines():
-            try:
-                ev = _json.loads(line)
-            except ValueError:
-                continue
-            if ev.get("Event") != "SparkListenerTaskEnd":
-                continue
-            for acc in ev.get("Task Info", {}).get("Accumulables", []):
-                if acc.get("Name") == "number of files read":
-                    files += int(acc.get("Update", 0))
-            records += (
-                ev.get("Task Metrics", {})
-                .get("Input Metrics", {})
-                .get("Records Read", 0)
+            def g(key, m=m):
+                return int(m.apply(key).value()) if m.contains(key) else -1
+
+            return (
+                g("numPartitions"),
+                g("numFiles"),
+                g("numOutputRows"),
+                g("filesSize"),
             )
-        return offset + len(data), files, records
+        return (-1, -1, -1, -1)
 
     store = os.path.join(WORK, "ivf_store")
     rows_tbl: dict[int, tuple] = {}
@@ -1101,27 +1083,33 @@ def main_ivfio(factor: int = 64, n_centroids: int = 16) -> None:
             for f in fs
             if f.endswith(".parquet")
         )
+        total_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(store)
+            for f in fs
+            if f.endswith(".parquet")
+        )
         query = [
             float(x)
             for x in emb.orderBy("vec_id").first()["embedding"]
         ]
-        offset = 0
         for nprobe in (1, 4, 12, n_centroids):
-            def go():
-                return ann_topk_ivf(
-                    indexed, cents, query, k=10, nprobe=nprobe
-                ).collect()
+            def build(nprobe=nprobe):
+                return ann_topk_ivf(indexed, cents, query, k=10, nprobe=nprobe)
 
-            go()  # warm-up (footer cache, python workers)
-            offset, _, _ = scan_metrics(offset)
+            build().collect()  # warm-up (footer cache, python workers)
+            df = build()
             t0 = time.time()
-            go()
+            df.collect()
             dt = time.time() - t0
-            offset, files, records = scan_metrics(offset)
-            rows_tbl[nprobe] = (files, total_files, records, n_rows, dt)
+            parts, files, records, fbytes = scan_node_metrics(df)
+            rows_tbl[nprobe] = (
+                parts, files, total_files, records, n_rows, fbytes, dt
+            )
             print(
-                f"nprobe={nprobe}: files {files}/{total_files}, "
-                f"rows {records}/{n_rows}, wall {dt:.2f}s",
+                f"nprobe={nprobe}: partitions {parts}/{n_centroids}, "
+                f"files {files}/{total_files}, rows {records}/{n_rows}, "
+                f"bytes {fbytes}/{total_bytes}, wall {dt:.2f}s",
                 flush=True,
             )
     finally:
@@ -1133,22 +1121,26 @@ def main_ivfio(factor: int = 64, n_centroids: int = 16) -> None:
         "",
         f"x{factor} embeddings ({n_rows:,} vectors) written",
         f"`partitionBy(ivf_cluster)` ({n_centroids} clusters,",
-        f"{total_files} files); per-probe scan cost from Spark task",
-        "metrics (event log), steady-state after a warm-up:",
+        f"{total_files} files, {total_bytes / 2**20:.0f} MiB); per-probe",
+        "scan cost from the executed plan's FileSourceScan metrics",
+        "(numPartitions/numFiles/filesSize/numOutputRows), steady-state",
+        "after a warm-up:",
         "",
-        "| nprobe | files read | files skipped | rows scanned | scan frac | wall |",
-        "|---|---|---|---|---|---|",
+        "| nprobe | partitions read | files read | files skipped | bytes read | rows scanned | scan frac | wall |",
+        "|---|---|---|---|---|---|---|---|",
     ] + [
-        f"| {np_} | {f} | {tf - f} | {rec:,} | {rec / nr:.1%} | {dt:.2f}s |"
-        for np_, (f, tf, rec, nr, dt) in sorted(rows_tbl.items())
+        f"| {np_} | {p}/{n_centroids} | {f} | {tf - f} | "
+        f"{fb / 2**20:.1f} MiB | {rec:,} | {rec / nr:.1%} | {dt:.2f}s |"
+        for np_, (p, f, tf, rec, nr, fb, dt) in sorted(rows_tbl.items())
     ] + [
         "",
-        "Partition pruning reaches the FileIndex: nprobe/16 of the",
-        "files are READ and the rest are never opened — on a >RAM",
-        "corpus that fraction is IO the cluster never performs, which",
-        "is the regime the IVF tier exists for (the in-memory",
-        "benchmark above cannot exhibit it). Rows scanned tracks the",
-        "probed clusters' actual share (clusters are not equal-sized).",
+        "Partition pruning reaches the FileIndex: only the probed",
+        "clusters' directories are listed — nprobe/16 of the files are",
+        "READ and the rest are never opened — so on a >RAM corpus the",
+        "skipped fraction is IO the cluster never performs, which is",
+        "the regime the IVF tier exists for (the in-memory benchmark",
+        "above cannot exhibit it). Rows scanned tracks the probed",
+        "clusters' actual share (clusters are not equal-sized).",
     ]
     out = "\n".join(lines)
     print(out)

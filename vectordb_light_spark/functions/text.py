@@ -245,6 +245,81 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
     return rules
 
 
+#: C4 (Raffel et al. 2020 §2.2) page-level blockers and line-level
+#: drop phrases. The bad-word list is a tiny neutral placeholder for
+#: the full blocklist C4 uses — swap in a real one per deployment.
+C4_BAD_WORDS = ("porn", "xxx", "viagra")
+C4_POLICY_PHRASES = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+)
+
+
+def c4_rules(
+    col: Column | str,
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> dict[str, Column]:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2), the other
+    standard pre-training corpus gate next to :func:`gopher_rules` —
+    line-level TRANSFORM plus page-level rule booleans, all JVM-side
+    builtins (split / filter / array_join / regexp), zero UDFs:
+
+    line filter (drops the line, keeps the page):
+      - must end in terminal punctuation (``.!?"”``)
+      - must have ≥ ``min_words_per_line`` words
+      - no "javascript" (the lorem-of-JS-warning boilerplate)
+      - no policy boilerplate phrase (``C4_POLICY_PHRASES``)
+
+    page rules (each an independent boolean; ``keep`` is their AND):
+      - ``rule_min_sentences``: ≥ ``min_sentences`` sentence enders
+        in the CLEANED text
+      - ``rule_no_lorem``:      no "lorem ipsum"
+      - ``rule_no_brace``:      no "{" (code page)
+      - ``rule_no_bad_words``:  no ``C4_BAD_WORDS`` hit
+
+    Returns {name: Column} including ``cleaned_text`` (kept lines
+    re-joined with ``\\n``) and ``n_lines_kept``; select what you
+    need. All regex/array ops mirror 1:1 into the DuckDB oracle twin
+    (queries.py ts_c4_filter).
+    """
+    src = _c(col)
+    low = F.lower(src)
+
+    def keep_line(x):
+        t = F.trim(x)
+        return (
+            t.rlike(r'[.!?"”]$')
+            & (F.size(F.split(t, r"\s+")) >= min_words_per_line)
+            & ~F.lower(t).rlike("javascript")
+            & ~F.lower(t).rlike("|".join(C4_POLICY_PHRASES))
+        )
+
+    kept = F.filter(F.split(src, r"\n"), keep_line)
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    rules: dict[str, Column] = {
+        "cleaned_text": cleaned,
+        "n_lines_kept": F.size(kept),
+        "n_sentences": n_sentences,
+        "rule_min_sentences": n_sentences >= min_sentences,
+        "rule_no_lorem": ~low.rlike("lorem ipsum"),
+        "rule_no_brace": ~low.contains("{"),
+        "rule_no_bad_words": ~low.rlike(
+            r"\b(" + "|".join(C4_BAD_WORDS) + r")\b"
+        ),
+    }
+    keep = None
+    for name, c in rules.items():
+        if name.startswith("rule_"):
+            keep = c if keep is None else (keep & c)
+    rules["keep"] = keep
+    return rules
+
+
 # Per-language function-word profiles for the n-gram/stopword lang-ID
 # heuristic. Word-boundary regex counts are cheap JVM scans and the
 # scoring is pure arithmetic — ANSI-SQL-mirrorable for the oracle.

@@ -874,6 +874,91 @@ def ts_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_c4_filter",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               replace(replace(text, ' table ', ' table.' || chr(10)),
+                       ' merge ', ' merge!' || chr(10)) AS lined
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               list_filter(string_split(lined, chr(10)), x ->
+                   regexp_matches(trim(x), '[.!?"”]$')
+                   AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+                   AND NOT regexp_matches(lower(trim(x)), 'javascript')
+                   AND NOT regexp_matches(lower(trim(x)),
+                       'terms of use|privacy policy|cookie policy|uses cookies')
+               ) AS kept,
+               lower(lined) AS low
+        FROM d
+    ),
+    m AS (
+        SELECT doc_id,
+               coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+               CAST(len(kept) AS INT) AS n_lines_kept,
+               low
+        FROM t
+    )
+    SELECT doc_id,
+           n_lines_kept,
+           CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS INT)
+               AS n_sentences,
+           md5(cleaned) AS cleaned_md5,
+           len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+               AS rule_min_sentences,
+           NOT regexp_matches(low, 'lorem ipsum') AS rule_no_lorem,
+           NOT contains(low, '{') AS rule_no_brace,
+           NOT regexp_matches(low, '\b(porn|xxx|viagra)\b')
+               AS rule_no_bad_words,
+           len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+               AND NOT regexp_matches(low, 'lorem ipsum')
+               AND NOT contains(low, '{')
+               AND NOT regexp_matches(low, '\b(porn|xxx|viagra)\b')
+               AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def ts_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2): the line
+    filter (terminal punctuation, ≥5 words, no javascript/policy
+    boilerplate) plus the page rules (≥3 sentences, no lorem ipsum /
+    brace / bad-word hit). The testdata corpus is single-line token
+    soup with no sentence punctuation, so the entry first derives a
+    deterministic line structure (literal ``' table '``/``' merge '``
+    → token + ender + newline, same non-overlapping left-scan replace
+    in both engines) — every downstream column then varies per doc.
+    ``cleaned_md5`` hashes the TRANSFORMED text so the oracle
+    verifies the line filtering itself, not just the booleans. All
+    JVM-side builtins (functions/text.py c4_rules), zero UDFs — rides
+    whole-stage codegen over a 100 TB scan."""
+    from vectordb_light_spark.functions.text import c4_rules
+
+    docs = load_docs(spark, sf_dir).withColumn(
+        "lined",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table "), F.lit(" table.\n")),
+            F.lit(" merge "),
+            F.lit(" merge!\n"),
+        ),
+    )
+    r = c4_rules("lined")
+    return docs.select(
+        "doc_id",
+        r["n_lines_kept"].alias("n_lines_kept"),
+        r["n_sentences"].cast("int").alias("n_sentences"),
+        F.md5(r["cleaned_text"]).alias("cleaned_md5"),
+        r["rule_min_sentences"].alias("rule_min_sentences"),
+        r["rule_no_lorem"].alias("rule_no_lorem"),
+        r["rule_no_brace"].alias("rule_no_brace"),
+        r["rule_no_bad_words"].alias("rule_no_bad_words"),
+        r["keep"].alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
     "ts_winnow_fingerprints",
     oracle=r"""
     WITH c AS (
@@ -5178,6 +5263,7 @@ _REGISTRY_ORDER = [
     "ts_lang_id",
     "ts_text_stats",
     "ts_gopher_filter",
+    "ts_c4_filter",
     "dq_events_constraints",
     "dd_duplicate_groups",
     "ann_srp_topk",
