@@ -68,33 +68,33 @@ def connected_components(
     ).select(F.col("a").alias("node"), F.col("c").alias("component"))
     comp = comp.localCheckpoint(eager=True)
 
+    # convergence via the exact label SUM (decimal — no overflow):
+    # labels only ever DECREASE, so an unchanged sum ⇔ no label moved
+    # ⇔ fixed point. One cheap aggregate over the checkpointed round
+    # output instead of a per-round change-flag join.
+    def label_sum(df) -> object:
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = label_sum(comp)
     for _ in range(max_iter):
-        # propagate: node's label ← min(own, neighbors' labels)
-        nbr = (
-            sym.join(comp.withColumnRenamed("node", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("component").alias("nc"))
-        )
-        # the changed flag rides along in the SAME pass, so the
-        # convergence check below is a filter over the checkpointed
-        # result — not a second shuffle join per round
+        # propagate: node's label ← min(own, neighbors' labels) — the
+        # current labels UNION into the same min-aggregate, so each
+        # round is ONE join + ONE groupBy (both shuffling on the node
+        # id) instead of join + groupBy + a second change-flag join
         nxt = (
-            comp.join(nbr, comp.node == nbr.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nc", F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce("nc", F.col("component")) < F.col("component")
-                ).alias("__chg"),
-            )
+            sym.join(comp.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "component")
+            .unionByName(comp)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        changed = nxt.where(F.col("__chg")).limit(1).count()
-        comp = nxt.drop("__chg")
-        if changed == 0:
+        comp = nxt.localCheckpoint(eager=True)
+        cur_sum = label_sum(comp)
+        if cur_sum == prev_sum:
             return comp
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
