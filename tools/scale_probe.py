@@ -7,7 +7,14 @@ Replication offsets ids per copy so dedup/join keys stay distinct;
 the replicated write produces multiple files, giving the scans the
 multi-partition layout a real corpus would have.
 
-    python tools/scale_probe.py [--write]
+    python tools/scale_probe.py [--write]            # x4/x16 table
+    python tools/scale_probe.py --big [--write]      # x64 point, linear probes
+    python tools/scale_probe.py --clusters [--write] # bounded-cluster CC growth
+    python tools/scale_probe.py --capped [--write]   # capped-band adversarial
+    python tools/scale_probe.py --hh [--write]       # heavy-hitter state bound
+    python tools/scale_probe.py --lshsalt [--write]  # LSH mega-cluster skew plans
+    python tools/scale_probe.py --ivfio [--write]    # IVF partition-pruned IO (ANN_EVAL.md)
+    python tools/scale_probe.py --scd2 [--write]     # SCD2 merge dim-invariance
 """
 
 from __future__ import annotations
