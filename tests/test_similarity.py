@@ -848,3 +848,36 @@ def test_topk_join_adaptive_salt_counts(spark):
         )
     ).collect()
     assert [(r["key"], r["__salts"]) for r in hot] == [("hot", 8)]  # ceil(37/5)
+
+
+def test_topk_join_hot_broadcast_is_a_broadcast_join(spark):
+    """r5: the preferred skew plan must actually be MAP-SIDE — the
+    executed plan for the hot-key join contains a BroadcastHashJoin
+    (no exchange of the hot left rows), and forcing the salting
+    fallback (broadcast_hot_rows=0) removes the broadcast of hot_b
+    in favor of the salted sort-merge/shuffle join."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import ann_topk_join_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    lefts = [(i, [float(x) for x in base]) for i in range(60)]
+    rights = []
+    for j in range(25):
+        v = base + 0.05 * rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rights.append((j, [float(x) for x in v]))
+    left = spark.createDataFrame(lefts, "l_id long, l_vec array<float>")
+    right = spark.createDataFrame(rights, "r_id long, r_vec array<float>")
+
+    def plan(**kw):
+        df = ann_topk_join_lsh(left, right, k=3, bands=8, **kw)
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    hot = plan(max_left_bucket=10)
+    assert "BroadcastHashJoin" in hot
+    fallback = plan(max_left_bucket=10, left_salts=4, broadcast_hot_rows=0)
+    assert "__salt" in fallback  # the adaptive-salting keys are live
