@@ -5193,28 +5193,34 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry ordering
 # ---------------------------------------------------------------------------
 
-#: Signal-value ordering (round 4 — rebuilt each round from the
+#: Signal-value ordering (round 5 — rebuilt each round from the
 #: latest CORRECTNESS_r{N}.json + BENCH_FULL.json). The correctness
 #: driver grades a ~50-entry prefix, so the order allocates that
 #: budget by priority class:
-#:   (a) ann_pq_topk / ann_ivfpq_topk at positions 1-2 — the only two
-#:       entries never driver-graded in any round (both carry
-#:       pool-membership contract oracles, local-green at both SFs);
-#:   (b) the NEW r4 entries (mm_jpeg_decode, rel_scd2_merge,
-#:       mm_video_frames, st_heavy_hitters, rel_events_gaps);
-#:   (c) entries whose implementation or oracle changed in r4
-#:       (prof_events_sketch contract upgrade; dedup entries pinned
-#:       to max_bucket/max_cluster=None; simhash star collapse;
-#:       ann_topk_join left-salting; mm_image_decode's BMP hardening);
-#:   (d) entries with NO r3 driver row (graded r1/r2 only — stalest
-#:       signal), cheapest-first by BENCH_FULL sf0.1 solo timing so a
+#:   (a) the NEW r5 entries (exact-substring dedup pair, streaming
+#:       quantiles, Gopher + C4 quality gates) — never driver-graded;
+#:   (b) entries whose implementation changed in r5
+#:       (ann_topk_join: hot-bucket-broadcast/adaptive-salting skew
+#:       plans; dd_embedding_near_dups: rides the same LSH tier;
+#:       dd_duplicate_clusters: fused CC rounds + label-sum
+#:       convergence; mm_audio_features/mm_audio_windows: MP3
+#:       frame-header sniff + real sr path);
+#:   (c) the r4-new/changed entries and the r1/r2-stale block,
+#:       cheapest-first by BENCH_FULL sf0.1 solo timing so a
 #:       time-capped driver still grades most of them;
-#:   (e) the 50 r3-graded (all green) entries rotated to the back,
+#:   (d) the r3/r4-graded (all green) remainder rotated to the back,
 #:       cheapest-first — they re-earn rows next round.
 _REGISTRY_ORDER = [
     "dd_repeated_spans",
     "dd_strip_repeated_spans",
     "st_windowed_quantiles",
+    "ts_c4_filter",
+    "ts_gopher_filter",
+    "ann_topk_join",
+    "dd_embedding_near_dups",
+    "dd_duplicate_clusters",
+    "mm_audio_features",
+    "mm_audio_windows",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "mm_jpeg_decode",
@@ -5222,14 +5228,10 @@ _REGISTRY_ORDER = [
     "mm_video_frames",
     "st_heavy_hitters",
     "rel_events_gaps",
-    "mm_audio_features",
     "prof_events_sketch",
     "dd_simhash_near_dups",
     "dd_minhash_candidates",
     "dd_cross_corpus_candidates",
-    "dd_duplicate_clusters",
-    "ann_topk_join",
-    "dd_embedding_near_dups",
     "mm_image_decode",
     "prof_value_histogram",
     "rel_forecast_revenue",
@@ -5240,7 +5242,6 @@ _REGISTRY_ORDER = [
     "prof_corpus_quantiles",
     "rel_join_nation_customers",
     "mm_frame_counts",
-    "mm_audio_windows",
     "prof_events_rollup",
     "rel_pricing_summary",
     "pipe_stratified_take",
@@ -5262,8 +5263,6 @@ _REGISTRY_ORDER = [
     "ts_pii_scrub",
     "ts_lang_id",
     "ts_text_stats",
-    "ts_gopher_filter",
-    "ts_c4_filter",
     "dq_events_constraints",
     "dd_duplicate_groups",
     "ann_srp_topk",
