@@ -95,3 +95,36 @@ def test_registry_iteration_is_globally_rank_ordered():
     tail = len(_REGISTRY_ORDER)
     ranks = [rank.get(n, tail) for n in QUERIES]
     assert ranks == sorted(ranks)
+
+
+def test_registry_order_policy_staleness_first():
+    """VERDICT r5 item 1: the grading order must front-load staleness.
+    Recomputes the order from the checked-in maps and asserts
+    (a) pre-oracle-stale entries lead, (b) new/changed-this-round
+    next, (c) the rest ascend by last-graded round, cost-ascending
+    within each block."""
+    from vectordb_light_spark import queries as q
+
+    order = q._REGISTRY_ORDER
+    assert order == q._compute_registry_order()
+    assert len(order) == len(set(order))
+    # every registered query participates
+    assert set(order) == set(q.QUERIES)
+
+    n_a = len(q._PRE_ORACLE_STALE)
+    assert set(order[:n_a]) == set(q._PRE_ORACLE_STALE)
+
+    changed = {
+        n for n in order
+        if n not in q._PRE_ORACLE_STALE
+        and (n in q._CHANGED_THIS_ROUND or n not in q._LAST_GRADED)
+    }
+    assert set(order[n_a:n_a + len(changed)]) == changed
+
+    rest = order[n_a + len(changed):]
+    rounds = [q._LAST_GRADED[n] for n in rest]
+    assert rounds == sorted(rounds), "class (c) must ascend by last-graded round"
+    for rnd in set(rounds):
+        block = [n for n in rest if q._LAST_GRADED[n] == rnd]
+        costs = [q._SOLO_COST_S.get(n, 1.0) for n in block]
+        assert costs == sorted(costs), f"round-{rnd} block must be cost-ascending"

@@ -5193,139 +5193,284 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry ordering
 # ---------------------------------------------------------------------------
 
-#: Signal-value ordering (round 5 — rebuilt each round from the
-#: latest CORRECTNESS_r{N}.json + BENCH_FULL.json). The correctness
-#: driver grades a ~50-entry prefix, so the order allocates that
-#: budget by priority class:
-#:   (a) the NEW r5 entries (exact-substring dedup pair, streaming
-#:       quantiles, Gopher + C4 quality gates) — never driver-graded;
-#:   (b) entries whose implementation changed in r5
-#:       (ann_topk_join: hot-bucket-broadcast/adaptive-salting skew
-#:       plans; dd_embedding_near_dups: rides the same LSH tier;
-#:       dd_duplicate_clusters: fused CC rounds + label-sum
-#:       convergence; mm_audio_features/mm_audio_windows: MP3
-#:       frame-header sniff + real sr path);
-#:   (c) the r4-new/changed entries and the r1/r2-stale block,
-#:       cheapest-first by BENCH_FULL sf0.1 solo timing so a
-#:       time-capped driver still grades most of them;
-#:   (d) the r3/r4-graded (all green) remainder rotated to the back,
-#:       cheapest-first — they re-earn rows next round.
-_REGISTRY_ORDER = [
-    "dd_repeated_spans",
-    "dd_strip_repeated_spans",
-    "st_windowed_quantiles",
-    "ts_c4_filter",
-    "ts_gopher_filter",
-    "ann_topk_join",
-    "dd_embedding_near_dups",
-    "dd_duplicate_clusters",
-    "mm_audio_features",
-    "mm_audio_windows",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "mm_jpeg_decode",
-    "rel_scd2_merge",
-    "mm_video_frames",
-    "st_heavy_hitters",
-    "rel_events_gaps",
-    "prof_events_sketch",
-    "dd_simhash_near_dups",
-    "dd_minhash_candidates",
-    "dd_cross_corpus_candidates",
-    "mm_image_decode",
-    "prof_value_histogram",
-    "rel_forecast_revenue",
-    "pipe_corpus_split",
-    "pipe_weighted_sample",
-    "st_events_sliding",
-    "pipe_corpus_mix",
-    "prof_corpus_quantiles",
-    "rel_join_nation_customers",
-    "mm_frame_counts",
-    "prof_events_rollup",
-    "rel_pricing_summary",
-    "pipe_stratified_take",
-    "rel_events_gapfill",
-    "vq_citations",
-    "vq_topk_quantized",
-    "st_events_window",
-    "vq_threshold_after_topk",
-    "prof_events_cube",
-    "prof_events_pivot",
-    "vq_postfilters",
-    "ts_vocab_topk",
-    "st_events_dedup",
-    "skew_salted_user_join",
-    "emb_doc_mean_pool",
-    "rel_user_retention",
-    "vq_filtered_topk",
-    "pipe_token_budget_mix",
-    "ts_pii_scrub",
-    "ts_lang_id",
-    "ts_text_stats",
-    "dq_events_constraints",
-    "dd_duplicate_groups",
-    "ann_srp_topk",
-    "dd_jaccard_pairs",
-    "ann_pca_topk",
-    "sim_cosine_pairs_exact",
-    "dd_exact_dedup",
-    "ann_ivf_topk",
-    "kw_bm25_topk",
-    "dd_remove_boilerplate",
-    "pipe_hash_embed_topk",
-    "mm_image_pipeline",
-    "emb_feature_hash_topk",
-    "sim_sparse_cosine_pairs",
-    "emb_mini_encoder_topk",
-    "st_events_sessions",
-    "ann_opq_topk",
-    "kw_hybrid_rrf",
-    "ts_quality_score",
-    "rel_events_scd2",
-    "vq_grouped_topk",
-    "vq_topk_cosine",
-    "rel_customer_activity",
-    "rel_events_interval",
-    "rel_events_cohorts",
-    "rel_region_volume",
-    "pipe_corpus_shuffle",
-    "rel_top_orders_by_revenue",
-    "rel_shipping_priority",
-    "rel_events_json",
-    "pipe_doc_hash",
-    "rel_events_funnel",
-    "vq_chunks_only",
-    "vq_rag_prompt",
-    "rel_events_moving_avg",
-    "rel_big_orders",
-    "rel_orders_pareto",
-    "prof_events_corr",
-    "vq_batch_topk",
-    "rel_events_asof",
-    "vq_range_search",
-    "pipe_token_windows",
-    "pipe_negative_samples",
-    "pipe_chunk_fixed",
-    "rel_window_order_rank",
-    "rel_sessions_overlap",
-    "ts_tfidf_top_terms",
-    "ts_repetition_filter",
-    "pipe_dsir_select",
-    "vq_mmr_rerank",
-    "pipe_decontaminate",
-    "pipe_chunk_normalized",
-    "pipe_sequence_pack",
-    "pipe_pdf_page_chunks",
-    "ts_winnow_fingerprints",
-    "ts_bigram_lm_score",
-    "pipe_training_corpus",
-    "st_user_running_totals",
-    "dd_containment_pairs",
-    "st_clicks_attribution",
-    "prof_sketch_accuracy",
-    "ann_recall_contract",
-]
+#: Round-6 grading-order policy (VERDICT r5 item 1). The correctness
+#: driver grades a ~50-entry prefix of this order each round, so the
+#: order is COMPUTED from checked-in state, front-loading staleness:
+#:   (a) oracle-backed entries whose latest driver row PREDATES their
+#:       oracle (they have literally never been driver-graded against
+#:       it) — `_PRE_ORACLE_STALE`;
+#:   (b) entries new or implementation-changed this round —
+#:       `_CHANGED_THIS_ROUND` (new entries have no `_LAST_GRADED`
+#:       row and land here automatically);
+#:   (c) everything else by ASCENDING last-graded round (oldest
+#:       driver signal re-earns its row first), cheapest-first within
+#:       a round so a time-capped driver still covers most of a block.
+#: `_LAST_GRADED` = latest round with any driver row per entry
+#: (rebuilt each round from CORRECTNESS_r0*.json); `_SOLO_COST_S` =
+#: sf0.1 solo seconds from the latest full bench (tiebreak only).
+#: `tests/test_plan_guards.py` recomputes the order from these maps
+#: and asserts the policy holds.
+
+_LAST_GRADED = {
+    'ann_ivf_topk': 2,
+    'ann_ivfpq_topk': 5,
+    'ann_opq_topk': 2,
+    'ann_pca_topk': 2,
+    'ann_pq_topk': 5,
+    'ann_recall_contract': 3,
+    'ann_srp_topk': 4,
+    'ann_topk_join': 5,
+    'dd_containment_pairs': 3,
+    'dd_cross_corpus_candidates': 5,
+    'dd_duplicate_clusters': 5,
+    'dd_duplicate_groups': 4,
+    'dd_embedding_near_dups': 5,
+    'dd_exact_dedup': 2,
+    'dd_jaccard_pairs': 2,
+    'dd_minhash_candidates': 5,
+    'dd_remove_boilerplate': 2,
+    'dd_repeated_spans': 5,
+    'dd_simhash_near_dups': 5,
+    'dd_strip_repeated_spans': 5,
+    'dq_events_constraints': 4,
+    'emb_doc_mean_pool': 5,
+    'emb_feature_hash_topk': 2,
+    'emb_mini_encoder_topk': 2,
+    'kw_bm25_topk': 2,
+    'kw_hybrid_rrf': 2,
+    'mm_audio_features': 5,
+    'mm_audio_windows': 5,
+    'mm_frame_counts': 5,
+    'mm_image_decode': 5,
+    'mm_image_pipeline': 2,
+    'mm_jpeg_decode': 5,
+    'mm_video_frames': 5,
+    'pipe_chunk_fixed': 3,
+    'pipe_chunk_normalized': 3,
+    'pipe_corpus_mix': 5,
+    'pipe_corpus_shuffle': 3,
+    'pipe_corpus_split': 5,
+    'pipe_decontaminate': 3,
+    'pipe_doc_hash': 3,
+    'pipe_dsir_select': 3,
+    'pipe_hash_embed_topk': 1,
+    'pipe_negative_samples': 3,
+    'pipe_pdf_page_chunks': 3,
+    'pipe_sequence_pack': 3,
+    'pipe_stratified_take': 5,
+    'pipe_token_budget_mix': 5,
+    'pipe_token_windows': 3,
+    'pipe_training_corpus': 3,
+    'pipe_weighted_sample': 5,
+    'prof_corpus_quantiles': 5,
+    'prof_events_corr': 3,
+    'prof_events_cube': 5,
+    'prof_events_pivot': 5,
+    'prof_events_rollup': 5,
+    'prof_events_sketch': 5,
+    'prof_sketch_accuracy': 3,
+    'prof_value_histogram': 5,
+    'rel_big_orders': 3,
+    'rel_customer_activity': 3,
+    'rel_events_asof': 3,
+    'rel_events_cohorts': 3,
+    'rel_events_funnel': 3,
+    'rel_events_gapfill': 5,
+    'rel_events_gaps': 5,
+    'rel_events_interval': 3,
+    'rel_events_json': 3,
+    'rel_events_moving_avg': 3,
+    'rel_events_scd2': 3,
+    'rel_forecast_revenue': 5,
+    'rel_join_nation_customers': 5,
+    'rel_orders_pareto': 3,
+    'rel_pricing_summary': 5,
+    'rel_region_volume': 3,
+    'rel_scd2_merge': 5,
+    'rel_sessions_overlap': 3,
+    'rel_shipping_priority': 3,
+    'rel_top_orders_by_revenue': 3,
+    'rel_user_retention': 5,
+    'rel_window_order_rank': 3,
+    'sim_cosine_pairs_exact': 2,
+    'sim_sparse_cosine_pairs': 2,
+    'skew_salted_user_join': 5,
+    'st_clicks_attribution': 3,
+    'st_events_dedup': 5,
+    'st_events_sessions': 2,
+    'st_events_sliding': 5,
+    'st_events_window': 5,
+    'st_heavy_hitters': 5,
+    'st_user_running_totals': 3,
+    'st_windowed_quantiles': 5,
+    'ts_bigram_lm_score': 3,
+    'ts_c4_filter': 5,
+    'ts_gopher_filter': 5,
+    'ts_lang_id': 4,
+    'ts_pii_scrub': 5,
+    'ts_quality_score': 2,
+    'ts_repetition_filter': 3,
+    'ts_text_stats': 4,
+    'ts_tfidf_top_terms': 3,
+    'ts_vocab_topk': 5,
+    'ts_winnow_fingerprints': 3,
+    'vq_batch_topk': 3,
+    'vq_chunks_only': 3,
+    'vq_citations': 5,
+    'vq_filtered_topk': 5,
+    'vq_grouped_topk': 3,
+    'vq_mmr_rerank': 3,
+    'vq_postfilters': 5,
+    'vq_rag_prompt': 3,
+    'vq_range_search': 3,
+    'vq_threshold_after_topk': 5,
+    'vq_topk_cosine': 3,
+    'vq_topk_quantized': 5,
+}
+
+_SOLO_COST_S = {
+    'ann_ivf_topk': 0.859,
+    'ann_ivfpq_topk': 1.342,
+    'ann_opq_topk': 1.331,
+    'ann_pca_topk': 1.026,
+    'ann_pq_topk': 1.353,
+    'ann_recall_contract': 5.834,
+    'ann_srp_topk': 0.857,
+    'ann_topk_join': 1.836,
+    'dd_containment_pairs': 1.7,
+    'dd_cross_corpus_candidates': 1.489,
+    'dd_duplicate_clusters': 5.094,
+    'dd_duplicate_groups': 0.376,
+    'dd_embedding_near_dups': 1.277,
+    'dd_exact_dedup': 0.649,
+    'dd_jaccard_pairs': 0.646,
+    'dd_minhash_candidates': 1.589,
+    'dd_remove_boilerplate': 0.887,
+    'dd_repeated_spans': 2.204,
+    'dd_simhash_near_dups': 2.94,
+    'dd_strip_repeated_spans': 1.913,
+    'dq_events_constraints': 0.439,
+    'emb_doc_mean_pool': 0.292,
+    'emb_feature_hash_topk': 1.237,
+    'emb_mini_encoder_topk': 3.431,
+    'kw_bm25_topk': 0.821,
+    'kw_hybrid_rrf': 1.014,
+    'mm_audio_features': 2.521,
+    'mm_audio_windows': 0.263,
+    'mm_frame_counts': 0.398,
+    'mm_image_decode': 1.203,
+    'mm_image_pipeline': 1.108,
+    'mm_jpeg_decode': 1.389,
+    'mm_video_frames': 1.993,
+    'pipe_chunk_fixed': 0.59,
+    'pipe_chunk_normalized': 1.045,
+    'pipe_corpus_mix': 0.166,
+    'pipe_corpus_shuffle': 0.388,
+    'pipe_corpus_split': 0.138,
+    'pipe_decontaminate': 0.931,
+    'pipe_doc_hash': 0.388,
+    'pipe_dsir_select': 0.89,
+    'pipe_hash_embed_topk': 0.95,
+    'pipe_negative_samples': 0.493,
+    'pipe_pdf_page_chunks': 1.153,
+    'pipe_sequence_pack': 0.535,
+    'pipe_stratified_take': 0.295,
+    'pipe_token_budget_mix': 0.367,
+    'pipe_token_windows': 0.463,
+    'pipe_training_corpus': 1.343,
+    'pipe_weighted_sample': 0.194,
+    'prof_corpus_quantiles': 0.233,
+    'prof_events_corr': 0.394,
+    'prof_events_cube': 0.253,
+    'prof_events_pivot': 0.336,
+    'prof_events_rollup': 0.26,
+    'prof_events_sketch': 0.836,
+    'prof_sketch_accuracy': 2.634,
+    'prof_value_histogram': 0.144,
+    'rel_big_orders': 0.444,
+    'rel_customer_activity': 0.275,
+    'rel_events_asof': 0.493,
+    'rel_events_cohorts': 0.381,
+    'rel_events_funnel': 0.394,
+    'rel_events_gapfill': 0.348,
+    'rel_events_gaps': 0.327,
+    'rel_events_interval': 0.292,
+    'rel_events_json': 0.324,
+    'rel_events_moving_avg': 0.409,
+    'rel_events_scd2': 0.176,
+    'rel_forecast_revenue': 0.129,
+    'rel_join_nation_customers': 0.248,
+    'rel_orders_pareto': 0.351,
+    'rel_pricing_summary': 0.291,
+    'rel_region_volume': 0.333,
+    'rel_scd2_merge': 0.487,
+    'rel_sessions_overlap': 0.627,
+    'rel_shipping_priority': 0.317,
+    'rel_top_orders_by_revenue': 0.328,
+    'rel_user_retention': 0.45,
+    'rel_window_order_rank': 0.599,
+    'sim_cosine_pairs_exact': 1.361,
+    'sim_sparse_cosine_pairs': 0.981,
+    'skew_salted_user_join': 0.329,
+    'st_clicks_attribution': 2.528,
+    'st_events_dedup': 0.423,
+    'st_events_sessions': 1.295,
+    'st_events_sliding': 0.247,
+    'st_events_window': 0.206,
+    'st_heavy_hitters': 1.182,
+    'st_user_running_totals': 1.575,
+    'st_windowed_quantiles': 1.645,
+    'ts_bigram_lm_score': 1.868,
+    'ts_c4_filter': 0.532,
+    'ts_gopher_filter': 0.782,
+    'ts_lang_id': 0.47,
+    'ts_pii_scrub': 0.444,
+    'ts_quality_score': 0.492,
+    'ts_repetition_filter': 0.692,
+    'ts_text_stats': 0.337,
+    'ts_tfidf_top_terms': 0.859,
+    'ts_vocab_topk': 0.357,
+    'ts_winnow_fingerprints': 1.186,
+    'vq_batch_topk': 0.383,
+    'vq_chunks_only': 0.341,
+    'vq_citations': 0.365,
+    'vq_filtered_topk': 0.305,
+    'vq_grouped_topk': 0.229,
+    'vq_mmr_rerank': 0.931,
+    'vq_postfilters': 0.392,
+    'vq_rag_prompt': 0.34,
+    'vq_range_search': 0.55,
+    'vq_threshold_after_topk': 0.307,
+    'vq_topk_cosine': 0.246,
+    'vq_topk_quantized': 0.355,
+}
+
+
+#: Oracle-backed entries whose latest driver row predates their
+#: oracle (r1/r2 `no_oracle` rows; oracles landed r3). Class (a).
+_PRE_ORACLE_STALE = {"ann_ivf_topk", "ann_pca_topk", "ann_opq_topk"}
+
+#: Entries new or implementation-changed in round 6. Class (b).
+_CHANGED_THIS_ROUND = set()
+
+
+def _compute_registry_order() -> list:
+    """(a) pre-oracle stale, (b) new/changed this round, (c) ascending
+    last-graded round; cost-ascending within each class/round."""
+    names = set(_LAST_GRADED) | set(_CHANGED_THIS_ROUND) | set(_PRE_ORACLE_STALE)
+
+    def key(name):
+        cost = _SOLO_COST_S.get(name, 1.0)
+        if name in _PRE_ORACLE_STALE:
+            return (0, 0, cost, name)
+        if name in _CHANGED_THIS_ROUND or name not in _LAST_GRADED:
+            return (1, 0, cost, name)
+        return (2, _LAST_GRADED[name], cost, name)
+
+    return sorted(names, key=key)
+
+
+_REGISTRY_ORDER = _compute_registry_order()
 
 
 def _apply_registry_order() -> None:
