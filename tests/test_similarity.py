@@ -881,3 +881,71 @@ def test_topk_join_hot_broadcast_is_a_broadcast_join(spark):
     assert "BroadcastHashJoin" in hot
     fallback = plan(max_left_bucket=10, left_salts=4, broadcast_hot_rows=0)
     assert "__salt" in fallback  # the adaptive-salting keys are live
+
+
+def test_topk_join_probe_skip_is_output_neutral(spark):
+    """r6: when no left bucket can exceed max_left_bucket (provably,
+    from the left row count), the hot-key probe is skipped — via the
+    caller's left_rows hint or the banded count — and the output is
+    identical to both the probed and the salting-disabled plans."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import ann_topk_join_lsh
+
+    rng = np.random.default_rng(3)
+    lefts, rights = [], []
+    for i in range(8):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        lefts.append((i, [float(x) for x in v]))
+    for j in range(40):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rights.append((j, [float(x) for x in v]))
+    left = spark.createDataFrame(lefts, "l_id long, l_vec array<float>")
+    right = spark.createDataFrame(rights, "r_id long, r_vec array<float>")
+
+    def run(**kw):
+        return sorted(
+            (r["l_id"], r["r_id"], r["rank"])
+            for r in ann_topk_join_lsh(left, right, k=3, bands=16, **kw).collect()
+        )
+
+    hinted = run(left_rows=8)
+    counted = run()  # banded count 8×16 ≤ 4096×16 → probe skipped
+    disabled = run(max_left_bucket=None)
+    assert hinted == counted == disabled
+    assert len({l for l, _, _ in hinted}) == 8
+
+
+def test_topk_join_broadcast_bytes_gate_forces_salting(spark):
+    """r6 (ADVICE): the hot-bucket broadcast gate is sized in bytes,
+    not only rows — a hot set that passes the row gate but exceeds
+    broadcast_hot_bytes must take the adaptive-salting fallback
+    (wide embeddings would otherwise broadcast multi-GB hot_b)."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import ann_topk_join_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    lefts = [(i, [float(x) for x in base]) for i in range(60)]
+    rights = []
+    for j in range(25):
+        v = base + 0.05 * rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rights.append((j, [float(x) for x in v]))
+    left = spark.createDataFrame(lefts, "l_id long, l_vec array<float>")
+    right = spark.createDataFrame(rights, "r_id long, r_vec array<float>")
+
+    def plan(**kw):
+        df = ann_topk_join_lsh(left, right, k=3, bands=8, **kw)
+        out = sorted((r["l_id"], r["r_id"], r["rank"]) for r in df.collect())
+        return out, df._jdf.queryExecution().executedPlan().toString()
+
+    bc_out, bc_plan = plan(max_left_bucket=10)
+    assert "BroadcastHashJoin" in bc_plan
+    salt_out, salt_plan = plan(max_left_bucket=10, broadcast_hot_bytes=0)
+    assert "__salt" in salt_plan  # row gate passes, byte gate trips
+    assert salt_out == bc_out  # and the output is unchanged

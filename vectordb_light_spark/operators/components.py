@@ -73,9 +73,20 @@ def connected_components(
     # ⇔ fixed point. One cheap aggregate over the checkpointed round
     # output instead of a per-round change-flag join.
     def label_sum(df) -> object:
-        return df.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+        row = df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        # the convergence contract is an EXACT sum; decimal(38,0) over
+        # long labels cannot overflow below ~1e19 rows, but if it ever
+        # did (non-ANSI mode returns NULL) a silent None == None would
+        # declare false convergence — fail loudly instead
+        if row["s"] is None and row["n"] > 0:
+            raise ArithmeticError(
+                "connected_components label sum overflowed decimal(38,0) "
+                "— exact-sum convergence check is no longer sound"
+            )
+        return row["s"]
 
     prev_sum = label_sum(comp)
     for _ in range(max_iter):

@@ -446,6 +446,8 @@ def ann_topk_join_lsh(
     max_left_bucket: int | None = 4096,
     left_salts: int = 64,
     broadcast_hot_rows: int = 262_144,
+    broadcast_hot_bytes: int = 64 << 20,
+    left_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k similarity JOIN for large×large inputs:
     every left row gets its ≤k most-cosine-similar right rows.
@@ -509,6 +511,24 @@ def ann_topk_join_lsh(
     SCALING.md "Salted LSH top-k join" section (x16 mega-cluster
     growth; broadcast path flattens the worst join task where the
     unsalted plan's grows 24×).
+
+    The hot-key probe (one groupBy pass over the persisted banded
+    left) is SKIPPED when no bucket can possibly exceed
+    ``max_left_bucket``: each left row lands in exactly one bucket
+    per band index, so no bucket can outgrow the left ROW count.
+    Pass ``left_rows`` (a caller-known upper bound on left rows) to
+    skip the probe, the persist, and their driver jobs entirely;
+    without the hint a plain persisted count (no shuffle, cheaper
+    than the probe's aggregation) makes the same call.
+
+    The hot-bucket broadcast gate is sized in BOTH rows
+    (``broadcast_hot_rows``) and estimated bytes
+    (``broadcast_hot_bytes``, default 64 MiB): hot_b rows carry the
+    full right vector, so with wide embeddings a row-count-only gate
+    could admit a multi-GB broadcast (1024-dim float ≈ 4 KiB/row).
+    Estimated bytes = n_hot × max_right_bucket × (4·dim + 64)
+    (float vector + id/band-key/row overhead); oversize hot sets
+    take the adaptive-salting fallback instead.
     """
     if max_left_bucket is not None and max_right_bucket is None:
         raise ValueError(
@@ -553,7 +573,17 @@ def ann_topk_join_lsh(
             .where(F.col("__rn") <= F.lit(max_right_bucket))
             .drop("__rn")
         )
-    if max_left_bucket is not None:
+    skip_probe = left_rows is not None and left_rows <= max_left_bucket if (
+        max_left_bucket is not None
+    ) else False
+    if max_left_bucket is not None and not skip_probe and left_rows is None:
+        # No caller hint: a plain count of the persisted banded left
+        # (no shuffle) decides whether the probe can engage at all —
+        # banded rows = left rows × bands, and no bucket can exceed
+        # the left row count (one bucket per band index per row).
+        a = _persist_if_batch(a)
+        skip_probe = a.count() <= max_left_bucket * bands
+    if max_left_bucket is not None and not skip_probe:
         # Left-skew handling. Persist so the SRP stage feeds the
         # hot-key count and both probes once.
         a = _persist_if_batch(a)
@@ -577,7 +607,11 @@ def ann_topk_join_lsh(
             cold_a = a.join(hot_keys.select(*keys), keys, "left_anti")
             hot_a = a.join(hot_keys.select(*keys), keys, "left_semi")
             hot_b = b.join(hot_keys.select(*keys), keys, "left_semi")
-            if n_hot * max_right_bucket <= broadcast_hot_rows:
+            est_hot_bytes = n_hot * max_right_bucket * (4 * dim + 64)
+            if (
+                n_hot * max_right_bucket <= broadcast_hot_rows
+                and est_hot_bytes <= broadcast_hot_bytes
+            ):
                 # PREFERRED: the truncated hot right buckets are tiny
                 # (≤ n_hot × max_right_bucket rows), so broadcast them
                 # and join the hot lefts MAP-SIDE on their existing

@@ -878,7 +878,7 @@ def ts_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH d AS (
         SELECT doc_id,
-               replace(replace(text, ' table ', ' table.' || chr(10)),
+               replace(replace(coalesce(text, ''), ' table ', ' table.' || chr(10)),
                        ' merge ', ' merge!' || chr(10)) AS lined
         FROM documents
     ),
@@ -936,10 +936,17 @@ def ts_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen over a 100 TB scan."""
     from vectordb_light_spark.functions.text import c4_rules
 
+    # NULL text coalesces to '' on BOTH sides (oracle mirrors), so a
+    # corpus with NULL documents still hash-matches: md5('') vs
+    # md5(NULL)=NULL was a latent parity break (ADVICE r5).
     docs = load_docs(spark, sf_dir).withColumn(
         "lined",
         F.replace(
-            F.replace(F.col("text"), F.lit(" table "), F.lit(" table.\n")),
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" table "),
+                F.lit(" table.\n"),
+            ),
             F.lit(" merge "),
             F.lit(" merge!\n"),
         ),
@@ -1709,7 +1716,10 @@ def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = emb.select(
         F.col("vec_id").alias("r_id"), F.col("embedding").alias("r_vec")
     )
-    out = ann_topk_join_lsh(left, right, k=5, bands=16)
+    # left is `vec_id < 50` — ≤50 rows, far under max_left_bucket, so
+    # the left_rows hint skips the hot-key probe and its driver jobs
+    # (the skew machinery stays armed for unhinted large lefts).
+    out = ann_topk_join_lsh(left, right, k=5, bands=16, left_rows=50)
     exact_pool = topk_cosine_batch(
         emb,
         left.select(
@@ -5451,7 +5461,11 @@ _SOLO_COST_S = {
 _PRE_ORACLE_STALE = {"ann_ivf_topk", "ann_pca_topk", "ann_opq_topk"}
 
 #: Entries new or implementation-changed in round 6. Class (b).
-_CHANGED_THIS_ROUND = set()
+_CHANGED_THIS_ROUND = {
+    "ann_topk_join",        # probe skip via left_rows hint + byte broadcast gate
+    "ts_c4_filter",         # NULL-text coalesce parity (ADVICE r5)
+    "dd_duplicate_clusters",  # label-sum overflow guard (ADVICE r5)
+}
 
 
 def _compute_registry_order() -> list:
