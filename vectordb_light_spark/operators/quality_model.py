@@ -1,0 +1,153 @@
+"""Model-based document-quality classifier (CCNet / RefinedWeb tier).
+
+Production corpus pipelines gate documents with a LEARNED quality
+model, not only hand rules: CCNet (Wenzek et al. 2020) scores crawl
+text with a classifier toward a curated target, RefinedWeb /
+fastText-style filters distill "looks curated" into a linear model
+over hashed n-gram counts. This module is that tier, Spark-first:
+
+- **Training** is driver-side numpy (the model is a few hundred
+  floats — cluster-scale training is not the bottleneck; labeling
+  is): deterministic full-batch logistic regression over hashed
+  unigram counts, distilled from any boolean label column (here: the
+  rule-based ``quality_score`` gate, the standard bootstrap when no
+  human labels exist).
+- **Scoring** is fully MAP-SIDE and shuffle-free: weights quantize to
+  integers (``round(w * SCALE)``) baked into a literal array, and
+  each document's logit is a higher-order-function sum
+  ``bias_q + Σ_tokens weights_q[bucket(token)]`` — no explode, no
+  groupBy, no UDF, no broadcast even; the whole classifier is one
+  projection over the scan. At 100 TB this scores in the same pass
+  that reads the text.
+
+Integer quantization is what makes the operator ORACLE-provable: the
+per-document sum is exact 64-bit arithmetic, so Spark and DuckDB
+agree bit-for-bit (no float dot-product drift) — same trick as
+``pipe_dsir_select``'s md5 buckets and the feature-hash embedder.
+
+Reference parity: the reference has no quality-model analogue (its
+quality control is per-format extraction guards, SURVEY §2.3); this
+tier comes from the public corpus-curation literature.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hashed_count_features",
+    "train_quality_logreg",
+    "quantize_logreg",
+    "quality_classifier_scores",
+]
+
+DEFAULT_N_BUCKETS = 512
+DEFAULT_SCALE = 1_000_000
+
+
+def _bucket_py(token: str, n_buckets: int) -> int:
+    """Python twin of :func:`~vectordb_light_spark.operators.sampling.
+    hex_prefix_mod` over ``md5(token)`` — first 8 hex chars mod n.
+    Trainer featurization MUST match the Spark/DuckDB scoring bucket
+    or the learned weights would score a permuted feature space."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def hashed_count_features(
+    texts: list[str], n_buckets: int = DEFAULT_N_BUCKETS
+) -> np.ndarray:
+    """Hashed-unigram count matrix [n_docs, n_buckets] (float64).
+    Tokenization is the engine-wide contract: lower, trim, split on
+    whitespace, drop empty tokens."""
+    X = np.zeros((len(texts), n_buckets), dtype=np.float64)
+    for i, text in enumerate(texts):
+        for tok in (text or "").lower().strip().split():
+            X[i, _bucket_py(tok, n_buckets)] += 1.0
+    return X
+
+
+def train_quality_logreg(
+    X: np.ndarray,
+    y: np.ndarray,
+    *,
+    lr: float = 0.05,
+    l2: float = 1e-4,
+    steps: int = 1500,
+) -> tuple[np.ndarray, float]:
+    """Deterministic full-batch logistic regression: returns
+    (weights [n_buckets], bias). No randomness — same (X, y) in,
+    same model out; gradient is the standard ``X^T (σ(Xw+b) − y)/n``
+    with L2 on the weights (not the bias)."""
+    n, d = X.shape
+    w = np.zeros(d, dtype=np.float64)
+    b = 0.0
+    for _ in range(steps):
+        z = np.clip(X @ w + b, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        w -= lr * (X.T @ err / n + l2 * w)
+        b -= lr * float(np.mean(err))
+    return w, b
+
+
+def quantize_logreg(
+    w: np.ndarray, b: float, *, scale: int = DEFAULT_SCALE
+) -> tuple[list[int], int]:
+    """Quantize to integer micro-weights: ``weights_q[i] =
+    round(w[i]·scale)``, ``bias_q = round(b·scale)``. The quantized
+    logit ``bias_q + Σ weights_q[bucket]`` is exact 64-bit math in
+    any engine; dividing by ``scale`` recovers the float logit to
+    ~1e-6·n_tok, far inside the decision margin of any usable model."""
+    return [int(round(float(x) * scale)) for x in w], int(round(b * scale))
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    weights_q: list[int],
+    bias_q: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with the quantized linear quality model —
+    one shuffle-free projection.
+
+    Returns ``(id, n_tok int, logit_q long, keep boolean)`` where
+    ``logit_q = bias_q + Σ_tokens weights_q[bucket(token)]`` (micro-
+    logits, exact integers) and ``keep = logit_q > 0`` (σ(logit) >
+    0.5). NULL/empty text scores ``bias_q`` over 0 tokens — scored,
+    not dropped, so the operator is total over the corpus.
+
+    Plan shape: tokenize → per-element ``element_at`` on the literal
+    weight array → higher-order ``aggregate`` sum, all inside ONE
+    project over the scan — no explode, no groupBy, no join, no UDF.
+    The 100 TB cost is exactly the text scan."""
+    n_buckets = len(weights_q)
+    arr = F.array(*[F.lit(int(x)).cast("long") for x in weights_q])
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+
+    def contrib(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).cast("int")
+        return F.element_at(arr, bucket + F.lit(1))
+
+    logit = F.lit(int(bias_q)).cast("long") + F.aggregate(
+        F.transform(toks, contrib),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tok"),
+        logit.alias("logit_q"),
+        (logit > F.lit(0)).alias("keep"),
+    )

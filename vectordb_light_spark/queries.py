@@ -782,6 +782,63 @@ def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _quality_classifier_oracle_sql() -> str:
+    """DuckDB twin of ts_quality_classifier: the same quantized
+    integer weights as SQL literals, the same md5 bucket, the same
+    higher-order sum — the logit is exact 64-bit arithmetic in both
+    engines, so the match is bit-for-bit (no float dot-product
+    drift), the pipe_dsir_select trick upgraded from buckets to the
+    whole model."""
+    from vectordb_light_spark.functions.quality_weights import (
+        BIAS_Q,
+        N_BUCKETS,
+        WEIGHTS_Q,
+    )
+
+    weights = "[" + ", ".join(str(int(x)) for x in WEIGHTS_Q) + "]"
+    return f"""
+    WITH w AS (SELECT {weights}::BIGINT[] AS l),
+    t AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                   x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tok,
+               CAST({BIAS_Q} + COALESCE(list_sum(list_transform(toks,
+                    tk -> l[CAST(CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)
+                            % {N_BUCKETS} AS INT) + 1])), 0) AS BIGINT) AS logit_q
+        FROM t, w
+    )
+    SELECT doc_id, n_tok, logit_q, logit_q > 0 AS keep
+    FROM s ORDER BY doc_id
+    """
+
+
+@register("ts_quality_classifier", oracle=_quality_classifier_oracle_sql())
+def ts_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (CCNet / RefinedWeb tier —
+    operators/quality_model.py): a hashed-unigram logistic classifier,
+    numpy-trained offline by distilling the rule-based quality_score
+    gate (tools/train_quality_classifier.py; held-out acc 0.850 vs
+    0.540 majority base), quantized to integer micro-weights and
+    scored ENTIRELY map-side — tokenize → element_at on the literal
+    weight array → higher-order aggregate sum, one projection over
+    the scan with no explode, no groupBy, no join, no UDF. At 100 TB
+    the classifier costs exactly the text scan. logit_q is the exact
+    integer micro-logit (σ(logit_q/1e6) > 0.5 ⇔ keep)."""
+    from vectordb_light_spark.functions.quality_weights import BIAS_Q, WEIGHTS_Q
+    from vectordb_light_spark.operators.quality_model import (
+        quality_classifier_scores,
+    )
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    return quality_classifier_scores(docs, WEIGHTS_Q, BIAS_Q).orderBy("doc_id")
+
+
 @register(
     "ts_gopher_filter",
     oracle=r"""
