@@ -718,3 +718,111 @@ def test_sample_frames_real_avi_and_gif_tiers(spark):
         assert np.array_equal(png_decode(rows[(2, fi)]), gif_frames[want])
     # unknown codec keeps the fake 64-byte window
     assert len(rows[(3, 0)]) == 64
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (r6)
+# ---------------------------------------------------------------------------
+
+
+def _gradient_bmp(seed, noise_at=None):
+    import numpy as np
+
+    from vectordb_light_spark.sources.media import bmp_encode
+
+    R = np.arange(16)[:, None]
+    C = np.arange(18)[None, :]
+    px = ((seed + 3) * (R * 17 + C * 23 + 11)) % 256
+    if noise_at is not None:
+        r, c, v = noise_at
+        px[r, c] = (px[r, c] + v) % 256
+    return bmp_encode(px.astype(np.uint8))
+
+
+def test_dhash_identical_and_perturbed_images(spark):
+    """dHash invariants: identical bytes → hamming 0; a one-pixel
+    perturbation flips at most 2 of the 64 grid comparisons; a
+    different base pattern lands far away."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.multimodal import image_dhash
+
+    rows = [
+        (1, _gradient_bmp(7)),
+        (2, _gradient_bmp(7)),                       # identical
+        (3, _gradient_bmp(7, noise_at=(4, 9, 83))),  # one noisy pixel
+        (4, _gradient_bmp(123)),                     # different image
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert got[1] == got[2]
+    assert ham(got[1], got[3]) <= 2
+    assert ham(got[1], got[4]) > 6
+
+
+def test_dhash_undecodable_bytes_get_deterministic_fake(spark):
+    from vectordb_light_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame(
+        [(1, b"not an image"), (2, b"not an image"), (3, None)],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got[1] == got[2]          # deterministic
+    assert got[3] is not None        # total — NULL content still hashes
+
+
+def test_image_hamming_pairs_star_collapse_parity(spark):
+    """Identical-image clusters: the hot-cluster star collapse must
+    keep connected components identical to the exact clique while
+    emitting only |cluster|−1 star rows per cluster."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.dedup import hamming_near_dup_pairs
+    from vectordb_light_spark.operators.multimodal import image_dhash
+
+    # two identical-image clusters (8 + 5) plus 3 singletons
+    rows = (
+        [(i, _gradient_bmp(7)) for i in range(8)]
+        + [(100 + i, _gradient_bmp(55)) for i in range(5)]
+        + [(900 + i, _gradient_bmp(200 + 37 * i)) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    keyed = image_dhash(df).select(
+        F.col("media_id").alias("__id"), F.col("dhash").alias("__sim")
+    )
+
+    def components(pairs):
+        import collections
+
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            a, b = find(r["id_a"]), find(r["id_b"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        groups = collections.defaultdict(set)
+        for x in parent:
+            groups[find(x)].add(x)
+        return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+    exact = hamming_near_dup_pairs(
+        keyed, total_bits=64, max_hamming=0, max_cluster=None
+    ).collect()
+    starred = hamming_near_dup_pairs(
+        keyed, total_bits=64, max_hamming=0, max_cluster=3
+    ).collect()
+    assert components(exact) == components(starred)
+    assert len(exact) == 8 * 7 // 2 + 5 * 4 // 2   # full cliques
+    assert len(starred) == 7 + 4                   # star rows only
+    assert all(r["hamming"] == 0 for r in starred)

@@ -799,6 +799,47 @@ def simhash_near_dups(
             hash_family=hash_family,
         ).select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sim"))
     )
+    return hamming_near_dup_pairs(
+        keyed,
+        total_bits=total_bits,
+        max_hamming=max_hamming,
+        m=m,
+        k=k,
+        max_cluster=max_cluster,
+    )
+
+
+def hamming_near_dup_pairs(
+    keyed: DataFrame,
+    *,
+    total_bits: int,
+    max_hamming: int,
+    m: int | None = None,
+    k: int | None = None,
+    n_docs_hint: int | None = None,
+    max_cluster: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs for ANY 64-bit-or-narrower sketch column: the
+    combo-blocked, pigeonhole-guaranteed, star-collapsed Hamming join
+    extracted from :func:`simhash_near_dups` so every fingerprint
+    family (SimHash over text, dHash/aHash over images, any future
+    modality sketch) shares ONE hardened implementation.
+
+    ``keyed`` must be ``(__id, __sim)``. Returns ``(id_a, id_b,
+    hamming)`` with id_a < id_b, complete for pairs within
+    ``max_hamming`` (k ≤ m − max_hamming pigeonhole; see
+    :func:`resolve_block_scheme`). ``max_cluster`` is the identical-
+    sketch star collapse documented on :func:`simhash_near_dups`;
+    ``None`` keeps exact clique semantics (the oracle-twin config)."""
+    from vectordb_light_spark.session import persist_if_batch
+
+    if m is None or k is None:
+        m, k = simhash_block_scheme(max_hamming, total_bits, n_docs_hint)
+    # Both self-join sides (and the hot-cluster probes) consume the
+    # sketch stage — persist so an expensive upstream fingerprint
+    # (e.g. image decode + dHash) computes once. No-op if the caller
+    # already persisted.
+    keyed = persist_if_batch(keyed)
     stars = None
     if max_cluster is not None:
         # Hot-sketch split BEFORE the C(m,k) explode: the group count

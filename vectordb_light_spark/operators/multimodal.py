@@ -187,6 +187,85 @@ def _pixel_features(px: np.ndarray, dim: int) -> np.ndarray:
     return out / max(n, 1e-12)
 
 
+def _dhash_bits(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash, the classic perceptual image
+    fingerprint): grayscale → 9×8 area grid → bit (r·8+c) set iff
+    grid[r][c] > grid[r][c+1]. Grayscale is the integer CHANNEL SUM
+    (monotone in intensity, keeps integer exactness); when the image
+    divides evenly into the 9×8 grid the cells are exact integer
+    block sums (the oracle-twinnable regime), otherwise float area
+    means over floor-boundary blocks — same hash contract either way.
+    Returns a signed 64-bit int (bit 63 wraps negative)."""
+    gray = (
+        px.astype(np.int64).sum(axis=2) if px.ndim == 3 else px.astype(np.int64)
+    )
+    h, w = gray.shape
+    if w % 9 == 0 and h % 8 == 0:
+        bw, bh = w // 9, h // 8
+        grid = gray.reshape(8, bh, 9, bw).sum(axis=(1, 3))
+    else:
+        ys = [int(i * h / 8) for i in range(9)]
+        xs = [int(j * w / 9) for j in range(10)]
+        grid = np.array(
+            [
+                [
+                    float(gray[ys[r]:max(ys[r + 1], ys[r] + 1),
+                               xs[c]:max(xs[c + 1], xs[c] + 1)].mean())
+                    for c in range(9)
+                ]
+                for r in range(8)
+            ]
+        )
+    bits = np.uint64(0)
+    for r in range(8):
+        for c in range(8):
+            if grid[r][c] > grid[r][c + 1]:
+                bits |= np.uint64(1) << np.uint64(r * 8 + c)
+    return int(bits.astype(np.int64))
+
+
+def image_dhash(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    out_col: str = "dhash",
+) -> DataFrame:
+    """Perceptual-hash stage: binary image → 64-bit dHash long.
+
+    Tiers mirror :func:`image_features`: stdlib BMP/PNG/JPEG/GIF
+    pixels → REAL dHash; undecodable bytes → a deterministic
+    splitmix-style byte-hash fake (never NULL, so downstream blocking
+    stays total). Feed the output to
+    :func:`~vectordb_light_spark.operators.dedup.hamming_near_dup_pairs`
+    for banded near-dup candidate pairs — the image-modality twin of
+    SimHash text dedup."""
+    from vectordb_light_spark.sources.media import decode_image
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{fields}, `{out_col}` long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            hashes = []
+            for d in pdf[content_col]:
+                raw = bytes(d) if d is not None else b""
+                px = decode_image(raw)
+                if px is not None:
+                    hashes.append(_dhash_bits(px))
+                else:
+                    digest = _hl.md5(raw).digest()[:8]
+                    hashes.append(
+                        int.from_bytes(digest, "big", signed=True)
+                    )
+            out = pdf.copy()
+            out[out_col] = hashes
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def image_features(
     df: DataFrame, *, content_col: str = "content", out_col: str = "features", dim: int = 64
 ) -> DataFrame:
