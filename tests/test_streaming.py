@@ -652,3 +652,140 @@ def test_windowed_quantiles_exact_regime_margin(spark):
             .first()[0]
         )
         assert max_n * 2 <= 250, (sf, max_n)
+
+
+# ---------------------------------------------------------------------------
+# Event-time state GC (r6): EventTimeTimeout retires idle keys
+# ---------------------------------------------------------------------------
+
+
+def _write_event_files(spark, tmp_path, batches):
+    """One parquet file per micro-batch, mtimes strictly ascending so
+    maxFilesPerTrigger=1 replays them in order."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "gc_events"
+    src.mkdir()
+    t0 = time.time() - 1000
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        path = str(src / f"{i:03d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (t0 + i, t0 + i))
+    return str(src)
+
+
+def _stream_from(spark, src):
+    from vectordb_light_spark.streaming.events import normalize_event_ts
+
+    return normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_running_totals_state_gc_expires_idle_keys(spark, tmp_path):
+    """EventTimeTimeout contract: a user idle for more than the TTL of
+    EVENT time has its state dropped once the watermark passes — on
+    reappearing it restarts from zero. With no TTL (default) the same
+    replay keeps lifetime totals. In-window output is unchanged."""
+    from vectordb_light_spark.streaming.events import running_user_totals
+
+    day = "2024-01-{:02d} 12:00:00"
+    batches = [
+        [(1, 1, "click", day.format(1), 10.0)],     # u1 day 1
+        [(2, 2, "click", day.format(20), 1.0)],     # u2 day 20 → wm jumps
+        [(3, 3, "click", day.format(21), 1.0)],     # u3 day 21 → u1 times out
+        [(4, 1, "click", day.format(22), 5.0)],     # u1 returns
+    ]
+    src = _write_event_files(spark, tmp_path, batches)
+
+    def final_totals(**kw):
+        got = run_stream_to_memory(
+            running_user_totals(_stream_from(spark, src), **kw),
+            f"gc_tot_{abs(hash(str(kw))) % 10**8}",
+            output_mode="update",
+        )
+        final = {}
+        for r in got.collect():  # memory sink appends in batch order
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+        return final
+
+    # GC armed, 7-day TTL: u1's day-1 state is long expired by day 21,
+    # so the day-22 event restarts at n=1/total=5
+    gc = final_totals(state_ttl_ms=7 * 86_400_000)
+    assert gc[1] == (1, 5.0)
+    assert gc[2] == (1, 1.0) and gc[3] == (1, 1.0)
+
+    # no TTL (oracle/backfill config): lifetime totals
+    no_gc = final_totals()
+    assert no_gc[1] == (2, 15.0)
+
+    # TTL wider than the stream's whole span: output identical to
+    # no-GC — GC must not disturb in-window data
+    wide = final_totals(state_ttl_ms=365 * 86_400_000)
+    assert wide == no_gc
+
+
+def test_windowed_quantiles_state_gc_retires_closed_windows(spark, tmp_path):
+    """A (type, day) window whose close is > TTL behind the watermark
+    drops its GK summary: the final state-store row count shrinks to
+    the LIVE windows only, while every emitted (in-window) row is
+    identical to the no-GC run. (A late replay can't resurrect a
+    retired window — the same watermark that retires it filters the
+    late rows upstream, which is the production contract.)"""
+    from vectordb_light_spark.streaming.events import (
+        streaming_windowed_quantiles,
+    )
+
+    day = "2024-01-{:02d} 12:00:00"
+    batches = [
+        [(1, 1, "click", day.format(1), 10.0),
+         (2, 2, "click", day.format(1), 20.0)],      # window (click, 1/1)
+        [(3, 3, "click", day.format(20), 7.0)],      # wm advances
+        [(4, 4, "click", day.format(21), 8.0)],      # wm -> day 20
+        [(5, 5, "click", day.format(22), 9.0)],      # (click, 1/1) times out
+    ]
+    src = _write_event_files(spark, tmp_path, batches)
+
+    def runs(name, **kw):
+        stream = streaming_windowed_quantiles(_stream_from(spark, src), **kw)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = [
+            p if isinstance(p, dict) else __import__("json").loads(p)
+            for p in q.recentProgress
+        ]
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in progresses
+            if p.get("stateOperators")
+        ]
+        rows = sorted(
+            (r["event_type"], str(r["day"]), r["n_events"], r["p50"])
+            for r in spark.table(name).collect()
+        )
+        return rows, state_rows[-1]
+
+    gc_rows, gc_state = runs("gc_q_on", state_ttl_ms=7 * 86_400_000)
+    nogc_rows, nogc_state = runs("gc_q_off")
+    # every emitted row identical — GC never disturbs in-window output
+    assert gc_rows == nogc_rows
+    # ... but the closed (click, day-1) window's state is GONE: only
+    # the 3 windows still inside the TTL horizon remain
+    assert nogc_state == 4
+    assert gc_state == 3

@@ -5618,6 +5618,9 @@ _CHANGED_THIS_ROUND = {
     "ts_c4_filter",         # NULL-text coalesce parity (ADVICE r5)
     "dd_duplicate_clusters",  # label-sum overflow guard (ADVICE r5)
     "dd_simhash_near_dups",   # blocking extracted to hamming_near_dup_pairs
+    "st_user_running_totals",   # optional event-time state GC (default off)
+    "st_heavy_hitters",         # optional event-time state GC (default off)
+    "st_windowed_quantiles",    # optional event-time state GC (default off)
 }
 
 

@@ -184,7 +184,29 @@ def sessionized_user_activity(
     )
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def _gc_timeout(state, state_ttl_ms: int | None, last_event_ms: int) -> None:
+    """Arm the event-time GC clock for a key: expire ``state_ttl_ms``
+    of EVENT TIME after the key's last activity (the timeout fires
+    once the stream's watermark passes that point). The base is the
+    key's own latest event timestamp, NOT the current watermark — the
+    watermark is epoch 0 on the first micro-batch, and basing the TTL
+    on it would expire every first-batch key the moment the watermark
+    jumps. Clamped to watermark+1 (Spark rejects timeout timestamps
+    at or below the watermark; a key that is already past due expires
+    at the next possible tick). Shared by all three stateful
+    operators so the GC contract is uniform."""
+    if state_ttl_ms is not None:
+        state.setTimeoutTimestamp(
+            max(last_event_ms + state_ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+
+def running_user_totals(
+    events: DataFrame,
+    *,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): cumulative
     per-user event count and value total, emitted on every micro-batch
     a user appears in.
@@ -196,6 +218,18 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     row is the state after the batch, so on a single availableNow batch
     the output equals the batch groupBy aggregate — which is exactly
     how the oracle checks it (st_user_running_totals).
+
+    **State GC (always-on deployments)**: with the default
+    ``state_ttl_ms=None`` state lives for the key's lifetime — correct
+    for availableNow backfills (the registry/oracle configuration),
+    unbounded for a live stream whose key set grows forever. Pass
+    ``state_ttl_ms`` to arm an ``EventTimeTimeout``: a watermark
+    (``watermark_delay`` lateness on ``ts``) is applied upstream, and
+    a user whose last event is more than the TTL behind the watermark
+    has its state dropped (the last row emitted for the key — update
+    mode — is its final total). In-window output is UNCHANGED; only
+    retired keys stop consuming state. Same contract on
+    :func:`streaming_heavy_hitters` / :func:`streaming_windowed_quantiles`.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -204,17 +238,28 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     state_schema = "n long, total double"
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
+        last_ms = 0
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
+            if state_ttl_ms is not None and len(pdf):
+                last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
         state.update((n, total))
+        _gc_timeout(state, state_ttl_ms, last_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
+    timeout = GroupStateTimeout.NoTimeout
+    if state_ttl_ms is not None:
+        events = events.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return events.groupBy("user_id").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "update", timeout
     )
 
 
@@ -281,6 +326,8 @@ def streaming_heavy_hitters(
     threshold: int = 1,
     capacity: int = 65536,
     shards: int = 8,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming heavy hitters via SHARDED SpaceSaving summaries
     (Metwally et al., "Efficient Computation of Frequent and Top-k
@@ -303,6 +350,15 @@ def streaming_heavy_hitters(
     max_err is 0 and counts are EXACT — the regime the registry
     oracle pins (asserted against graded SFs in tests); the overflow
     bounds get their own unit tests.
+
+    State is already CONSTANT-bounded (shards × capacity counters);
+    ``state_ttl_ms`` additionally retires a shard's whole summary
+    after that much event-time idleness (EventTimeTimeout +
+    ``watermark_delay`` watermark on ``ts``) — the epoch-reset an
+    always-on deployment uses so ancient counts don't dominate
+    forever. Default ``None`` keeps lifetime summaries (the
+    availableNow/oracle configuration). See
+    :func:`running_user_totals` for the shared GC contract.
     """
     import pickle
 
@@ -320,15 +376,22 @@ def streaming_heavy_hitters(
     state_schema = "blob binary"
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         summary: dict[int, tuple[int, int]] = (
             pickle.loads(bytes(state.get[0])) if state.exists else {}
         )
         batch_counts: dict[int, int] = {}
+        last_ms = 0
         for pdf in pdfs:
             for k, c in pdf[key_col].value_counts().items():
                 batch_counts[int(k)] = batch_counts.get(int(k), 0) + int(c)
+            if state_ttl_ms is not None and len(pdf):
+                last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
         spacesaving_merge(summary, batch_counts, capacity)
         state.update((pickle.dumps(summary, protocol=4),))
+        _gc_timeout(state, state_ttl_ms, last_ms)
         keys = sorted(k for k, (cnt, _) in summary.items() if cnt >= threshold)
         yield pd.DataFrame(
             {
@@ -338,11 +401,15 @@ def streaming_heavy_hitters(
             }
         )
 
+    timeout = GroupStateTimeout.NoTimeout
+    if state_ttl_ms is not None:
+        events = events.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
     sharded = events.withColumn(
         "__shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(shards))
     )
     return sharded.groupBy("__shard").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "update", timeout
     )
 
 
@@ -515,6 +582,8 @@ def streaming_windowed_quantiles(
     value_col: str = "value",
     eps: float = 0.002,
     quantiles: tuple[float, ...] = (0.5, 0.95),
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Windowed streaming percentiles: one Greenwald-Khanna ε-summary
     per (event_type, event day) under ``applyInPandasWithState`` —
@@ -526,10 +595,15 @@ def streaming_windowed_quantiles(
     Scale design: a summary holds O((1/ε)·log(εn)) tuples however
     many events a window sees — the compress pass is the state bound.
     State is keyed by (type, day): the active key set is
-    types × windows-in-flight, and a production deployment GCs closed
-    windows via an event-time timeout once a watermark is set (file
-    backfills under availableNow process everything in one pass, so
-    the registry run carries all 150 sf-keys live — still KB-scale).
+    types × windows-in-flight, and ``state_ttl_ms`` retires CLOSED
+    windows — a (type, day) key whose last event sits more than the
+    TTL behind the event-time watermark (``watermark_delay`` lateness
+    on ``ts``) drops its summary via ``EventTimeTimeout``; the last
+    row emitted for the key (update mode) is the closed window's
+    final quantile set, and in-window output is unchanged. The
+    default ``None`` keeps every key live — correct for availableNow
+    file backfills, which process everything in one pass (the
+    registry run carries all 150 sf-keys live — still KB-scale).
     Each micro-batch folds map-side-sorted values into the summary in
     one merge walk; nothing ever shuffles but the raw events, once,
     into their state partition.
@@ -553,6 +627,9 @@ def streaming_windowed_quantiles(
     state_schema = "blob binary"
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         st: tuple[int, list[list[float]]] = (
             pickle.loads(bytes(state.get[0])) if state.exists else (0, [])
         )
@@ -561,18 +638,35 @@ def streaming_windowed_quantiles(
             if len(vals):
                 st = gk_insert_sorted(st, vals, eps)
         state.update((pickle.dumps(st, protocol=4),))
+        if state_ttl_ms is not None:
+            # the key IS the window: TTL counts from the window's
+            # close (end of the key's day, UTC) — a replayed late row
+            # re-arms from the same base, so the retirement point is
+            # a property of the window, not of arrival order
+            import datetime as _dt
+
+            day_end = _dt.datetime.combine(
+                key[1], _dt.time(), tzinfo=_dt.timezone.utc
+            ) + _dt.timedelta(days=1)
+            _gc_timeout(state, state_ttl_ms, int(day_end.timestamp() * 1000))
+        else:
+            _gc_timeout(state, state_ttl_ms, 0)
         row = {"event_type": key[0], "day": key[1], "n_events": st[0]}
         for q, c in zip(quantiles, qcols):
             row[c] = gk_query(st, q, eps)
         yield pd.DataFrame([row])
 
-    keyed = events.select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.col(value_col),
-    )
+    timeout = GroupStateTimeout.NoTimeout
+    cols = ["event_type", F.to_date("ts").alias("day"), F.col(value_col)]
+    if state_ttl_ms is not None:
+        events = events.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
+        # the watermarked ts column must survive the projection or
+        # Spark cannot attach the event-time timeout to this operator
+        cols.append(F.col("ts"))
+    keyed = events.select(*cols)
     return keyed.groupBy("event_type", "day").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "update", timeout
     )
 
 
