@@ -451,6 +451,154 @@ def pipe_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_dedup_oracle_sql() -> str:
+    """DuckDB twin of pipe_url_dedup: the same synthesized URL
+    variants, the same normalization regexp chain step for step
+    (start/end-anchored steps match at most once in both engines; the
+    utm strip is explicitly global), the same min-id survivor and
+    per-domain row_number cap."""
+    return r"""
+    WITH u0 AS (
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'https://d' || (doc_id // 5) % 7
+                      || '.example.com/page/' || (doc_id // 5)
+                 WHEN 1 THEN 'HTTPS://D' || (doc_id // 5) % 7
+                      || '.EXAMPLE.COM/page/' || (doc_id // 5) || '/'
+                 WHEN 2 THEN 'https://www.d' || (doc_id // 5) % 7
+                      || '.example.com/page/' || (doc_id // 5)
+                      || '?utm_source=feed'
+                 WHEN 3 THEN 'https://d' || (doc_id // 5) % 7
+                      || '.example.com:443/page/' || (doc_id // 5) || '#frag'
+                 ELSE 'https://d' || (doc_id // 5) % 7
+                      || '.example.com/page/' || (doc_id // 5)
+                      || '?utm_a=1&ref=z'
+               END AS url
+        FROM documents
+    ),
+    n1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM u0),
+    n2 AS (
+        SELECT doc_id,
+               lower(regexp_extract(u, '^[^:/?#]+://[^/?#]*', 0))
+               || substr(u, length(regexp_extract(u, '^[^:/?#]+://[^/?#]*', 0)) + 1)
+                   AS u
+        FROM n1
+    ),
+    n3 AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\.', '\1'),
+                   '^(https://[^/:?#]+):443([/?#]|$)', '\1\2'),
+                 '^(http://[^/:?#]+):80([/?#]|$)', '\1\2') AS u
+        FROM n2
+    ),
+    n4 AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(u, '[?&]utm_[^&]*', '', 'g'),
+                     '^([^?]*)&', '\1?'),
+                   '\?$', ''),
+                 '/$', '') AS url_norm
+        FROM n3
+    ),
+    dedup AS (
+        SELECT doc_id, url_norm,
+               regexp_extract(url_norm,
+                   '^[^:/?#]+://(?:[^/?#@]*@)?([^/:?#]+)', 1) AS domain,
+               doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) AS keep_url
+        FROM n4
+    ),
+    capped AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY doc_id) <= 20 AS keep_domain
+        FROM dedup WHERE keep_url
+    )
+    SELECT d.doc_id, d.url_norm, d.domain, d.keep_url,
+           COALESCE(c.keep_domain, FALSE) AS keep_domain
+    FROM dedup d LEFT JOIN capped c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("pipe_url_dedup", oracle=_url_dedup_oracle_sql())
+def pipe_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation tier (operators/curation.py — RefinedWeb-style
+    pre-text dedup): each doc synthesizes one of five URL spellings
+    of a shared resource (case, trailing slash, www + utm params,
+    default port + fragment, mixed query), `normalize_url` folds the
+    first four to one canonical string, `url_exact_dedup` keeps the
+    min-id survivor per canonical URL, and `domain_frequency_cap`
+    keeps each domain's 20 lowest-id survivors. All pure builtins
+    (regexp chain + one groupBy + one bounded window); the only
+    shuffles are the dedup key and the domain — text never moves."""
+    from vectordb_light_spark.operators.curation import (
+        domain_frequency_cap,
+        url_exact_dedup,
+    )
+
+    docs = load_docs(spark, sf_dir, "doc_id")
+    r = F.expr("doc_id div 5")
+    d = F.concat(F.lit("d"), (r % 7).cast("string"), F.lit(".example.com"))
+    rs = r.cast("string")
+    urls = docs.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("https://"), d, F.lit("/page/"), rs),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.upper(F.concat(F.lit("https://"), d)),
+                F.lit("/page/"), rs, F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://www."), d, F.lit("/page/"), rs,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(
+                F.lit("https://"),
+                F.regexp_replace(d, r"\.example\.com$", ".example.com:443"),
+                F.lit("/page/"), rs, F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), d, F.lit("/page/"), rs,
+                F.lit("?utm_a=1&ref=z"),
+            )
+        ),
+    )
+    deduped = url_exact_dedup(urls).withColumnRenamed("keep", "keep_url")
+    capped = domain_frequency_cap(
+        deduped.where(F.col("keep_url")), 20
+    ).select("doc_id", F.col("keep").alias("keep_domain"))
+    from vectordb_light_spark.operators.curation import url_domain
+
+    return (
+        deduped.withColumn("domain", url_domain("url_norm"))
+        .join(capped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "url_norm",
+            "domain",
+            "keep_url",
+            F.coalesce(F.col("keep_domain"), F.lit(False)).alias("keep_domain"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "pipe_doc_hash",
     oracle="""
