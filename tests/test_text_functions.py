@@ -135,6 +135,45 @@ def test_lang_id(spark):
     assert out == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und", 6: "und"}
 
 
+def test_lang_id_all_profiles_trip_with_margin(spark):
+    """r6: every shipped language profile detects a sample sentence in
+    that language, with strictly positive top1−top2 margin; ambiguous
+    and empty inputs margin 0."""
+    from vectordb_light_spark.functions.text import (
+        LANG_PROFILES,
+        lang_id,
+        lang_margin,
+    )
+
+    samples = {
+        "de": "der Hund und die Katze ist nicht mit den anderen von sich",
+        "en": "the cat and the dog of that house for it was in the garden",
+        "es": "el perro y los gatos es que por con una del pueblo",
+        "fr": "le chien et les chats est dans pour qui pas sur avec",
+        "it": "il cane che di non per sono della anche come questo",
+        "nl": "het huis een hond van niet met voor zijn ook maar deze",
+        "pl": "nie jest jak ale czy tak jego przez oraz tylko",
+        "pt": "uma casa para com dos das mais foi pelo quando muito",
+        "sv": "och att det som inte har jag den vad till",
+        "tr": "ve bir bu ile olarak daha gibi kadar sonra ama",
+    }
+    assert set(samples) == set(LANG_PROFILES)
+    rows = [(lang, text) for lang, text in samples.items()]
+    rows.append(("und", "zzz qqq"))      # no evidence
+    df = spark.createDataFrame(rows, "want string, text string")
+    got = df.select(
+        "want",
+        lang_id("text").alias("lang"),
+        lang_margin("text").alias("margin"),
+    ).collect()
+    for r in got:
+        assert r["lang"] == r["want"], f"{r['want']}: got {r['lang']}"
+        if r["want"] == "und":
+            assert r["margin"] == 0
+        else:
+            assert r["margin"] > 0, f"{r['want']}: margin {r['margin']}"
+
+
 def test_winnow_fingerprints_properties(spark):
     from vectordb_light_spark.functions.text import (
         FP_BASE,

@@ -323,11 +323,21 @@ def c4_rules(
 # Per-language function-word profiles for the n-gram/stopword lang-ID
 # heuristic. Word-boundary regex counts are cheap JVM scans and the
 # scoring is pure arithmetic — ANSI-SQL-mirrorable for the oracle.
+#: ASCII-only function words (a non-ASCII word's \b semantics differ
+#: between Java regex and RE2, breaking oracle parity). Overlaps
+#: between related languages (es/pt "para", de/nl "met/mit") are fine
+#: — they just contribute evidence to both and the margin reflects it.
 LANG_PROFILES: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "den", "von", "sich"],
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "it", "was"],
     "es": ["el", "los", "las", "es", "que", "por", "con", "para", "una", "del"],
     "fr": ["le", "les", "est", "dans", "pour", "qui", "pas", "sur", "une", "avec"],
+    "it": ["il", "che", "di", "non", "per", "sono", "della", "anche", "come", "questo"],
+    "nl": ["het", "een", "van", "niet", "met", "voor", "zijn", "ook", "maar", "deze"],
+    "pl": ["nie", "jest", "jak", "ale", "czy", "tak", "jego", "przez", "oraz", "tylko"],
+    "pt": ["uma", "para", "com", "dos", "das", "mais", "foi", "pelo", "quando", "muito"],
+    "sv": ["och", "att", "det", "som", "inte", "har", "jag", "den", "vad", "till"],
+    "tr": ["ve", "bir", "bu", "ile", "olarak", "daha", "gibi", "kadar", "sonra", "ama"],
 }
 
 
@@ -353,6 +363,17 @@ def lang_id(col: Column | str) -> Column:
     for lang in sorted(scores, reverse=True):
         out = F.when(scores[lang] == gmax, F.lit(lang)).otherwise(out)
     return F.when(gmax == 0, F.lit("und")).otherwise(out)
+
+
+def lang_margin(col: Column | str) -> Column:
+    """Confidence evidence for :func:`lang_id`: top1 − top2
+    function-word counts (0 on a tie or no evidence — exactly the
+    ambiguous cases). Downstream gates threshold on this instead of
+    trusting every argmax; same integer arithmetic in any engine."""
+    scores = lang_scores(col)
+    arr = F.array_sort(F.array(*scores.values()))
+    n = len(scores)
+    return F.element_at(arr, n) - F.element_at(arr, n - 1)
 
 
 # Rabin-Karp / winnowing fingerprint parameters. The modulus fits

@@ -848,43 +848,62 @@ def ts_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "ts_lang_id",
-    oracle=r"""
+def _lang_id_oracle_sql() -> str:
+    """DuckDB twin of ts_lang_id, GENERATED from LANG_PROFILES so the
+    oracle can never drift from the shipped profiles: same per-lang
+    word-boundary regexp counts, same code-order tie-break CASE, same
+    sorted-array top1−top2 margin."""
+    from vectordb_light_spark.functions.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n            ".join(
+        "len(regexp_extract_all(lower(text), "
+        f"'\\b({'|'.join(LANG_PROFILES[lang])})\\b')) AS s_{lang}"
+        for lang in langs
+    )
+    slist = ", ".join(f"s_{lang}" for lang in langs)
+    gexpr = f"greatest({slist})"
+    case = f"CASE WHEN {gexpr} = 0 THEN 'und'\n"
+    for lang in langs[:-1]:
+        case += f"                WHEN s_{lang} = {gexpr} THEN '{lang}'\n"
+    case += f"                ELSE '{langs[-1]}' END"
+    n = len(langs)
+    margin = (
+        f"CAST(list_sort([{slist}])[{n}] - list_sort([{slist}])[{n - 1}] "
+        "AS INT)"
+    )
+    return f"""
     WITH s AS (
         SELECT doc_id, lang AS label,
-            len(regexp_extract_all(lower(text),
-                '\b(der|die|das|und|ist|nicht|mit|den|von|sich)\b')) AS s_de,
-            len(regexp_extract_all(lower(text),
-                '\b(the|and|of|to|in|is|that|for|it|was)\b')) AS s_en,
-            len(regexp_extract_all(lower(text),
-                '\b(el|los|las|es|que|por|con|para|una|del)\b')) AS s_es,
-            len(regexp_extract_all(lower(text),
-                '\b(le|les|est|dans|pour|qui|pas|sur|une|avec)\b')) AS s_fr
+            {score_cols}
         FROM documents
     )
     SELECT doc_id, label,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                ELSE 'fr' END AS detected_lang
+           {case} AS detected_lang,
+           {margin} AS margin
     FROM s
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("ts_lang_id", oracle=_lang_id_oracle_sql())
 def ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (function-word evidence, argmax with
-    code-order tie-break) — the corpus lang filter, all JVM regex
-    counts. The testdata's lang labels are synthetic token soup, so
-    the oracle checks the scoring function itself, not label recovery."""
-    from vectordb_light_spark.functions.text import lang_id
+    """Heuristic language ID (function-word evidence over 10 ASCII
+    profiles, argmax with code-order tie-break) plus the top1−top2
+    evidence ``margin`` so downstream gates can threshold confidence
+    instead of trusting every argmax — all JVM regex counts + integer
+    arithmetic. The testdata's lang labels are synthetic token soup,
+    so the oracle checks the scoring function itself, not label
+    recovery; per-language trip tests live in
+    tests/test_text_functions.py."""
+    from vectordb_light_spark.functions.text import lang_id, lang_margin
 
     docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.col("lang").alias("label"),
         lang_id("text").alias("detected_lang"),
+        lang_margin("text").cast("int").alias("margin"),
     ).orderBy("doc_id")
 
 
@@ -5769,6 +5788,8 @@ _CHANGED_THIS_ROUND = {
     "st_user_running_totals",   # optional event-time state GC (default off)
     "st_heavy_hitters",         # optional event-time state GC (default off)
     "st_windowed_quantiles",    # optional event-time state GC (default off)
+    "ts_lang_id",               # 10 profiles + margin column
+    "pipe_training_corpus",     # consumes lang_id (widened profiles)
 }
 
 
