@@ -322,6 +322,7 @@ def _all_markers():
         LSHSALT_MARKER,
         SCD2_MARKER,
         SPANS_MARKER,
+        E2E_MARKER,
     )
 
 
@@ -1243,6 +1244,101 @@ def main_spans(factors: tuple[int, ...] = (1, 4, 16)) -> None:
         _write_section(SPANS_MARKER, out)
 
 
+
+
+E2E_MARKER = "\n## end-to-end curation pipeline (gates -> dedup -> spans -> sample -> pack)"
+
+
+def main_e2e(factors: tuple[int, ...] = (1, 4, 16)) -> None:
+    """r6 (verdict r5-#8): the COMPOSED curation pipeline measured as
+    one job — quality/lang gates + exact dedup + MinHash near-dup
+    (plans/pipelines.training_corpus_plan), exact-substring span
+    removal, deterministic 50% sample, token counting, and
+    fixed-budget sequence packing — under the bounded-cluster
+    ``replicate_unique`` protocol (per-copy perturbation keeps
+    duplicate density base-like, so the probe measures ENGINE scaling,
+    not the adversarial quadratic-pair profile). The claim: the
+    stages stay near-linear COMPOSED, not just individually — no
+    stage's shuffle feeds a super-linear blowup into the next.
+    Appends its SCALING.md section with --write."""
+    from vectordb_light_spark.functions.text import whitespace_token_count
+    from vectordb_light_spark.operators.dedup import remove_repeated_spans
+    from vectordb_light_spark.operators.packing import pack_sequences
+    from vectordb_light_spark.operators.sampling import deterministic_sample
+    from vectordb_light_spark.plans.pipelines import training_corpus_plan
+
+    spark = get_spark("scale-probe-e2e")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows_tbl: dict[int, tuple] = {}
+    try:
+        for factor in factors:
+            d = os.path.join(WORK, f"docs_uq_x{factor}")
+            replicate_unique(spark, factor, d)
+            docs = spark.read.parquet(d).select("doc_id", "text")
+            n_docs = docs.count()
+
+            def go(docs=docs):
+                kept = training_corpus_plan(
+                    docs, min_quality=0.5, near_dup_threshold=0.9
+                )
+                stripped = remove_repeated_spans(kept)
+                sampled = deterministic_sample(stripped, 0.5)
+                packed = pack_sequences(
+                    sampled.withColumn(
+                        "n_tok", whitespace_token_count("text")
+                    ),
+                    token_col="n_tok",
+                    order_col="doc_id",
+                    budget=2048,
+                )
+                r = packed.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    (F.max("seq_id") + 1).alias("seqs"),
+                ).first()
+                return int(r["n"]), int(r["seqs"] or 0)
+
+            n_out, n_seqs = go()  # warm-up
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                go()
+                best = min(best, time.time() - t0)
+            rows_tbl[factor] = (n_docs, n_out, n_seqs, best)
+            print(
+                f"x{factor}: {n_docs:,} docs in -> {n_out:,} curated docs, "
+                f"{n_seqs:,} packed seqs, {best:.2f}s",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(WORK, ignore_errors=True)
+    base_wall = rows_tbl[factors[0]][3]
+    lines = [
+        "",
+        E2E_MARKER.strip(),
+        "",
+        "| factor | docs in | curated docs | packed seqs | wall | wall vs x1 |",
+        "|---|---|---|---|---|---|",
+    ] + [
+        f"| x{f} | {nd:,} | {no:,} | {ns:,} | {w:.2f}s | {w / base_wall:.1f}x |"
+        for f, (nd, no, ns, w) in sorted(rows_tbl.items())
+    ] + [
+        "",
+        "The composed plan (gates -> exact dedup -> MinHash near-dup ->",
+        "exact-substring strip -> deterministic sample -> running-sum",
+        "pack) under the bounded-cluster protocol: per-copy text",
+        "perturbation keeps duplicate density base-like, so a",
+        "near-linear wall curve here means the STAGES COMPOSE without",
+        "a super-linear handoff (each stage's output partitioning and",
+        "row volume stay proportional to its input). Packing's global",
+        "running sum is the only totally-ordered stage; its",
+        "partition-offset two-pass keeps it scan-linear.",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        _write_section(E2E_MARKER, out)
+
+
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
@@ -1260,5 +1356,7 @@ if __name__ == "__main__":
         main_scd2()
     elif "--spans" in sys.argv:
         main_spans()
+    elif "--e2e" in sys.argv:
+        main_e2e()
     else:
         main()
