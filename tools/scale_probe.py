@@ -323,6 +323,7 @@ def _all_markers():
         SCD2_MARKER,
         SPANS_MARKER,
         E2E_MARKER,
+        IMG_MARKER,
     )
 
 
@@ -1339,6 +1340,115 @@ def main_e2e(factors: tuple[int, ...] = (1, 4, 16)) -> None:
         _write_section(E2E_MARKER, out)
 
 
+
+
+IMG_MARKER = "\n## image near-dedup under replicated identical clusters"
+
+
+def main_imgdedup(factors: tuple[int, ...] = (1, 4, 16)) -> None:
+    """r6: dd_image_near_dups' production configuration under the
+    ADVERSARIAL replication profile. Plain doc replication repeats
+    every (source, doc_id%k) noise pattern per copy, so identical-
+    dHash clusters grow with the factor — exactly the profile where a
+    naive pair join is quadratic. The claim under test: with the
+    hot-cluster star collapse (max_cluster=128, the production
+    default) wall stays near-linear in IMAGE COUNT while the exact
+    clique pair count grows quadratically. Appends its SCALING.md
+    section with --write."""
+    import numpy as np
+    import pandas as pd
+
+    from vectordb_light_spark.operators.dedup import hamming_near_dup_pairs
+    from vectordb_light_spark.operators.multimodal import image_dhash
+    from vectordb_light_spark.sources.media import bmp_encode
+
+    spark = get_spark("scale-probe-img")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows_tbl: dict[int, tuple] = {}
+
+    R = np.arange(16)[:, None]
+    C = np.arange(18)[None, :]
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                s, did = int(str(source)[3:]), int(doc_id)
+                px = ((s + 3) * (R * 17 + C * 23 + 11)) % 256
+                nr, nc, nv = did % 16, did % 18, did % 97
+                px[nr, nc] = ((s + 3) * (nr * 17 + nc * 23 + 11) + nv) % 256
+                rows.append((did, bmp_encode(px.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    try:
+        for factor in factors:
+            d = os.path.join(WORK, f"docs_img_x{factor}")
+            replicate(spark, "documents", "doc_id", factor, d)
+            docs = spark.read.parquet(d).select("doc_id", "source")
+            n_docs = docs.count()
+
+            def go(docs=docs):
+                media = docs.mapInPandas(
+                    build, schema="media_id long, content binary"
+                )
+                keyed = image_dhash(media).select(
+                    F.col("media_id").alias("__id"),
+                    F.col("dhash").alias("__sim"),
+                )
+                return hamming_near_dup_pairs(
+                    keyed, total_bits=64, max_hamming=6, max_cluster=128
+                ).count()
+
+            n_pairs = go()  # warm-up
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                go()
+                best = min(best, time.time() - t0)
+            rows_tbl[factor] = (n_docs, n_pairs, best)
+            print(
+                f"x{factor}: {n_docs:,} images, {n_pairs:,} pair rows, "
+                f"{best:.2f}s",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(WORK, ignore_errors=True)
+    base_wall = rows_tbl[factors[0]][2]
+    lines = [
+        "",
+        IMG_MARKER.strip(),
+        "",
+        "| factor | images | emitted pair rows | wall | wall vs x1 |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| x{f} | {nd:,} | {np_:,} | {w:.2f}s | {w / base_wall:.1f}x |"
+        for f, (nd, np_, w) in sorted(rows_tbl.items())
+    ] + [
+        "",
+        "Replication is ADVERSARIAL-BY-TRUTH here: every copy of a",
+        "source is a genuine Hamming-<=6 near-dup of every other copy",
+        "(each carries a different noise pixel, so their hashes",
+        "DIFFER — the star collapse, which only merges IDENTICAL",
+        "sketches, rightly cannot prune them), so the correct answer",
+        f"itself grows ~quadratically: x{factors[-1]} emits "
+        f"{rows_tbl[factors[-1]][1] / rows_tbl[factors[0]][1]:.0f}x the "
+        "pairs of x1.",
+        "The engine property this measures: wall grows only "
+        f"{rows_tbl[factors[-1]][2] / base_wall:.1f}x at "
+        f"{factors[-1]}x images / that output — cost tracks scan + OUTPUT size",
+        "with no task blow-up (the identical-sketch tiers that CAN",
+        "explode — a logo byte-repeated across pages — collapse to",
+        "min-id stars above max_cluster, component-parity-tested in",
+        "tests/test_multimodal). On real corpora, bound the truth",
+        "itself by capping pairs per key (max_cluster) or raising the",
+        "Hamming bar; the blocking never emits beyond the band.",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        _write_section(IMG_MARKER, out)
+
+
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
@@ -1358,5 +1468,7 @@ if __name__ == "__main__":
         main_spans()
     elif "--e2e" in sys.argv:
         main_e2e()
+    elif "--imgdedup" in sys.argv:
+        main_imgdedup()
     else:
         main()
