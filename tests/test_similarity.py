@@ -949,3 +949,49 @@ def test_topk_join_broadcast_bytes_gate_forces_salting(spark):
     salt_out, salt_plan = plan(max_left_bucket=10, broadcast_hot_bytes=0)
     assert "__salt" in salt_plan  # row gate passes, byte gate trips
     assert salt_out == bc_out  # and the output is unchanged
+
+
+def test_semantic_dedup_chains_singletons_and_survivors(spark):
+    """r6 SemDeDup tier: transitive chains merge into one cluster
+    (pairs alone under-merge), unpaired rows come back as singleton
+    keepers, and exactly the min-id row of each cluster survives."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import semantic_dedup
+
+    # chain 10 ~ 11 ~ 12 as exact planar rotations: adjacent pairs at
+    # cos(14°) ≈ 0.970 ≥ 0.95, chain ends at cos(28°) ≈ 0.883 < 0.95 —
+    # so 10 and 12 meet ONLY transitively through 11
+    theta = np.deg2rad(14.0)
+
+    def rot(k):
+        v = np.zeros(16)
+        v[0], v[1] = np.cos(k * theta), np.sin(k * theta)
+        return [float(x) for x in v]
+
+    lone = np.zeros(16)
+    lone[5] = 1.0
+    rows = [
+        (10, rot(0)),
+        (11, rot(1)),
+        (12, rot(2)),
+        (99, [float(x) for x in lone]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, threshold=0.95, tier="exact").collect()
+    }
+    assert set(got) == {10, 11, 12, 99}          # full coverage
+    assert {got[i]["cluster_id"] for i in (10, 11, 12)} == {10}
+    assert all(got[i]["cluster_size"] == 3 for i in (10, 11, 12))
+    assert got[10]["keep"] is True
+    assert got[11]["keep"] is False and got[12]["keep"] is False
+    assert got[99]["cluster_id"] == 99
+    assert got[99]["cluster_size"] == 1 and got[99]["keep"] is True
+    # deterministic on re-evaluation
+    again = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(df, threshold=0.95, tier="exact").collect()
+    }
+    assert again == {i: (got[i]["cluster_id"], got[i]["keep"]) for i in got}

@@ -430,6 +430,66 @@ def cosine_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    tier: str = "auto",
+    max_iter: int = 20,
+    **tier_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public method): embedding-cosine near-dup PAIRS
+    (:func:`cosine_pairs`, tiered: exact block-matmul within
+    broadcast reach, SRP-banded LSH past it) → transitive CLUSTERS
+    (min-label connected components — pairs alone under-merge
+    A~B~C chains) → a keep-one-per-cluster decision for EVERY input
+    row: ``(id, cluster_id, cluster_size, keep)`` where unpaired rows
+    are their own singleton keepers and each cluster's min-id row
+    survives (deterministic, rerun-stable — the convention every
+    dedup tier here shares).
+
+    The paper clusters with k-means purely to BOUND the pairwise
+    search; here that bounding is the cosine_pairs tier dispatch
+    itself (the LSH band join plays the k-means role at scale), so
+    the semantics — drop all but one of each semantically-identical
+    group — are preserved without a trained clustering stage.
+    Filter ``keep`` to materialize the deduplicated corpus.
+
+    Scale shape: pairs never exceed the threshold band (no all-pairs
+    anywhere), CC runs O(cluster diameter) rounds on the pair set
+    only, and the final left join ships the compact cluster table
+    (paired ids only) against the input ids.
+    """
+    from vectordb_light_spark.operators.components import duplicate_clusters
+
+    pairs = cosine_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        tier=tier,
+        **tier_kwargs,
+    )
+    clusters = duplicate_clusters(
+        pairs.select("id_a", "id_b"), left_id="id_a", right_id="id_b",
+        max_iter=max_iter,
+    ).withColumnRenamed("doc_id", id_col)
+    return (
+        df.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def ann_topk_join_lsh(
     left: DataFrame,
     right: DataFrame,

@@ -2107,6 +2107,124 @@ def _embedding_near_dup_oracle_sql() -> str:
     """
 
 
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB twin of dd_semantic_dedup: the dd_embedding_near_dups
+    pair CTEs (exact integer feature-hash cosine) feed the
+    dd_duplicate_clusters recursive transitive closure, then a
+    full-coverage left join gives every document its singleton/
+    cluster keep decision — the two proven oracles composed."""
+    return r"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS bucket,
+               CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT)
+                             % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        FROM tok WHERE t <> '' GROUP BY doc_id, bucket
+    ),
+    w2 AS (SELECT * FROM w WHERE weight != 0),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(SUM(weight * weight) AS BIGINT)) AS dnorm
+        FROM w2 GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib,
+               CAST(SUM(a.weight * b.weight) AS BIGINT) AS dot
+        FROM w2 a JOIN w2 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY ia, ib
+    ),
+    cand AS MATERIALIZED (
+        SELECT ia, ib
+        FROM dots
+        JOIN norms na ON dots.ia = na.doc_id
+        JOIN norms nb ON dots.ib = nb.doc_id
+        WHERE dot / (na.dnorm * nb.dnorm) >= 0.95
+    ),
+    edges AS MATERIALIZED (
+        SELECT ia AS a, ib AS b FROM cand
+        UNION
+        SELECT ib AS a, ia AS b FROM cand
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    sized AS (
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cs,
+               doc_id = MIN(doc_id) OVER (PARTITION BY cluster_id) AS kp
+        FROM comp
+    )
+    SELECT d.doc_id,
+           COALESCE(s.cluster_id, d.doc_id) AS cluster_id,
+           CAST(COALESCE(s.cs, 1) AS BIGINT) AS cluster_size,
+           CAST(COALESCE(s.kp, TRUE) AS INT) AS keep
+    FROM documents d LEFT JOIN sized s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("dd_semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 —
+    operators/similarity.py semantic_dedup): embedding-cosine ≥ 0.95
+    near-dup pairs over the exact feature-hash embeddings (the
+    dd_embedding_near_dups tier), min-label transitive clusters, and
+    a keep-one-per-cluster decision for EVERY document — unpaired
+    docs are singleton keepers, each cluster's min-id doc survives.
+    Filter ``keep`` for the deduplicated corpus. The oracle composes
+    the two proven SQL twins (integer-cosine pairs + recursive
+    transitive closure) with a full-coverage join."""
+    from vectordb_light_spark.functions.embedding import feature_hash_weights
+    from vectordb_light_spark.operators.similarity import semantic_dedup
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    w2 = feature_hash_weights(docs, dim=64)
+    dense = (
+        w2.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket").cast("int"), F.col("weight")))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 63),"
+                " b -> cast(coalesce(m[cast(b AS int)], 0) AS double))"
+            ).alias("vector"),
+        )
+    )
+    # docs with zero usable tokens never reach the dense table; the
+    # full-coverage join below restores them as singleton keepers,
+    # mirroring the oracle's LEFT JOIN over documents
+    out = semantic_dedup(
+        docs.select("doc_id").join(dense, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(
+                "vector", F.expr("array_repeat(cast(0.0 as double), 64)")
+            ).alias("vector"),
+        ),
+        id_col="doc_id",
+        vec_col="vector",
+        threshold=0.95,
+        tier="exact",
+        assume_normalized=False,
+    )
+    return (
+        out.withColumn("keep", F.col("keep").cast("int"))
+        .orderBy("doc_id")
+    )
+
+
 @register("dd_embedding_near_dups", oracle=_embedding_near_dup_oracle_sql())
 def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ 0.95 over feature-hash
