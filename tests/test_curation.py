@@ -27,6 +27,9 @@ def test_normalize_url_cases(spark):
         ("https://a.example.com/x?utm_a=1&ref=z", "https://a.example.com/x?ref=z"),
         ("https://a.example.com/x?ref=z&utm_a=1", "https://a.example.com/x?ref=z"),
         ("https://a.example.com/x?ref=z", "https://a.example.com/x?ref=z"),
+        # literal '&' in a query-less path: repair must NOT promote it
+        ("https://a.example.com/a&b", "https://a.example.com/a&b"),
+        ("https://a.example.com/a&b?utm_x=1", "https://a.example.com/a&b"),
         # path/query case is preserved; only scheme+authority folds
         ("HTTP://B.Example.Com/CaseY?Q=Up", "http://b.example.com/CaseY?Q=Up"),
     ]

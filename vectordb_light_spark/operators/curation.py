@@ -18,7 +18,9 @@ Normalization contract (each step also has a DuckDB twin in the
 3. drop a leading ``www.``
 4. drop default ports (``http…:80``, ``https…:443``)
 5. strip ``utm_*`` tracking params (repairing the ``?``/``&``
-   structure; other params keep their order)
+   structure; other params keep their order; the repair only promotes
+   an ``&`` that introduces a ``key=value`` param, so a literal ``&``
+   in a query-less path is left alone)
 6. strip one trailing ``/``
 
 Reference parity: the reference ingests local files only (SURVEY
@@ -53,10 +55,12 @@ def normalize_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)www\.", r"$1")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#]|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#]|$)", r"$1$2")
-    # utm_* params out (global), then repair: first '&' that ended up
-    # where the '?' was, and a dangling trailing '?'
+    # utm_* params out (global), then repair: the first '&' that ended
+    # up where the '?' was — required to introduce a key=value param,
+    # so a literal '&' in a query-less path ("/a&b") is never promoted
+    # to a '?' — and a dangling trailing '?'
     u = F.regexp_replace(u, r"[?&]utm_[^&]*", "")
-    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")
+    u = F.regexp_replace(u, r"^([^?]*)&([^&]*=)", r"$1?$2")
     u = F.regexp_replace(u, r"\?$", "")
     u = F.regexp_replace(u, r"/$", "")
     return u

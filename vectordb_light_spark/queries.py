@@ -499,7 +499,7 @@ def _url_dedup_oracle_sql() -> str:
                  regexp_replace(
                    regexp_replace(
                      regexp_replace(u, '[?&]utm_[^&]*', '', 'g'),
-                     '^([^?]*)&', '\1?'),
+                     '^([^?]*)&([^&]*=)', '\1?\2'),
                    '\?$', ''),
                  '/$', '') AS url_norm
         FROM n3
