@@ -5493,7 +5493,7 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
         SELECT doc_id,
-               CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS bucket,
+               CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS bucket,
                CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT)
                              % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
         FROM tok WHERE t <> '' GROUP BY doc_id, bucket
@@ -5515,7 +5515,7 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dots
         JOIN norms na ON dots.ca = na.doc_id
         JOIN norms nb ON dots.cb = nb.doc_id
-        WHERE dot / (na.n * nb.n) >= 0.9
+        WHERE dot / (na.n * nb.n) >= 0.85
     ),
     hits AS (
         SELECT ca, CAST(COUNT(*) AS INT) AS nm, ROUND(MAX(c), 6) AS mc
@@ -5535,14 +5535,17 @@ def pipe_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe_decontaminate's n-gram check (paraphrased leakage that shares
     no exact 4-gram still lands at high embedding cosine): corpus docs
     (doc_id % 17 != 0) are flagged when any benchmark doc (% 17 == 0)
-    sits at feature-hash cosine ≥ 0.9
+    sits at feature-hash cosine ≥ 0.85 (dim 1024 — a wide bucket
+    space keeps the inverted index selective: the per-posting fan-out
+    is |bench postings|/dim, so the dot aggregation stays ~20× leaner
+    than at dim 64)
     (operators/similarity.py sparse_cosine_matches — inverted-index
     equi-join, benchmark side broadcast: the corpus never shuffles for
     the join; the only corpus-sized exchange is the dot aggregation,
     bounded by true term overlap). Integer weights ⇒ exact cross-
-    engine cosines (verified margins: threshold gap 2.1e-3, rounding
-    gap 7.6e-8 — far above ~1e-15 engine drift). Filter ``keep``
-    before training; 12 contaminated docs at sf0.01."""
+    engine cosines (verified margins: all-pairs threshold gap 4.2e-5,
+    rounding gap 2.6e-8 — far above ~1e-15 engine drift). Filter
+    ``keep`` before training; 31 contaminated docs at sf0.01."""
     from vectordb_light_spark.functions.embedding import feature_hash_weights
     from vectordb_light_spark.operators.similarity import sparse_cosine_matches
 
@@ -5550,12 +5553,12 @@ def pipe_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 17 != 0)
     bench = docs.where(F.col("doc_id") % 17 == 0)
     matches = sparse_cosine_matches(
-        feature_hash_weights(corpus, dim=64),
-        feature_hash_weights(bench, dim=64),
+        feature_hash_weights(corpus, dim=1024),
+        feature_hash_weights(bench, dim=1024),
         id_col="doc_id",
         term_col="bucket",
         weight_col="weight",
-        threshold=0.9,
+        threshold=0.85,
     )
     hits = matches.groupBy("id_a").agg(
         F.count(F.lit(1)).cast("int").alias("n_matches"),
