@@ -111,6 +111,12 @@ def test_registry_order_policy_staleness_first():
     # every registered query participates
     assert set(order) == set(q.QUERIES)
 
+    # the policy inputs must name real entries — a typo in the
+    # checked-in sets would silently drop its priority effect
+    assert q._PRE_ORACLE_STALE <= set(q.QUERIES)
+    assert q._CHANGED_THIS_ROUND <= set(q.QUERIES)
+    assert set(q._LAST_GRADED) <= set(q.QUERIES)
+
     n_a = len(q._PRE_ORACLE_STALE)
     assert set(order[:n_a]) == set(q._PRE_ORACLE_STALE)
 
