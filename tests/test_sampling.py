@@ -317,3 +317,33 @@ def test_dsir_null_target_rows_do_not_poison_counts(spark):
     out = {r["doc_id"]: r["dsir_score"] for r in
            dsir_importance_scores(df, F.col("lang") == "en").collect()}
     assert set(out) == {1, 2, 3}
+
+
+def test_temperature_mix_fractions_properties():
+    """α-sampling algebra: α=1 reproduces natural proportions (uniform
+    rate), α=0 equalizes group COUNTS (with clamping), α=0.5 sits
+    between; rates never exceed 1 and scale with target_frac."""
+    import pytest
+
+    from vectordb_light_spark.operators.sampling import temperature_mix_fractions
+
+    shares = {"web": 0.5, "books": 0.25, "code": 0.25}
+    r1 = temperature_mix_fractions(shares, alpha=1.0, target_frac=0.4)
+    assert all(abs(v - 0.4) < 1e-12 for v in r1.values())
+
+    r0 = temperature_mix_fractions(shares, alpha=0.0, target_frac=0.3)
+    # expected counts share_g * r_g equal across groups (pre-clamp)
+    counts = {g: shares[g] * r0[g] for g in shares}
+    assert abs(counts["books"] - counts["code"]) < 1e-12
+    assert abs(counts["web"] - counts["books"]) < 1e-12
+
+    rh = temperature_mix_fractions(shares, alpha=0.5, target_frac=0.5)
+    assert rh["web"] < 0.5 < rh["books"] == rh["code"]
+    assert all(0.0 < v <= 1.0 for v in rh.values())
+
+    # tiny tail group clamps at 1.0 instead of upsampling
+    rt = temperature_mix_fractions({"a": 0.99, "b": 0.01}, alpha=0.0, target_frac=0.5)
+    assert rt["b"] == 1.0
+
+    with pytest.raises(ValueError):
+        temperature_mix_fractions({})

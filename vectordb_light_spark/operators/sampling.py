@@ -182,6 +182,40 @@ def stratified_sample(
     return df.where(b < thr)
 
 
+def temperature_mix_fractions(
+    shares: dict[str, float],
+    *,
+    alpha: float = 0.5,
+    target_frac: float = 1.0,
+) -> dict[str, float]:
+    """Per-group keep-rates for TEMPERATURE-based corpus mixing (the
+    multilingual/source balance lever of GPT-3 / mT5 / XLM-R:
+    sampling probability ∝ size^α flattens the head and lifts the
+    tail; α=1 is natural proportions, α=0 is uniform-by-group).
+
+    Given each group's corpus SHARE (n_g / N — scale-free, so the
+    rates are valid at any proportionally-grown SF) returns the rate
+    r_g = target_frac · q_g / share_g with q_g ∝ share_g^α, clamped
+    to 1.0 (filter-based sampling cannot upsample; a clamped tail
+    group simply contributes all of itself — the standard
+    without-replacement behavior). Feed the result STRAIGHT to
+    :func:`stratified_sample`; for an oracle-exact pipeline convert
+    each rate with :func:`fraction_threshold` ONCE and inject the
+    same hex literal into both engines — zero cross-engine float
+    arithmetic."""
+    if not shares:
+        raise ValueError("shares must be non-empty")
+    total = sum(shares.values())
+    if not total > 0:
+        raise ValueError("shares must sum to a positive value")
+    q = {g: (s / total) ** alpha for g, s in shares.items()}
+    qt = sum(q.values())
+    return {
+        g: min(1.0, target_frac * (q[g] / qt) / (shares[g] / total))
+        for g in shares
+    }
+
+
 def stratified_take(
     df: DataFrame,
     n: int,

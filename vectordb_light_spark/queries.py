@@ -599,6 +599,86 @@ def pipe_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temperature_mix_oracle_sql() -> str:
+    """DuckDB twin of pipe_temperature_mix: the α-derived keep-rates
+    are computed ONCE in python at registration and injected into
+    both engines as the SAME hex threshold literals (the
+    assign_split md5 convention) — zero cross-engine float
+    arithmetic anywhere."""
+    from vectordb_light_spark.operators.sampling import (
+        bucket_sql,
+        fraction_threshold,
+        temperature_mix_fractions,
+    )
+
+    rates = temperature_mix_fractions(
+        {"web": 0.5, "books": 0.25, "code": 0.25},
+        alpha=0.5,
+        target_frac=0.5,
+    )
+    thr = {g: fraction_threshold(r) for g, r in rates.items()}
+    return f"""
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'web'
+                    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 'books'
+                    ELSE 'code' END AS grp
+        FROM documents
+    )
+    SELECT doc_id, grp,
+           {bucket_sql('doc_id', 7)} <
+               CASE grp WHEN 'web' THEN '{thr["web"]}'
+                        WHEN 'books' THEN '{thr["books"]}'
+                        ELSE '{thr["code"]}' END AS keep
+    FROM g ORDER BY doc_id
+    """
+
+
+@register("pipe_temperature_mix", oracle=_temperature_mix_oracle_sql())
+def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (α-sampling — the GPT-3/mT5/
+    XLM-R source-balance lever): sources tier into web (src0-9, half
+    the corpus), books and code (quarters); α=0.5 keep-rates derived
+    by `temperature_mix_fractions` flatten the head (web keeps
+    0.414×) and lift the tails (books/code keep 0.586×) toward a 50%
+    target mixture. Rates become md5 hex-threshold literals
+    (`fraction_threshold`) computed ONCE in python and shared
+    verbatim with the oracle, applied by `stratified_sample` — one
+    map-side filter, no shuffle, deterministic and nested across
+    reruns. The tier shares are scale-free (every SF carries
+    src0-19), so the same literals hold at any corpus size."""
+    from vectordb_light_spark.operators.sampling import (
+        hash_bucket_column,
+        stratified_sample,
+        temperature_mix_fractions,
+    )
+
+    rates = temperature_mix_fractions(
+        {"web": 0.5, "books": 0.25, "code": 0.25},
+        alpha=0.5,
+        target_frac=0.5,
+    )
+    docs = load_docs(spark, sf_dir, "doc_id", "source")
+    src_num = F.substring("source", 4, 8).cast("int")
+    grouped = docs.select(
+        "doc_id",
+        F.when(src_num < 10, F.lit("web"))
+        .when(src_num < 15, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("grp"),
+    )
+    kept = stratified_sample(grouped, rates, strata_col="grp", id_col="doc_id", seed=7)
+    return (
+        grouped.join(
+            kept.select("doc_id", F.lit(True).alias("keep")), "doc_id", "left"
+        )
+        .select(
+            "doc_id", "grp", F.coalesce("keep", F.lit(False)).alias("keep")
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "pipe_doc_hash",
     oracle="""
