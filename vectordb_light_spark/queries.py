@@ -5615,10 +5615,12 @@ def pipe_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe_decontaminate's n-gram check (paraphrased leakage that shares
     no exact 4-gram still lands at high embedding cosine): corpus docs
     (doc_id % 17 != 0) are flagged when any benchmark doc (% 17 == 0)
-    sits at feature-hash cosine ≥ 0.85 (dim 1024 — a wide bucket
-    space keeps the inverted index selective: the per-posting fan-out
-    is |bench postings|/dim, so the dot aggregation stays ~20× leaner
-    than at dim 64)
+    sits at feature-hash cosine ≥ 0.85 (dim 1024: on real
+    vocabularies the hash width is the exchange-volume lever —
+    fan-out = |bench postings| / min(dim, vocab) — and on this
+    31-token corpus it sharpens the embedding instead, collapsing 33k
+    near-threshold collision matches to 5k; see SCALING.md
+    "hash-space selectivity" for the measured sweep)
     (operators/similarity.py sparse_cosine_matches — inverted-index
     equi-join, benchmark side broadcast: the corpus never shuffles for
     the join; the only corpus-sized exchange is the dot aggregation,
