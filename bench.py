@@ -13,8 +13,35 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from vectordb_light_spark.queries import QUERIES  # noqa: E402
+from vectordb_light_spark.queries import QUERIES, _SOLO_COST_S  # noqa: E402
 from vectordb_light_spark.session import get_spark  # noqa: E402
+
+
+def _warm_session(spark, sf_dir: str) -> None:
+    """Unbenched session warm-up (r6 verdict item 2): the registry
+    order is staleness-first and reshuffles every round, so whichever
+    entries land at the head used to absorb the session's one-time
+    costs (parquet footer reads, first scan page-cache faults, JVM
+    codegen JIT, Python/Arrow worker pool spawn) and read as phantom
+    2x movers on unchanged code. Pay ALL of those here, before any
+    timed loop: full scan of every base table + one Arrow-batched
+    pandas UDF action to spin up the python worker pool."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        df = spark.read.parquet(p)
+        # Touch every column (not just footers) so the first timed
+        # query doesn't pay the page-cache cold read.
+        df.select([F.count(c) for c in df.columns]).collect()
+
+    _warm_pool = pandas_udf(lambda s: s * 1.0, "double")
+
+    spark.range(0, 32 * 1000, 1, 32).select(
+        _warm_pool(F.col("id").cast("double")).alias("w")
+    ).agg(F.sum("w")).collect()
 
 
 def main() -> None:
@@ -23,9 +50,7 @@ def main() -> None:
     spark = get_spark("vectordb-light-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers with a trivial action so per-query
-    # numbers measure the query, not session startup.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    _warm_session(spark, sf_dir)
 
     # Per query: one warm-up run (python-worker spawn, parquet footer
     # cache), then best-of-2 timed runs. The host VM shows heavy
@@ -48,6 +73,25 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 dt = min(dt, time.time() - t0)
+            # Outlier re-check (r6 verdict item 2): host CPU steal can
+            # still make a pair of samples read 1.5-2x the entry's
+            # committed solo floor on UNCHANGED code. When that
+            # happens, take up to 2 extra timed runs — a genuine
+            # regression stays high; transient steal collapses back
+            # into band. Bounded: only sub-4s entries, only when the
+            # reading is out of band.
+            solo = _SOLO_COST_S.get(name)
+            extra = 0
+            while (
+                solo is not None
+                and dt > 1.5 * solo
+                and dt < 4.0
+                and extra < 2
+            ):
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                dt = min(dt, time.time() - t0)
+                extra += 1
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             dt = float("nan")

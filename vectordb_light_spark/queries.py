@@ -5834,58 +5834,63 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and asserts the policy holds.
 
 _LAST_GRADED = {
-    'ann_ivf_topk': 2,
+    'ann_ivf_topk': 6,
     'ann_ivfpq_topk': 5,
-    'ann_opq_topk': 2,
-    'ann_pca_topk': 2,
+    'ann_opq_topk': 6,
+    'ann_pca_topk': 6,
     'ann_pq_topk': 5,
     'ann_recall_contract': 3,
     'ann_srp_topk': 4,
-    'ann_topk_join': 5,
+    'ann_topk_join': 6,
     'dd_containment_pairs': 3,
     'dd_cross_corpus_candidates': 5,
-    'dd_duplicate_clusters': 5,
+    'dd_duplicate_clusters': 6,
     'dd_duplicate_groups': 4,
     'dd_embedding_near_dups': 5,
-    'dd_exact_dedup': 2,
-    'dd_jaccard_pairs': 2,
+    'dd_exact_dedup': 6,
+    'dd_image_near_dups': 6,
+    'dd_jaccard_pairs': 6,
     'dd_minhash_candidates': 5,
-    'dd_remove_boilerplate': 2,
+    'dd_remove_boilerplate': 6,
     'dd_repeated_spans': 5,
-    'dd_simhash_near_dups': 5,
+    'dd_semantic_dedup': 6,
+    'dd_simhash_near_dups': 6,
     'dd_strip_repeated_spans': 5,
     'dq_events_constraints': 4,
     'emb_doc_mean_pool': 5,
-    'emb_feature_hash_topk': 2,
-    'emb_mini_encoder_topk': 2,
-    'kw_bm25_topk': 2,
-    'kw_hybrid_rrf': 2,
+    'emb_feature_hash_topk': 6,
+    'emb_mini_encoder_topk': 6,
+    'kw_bm25_topk': 6,
+    'kw_hybrid_rrf': 6,
     'mm_audio_features': 5,
     'mm_audio_windows': 5,
     'mm_frame_counts': 5,
     'mm_image_decode': 5,
-    'mm_image_pipeline': 2,
+    'mm_image_pipeline': 6,
     'mm_jpeg_decode': 5,
     'mm_video_frames': 5,
     'pipe_chunk_fixed': 3,
     'pipe_chunk_normalized': 3,
     'pipe_corpus_mix': 5,
-    'pipe_corpus_shuffle': 3,
+    'pipe_corpus_shuffle': 6,
     'pipe_corpus_split': 5,
     'pipe_decontaminate': 3,
-    'pipe_doc_hash': 3,
+    'pipe_doc_hash': 6,
     'pipe_dsir_select': 3,
-    'pipe_hash_embed_topk': 1,
+    'pipe_hash_embed_topk': 6,
     'pipe_negative_samples': 3,
     'pipe_pdf_page_chunks': 3,
+    'pipe_semantic_decontaminate': 6,
     'pipe_sequence_pack': 3,
     'pipe_stratified_take': 5,
+    'pipe_temperature_mix': 6,
     'pipe_token_budget_mix': 5,
     'pipe_token_windows': 3,
-    'pipe_training_corpus': 3,
+    'pipe_training_corpus': 6,
+    'pipe_url_dedup': 6,
     'pipe_weighted_sample': 5,
     'prof_corpus_quantiles': 5,
-    'prof_events_corr': 3,
+    'prof_events_corr': 6,
     'prof_events_cube': 5,
     'prof_events_pivot': 5,
     'prof_events_rollup': 5,
@@ -5893,197 +5898,195 @@ _LAST_GRADED = {
     'prof_sketch_accuracy': 3,
     'prof_value_histogram': 5,
     'rel_big_orders': 3,
-    'rel_customer_activity': 3,
+    'rel_customer_activity': 6,
     'rel_events_asof': 3,
-    'rel_events_cohorts': 3,
-    'rel_events_funnel': 3,
+    'rel_events_cohorts': 6,
+    'rel_events_funnel': 6,
     'rel_events_gapfill': 5,
     'rel_events_gaps': 5,
-    'rel_events_interval': 3,
-    'rel_events_json': 3,
-    'rel_events_moving_avg': 3,
-    'rel_events_scd2': 3,
+    'rel_events_interval': 6,
+    'rel_events_json': 6,
+    'rel_events_moving_avg': 6,
+    'rel_events_scd2': 6,
     'rel_forecast_revenue': 5,
     'rel_join_nation_customers': 5,
-    'rel_orders_pareto': 3,
+    'rel_orders_pareto': 6,
     'rel_pricing_summary': 5,
-    'rel_region_volume': 3,
+    'rel_region_volume': 6,
     'rel_scd2_merge': 5,
     'rel_sessions_overlap': 3,
-    'rel_shipping_priority': 3,
-    'rel_top_orders_by_revenue': 3,
+    'rel_shipping_priority': 6,
+    'rel_top_orders_by_revenue': 6,
     'rel_user_retention': 5,
     'rel_window_order_rank': 3,
-    'sim_cosine_pairs_exact': 2,
-    'sim_sparse_cosine_pairs': 2,
+    'sim_cosine_pairs_exact': 6,
+    'sim_sparse_cosine_pairs': 6,
     'skew_salted_user_join': 5,
     'st_clicks_attribution': 3,
     'st_events_dedup': 5,
-    'st_events_sessions': 2,
+    'st_events_sessions': 6,
     'st_events_sliding': 5,
     'st_events_window': 5,
-    'st_heavy_hitters': 5,
-    'st_user_running_totals': 3,
-    'st_windowed_quantiles': 5,
+    'st_heavy_hitters': 6,
+    'st_user_running_totals': 6,
+    'st_windowed_quantiles': 6,
     'ts_bigram_lm_score': 3,
-    'ts_c4_filter': 5,
+    'ts_c4_filter': 6,
     'ts_gopher_filter': 5,
-    'ts_lang_id': 4,
+    'ts_lang_id': 6,
     'ts_pii_scrub': 5,
-    'ts_quality_score': 2,
+    'ts_quality_classifier': 6,
+    'ts_quality_score': 6,
     'ts_repetition_filter': 3,
     'ts_text_stats': 4,
     'ts_tfidf_top_terms': 3,
     'ts_vocab_topk': 5,
     'ts_winnow_fingerprints': 3,
-    'vq_batch_topk': 3,
-    'vq_chunks_only': 3,
+    'vq_batch_topk': 6,
+    'vq_chunks_only': 6,
     'vq_citations': 5,
     'vq_filtered_topk': 5,
-    'vq_grouped_topk': 3,
+    'vq_grouped_topk': 6,
     'vq_mmr_rerank': 3,
     'vq_postfilters': 5,
-    'vq_rag_prompt': 3,
+    'vq_rag_prompt': 6,
     'vq_range_search': 3,
     'vq_threshold_after_topk': 5,
-    'vq_topk_cosine': 3,
+    'vq_topk_cosine': 6,
     'vq_topk_quantized': 5,
 }
 
 _SOLO_COST_S = {
-    'ann_ivf_topk': 0.859,
-    'ann_ivfpq_topk': 1.342,
-    'ann_opq_topk': 1.331,
-    'ann_pca_topk': 1.026,
-    'ann_pq_topk': 1.353,
-    'ann_recall_contract': 5.834,
-    'ann_srp_topk': 0.857,
-    'ann_topk_join': 1.836,
-    'dd_containment_pairs': 1.7,
-    'dd_cross_corpus_candidates': 1.489,
-    'dd_duplicate_clusters': 5.094,
-    'dd_duplicate_groups': 0.376,
-    'dd_embedding_near_dups': 1.277,
-    'dd_exact_dedup': 0.649,
-    'dd_jaccard_pairs': 0.646,
-    'dd_minhash_candidates': 1.589,
-    'dd_remove_boilerplate': 0.887,
-    'dd_repeated_spans': 2.204,
-    'dd_simhash_near_dups': 2.94,
-    'dd_strip_repeated_spans': 1.913,
-    'dq_events_constraints': 0.439,
-    'emb_doc_mean_pool': 0.292,
-    'emb_feature_hash_topk': 1.237,
-    'emb_mini_encoder_topk': 3.431,
-    'kw_bm25_topk': 0.821,
-    'kw_hybrid_rrf': 1.014,
-    'mm_audio_features': 2.521,
-    'mm_audio_windows': 0.263,
-    'mm_frame_counts': 0.398,
-    'mm_image_decode': 1.203,
-    'mm_image_pipeline': 1.108,
-    'mm_jpeg_decode': 1.389,
-    'mm_video_frames': 1.993,
-    'pipe_chunk_fixed': 0.59,
-    'pipe_chunk_normalized': 1.045,
-    'pipe_corpus_mix': 0.166,
-    'pipe_corpus_shuffle': 0.388,
-    'pipe_corpus_split': 0.138,
-    'pipe_decontaminate': 0.931,
-    'pipe_doc_hash': 0.388,
-    'pipe_dsir_select': 0.89,
-    'pipe_hash_embed_topk': 0.95,
-    'pipe_negative_samples': 0.493,
-    'pipe_pdf_page_chunks': 1.153,
-    'pipe_sequence_pack': 0.535,
-    'pipe_stratified_take': 0.295,
-    'pipe_token_budget_mix': 0.367,
-    'pipe_token_windows': 0.463,
-    'pipe_training_corpus': 1.343,
-    'pipe_weighted_sample': 0.194,
-    'prof_corpus_quantiles': 0.233,
-    'prof_events_corr': 0.394,
-    'prof_events_cube': 0.253,
-    'prof_events_pivot': 0.336,
-    'prof_events_rollup': 0.26,
-    'prof_events_sketch': 0.836,
-    'prof_sketch_accuracy': 2.634,
-    'prof_value_histogram': 0.144,
-    'rel_big_orders': 0.444,
-    'rel_customer_activity': 0.275,
-    'rel_events_asof': 0.493,
-    'rel_events_cohorts': 0.381,
-    'rel_events_funnel': 0.394,
-    'rel_events_gapfill': 0.348,
-    'rel_events_gaps': 0.327,
-    'rel_events_interval': 0.292,
-    'rel_events_json': 0.324,
-    'rel_events_moving_avg': 0.409,
-    'rel_events_scd2': 0.176,
-    'rel_forecast_revenue': 0.129,
-    'rel_join_nation_customers': 0.248,
-    'rel_orders_pareto': 0.351,
-    'rel_pricing_summary': 0.291,
-    'rel_region_volume': 0.333,
-    'rel_scd2_merge': 0.487,
-    'rel_sessions_overlap': 0.627,
-    'rel_shipping_priority': 0.317,
-    'rel_top_orders_by_revenue': 0.328,
-    'rel_user_retention': 0.45,
-    'rel_window_order_rank': 0.599,
-    'sim_cosine_pairs_exact': 1.361,
-    'sim_sparse_cosine_pairs': 0.981,
-    'skew_salted_user_join': 0.329,
-    'st_clicks_attribution': 2.528,
-    'st_events_dedup': 0.423,
-    'st_events_sessions': 1.295,
-    'st_events_sliding': 0.247,
-    'st_events_window': 0.206,
-    'st_heavy_hitters': 1.182,
-    'st_user_running_totals': 1.575,
-    'st_windowed_quantiles': 1.645,
-    'ts_bigram_lm_score': 1.868,
-    'ts_c4_filter': 0.532,
-    'ts_gopher_filter': 0.782,
-    'ts_lang_id': 0.47,
-    'ts_pii_scrub': 0.444,
-    'ts_quality_score': 0.492,
-    'ts_repetition_filter': 0.692,
-    'ts_text_stats': 0.337,
-    'ts_tfidf_top_terms': 0.859,
-    'ts_vocab_topk': 0.357,
-    'ts_winnow_fingerprints': 1.186,
-    'vq_batch_topk': 0.383,
-    'vq_chunks_only': 0.341,
-    'vq_citations': 0.365,
-    'vq_filtered_topk': 0.305,
-    'vq_grouped_topk': 0.229,
-    'vq_mmr_rerank': 0.931,
-    'vq_postfilters': 0.392,
-    'vq_rag_prompt': 0.34,
-    'vq_range_search': 0.55,
-    'vq_threshold_after_topk': 0.307,
-    'vq_topk_cosine': 0.246,
-    'vq_topk_quantized': 0.355,
+    'ann_ivf_topk': 1.721,
+    'ann_ivfpq_topk': 1.204,
+    'ann_opq_topk': 1.732,
+    'ann_pca_topk': 1.299,
+    'ann_pq_topk': 1.243,
+    'ann_recall_contract': 4.857,
+    'ann_srp_topk': 0.403,
+    'ann_topk_join': 1.522,
+    'dd_containment_pairs': 1.575,
+    'dd_cross_corpus_candidates': 1.211,
+    'dd_duplicate_clusters': 4.396,
+    'dd_duplicate_groups': 0.344,
+    'dd_embedding_near_dups': 2.367,
+    'dd_exact_dedup': 0.717,
+    'dd_image_near_dups': 3.589,
+    'dd_jaccard_pairs': 0.499,
+    'dd_minhash_candidates': 1.107,
+    'dd_remove_boilerplate': 0.877,
+    'dd_repeated_spans': 0.792,
+    'dd_semantic_dedup': 2.614,
+    'dd_simhash_near_dups': 2.584,
+    'dd_strip_repeated_spans': 1.12,
+    'dq_events_constraints': 0.402,
+    'emb_doc_mean_pool': 0.221,
+    'emb_feature_hash_topk': 0.749,
+    'emb_mini_encoder_topk': 1.031,
+    'kw_bm25_topk': 0.566,
+    'kw_hybrid_rrf': 0.945,
+    'mm_audio_features': 1.187,
+    'mm_audio_windows': 0.187,
+    'mm_frame_counts': 0.2,
+    'mm_image_decode': 1.349,
+    'mm_image_pipeline': 0.911,
+    'mm_jpeg_decode': 1.249,
+    'mm_video_frames': 2.805,
+    'pipe_chunk_fixed': 0.489,
+    'pipe_chunk_normalized': 0.897,
+    'pipe_corpus_mix': 0.118,
+    'pipe_corpus_shuffle': 0.371,
+    'pipe_corpus_split': 0.114,
+    'pipe_decontaminate': 0.754,
+    'pipe_doc_hash': 0.367,
+    'pipe_dsir_select': 0.665,
+    'pipe_hash_embed_topk': 0.851,
+    'pipe_negative_samples': 0.653,
+    'pipe_pdf_page_chunks': 1.056,
+    'pipe_semantic_decontaminate': 5.933,
+    'pipe_sequence_pack': 0.552,
+    'pipe_stratified_take': 0.204,
+    'pipe_temperature_mix': 0.704,
+    'pipe_token_budget_mix': 0.288,
+    'pipe_token_windows': 0.408,
+    'pipe_training_corpus': 1.336,
+    'pipe_url_dedup': 1.172,
+    'pipe_weighted_sample': 0.149,
+    'prof_corpus_quantiles': 0.16,
+    'prof_events_corr': 0.447,
+    'prof_events_cube': 0.191,
+    'prof_events_pivot': 0.204,
+    'prof_events_rollup': 0.261,
+    'prof_events_sketch': 0.882,
+    'prof_sketch_accuracy': 2.515,
+    'prof_value_histogram': 0.116,
+    'rel_big_orders': 0.392,
+    'rel_customer_activity': 0.267,
+    'rel_events_asof': 0.444,
+    'rel_events_cohorts': 0.34,
+    'rel_events_funnel': 0.378,
+    'rel_events_gapfill': 0.237,
+    'rel_events_gaps': 0.262,
+    'rel_events_interval': 0.295,
+    'rel_events_json': 0.331,
+    'rel_events_moving_avg': 0.425,
+    'rel_events_scd2': 0.148,
+    'rel_forecast_revenue': 0.111,
+    'rel_join_nation_customers': 0.168,
+    'rel_orders_pareto': 0.353,
+    'rel_pricing_summary': 0.232,
+    'rel_region_volume': 0.339,
+    'rel_scd2_merge': 0.385,
+    'rel_sessions_overlap': 0.563,
+    'rel_shipping_priority': 0.326,
+    'rel_top_orders_by_revenue': 0.331,
+    'rel_user_retention': 0.346,
+    'rel_window_order_rank': 0.551,
+    'sim_cosine_pairs_exact': 0.74,
+    'sim_sparse_cosine_pairs': 0.818,
+    'skew_salted_user_join': 0.24,
+    'st_clicks_attribution': 2.242,
+    'st_events_dedup': 0.307,
+    'st_events_sessions': 1.018,
+    'st_events_sliding': 0.198,
+    'st_events_window': 0.19,
+    'st_heavy_hitters': 1.061,
+    'st_user_running_totals': 1.456,
+    'st_windowed_quantiles': 1.138,
+    'ts_bigram_lm_score': 1.244,
+    'ts_c4_filter': 0.555,
+    'ts_gopher_filter': 0.638,
+    'ts_lang_id': 0.864,
+    'ts_pii_scrub': 0.434,
+    'ts_quality_classifier': 1.392,
+    'ts_quality_score': 0.468,
+    'ts_repetition_filter': 0.638,
+    'ts_text_stats': 0.338,
+    'ts_tfidf_top_terms': 0.758,
+    'ts_vocab_topk': 0.291,
+    'ts_winnow_fingerprints': 0.947,
+    'vq_batch_topk': 0.405,
+    'vq_chunks_only': 0.437,
+    'vq_citations': 0.239,
+    'vq_filtered_topk': 0.214,
+    'vq_grouped_topk': 0.196,
+    'vq_mmr_rerank': 0.786,
+    'vq_postfilters': 0.325,
+    'vq_rag_prompt': 0.385,
+    'vq_range_search': 0.467,
+    'vq_threshold_after_topk': 0.208,
+    'vq_topk_cosine': 0.24,
+    'vq_topk_quantized': 0.301,
 }
 
 
 #: Oracle-backed entries whose latest driver row predates their
-#: oracle (r1/r2 `no_oracle` rows; oracles landed r3). Class (a).
-_PRE_ORACLE_STALE = {"ann_ivf_topk", "ann_pca_topk", "ann_opq_topk"}
+#: oracle. Emptied r7: the r6 driver graded all three former members
+#: (ann_ivf/pca/opq_topk) hash-green. Class (a).
+_PRE_ORACLE_STALE: set = set()
 
-#: Entries new or implementation-changed in round 6. Class (b).
-_CHANGED_THIS_ROUND = {
-    "ann_topk_join",        # probe skip via left_rows hint + byte broadcast gate
-    "ts_c4_filter",         # NULL-text coalesce parity (ADVICE r5)
-    "dd_duplicate_clusters",  # label-sum overflow guard (ADVICE r5)
-    "dd_simhash_near_dups",   # blocking extracted to hamming_near_dup_pairs
-    "st_user_running_totals",   # optional event-time state GC (default off)
-    "st_heavy_hitters",         # optional event-time state GC (default off)
-    "st_windowed_quantiles",    # optional event-time state GC (default off)
-    "ts_lang_id",               # 10 profiles + margin column
-    "pipe_training_corpus",     # consumes lang_id (widened profiles)
-}
+#: Entries new or implementation-changed in round 7. Class (b).
+_CHANGED_THIS_ROUND: set = set()
 
 
 def _compute_registry_order() -> list:
