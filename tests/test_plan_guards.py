@@ -31,6 +31,12 @@ ONE_ROW_BNLJ_OK = {
     "kw_hybrid_rrf",     # same BM25 stats row inside the lexical arm
     "dd_jaccard_pairs",  # corpus-size row for the size-ratio prefilter
     "vq_rag_prompt",     # one-row prompt assembly joined to contexts
+    # r7 bounded-contract upgrades: each crossJoins ONE 1-row
+    # pool-wide stats aggregate (norm/geometry/cardinality checks)
+    # onto ≤10 contract rows.
+    "pipe_hash_embed_topk",
+    "emb_mini_encoder_topk",
+    "mm_image_pipeline",
 }
 
 

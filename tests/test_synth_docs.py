@@ -1,0 +1,75 @@
+"""sources/synth_docs.py — the in-query document-byte builders that
+back the src_*_roundtrip driver oracles. The contract under test is
+the one the oracles assume: ``extract_bytes(builder(id, text))``
+equals an exact SQL-expressible template of (id, text), including for
+metacharacter-laden text the sf corpora never contain."""
+
+import pytest
+
+from vectordb_light_spark.sources.extract import extract_bytes
+from vectordb_light_spark.sources.synth_docs import BUILDERS
+
+EXPECTED = {
+    "docx": "h{id}\n\ndoc {id}\n\n{text}",
+    "xlsx": "doc {id} {text}",
+    "rtf": "doc {id}\n{text}",
+    "csv": "doc {id}\n{text}",
+    "html": "doc {id} {text}",
+    "eml": "Subject: doc {id}\n{text}",
+}
+
+#: Corpus-like plus adversarial single-line payloads. CSV quoting,
+#: XML entity escaping, RTF brace/backslash escaping, and MIME
+#: payload decoding each have at least one payload that breaks a
+#: naive builder.
+PAYLOADS = [
+    "key agg row scan slow fast table value",
+    "commas, quotes \" and 'single', done.",
+    "xml & html <specials> stay &amp; intact",
+    r"rtf \controls {braces} and \u escapes",
+    "  leading and trailing spaces  ",
+    "digits 0123456789 and punct .,;:!?",
+]
+
+
+@pytest.mark.parametrize("fmt", sorted(BUILDERS))
+@pytest.mark.parametrize("text", PAYLOADS)
+def test_roundtrip_matches_template(fmt, text):
+    if fmt == "rtf" and any(ord(c) > 126 for c in text):
+        pytest.skip("rtf builder is cp1252; payloads here are ASCII")
+    data = BUILDERS[fmt](42, text)
+    out, reason = extract_bytes(f"42.{fmt}", data)
+    assert reason is None
+    assert out == EXPECTED[fmt].format(id=42, text=text)
+
+
+@pytest.mark.parametrize("fmt", sorted(BUILDERS))
+def test_builders_are_deterministic(fmt):
+    a = BUILDERS[fmt](7, "same text")
+    b = BUILDERS[fmt](7, "same text")
+    assert a == b  # zip timestamps etc. must not leak wall clock
+
+
+def test_docx_is_real_zip():
+    import io
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(BUILDERS["docx"](1, "x")))
+    assert "word/document.xml" in zf.namelist()
+    assert "word/header1.xml" in zf.namelist()
+
+
+def test_xlsx_exercises_all_three_cell_types():
+    data = BUILDERS["xlsx"](9, "cell text")
+    assert b't="s"' in data and b't="inlineStr"' in data
+    assert b"<v>9</v>" in data  # numeric cell
+
+
+def test_rtf_fonttbl_not_extracted():
+    out, _ = extract_bytes("1.rtf", BUILDERS["rtf"](1, "body"))
+    assert "Arial" not in out
+
+
+def test_html_script_and_style_dropped():
+    out, _ = extract_bytes("1.html", BUILDERS["html"](1, "body"))
+    assert "color" not in out and "var x" not in out

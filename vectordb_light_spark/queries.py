@@ -822,13 +822,86 @@ def pipe_pdf_page_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipe_hash_embed_topk")  # rows-only: blake2b hashing has no DuckDB twin
+def _topk_contract(
+    embedded: DataFrame,
+    out: DataFrame,
+    *,
+    vec_col: str = "vector",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bounded-contract projection for a hash-free embed+search entry
+    (the prof_events_sketch r4 pattern, r6 verdict item 4): the raw
+    scores have no SQL twin (blake2b / transformer forward pass), so
+    the entry instead returns per-rank CHECK columns the oracle pins
+    to constants — every embedded vector unit-norm (the E5 L2
+    contract, checked over the WHOLE table, not just the top-k), the
+    query doc retrieved at rank 1 with similarity ~1 (self-retrieval),
+    every returned id a member of the corpus, scores clipped to [0,1]
+    and monotone down the ranking, and the embed stage preserving
+    cardinality. A wrong vector, dropped row, broken clip, or
+    unstable sort flips a flag and fails the value hash."""
+    sq_norm = F.aggregate(
+        vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    stats = embedded.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.abs(F.sqrt(sq_norm) - 1.0) > 1e-5, 1)).alias(
+            "n_bad_norms"
+        ),
+    )
+    w = Window.orderBy("rank")
+    pool = embedded.select(F.col(id_col), F.lit(1).alias("in_pool"))
+    return (
+        out.join(F.broadcast(pool), id_col, "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            (F.col(id_col) == 0).cast("int").alias("is_query_doc"),
+            F.coalesce("in_pool", F.lit(0)).cast("int").alias("in_pool"),
+            (
+                (F.col("rank") > 1)
+                | (F.col("similarity_score") >= 0.999)
+            ).cast("int").alias("top1_self_sim"),
+            (
+                F.col("similarity_score")
+                <= F.lag("similarity_score", 1, 2.0).over(w) + 1e-12
+            ).cast("int").alias("mono_ok"),
+            (
+                (F.col("similarity_score") >= 0.0)
+                & (F.col("similarity_score") <= 1.0)
+            ).cast("int").alias("score_in_range"),
+            F.col("n_bad_norms").cast("long").alias("n_bad_norms"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("rank")
+    )
+
+
+_TOPK_CONTRACT_ORACLE = """
+    SELECT CAST(r AS INT) AS rank,
+           CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS INT) AS is_query_doc,
+           CAST(1 AS INT) AS in_pool,
+           CAST(1 AS INT) AS top1_self_sim,
+           CAST(1 AS INT) AS mono_ok,
+           CAST(1 AS INT) AS score_in_range,
+           CAST(0 AS BIGINT) AS n_bad_norms,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+    FROM generate_series(1, 10) t(r)
+    ORDER BY rank
+    """
+
+
+@register("pipe_hash_embed_topk", oracle=_TOPK_CONTRACT_ORACLE)
 def pipe_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-path embed stage + read-path top-k in one plan: embed
     every document with the deterministic hashing encoder
     (mapInPandas, E1-E6 shape), then exact top-10 cosine against doc 0
     as the query — the full engine round-trip the driver can smoke
-    at any scale factor."""
+    at any scale factor. Upgraded (r7) from rows-only to the bounded
+    contract of ``_topk_contract``: blake2b has no DuckDB twin, so
+    the oracle pins unit norms over every embedded row,
+    self-retrieval at rank 1, pool membership, clip range,
+    monotonicity, and embed-stage cardinality instead."""
     from vectordb_light_spark.functions.embedding import (
         HashingEmbedder,
         embed_documents,
@@ -848,12 +921,10 @@ def pipe_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         vec_col="vector",
     )
-    return out.select(
-        "doc_id", F.round("similarity_score", 6).alias("similarity_score"), "rank"
-    )
+    return _topk_contract(embedded, out)
 
 
-@register("emb_mini_encoder_topk")  # rows-only: transformer forward pass, no SQL twin
+@register("emb_mini_encoder_topk", oracle=_TOPK_CONTRACT_ORACLE)
 def emb_mini_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL encoder inference end-to-end (E1/E3/E5/E8/E9): every
     document through the numpy mini-transformer (byte tokenizer →
@@ -863,7 +934,11 @@ def emb_mini_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the in-repo contrastively-trained checkpoint when it ships
     (assets/, tools/train_mini_encoder.py), seeded weights otherwise;
     the spec's weights tag keeps query and document encoders in
-    lockstep either way."""
+    lockstep either way. Upgraded (r7) from rows-only to the
+    ``_topk_contract`` bounded oracle — the forward pass has no SQL
+    twin, so the oracle pins unit norms across every encoded
+    document, rank-1 self-retrieval, pool membership, clip range,
+    monotonicity, and embed-stage cardinality."""
     from vectordb_light_spark.functions.embedding import (
         MiniTransformerEmbedder,
         embed_documents,
@@ -883,9 +958,7 @@ def emb_mini_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         vec_col="vector",
     )
-    return out.select(
-        "doc_id", F.round("similarity_score", 4).alias("similarity_score"), "rank"
-    )
+    return _topk_contract(embedded, out)
 
 
 # ---------------------------------------------------------------------------
@@ -2765,12 +2838,37 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@register("mm_image_pipeline")  # rows-only: SRP-over-features has no SQL twin
+@register(
+    "mm_image_pipeline",
+    oracle="""
+    SELECT CAST(r AS INT) AS rank,
+           CAST(1 AS INT) AS in_pool,
+           CAST(1 AS INT) AS top1_self_sim,
+           CAST(1 AS INT) AS mono_ok,
+           CAST(1 AS INT) AS score_in_range,
+           CAST(0 AS BIGINT) AS n_bad_feat_norms,
+           CAST(0 AS BIGINT) AS n_bad_geometry,
+           CAST(0 AS BIGINT) AS n_bad_px_mean,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT 1 FROM documents ORDER BY doc_id LIMIT 200)) AS n_pool
+    FROM generate_series(1, 5) t(r)
+    ORDER BY rank
+    """,
+)
 def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image pipeline plumbing: binary media → decode (dims + pixel
     stats) → feature extraction (unit array<float>) → SRP top-5
-    against the first image. Exercises the full multimodal stage chain
-    with the deterministic fake decoders."""
+    against the first image. Exercises the full multimodal stage
+    chain with the deterministic fake decoders. Upgraded (r7) from
+    rows-only to a bounded-contract oracle (r6 verdict item 4):
+    SRP-over-blake2b-features has no SQL twin, so the oracle pins —
+    over the ENTIRE 200-image pool, not just the top-5 — unit feature
+    norms, the fake decoder's documented geometry envelope
+    (16 ≤ w,h < 80, 3 channels), and px_mean re-derived by an
+    INDEPENDENT engine (JVM codegen ascii-sum over the same text
+    bytes vs the numpy byte mean — the mm_image_decode byte-math
+    trick, engine-vs-engine); plus per-rank self-retrieval,
+    membership, clip range, monotonicity, and pool cardinality."""
     from vectordb_light_spark.operators.multimodal import (
         decode_images,
         image_features,
@@ -2779,7 +2877,7 @@ def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_light_spark.operators.similarity import add_srp_signature, ann_topk_srp
 
     media = media_from_documents(spark, sf_dir, limit=200)
-    feats = image_features(decode_images(media), dim=32).drop("content")
+    feats = image_features(decode_images(media), dim=32)
     q_row = feats.where(F.col("media_id") == 0).select("features").first()
     q = [float(x) for x in q_row[0]]
     indexed = add_srp_signature(feats, vec_col="features", n_planes=16, dim=32)
@@ -2787,11 +2885,74 @@ def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         indexed, q, k=5, probe_hamming=16, n_planes=16,
         id_col="media_id", vec_col="features",
     )
-    return out.select(
-        "media_id", "width", "height",
-        F.round("px_mean", 4).alias("px_mean"),
-        F.round("similarity_score", 6).alias("similarity_score"),
-    ).orderBy(F.col("similarity_score").desc(), "media_id")
+
+    # Pool-wide contract stats. px_mean cross-check: the decoder saw
+    # the utf-8 bytes of text; for ASCII text the JVM-side
+    # ascii(substr) fold recomputes the same byte mean with none of
+    # the Python decode path involved.
+    text = F.decode("content", "utf-8")
+    ascii_only = text.rlike(r"^[\x20-\x7e]*$") & (F.length(text) > 0)
+    expected_mean = F.aggregate(
+        F.sequence(F.lit(1), F.length(text)),
+        F.lit(0.0),
+        lambda acc, i: acc + F.ascii(text.substr(i, F.lit(1))),
+    ) / F.length(text)
+    sq_norm = F.aggregate(
+        "features", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    stats = feats.select(
+        F.count(F.lit(1)).alias("n_pool"),
+        F.count(F.when(F.abs(F.sqrt(sq_norm) - 1.0) > 1e-5, 1)).alias(
+            "n_bad_feat_norms"
+        ),
+        F.count(
+            F.when(
+                (F.col("width") < 16) | (F.col("width") >= 80)
+                | (F.col("height") < 16) | (F.col("height") >= 80)
+                | (F.col("channels") != 3),
+                1,
+            )
+        ).alias("n_bad_geometry"),
+        F.count(
+            F.when(
+                ascii_only
+                & (F.abs(F.col("px_mean") - expected_mean) > 1e-6),
+                1,
+            )
+        ).alias("n_bad_px_mean"),
+    )
+
+    w = Window.orderBy(
+        F.col("similarity_score").desc(), F.col("media_id").asc()
+    )
+    pool = feats.select("media_id", F.lit(1).alias("in_pool"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(pool), "media_id", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.coalesce("in_pool", F.lit(0)).cast("int").alias("in_pool"),
+            (
+                (F.col("rank") > 1) | (F.col("similarity_score") >= 0.999)
+            ).cast("int").alias("top1_self_sim"),
+            (
+                F.col("similarity_score")
+                <= F.lag("similarity_score", 1, 2.0).over(
+                    Window.orderBy("rank")
+                ) + 1e-12
+            ).cast("int").alias("mono_ok"),
+            (
+                (F.col("similarity_score") >= 0.0)
+                & (F.col("similarity_score") <= 1.0)
+            ).cast("int").alias("score_in_range"),
+            F.col("n_bad_feat_norms").cast("long").alias("n_bad_feat_norms"),
+            F.col("n_bad_geometry").cast("long").alias("n_bad_geometry"),
+            F.col("n_bad_px_mean").cast("long").alias("n_bad_px_mean"),
+            F.col("n_pool").cast("long").alias("n_pool"),
+        )
+        .orderBy("rank")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6086,7 +6247,11 @@ _SOLO_COST_S = {
 _PRE_ORACLE_STALE: set = set()
 
 #: Entries new or implementation-changed in round 7. Class (b).
-_CHANGED_THIS_ROUND: set = set()
+_CHANGED_THIS_ROUND = {
+    "pipe_hash_embed_topk",    # rows-only → bounded-contract oracle
+    "emb_mini_encoder_topk",   # rows-only → bounded-contract oracle
+    "mm_image_pipeline",       # rows-only → bounded-contract oracle
+}
 
 
 def _compute_registry_order() -> list:
@@ -6716,6 +6881,125 @@ def sim_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Extraction-source roundtrips (SURVEY §2.1 S3-S11 under the driver
+# oracle — r6 verdict item 3). The testdata has no binary documents,
+# so each row is serialized into REAL format bytes in-query
+# (sources/synth_docs.py), pushed through the production
+# ``extract_bytes`` dispatch, and the oracle reconstructs the expected
+# text purely in SQL: one mis-parsed byte in any of ~1500 packages
+# per entry flips the value hash.
+# ---------------------------------------------------------------------------
+
+
+def _src_roundtrip(spark: SparkSession, sf_dir: str, fmts: tuple) -> DataFrame:
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from vectordb_light_spark.sources.extract import extract_bytes
+    from vectordb_light_spark.sources.synth_docs import BUILDERS
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text").where(
+        F.col("text").isNotNull()
+        & (F.trim("text") != "")
+        & ~F.contains("text", F.lit("\n"))
+    )
+
+    def run(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for fmt in fmts:
+                    data = BUILDERS[fmt](int(doc_id), text)
+                    out, reason = extract_bytes(f"{doc_id}.{fmt}", data)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fmt,
+                            out if reason is None else f"REJECT:{reason}",
+                        )
+                    )
+            yield _pd.DataFrame(rows, columns=["doc_id", "fmt", "text"])
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, fmt string, text string"
+    ).orderBy("doc_id", "fmt")
+
+
+@register(
+    "src_office_roundtrip",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''
+          AND NOT contains(text, chr(10))
+    )
+    SELECT doc_id, fmt, expected AS text FROM (
+        SELECT doc_id, 'docx' AS fmt,
+               'h' || doc_id || chr(10) || chr(10) || 'doc ' || doc_id
+                   || chr(10) || chr(10) || text AS expected FROM d
+        UNION ALL
+        SELECT doc_id, 'rtf' AS fmt,
+               'doc ' || doc_id || chr(10) || text AS expected FROM d
+        UNION ALL
+        SELECT doc_id, 'xlsx' AS fmt,
+               'doc ' || doc_id || ' ' || text AS expected FROM d
+    )
+    ORDER BY doc_id, fmt
+    """,
+)
+def src_office_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S10/S11 under the hard driver signal: every document is
+    packed into a real OPC DOCX (header part + body paragraphs), a
+    SpreadsheetML XLSX (shared-string + numeric + inline-string
+    cells through the workbook→rels→sheet indirection), and an RTF
+    token stream (fonttbl destination, \\par, escaped
+    metacharacters), then extracted by the pure-stdlib parsers
+    (sources/office_text.py; reference document_processor.py:
+    167-239). The oracle recomputes the expected text from the same
+    rows with SQL concatenation only — zip framing, XML namespaces,
+    cell-type dispatch, and RTF group tracking all have to be exactly
+    right for the hash to match. One Arrow pass, build+extract fused:
+    at 100 TB this is the embarrassingly parallel extract stage with
+    zero shuffle (the orderBy is presentation-only)."""
+    return _src_roundtrip(spark, sf_dir, ("docx", "rtf", "xlsx"))
+
+
+@register(
+    "src_markup_roundtrip",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''
+          AND NOT contains(text, chr(10))
+    )
+    SELECT doc_id, fmt, expected AS text FROM (
+        SELECT doc_id, 'csv' AS fmt,
+               'doc ' || doc_id || chr(10) || text AS expected FROM d
+        UNION ALL
+        SELECT doc_id, 'eml' AS fmt,
+               'Subject: doc ' || doc_id || chr(10) || text AS expected FROM d
+        UNION ALL
+        SELECT doc_id, 'html' AS fmt,
+               'doc ' || doc_id || ' ' || text AS expected FROM d
+    )
+    ORDER BY doc_id, fmt
+    """,
+)
+def src_markup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6/S7 under the hard driver signal: each document becomes a
+    quoted two-row CSV (commas in the text force real quoting), a
+    single-line HTML page whose style/script blocks must be dropped,
+    and an RFC-5322 text/plain message (Subject + body), extracted by
+    the production csv/HTMLParser/email paths (sources/extract.py;
+    reference document_processor.py:105-164). Same contract as
+    src_office_roundtrip: the oracle rebuilds the expected text with
+    SQL concatenation, so quoting, entity escaping, tag skipping, and
+    MIME payload decoding are all hash-checked per document."""
+    return _src_roundtrip(spark, sf_dir, ("csv", "eml", "html"))
 
 
 # Applied at module end so EVERY registration (including those defined
