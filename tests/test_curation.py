@@ -30,6 +30,21 @@ def test_normalize_url_cases(spark):
         # literal '&' in a query-less path: repair must NOT promote it
         ("https://a.example.com/a&b", "https://a.example.com/a&b"),
         ("https://a.example.com/a&b?utm_x=1", "https://a.example.com/a&b"),
+        # r6 ADVICE: '&...=' in a query-less path must survive even
+        # when it LOOKS like a parameter — no utm strip happened, so
+        # the repair must not fire and distinct URLs must not fold
+        ("https://a.example.com/a&b=c", "https://a.example.com/a&b=c"),
+        # ...and must still survive when a non-leading utm param was
+        # stripped (query did not BEGIN with utm_, '?' still present)
+        (
+            "https://a.example.com/a&b=c?ref=z&utm_a=1",
+            "https://a.example.com/a&b=c?ref=z",
+        ),
+        # repair still fires when the query began with utm_
+        (
+            "https://a.example.com/p?utm_a=1&ref=z&x=2",
+            "https://a.example.com/p?ref=z&x=2",
+        ),
         # path/query case is preserved; only scheme+authority folds
         ("HTTP://B.Example.Com/CaseY?Q=Up", "http://b.example.com/CaseY?Q=Up"),
     ]

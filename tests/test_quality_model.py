@@ -62,6 +62,37 @@ def test_spark_scores_match_numpy_exactly(spark):
     assert got == want
 
 
+def test_exotic_whitespace_tokenizes_identically(spark):
+    """r6 ADVICE: \\x0B (in Java \\s, not RE2 \\s) and NBSP (Unicode
+    whitespace for str.split(), token char for both regex engines)
+    used to split differently across the trainer / Spark / oracle.
+    With the pinned [ \\t\\n\\x0b\\f\\r]+ class, trainer features and
+    Spark scores must agree exactly on such text."""
+    texts = [
+        "alpha\x0bbeta gamma",       # \x0B now splits in BOTH engines
+        "alpha\xa0beta gamma",       # NBSP is a token char in BOTH
+        "tab\tsplit\fand\rmore\nws",
+        "plain ascii words",
+    ]
+    X = hashed_count_features(texts, 128)
+    rng = np.random.default_rng(0)
+    wq = [int(x) for x in rng.integers(-50, 50, size=128)]
+    bq = 7
+    want = {i: int(bq + int(X[i] @ np.array(wq))) for i in range(len(texts))}
+    n_tok_want = {i: int(X[i].sum()) for i in range(len(texts))}
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores(df, wq, bq).collect()
+    }
+    assert {i: r["logit_q"] for i, r in rows.items()} == want
+    assert {i: r["n_tok"] for i, r in rows.items()} == n_tok_want
+    assert rows[0]["n_tok"] == 3  # \x0B split
+    assert rows[1]["n_tok"] == 2  # NBSP not split
+
+
 def test_null_and_empty_text_scored_not_dropped(spark):
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "   "), (4, "the fox")],

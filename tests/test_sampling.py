@@ -347,3 +347,11 @@ def test_temperature_mix_fractions_properties():
 
     with pytest.raises(ValueError):
         temperature_mix_fractions({})
+
+    # r6 ADVICE: a zero-share group is rejected up front with the
+    # group named — previously ZeroDivisionError (and at alpha=0,
+    # 0**0 == 1.0 silently gave an empty group positive q)
+    with pytest.raises(ValueError, match="'empty'"):
+        temperature_mix_fractions({"a": 0.9, "empty": 0.0}, alpha=0.0)
+    with pytest.raises(ValueError, match="neg"):
+        temperature_mix_fractions({"a": 0.9, "neg": -0.1})

@@ -951,6 +951,45 @@ def test_topk_join_broadcast_bytes_gate_forces_salting(spark):
     assert salt_out == bc_out  # and the output is unchanged
 
 
+def test_topk_join_byte_gate_uses_schema_element_width(spark):
+    """r6 ADVICE: the byte estimate must read the element width from
+    the schema — with n_hot=8 bands x 256 max_right_bucket x dim 16,
+    the estimate is 8*256*(4*16+64) = 256 KiB for array<float> but
+    8*256*(8*16+64) = 384 KiB for array<double>. A 300 KiB cap must
+    therefore broadcast the float input and salt the double input."""
+    import numpy as np
+
+    from vectordb_light_spark.operators.similarity import ann_topk_join_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    lefts = [(i, [float(x) for x in base]) for i in range(60)]
+    rights = []
+    for j in range(25):
+        v = base + 0.05 * rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rights.append((j, [float(x) for x in v]))
+
+    def plan(elem):
+        left = spark.createDataFrame(lefts, f"l_id long, l_vec array<{elem}>")
+        right = spark.createDataFrame(
+            rights, f"r_id long, r_vec array<{elem}>"
+        )
+        df = ann_topk_join_lsh(
+            left, right, k=3, bands=8,
+            max_left_bucket=10, broadcast_hot_bytes=300_000,
+        )
+        out = sorted((r["l_id"], r["r_id"], r["rank"]) for r in df.collect())
+        return out, df._jdf.queryExecution().executedPlan().toString()
+
+    f_out, f_plan = plan("float")
+    d_out, d_plan = plan("double")
+    assert "BroadcastHashJoin" in f_plan and "__salt" not in f_plan
+    assert "__salt" in d_plan
+    assert f_out == d_out  # strategy changes, output never does
+
+
 def test_semantic_dedup_chains_singletons_and_survivors(spark):
     """r6 SemDeDup tier: transitive chains merge into one cluster
     (pairs alone under-merge), unpaired rows come back as singleton

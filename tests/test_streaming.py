@@ -735,6 +735,46 @@ def test_running_totals_state_gc_expires_idle_keys(spark, tmp_path):
     assert wide == no_gc
 
 
+def test_state_gc_ttl_survives_out_of_order_batch(spark, tmp_path):
+    """r6 ADVICE regression: the TTL re-arms from the key's STORED
+    latest event time (carried in state), so an out-of-order batch
+    older than the key's true latest event must NOT shrink the
+    effective TTL. With the old batch-max re-arm, u1's day-10 late
+    batch would re-arm day10+7d = day 17 < the day-25 watermark and
+    the day-20 state would be dropped while still live."""
+    from vectordb_light_spark.streaming.events import running_user_totals
+
+    day = "2024-01-{:02d} 12:00:00"
+    # 30d watermark delay: wm after each batch = max_ts_so_far - 30d.
+    # Buggy re-arm: jan10 + 7d = jan 17. Fixed re-arm: jan20 + 7d =
+    # jan 27. Batch 4 runs at wm = jan 18 (between the two) with u1
+    # idle — the bug expires u1 there, the fix keeps it.
+    batches = [
+        [(1, 1, "click", day.format(20), 1.0)],   # u1 latest = jan 20
+        [(2, 1, "click", day.format(10), 2.0)],   # u1 OUT-OF-ORDER older
+        [(3, 2, "click", "2024-02-17 12:00:00", 1.0)],  # wm -> jan 18
+        [(4, 3, "click", "2024-02-18 12:00:00", 1.0)],  # u1 idle at jan-18 wm
+        [(5, 1, "click", "2024-02-20 12:00:00", 5.0)],  # u1 returns
+    ]
+    src = _write_event_files(spark, tmp_path, batches)
+    got = run_stream_to_memory(
+        running_user_totals(
+            _stream_from(spark, src),
+            state_ttl_ms=7 * 86_400_000,
+            watermark_delay="30 days",
+        ),
+        "gc_ooo",
+        output_mode="update",
+    )
+    final = {}
+    for r in got.collect():
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    # timeout armed from stored max (day 20) + 7d = day 27 > the
+    # day-25 watermark at u1's idle batches -> state survives; the
+    # final event accumulates instead of restarting
+    assert final[1] == (3, 8.0)
+
+
 def test_windowed_quantiles_state_gc_retires_closed_windows(spark, tmp_path):
     """A (type, day) window whose close is > TTL behind the watermark
     drops its GK summary: the final state-store row count shrinks to

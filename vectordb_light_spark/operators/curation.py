@@ -55,12 +55,18 @@ def normalize_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)www\.", r"$1")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#]|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#]|$)", r"$1$2")
-    # utm_* params out (global), then repair: the first '&' that ended
-    # up where the '?' was — required to introduce a key=value param,
-    # so a literal '&' in a query-less path ("/a&b") is never promoted
-    # to a '?' — and a dangling trailing '?'
-    u = F.regexp_replace(u, r"[?&]utm_[^&]*", "")
-    u = F.regexp_replace(u, r"^([^?]*)&([^&]*=)", r"$1?$2")
+    # utm_* params out with '?'-preserving rules (r6 ADVICE — the old
+    # single strip could delete the leading '?' and needed a repair
+    # step that mis-fired on '&...=' literals in query-less paths):
+    # 1. every non-leading '&utm_...' param (global);
+    # 2. a leading '?utm_...' with more params after it keeps the '?'
+    #    (after step 1 at most one utm param remains, so one match);
+    # 3. a query that was ONLY utm params disappears.
+    # '?' occurs at most once in a URL, so steps 2-3 match at most
+    # once in both engines and the path is never touched.
+    u = F.regexp_replace(u, r"&utm_[^&]*", "")
+    u = F.regexp_replace(u, r"\?utm_[^&]*&", "?")
+    u = F.regexp_replace(u, r"\?utm_[^&]*$", "")
     u = F.regexp_replace(u, r"\?$", "")
     u = F.regexp_replace(u, r"/$", "")
     return u

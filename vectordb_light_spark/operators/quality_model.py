@@ -33,6 +33,7 @@ tier comes from the public corpus-curation literature.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -61,12 +62,20 @@ def hashed_count_features(
     texts: list[str], n_buckets: int = DEFAULT_N_BUCKETS
 ) -> np.ndarray:
     """Hashed-unigram count matrix [n_docs, n_buckets] (float64).
-    Tokenization is the engine-wide contract: lower, trim, split on
-    whitespace, drop empty tokens."""
+
+    Tokenization is the engine-wide contract, pinned to the EXPLICIT
+    class ``[ \t\n\x0b\f\r]+`` (r6 ADVICE): Python ``str.split()``
+    splits on Unicode whitespace (\x1c, NBSP, ...), Java ``\s`` adds
+    \x0B to ASCII space chars, RE2 ``\s`` lacks \x0B — three engines,
+    three token streams. All three sites (this trainer, the Spark
+    scorer, the DuckDB oracle) now spell the same five-char class, so
+    train/score features and the cross-engine hash agree on any
+    input; NBSP et al. are token characters everywhere."""
     X = np.zeros((len(texts), n_buckets), dtype=np.float64)
     for i, text in enumerate(texts):
-        for tok in (text or "").lower().strip().split():
-            X[i, _bucket_py(tok, n_buckets)] += 1.0
+        for tok in re.split("[ \t\n\x0b\f\r]+", (text or "").lower()):
+            if tok:
+                X[i, _bucket_py(tok, n_buckets)] += 1.0
     return X
 
 
@@ -129,7 +138,10 @@ def quality_classifier_scores(
     n_buckets = len(weights_q)
     arr = F.array(*[F.lit(int(x)).cast("long") for x in weights_q])
     toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            r"[ \t\n\x0B\f\r]+",  # explicit Java-\s class; see hashed_count_features
+        ),
         lambda x: x != "",
     )
 

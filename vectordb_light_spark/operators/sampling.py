@@ -205,9 +205,16 @@ def temperature_mix_fractions(
     arithmetic."""
     if not shares:
         raise ValueError("shares must be non-empty")
+    bad = sorted(g for g, s in shares.items() if not s > 0)
+    if bad:
+        # r6 ADVICE: a zero share used to hit 0-division in the rate
+        # (and 0**0 == 1.0 at alpha=0 made q positive for an empty
+        # group) — reject up front with the offending groups named
+        raise ValueError(
+            f"every share must be > 0; got non-positive shares for {bad} "
+            "(drop empty groups before mixing)"
+        )
     total = sum(shares.values())
-    if not total > 0:
-        raise ValueError("shares must sum to a positive value")
     q = {g: (s / total) ** alpha for g, s in shares.items()}
     qt = sum(q.values())
     return {

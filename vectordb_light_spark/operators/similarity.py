@@ -586,9 +586,12 @@ def ann_topk_join_lsh(
     (``broadcast_hot_bytes``, default 64 MiB): hot_b rows carry the
     full right vector, so with wide embeddings a row-count-only gate
     could admit a multi-GB broadcast (1024-dim float ≈ 4 KiB/row).
-    Estimated bytes = n_hot × max_right_bucket × (4·dim + 64)
-    (float vector + id/band-key/row overhead); oversize hot sets
-    take the adaptive-salting fallback instead.
+    Estimated bytes = n_hot × max_right_bucket × (elem·dim + 64)
+    with elem read from the right vector's schema — 4 for
+    array<float>, 8 for array<double> (r6 ADVICE: a flat 4·dim
+    under-counted double embeddings ~2x) — plus id/band-key/row
+    overhead; oversize hot sets take the adaptive-salting fallback
+    instead.
     """
     if max_left_bucket is not None and max_right_bucket is None:
         raise ValueError(
@@ -667,7 +670,15 @@ def ann_topk_join_lsh(
             cold_a = a.join(hot_keys.select(*keys), keys, "left_anti")
             hot_a = a.join(hot_keys.select(*keys), keys, "left_semi")
             hot_b = b.join(hot_keys.select(*keys), keys, "left_semi")
-            est_hot_bytes = n_hot * max_right_bucket * (4 * dim + 64)
+            # element width from the schema (r6 ADVICE — a flat 4·dim
+            # under-counted array<double> embeddings ~2x and could
+            # admit ~128 MiB against the documented 64 MiB cap);
+            # +64 covers ids/keys/row overhead
+            from pyspark.sql.types import FloatType
+
+            elem_t = right.schema[right_vec].dataType.elementType
+            elem_bytes = 4 if isinstance(elem_t, FloatType) else 8
+            est_hot_bytes = n_hot * max_right_bucket * (elem_bytes * dim + 64)
             if (
                 n_hot * max_right_bucket <= broadcast_hot_rows
                 and est_hot_bytes <= broadcast_hot_bytes

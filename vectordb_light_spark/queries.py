@@ -494,12 +494,18 @@ def _url_dedup_oracle_sql() -> str:
         FROM n2
     ),
     n4 AS (
+        -- '?'-preserving utm strip, mirroring normalize_url (r7):
+        -- non-leading '&utm_...' global, then the at-most-one leading
+        -- '?utm_...' (keeps '?' when params follow, drops an
+        -- utm-only query) — no repair step, path never touched
         SELECT doc_id,
                regexp_replace(
                  regexp_replace(
                    regexp_replace(
-                     regexp_replace(u, '[?&]utm_[^&]*', '', 'g'),
-                     '^([^?]*)&([^&]*=)', '\1?\2'),
+                     regexp_replace(
+                       regexp_replace(u, '&utm_[^&]*', '', 'g'),
+                       '\?utm_[^&]*&', '?'),
+                     '\?utm_[^&]*$', ''),
                    '\?$', ''),
                  '/$', '') AS url_norm
         FROM n3
@@ -1121,7 +1127,8 @@ def _quality_classifier_oracle_sql() -> str:
     t AS (
         SELECT doc_id,
                list_filter(
-                   string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                   string_split_regex(lower(trim(coalesce(text, ''))),
+                                      '[ \\t\\n\\x0b\\f\\r]+'),
                    x -> x <> '') AS toks
         FROM documents
     ),
@@ -6251,6 +6258,12 @@ _CHANGED_THIS_ROUND = {
     "pipe_hash_embed_topk",    # rows-only → bounded-contract oracle
     "emb_mini_encoder_topk",   # rows-only → bounded-contract oracle
     "mm_image_pipeline",       # rows-only → bounded-contract oracle
+    "pipe_url_dedup",          # ADVICE: ?-preserving utm strip, no repair
+    "ts_quality_classifier",   # ADVICE: pinned whitespace class, 3 engines
+    "st_user_running_totals",  # ADVICE: last_ms carried in state (TTL)
+    "st_heavy_hitters",        # ADVICE: last_ms carried in state (TTL)
+    "ann_topk_join",           # ADVICE: byte gate reads element width
+    "pipe_temperature_mix",    # ADVICE: zero-share shares rejected
 }
 
 

@@ -235,20 +235,23 @@ def running_user_totals(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id long, n_events long, total_value double"
-    state_schema = "n long, total double"
+    # last_ms rides IN the state (r6 ADVICE): the TTL must re-arm from
+    # the key's true latest event time, not the current batch's max —
+    # an out-of-order batch older than the stored maximum would
+    # otherwise shrink the effective TTL and drop live state early.
+    state_schema = "n long, total double, last_ms long"
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
-        n, total = state.get if state.exists else (0, 0.0)
-        last_ms = 0
+        n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
             if state_ttl_ms is not None and len(pdf):
                 last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
-        state.update((n, total))
+        state.update((n, total, last_ms))
         _gc_timeout(state, state_ttl_ms, last_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
@@ -379,18 +382,21 @@ def streaming_heavy_hitters(
         if state.hasTimedOut:
             state.remove()
             return
-        summary: dict[int, tuple[int, int]] = (
-            pickle.loads(bytes(state.get[0])) if state.exists else {}
+        # state blob is (summary, last_ms): the TTL re-arms from the
+        # shard's true latest event time, not the batch max (r6
+        # ADVICE — out-of-order batches must not shrink the TTL)
+        summary: dict[int, tuple[int, int]]
+        summary, last_ms = (
+            pickle.loads(bytes(state.get[0])) if state.exists else ({}, 0)
         )
         batch_counts: dict[int, int] = {}
-        last_ms = 0
         for pdf in pdfs:
             for k, c in pdf[key_col].value_counts().items():
                 batch_counts[int(k)] = batch_counts.get(int(k), 0) + int(c)
             if state_ttl_ms is not None and len(pdf):
                 last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
         spacesaving_merge(summary, batch_counts, capacity)
-        state.update((pickle.dumps(summary, protocol=4),))
+        state.update((pickle.dumps((summary, last_ms), protocol=4),))
         _gc_timeout(state, state_ttl_ms, last_ms)
         keys = sorted(k for k, (cnt, _) in summary.items() if cnt >= threshold)
         yield pd.DataFrame(
