@@ -1,0 +1,112 @@
+"""operators/bpe.py — distributed BPE merge learning vs an
+independent pure-Python reference implementation (standard Sennrich
+dict-of-words algorithm, same deterministic tie-break)."""
+
+import pytest
+
+from vectordb_light_spark.operators.bpe import (
+    END_OF_WORD,
+    apply_merge,
+    learn_bpe_merges,
+    pair_counts,
+    word_symbols,
+    word_vocab,
+)
+
+
+def ref_bpe(word_freqs: dict[str, int], n_merges: int) -> list[tuple]:
+    """Reference BPE: dict-of-words, full recount per round, greedy
+    left-to-right merge application, (cnt desc, a, b) tie-break."""
+    vocab = {
+        tuple(word) + (END_OF_WORD,): f for word, f in word_freqs.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[syms[i], syms[i + 1]] = pairs.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+SENNRICH = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def _corpus_df(spark, word_freqs):
+    rows = []
+    for w, f in word_freqs.items():
+        rows.extend([(w,)] * f)
+    return spark.createDataFrame(rows, "text string")
+
+
+def test_learned_merges_match_reference(spark):
+    got = learn_bpe_merges(_corpus_df(spark, SENNRICH), 8)
+    want = ref_bpe(SENNRICH, 8)
+    assert [(m["a"], m["b"], m["cnt"]) for m in got] == want
+    assert [m["merge_idx"] for m in got] == list(range(1, len(want) + 1))
+    # the classic first merges on this corpus: es (9), est (9), ...
+    assert (got[0]["a"], got[0]["b"], got[0]["cnt"]) == ("e", "s", 9)
+    assert (got[1]["a"], got[1]["b"], got[1]["cnt"]) == ("es", "t", 9)
+
+
+def test_repeated_symbol_words_match_reference(spark):
+    """[a,a,a]-style repetition: the delta recount and the greedy
+    fold must both handle overlapping candidate pairs."""
+    freqs = {"aaa": 4, "aaaa": 3, "ab": 2}
+    got = learn_bpe_merges(_corpus_df(spark, freqs), 6)
+    assert [(m["a"], m["b"], m["cnt"]) for m in got] == ref_bpe(freqs, 6)
+
+
+def test_greedy_fold_merges_left_to_right(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a", "a"],), (["a", "b", "a", "b"],)],
+        "syms array<string>",
+    )
+    out = [r["m"] for r in df.select(apply_merge("syms", "a", "a").alias("m")).collect()]
+    assert out[0] == ["aa", "aa", "a"]
+    assert out[1] == ["a", "b", "a", "b"]
+    out2 = df.select(apply_merge("syms", "a", "b").alias("m")).collect()
+    assert out2[1]["m"] == ["ab", "ab"]
+
+
+def test_early_stop_when_no_pairs_reach_min_count(spark):
+    got = learn_bpe_merges(_corpus_df(spark, {"ab": 1}), 10, min_pair_count=5)
+    assert got == []
+
+
+def test_pair_counts_weighted_by_freq(spark):
+    vocab = word_vocab(_corpus_df(spark, {"ab": 3, "ba": 2}))
+    syms = vocab.select("word", "freq", word_symbols().alias("syms"))
+    got = {
+        (r["a"], r["b"]): r["cnt"] for r in pair_counts(syms).collect()
+    }
+    assert got[("a", "b")] == 3
+    assert got[("b", "a")] == 2
+    assert got[("b", END_OF_WORD)] == 3
+    assert got[("a", END_OF_WORD)] == 2
+
+
+@pytest.mark.parametrize("n", [1, 3])
+def test_merge_count_respected(spark, n):
+    got = learn_bpe_merges(_corpus_df(spark, SENNRICH), n)
+    assert len(got) == n

@@ -7015,6 +7015,97 @@ def src_markup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _src_roundtrip(spark, sf_dir, ("csv", "eml", "html"))
 
 
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of pipe_bpe_merges: the N merge rounds UNROLLED as
+    chained CTEs. Words are kept as sentinel-delimited strings — each
+    symbol spelled ``' ' || sym || chr(1)`` — so applying a merge is
+    ONE plain ``replace()``: the pattern ends at the first symbol's
+    chr(1) and the second symbol's chr(1), leaving the NEXT symbol's
+    leading space un-consumed, which makes replace-all reproduce
+    exact left-to-right greedy non-overlapping BPE merging (the same
+    semantics as the Spark array fold; a trailing-space-delimited
+    form would skip the symbol after each match — [a,a,a,a,a] must
+    give [aa,aa,a], not [aa,a,aa]). Tie-break mirrored: cnt DESC,
+    a ASC, b ASC."""
+    parts = [
+        r"""
+    WITH r0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               ' ' || array_to_string(
+                   list_append(
+                       list_transform(generate_series(1, length(word)),
+                                      i -> substr(word, i, 1)),
+                       '</w>'),
+                   chr(1) || ' ') || chr(1) AS w
+        FROM (
+            SELECT unnest(string_split_regex(
+                       lower(trim(coalesce(text, ''))), '\s+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"r{r - 1}"
+        parts.append(f"""
+    , s{r} AS MATERIALIZED (
+        SELECT word, freq, w,
+               list_filter(list_transform(string_split(w, chr(1)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS syms
+        FROM {prev}
+    ),
+    p{r} AS MATERIALIZED (
+        SELECT syms[i] AS a, syms[i + 1] AS b,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT freq, syms,
+                   unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM s{r}
+        )
+        GROUP BY 1, 2
+    ),
+    b{r} AS MATERIALIZED (
+        SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    r{r} AS MATERIALIZED (
+        SELECT word, freq,
+               replace(w,
+                   ' ' || (SELECT a FROM b{r}) || chr(1)
+                       || ' ' || (SELECT b FROM b{r}) || chr(1),
+                   ' ' || (SELECT a || b FROM b{r}) || chr(1)) AS w
+        FROM s{r}
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_idx, a, b, cnt FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + f"\n    {finals}\n    ORDER BY merge_idx\n    "
+
+
+@register("pipe_bpe_merges", oracle=_bpe_oracle_sql(8))
+def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: learn the corpus's first 8 BPE merges
+    (operators/bpe.py — Sennrich et al. 2016, re-derived for Spark).
+    The distinct-word vocab is built in ONE corpus aggregation; every
+    merge round then argmaxes a maintained pair-count table and
+    DELTA-recounts only the words containing the chosen pair, with
+    localCheckpoint lineage cuts per round — the 100 TB cost is the
+    single vocab groupBy. The oracle re-learns the same 8 merges with
+    8 unrolled SQL rounds from scratch (full recount each round), so
+    the delta maintenance is cross-checked against an independent
+    full recomputation — a drifted count anywhere changes some
+    round's argmax and fails the hash."""
+    from vectordb_light_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_docs(spark, sf_dir, "text")
+    merges = learn_bpe_merges(docs, 8)
+    return spark.createDataFrame(
+        [(m["merge_idx"], m["a"], m["b"], m["cnt"]) for m in merges],
+        "merge_idx int, a string, b string, cnt long",
+    ).orderBy("merge_idx")
+
+
 # Applied at module end so EVERY registration (including those defined
 # below the order list) participates in the fastest-first sort.
 _apply_registry_order()
