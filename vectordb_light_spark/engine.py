@@ -577,6 +577,59 @@ class VectorDB:
             .orderBy("mmr_rank")
         )
 
+    # -- corpus dedup over the built store -------------------------------
+
+    def _size_hints(self) -> dict:
+        """``n_rows``/``dim`` for the tiered similarity operators,
+        read from ``_meta.json`` instead of count()/first() probe
+        jobs (r6 verdict item 6 — the ``left_rows`` pattern
+        generalized): ``num_vectors`` and ``dimensions`` are written
+        at build time and ``num_vectors`` re-synchronized by
+        ``compact_vectors`` (the documented post-stream maintenance
+        step), so tier dispatch over a built DB runs ZERO jobs before
+        the first action. A stream-appended store that has not been
+        compacted since may under-count; its tier gate has ~64x
+        headroom at the default dims, and callers can always pass
+        ``tier=`` explicitly."""
+        hints: dict = {}
+        if "num_vectors" in self.meta:
+            hints["n_rows"] = int(self.meta["num_vectors"])
+        if "dimensions" in self.meta:
+            hints["dim"] = int(self.meta["dimensions"])
+        return hints
+
+    def near_duplicates(self, *, threshold: float = 0.9, **kw) -> DataFrame:
+        """Embedding-cosine near-duplicate pairs over the stored
+        vectors (operators/similarity.py cosine_pairs, auto-tiered
+        exact↔LSH) — the corpus-maintenance complement of
+        :meth:`search_diverse`. Size hints come from the store
+        metadata, so planning runs no probe jobs."""
+        from vectordb_light_spark.operators.similarity import cosine_pairs
+
+        return cosine_pairs(
+            self.vectors,
+            id_col="id",
+            vec_col="vector",
+            threshold=threshold,
+            **{**self._size_hints(), **kw},
+        )
+
+    def dedup_semantic(self, *, threshold: float = 0.9, **kw) -> DataFrame:
+        """SemDeDup over the stored vectors: ``(id, cluster_id,
+        cluster_size, keep)`` for EVERY stored chunk; filter ``keep``
+        for the deduplicated corpus. Same metadata size hints as
+        :meth:`near_duplicates` (the transitive-closure rounds
+        themselves do run jobs — they are iterative by nature)."""
+        from vectordb_light_spark.operators.similarity import semantic_dedup
+
+        return semantic_dedup(
+            self.vectors,
+            id_col="id",
+            vec_col="vector",
+            threshold=threshold,
+            **{**self._size_hints(), **kw},
+        )
+
     @property
     def last_search_stats(self) -> dict:
         """Metrics of the most recent search AFTER its action ran:

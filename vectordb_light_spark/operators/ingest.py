@@ -298,6 +298,21 @@ def compact_vectors(
         "bytes": int(total_bytes),
     }
 
+    # Refresh the num_vectors size hint (r7): streaming micro-batches
+    # append rows without touching _meta.json, and compaction is the
+    # documented post-stream maintenance step — so this is where the
+    # hint re-synchronizes (count() on the fresh parquet is
+    # metadata-only). engine._size_hints feeds it to the tiered
+    # similarity operators in place of probe jobs.
+    meta_path = os.path.join(db_path, META_FILE)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["num_vectors"] = spark.read.parquet(vectors_dir).count()
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=2)
+        out["num_vectors"] = meta["num_vectors"]
+
     # A content-upsert stream (dedup_content=True) appends one tiny
     # manifest file per micro-batch; fold it to a single file with the
     # same atomic swap so the per-batch anti-join probe stays one read.

@@ -391,6 +391,7 @@ def cosine_pairs(
     tier: str = "auto",
     max_broadcast_bytes: int = 512 * 1024 * 1024,
     n_rows: int | None = None,
+    dim: int | None = None,
     **tier_kwargs,
 ) -> DataFrame:
     """Pairwise-cosine TIER DISPATCHER — the entry point callers
@@ -411,22 +412,27 @@ def cosine_pairs(
 
     ``tier='exact' | 'lsh'`` overrides explicitly — 'exact' SKIPS the
     size probe entirely (and its count job); you assert reach.
-    ``n_rows`` short-circuits the count when the caller already knows
-    it. Extra kwargs pass through to the chosen tier.
+    ``n_rows`` / ``dim`` short-circuit the count() / first() probe
+    jobs when the caller already knows them (a built vector store's
+    ``_meta.json`` records both — the engine facade passes them, r6
+    verdict item 6); with both supplied, tier dispatch runs ZERO
+    jobs. Extra kwargs pass through to the chosen tier.
     """
     if tier not in ("auto", "exact", "lsh"):
         raise ValueError(f"tier must be auto|exact|lsh, got {tier!r}")
     if tier == "auto":
         n = n_rows if n_rows is not None else df.count()
-        first = df.select(vec_col).first()
-        dim = len(first[0]) if first else 0
+        if dim is None:
+            first = df.select(vec_col).first()
+            dim = len(first[0]) if first else 0
         tier = "exact" if n * dim * 8 <= max_broadcast_bytes else "lsh"
     if tier == "exact":
         return cosine_pairs_exact(
             df, id_col=id_col, vec_col=vec_col, threshold=threshold, **tier_kwargs
         )
     return embedding_near_dup_pairs_banded(
-        df, id_col=id_col, vec_col=vec_col, threshold=threshold, **tier_kwargs
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold, dim=dim,
+        **tier_kwargs,
     )
 
 
@@ -508,6 +514,7 @@ def ann_topk_join_lsh(
     broadcast_hot_rows: int = 262_144,
     broadcast_hot_bytes: int = 64 << 20,
     left_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k similarity JOIN for large×large inputs:
     every left row gets its ≤k most-cosine-similar right rows.
@@ -604,7 +611,8 @@ def ann_topk_join_lsh(
     mask = (1 << bits_per_band) - 1 if bits_per_band < 64 else -1
     # posexplode keeps (band index, band value) so different bands
     # never collide in the join key.
-    dim = len(left.select(left_vec).first()[0])
+    if dim is None:  # dim hint (r6 item 6): skips the first() probe
+        dim = len(left.select(left_vec).first()[0])
     planes = srp_planes(dim, n_planes, seed)
 
     def banded(df, id_col, vec_col):
@@ -745,6 +753,7 @@ def embedding_near_dup_pairs_banded(
     seed: int = DEFAULT_SEED,
     hamming_slack: float = 1.35,
     max_bucket: int | None = 128,
+    dim: int | None = None,
 ) -> DataFrame:
     """High-threshold near-dup pairs via SRP BANDING (minhash-style
     S-curve, probabilistic recall) — the preferred scale path when
@@ -774,7 +783,8 @@ def embedding_near_dup_pairs_banded(
 
     indexed = _persist_if_batch(
         add_srp_signature(
-            df, vec_col=vec_col, out_col="__sig", n_planes=n_planes, seed=seed
+            df, vec_col=vec_col, out_col="__sig", n_planes=n_planes,
+            seed=seed, dim=dim,
         ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__sig")
     )
 
@@ -850,6 +860,7 @@ def embedding_near_dup_pairs(
     max_hamming: int = 2,
     n_docs_hint: int | None | str = "auto",
     max_bucket: int | None = 128,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: SRP combo-block
     join (equi-join on k-of-m signature block combinations within
@@ -883,7 +894,8 @@ def embedding_near_dup_pairs(
     m, k = simhash_block_scheme(max_hamming, n_planes, n_docs_hint)
     indexed = _persist_if_batch(
         add_srp_signature(
-            df, vec_col=vec_col, out_col="__sig", n_planes=n_planes, seed=seed
+            df, vec_col=vec_col, out_col="__sig", n_planes=n_planes,
+            seed=seed, dim=dim,
         ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__sig")
     )
 

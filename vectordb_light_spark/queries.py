@@ -6264,6 +6264,8 @@ _CHANGED_THIS_ROUND = {
     "st_heavy_hitters",        # ADVICE: last_ms carried in state (TTL)
     "ann_topk_join",           # ADVICE: byte gate reads element width
     "pipe_temperature_mix",    # ADVICE: zero-share shares rejected
+    "dd_embedding_near_dups",  # r7 item 6: dim hint plumbed (output-neutral)
+    "dd_semantic_dedup",       # r7 item 6: dim hint plumbed (output-neutral)
 }
 
 
