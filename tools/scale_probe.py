@@ -1334,6 +1334,16 @@ def main_e2e(factors: tuple[int, ...] = (1, 4, 16)) -> None:
         "row volume stay proportional to its input). Packing's global",
         "running sum is the only totally-ordered stage; its",
         "partition-offset two-pass keeps it scan-linear.",
+        "",
+        "r7, x64 point: the wall curve is FLAT across all four decades",
+        "because at these corpus sizes (<=160 MB of text over 32 cores)",
+        "every point is dominated by fixed stage/scheduling overhead,",
+        "not data — the honest reading is \"data cost still invisible",
+        "at x64\", which bounds the composed per-row cost from above.",
+        "The x64 point needs SPARK_GRAFT_DRIVER_MEM=48g (the MinHash",
+        "shingle explode peaks ~8g/executor-thread share at 320k docs;",
+        "the default 8g heap OOMs — sizing note for real deployments:",
+        "shuffle-partition count, not heap, is the first lever).",
     ]
     out = "\n".join(lines)
     print(out)
@@ -1558,7 +1568,8 @@ if __name__ == "__main__":
     elif "--spans" in sys.argv:
         main_spans()
     elif "--e2e" in sys.argv:
-        main_e2e()
+        # --x64 adds the fourth decade (r6 verdict item 7)
+        main_e2e((1, 4, 16, 64) if "--x64" in sys.argv else (1, 4, 16))
     elif "--imgdedup" in sys.argv:
         main_imgdedup()
     elif "--decon" in sys.argv:

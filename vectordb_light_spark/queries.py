@@ -451,14 +451,12 @@ def pipe_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _url_dedup_oracle_sql() -> str:
-    """DuckDB twin of pipe_url_dedup: the same synthesized URL
-    variants, the same normalization regexp chain step for step
-    (start/end-anchored steps match at most once in both engines; the
-    utm strip is explicitly global), the same min-id survivor and
-    per-domain row_number cap."""
-    return r"""
-    WITH u0 AS (
+#: Shared CTE chain: synthesized URL variants -> normalization
+#: (mirrors operators/curation.normalize_url step for step) -> url
+#: min-id dedup -> per-domain cap. Used by the pipe_url_dedup AND
+#: pipe_domain_mix oracles so the twins can never drift apart.
+_URL_CHAIN_CTES = r"""
+    u0 AS (
         SELECT doc_id,
                CASE doc_id % 5
                  WHEN 0 THEN 'https://d' || (doc_id // 5) % 7
@@ -523,34 +521,18 @@ def _url_dedup_oracle_sql() -> str:
                    PARTITION BY domain ORDER BY doc_id) <= 20 AS keep_domain
         FROM dedup WHERE keep_url
     )
-    SELECT d.doc_id, d.url_norm, d.domain, d.keep_url,
-           COALESCE(c.keep_domain, FALSE) AS keep_domain
-    FROM dedup d LEFT JOIN capped c ON d.doc_id = c.doc_id
-    ORDER BY d.doc_id
     """
 
 
-@register("pipe_url_dedup", oracle=_url_dedup_oracle_sql())
-def pipe_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL curation tier (operators/curation.py — RefinedWeb-style
-    pre-text dedup): each doc synthesizes one of five URL spellings
-    of a shared resource (case, trailing slash, www + utm params,
-    default port + fragment, mixed query), `normalize_url` folds the
-    first four to one canonical string, `url_exact_dedup` keeps the
-    min-id survivor per canonical URL, and `domain_frequency_cap`
-    keeps each domain's 20 lowest-id survivors. All pure builtins
-    (regexp chain + one groupBy + one bounded window); the only
-    shuffles are the dedup key and the domain — text never moves."""
-    from vectordb_light_spark.operators.curation import (
-        domain_frequency_cap,
-        url_exact_dedup,
-    )
-
-    docs = load_docs(spark, sf_dir, "doc_id")
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """The five URL spellings of a shared resource, synthesized from
+    doc_id (case, trailing slash, www+utm, default port+fragment,
+    mixed query) — shared by pipe_url_dedup and pipe_domain_mix, and
+    mirrored verbatim by the u0 CTE in ``_URL_CHAIN_CTES``."""
     r = F.expr("doc_id div 5")
     d = F.concat(F.lit("d"), (r % 7).cast("string"), F.lit(".example.com"))
     rs = r.cast("string")
-    urls = docs.withColumn(
+    return docs.withColumn(
         "url",
         F.when(
             F.col("doc_id") % 5 == 0,
@@ -585,6 +567,40 @@ def pipe_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+
+
+
+def _url_dedup_oracle_sql() -> str:
+    """DuckDB twin of pipe_url_dedup: the same synthesized URL
+    variants, the same normalization regexp chain step for step
+    (start/end-anchored steps match at most once in both engines; the
+    utm strip is explicitly global), the same min-id survivor and
+    per-domain row_number cap."""
+    return "WITH " + _URL_CHAIN_CTES + r"""    SELECT d.doc_id, d.url_norm, d.domain, d.keep_url,
+           COALESCE(c.keep_domain, FALSE) AS keep_domain
+    FROM dedup d LEFT JOIN capped c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("pipe_url_dedup", oracle=_url_dedup_oracle_sql())
+def pipe_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation tier (operators/curation.py — RefinedWeb-style
+    pre-text dedup): each doc synthesizes one of five URL spellings
+    of a shared resource (case, trailing slash, www + utm params,
+    default port + fragment, mixed query), `normalize_url` folds the
+    first four to one canonical string, `url_exact_dedup` keeps the
+    min-id survivor per canonical URL, and `domain_frequency_cap`
+    keeps each domain's 20 lowest-id survivors. All pure builtins
+    (regexp chain + one groupBy + one bounded window); the only
+    shuffles are the dedup key and the domain — text never moves."""
+    from vectordb_light_spark.operators.curation import (
+        domain_frequency_cap,
+        url_exact_dedup,
+    )
+
+    docs = load_docs(spark, sf_dir, "doc_id")
+    urls = _synth_urls(docs)
     deduped = url_exact_dedup(urls).withColumnRenamed("keep", "keep_url")
     capped = domain_frequency_cap(
         deduped.where(F.col("keep_url")), 20
@@ -7106,6 +7122,109 @@ def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["merge_idx"], m["a"], m["b"], m["cnt"]) for m in merges],
         "merge_idx int, a string, b string, cnt long",
     ).orderBy("merge_idx")
+
+
+#: Configured language mixing weights for pipe_domain_mix — a config
+#: lever (the mixing convention: weights are declared, not measured),
+#: roughly the corpus's natural language distribution.
+_DOMAIN_MIX_SHARES = {"de": 0.14, "en": 0.44, "es": 0.15, "fr": 0.12, "zh": 0.15}
+_DOMAIN_MIX_SEED = 11
+
+
+def _domain_mix_oracle_sql() -> str:
+    """DuckDB twin of pipe_domain_mix: the SAME url chain CTEs as
+    pipe_url_dedup (shared `_URL_CHAIN_CTES` — the twins cannot
+    drift), then the α=0.5 temperature keep-decision as literal hex
+    thresholds per language (the pipe_temperature_mix convention:
+    rates computed once in python, injected verbatim into both
+    engines — zero cross-engine float math)."""
+    from vectordb_light_spark.operators.sampling import (
+        bucket_sql,
+        fraction_threshold,
+        temperature_mix_fractions,
+    )
+
+    rates = temperature_mix_fractions(
+        _DOMAIN_MIX_SHARES, alpha=0.5, target_frac=0.5
+    )
+    whens = " ".join(
+        f"WHEN '{g}' THEN '{fraction_threshold(r)}'"
+        for g, r in sorted(rates.items())
+    )
+    bucket = bucket_sql("d.doc_id", seed=_DOMAIN_MIX_SEED)
+    return (
+        "WITH " + _URL_CHAIN_CTES + f"""
+    SELECT d.doc_id, doc.lang, d.domain, d.keep_url,
+           COALESCE(c.keep_domain, FALSE) AS keep_domain,
+           (d.keep_url AND COALESCE(c.keep_domain, FALSE)
+                AND {bucket} < CASE doc.lang {whens} ELSE '00000000' END)
+               AS kept
+    FROM dedup d
+    LEFT JOIN capped c ON d.doc_id = c.doc_id
+    JOIN documents doc ON doc.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+    )
+
+
+@register("pipe_domain_mix", oracle=_domain_mix_oracle_sql())
+def pipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation tier (r6 verdict item 8): URL normalize →
+    URL-exact dedup → per-domain frequency cap → temperature (α=0.5)
+    language mixing, in ONE Catalyst plan — proving the r6 curation
+    tiers compose the way pipe_training_corpus proves the quality
+    tiers. Shuffle profile of the composition: the url-dedup key
+    exchange, the bounded domain window, and then the mix is a pure
+    map-side hex-threshold filter — document text never moves at any
+    stage. Output: every document with its per-stage survival flags
+    (keep_url, keep_domain) and the final ``kept`` decision."""
+    from vectordb_light_spark.operators.curation import (
+        domain_frequency_cap,
+        url_domain,
+        url_exact_dedup,
+    )
+    from vectordb_light_spark.operators.sampling import (
+        fraction_threshold,
+        hash_bucket_column,
+        temperature_mix_fractions,
+    )
+
+    rates = temperature_mix_fractions(
+        _DOMAIN_MIX_SHARES, alpha=0.5, target_frac=0.5
+    )
+    docs = load_docs(spark, sf_dir, "doc_id", "lang")
+    deduped = url_exact_dedup(_synth_urls(docs)).withColumnRenamed(
+        "keep", "keep_url"
+    )
+    capped = domain_frequency_cap(
+        deduped.where(F.col("keep_url")), 20
+    ).select("doc_id", F.col("keep").alias("keep_domain"))
+
+    bucket = hash_bucket_column("doc_id", seed=_DOMAIN_MIX_SEED)
+    thr = None
+    for g, r in sorted(rates.items()):
+        t = F.lit(fraction_threshold(r))
+        cond = F.col("lang") == g
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(F.lit("00000000"))
+
+    return (
+        deduped.withColumn("domain", url_domain("url_norm"))
+        .join(capped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "domain",
+            "keep_url",
+            F.coalesce("keep_domain", F.lit(False)).alias("keep_domain"),
+            (
+                F.col("keep_url")
+                & F.coalesce("keep_domain", F.lit(False))
+                & (bucket < thr)
+            ).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # Applied at module end so EVERY registration (including those defined
