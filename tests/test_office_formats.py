@@ -18,164 +18,22 @@ from vectordb_light_spark.sources.extract import extract_bytes
 from vectordb_light_spark.sources.office_text import docx_text, rtf_text, xlsx_text
 
 # ---------------------------------------------------------------------------
-# CFB writer (test-side only)
+# CFB / BIFF8 fixture builders — shared with the production byte
+# builders (sources/synth_docs.py), which the src_binary_roundtrip
+# driver oracle exercises against the same readers.
 # ---------------------------------------------------------------------------
 
-_ENDOFCHAIN = 0xFFFFFFFE
-_FREESECT = 0xFFFFFFFF
-_FATSECT = 0xFFFFFFFD
-
-
-def _pad(data: bytes, size: int) -> bytes:
-    return data + b"\x00" * (-len(data) % size)
-
-
-def _dir_entry(name: str, etype: int, start: int, size: int) -> bytes:
-    raw_name = name.encode("utf-16-le") + b"\x00\x00"
-    assert len(raw_name) <= 64
-    entry = bytearray(128)
-    entry[0 : len(raw_name)] = raw_name
-    struct.pack_into("<H", entry, 64, len(raw_name))
-    entry[66] = etype
-    entry[67] = 1  # black
-    struct.pack_into("<III", entry, 68, _FREESECT, _FREESECT, _FREESECT)
-    struct.pack_into("<I", entry, 116, start)
-    struct.pack_into("<Q", entry, 120, size)
-    return bytes(entry)
-
-
-def _build_cfb(streams: dict[str, bytes]) -> bytes:
-    """Single-FAT-sector compound file; streams < 4096 bytes go to the
-    mini stream (exercising the miniFAT path), larger to the FAT."""
-    small = {n: d for n, d in streams.items() if len(d) < 4096}
-    large = {n: d for n, d in streams.items() if len(d) >= 4096}
-
-    # mini stream + miniFAT (sequential chains)
-    minidata = b""
-    mini_start: dict[str, int] = {}
-    minifat: list[int] = []
-    for name, data in small.items():
-        mini_start[name] = len(minifat)
-        n_sect = max(1, -(-len(data) // 64))
-        minifat.extend(list(range(len(minifat) + 1, len(minifat) + n_sect)) + [_ENDOFCHAIN])
-        minidata += _pad(data, 64)
-    minifat_raw = _pad(
-        b"".join(struct.pack("<I", v) for v in minifat), 512
-    ) if minifat else b""
-
-    # regular sector layout: [0]=FAT, then directory, miniFAT,
-    # ministream, large streams
-    n_dir_sect = max(1, -(-((1 + len(streams)) * 128) // 512))
-    n_minifat_sect = len(minifat_raw) // 512
-    n_mini_sect = len(_pad(minidata, 512)) // 512 if minidata else 0
-
-    sect = 1
-    dir_start, sect = sect, sect + n_dir_sect
-    minifat_start = sect if n_minifat_sect else _ENDOFCHAIN
-    sect += n_minifat_sect
-    ministream_start = sect if n_mini_sect else _ENDOFCHAIN
-    sect += n_mini_sect
-    large_start: dict[str, int] = {}
-    for name, data in large.items():
-        large_start[name] = sect
-        sect += len(_pad(data, 512)) // 512
-    total_sect = sect
-
-    fat = [_FREESECT] * 128
-    fat[0] = _FATSECT
-
-    def chain(start: int, count: int) -> None:
-        for i in range(count):
-            fat[start + i] = start + i + 1 if i < count - 1 else _ENDOFCHAIN
-
-    chain(dir_start, n_dir_sect)
-    if n_minifat_sect:
-        chain(minifat_start, n_minifat_sect)
-    if n_mini_sect:
-        chain(ministream_start, n_mini_sect)
-    for name, data in large.items():
-        chain(large_start[name], len(_pad(data, 512)) // 512)
-
-    entries = [_dir_entry("Root Entry", 5, ministream_start, len(minidata))]
-    for name, data in streams.items():
-        start = mini_start[name] if name in small else large_start[name]
-        entries.append(_dir_entry(name, 2, start, len(data)))
-    dir_raw = _pad(b"".join(entries), 512)
-    assert len(dir_raw) == n_dir_sect * 512
-
-    header = bytearray(512)
-    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
-    struct.pack_into("<H", header, 26, 0x003E)  # minor version
-    struct.pack_into("<H", header, 28, 0x0003)  # major version 3
-    struct.pack_into("<H", header, 24, 0)
-    struct.pack_into("<H", header, 30, 9)  # sector shift
-    struct.pack_into("<H", header, 32, 6)  # mini shift
-    struct.pack_into("<I", header, 44, 1)  # FAT sector count
-    struct.pack_into("<I", header, 48, dir_start)
-    struct.pack_into("<I", header, 56, 4096)  # mini cutoff
-    struct.pack_into("<I", header, 60, minifat_start)
-    struct.pack_into("<I", header, 64, n_minifat_sect)
-    struct.pack_into("<I", header, 68, _ENDOFCHAIN)  # DIFAT chain
-    struct.pack_into("<I", header, 72, 0)
-    difat = [0] + [_FREESECT] * 108
-    struct.pack_into("<109I", header, 76, *difat)
-
-    body = bytearray(512 * total_sect)
-    body[0:512] = b"".join(struct.pack("<I", v) for v in fat)
-    body[(dir_start) * 512 : dir_start * 512 + len(dir_raw)] = dir_raw
-    if n_minifat_sect:
-        body[minifat_start * 512 : minifat_start * 512 + len(minifat_raw)] = minifat_raw
-    if n_mini_sect:
-        mini_raw = _pad(minidata, 512)
-        body[ministream_start * 512 : ministream_start * 512 + len(mini_raw)] = mini_raw
-    for name, data in large.items():
-        raw = _pad(data, 512)
-        body[large_start[name] * 512 : large_start[name] * 512 + len(raw)] = raw
-    return bytes(header) + bytes(body)
-
-
-# ---------------------------------------------------------------------------
-# BIFF8 record helpers (test-side only)
-# ---------------------------------------------------------------------------
-
-
-def _rec(opcode: int, payload: bytes) -> bytes:
-    return struct.pack("<HH", opcode, len(payload)) + payload
-
-
-def _biff_bof(doctype: int) -> bytes:
-    return _rec(0x0809, struct.pack("<HHHHII", 0x0600, doctype, 0, 0, 0, 0))
-
-
-def _sst(strings: list[str], total: int | None = None) -> bytes:
-    payload = struct.pack("<II", total or len(strings), len(strings))
-    for s in strings:
-        payload += struct.pack("<HB", len(s), 0) + s.encode("latin-1")
-    return _rec(0x00FC, payload)
-
-
-def _labelsst(r: int, c: int, isst: int) -> bytes:
-    return _rec(0x00FD, struct.pack("<HHHI", r, c, 0, isst))
-
-
-def _number(r: int, c: int, v: float) -> bytes:
-    return _rec(0x0203, struct.pack("<HHHd", r, c, 0, v))
-
-
-def _rk_int(v: int, div100: bool = False) -> int:
-    return ((v & 0x3FFFFFFF) << 2) | 0x02 | (0x01 if div100 else 0)
-
-
-def _rk_cell(r: int, c: int, rk: int) -> bytes:
-    return _rec(0x027E, struct.pack("<HHHI", r, c, 0, rk))
-
-
-def _mulrk(r: int, c_first: int, rks: list[int]) -> bytes:
-    payload = struct.pack("<HH", r, c_first)
-    for rk in rks:
-        payload += struct.pack("<HI", 0, rk)
-    payload += struct.pack("<H", c_first + len(rks) - 1)
-    return _rec(0x00BD, payload)
+from vectordb_light_spark.sources.synth_docs import (  # noqa: E402
+    biff_bof as _biff_bof,
+    biff_labelsst as _labelsst,
+    biff_mulrk as _mulrk,
+    biff_number as _number,
+    biff_rec as _rec,
+    biff_rk_cell as _rk_cell,
+    biff_rk_int as _rk_int,
+    biff_sst as _sst,
+    build_cfb as _build_cfb,
+)
 
 
 def _xls_bytes() -> bytes:

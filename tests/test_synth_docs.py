@@ -16,6 +16,10 @@ EXPECTED = {
     "csv": "doc {id}\n{text}",
     "html": "doc {id} {text}",
     "eml": "Subject: doc {id}\n{text}",
+    "pdf": "[[page1]]doc {id}\n[[page2]]{text}\n",
+    "msg": "Subject: doc {id}\n{text}",
+    # xls numbers render as Python floats (xlrd parity in cfb.xls_text)
+    "xls": "doc {id}.0 {text}",
 }
 
 #: Corpus-like plus adversarial single-line payloads. CSV quoting,
@@ -35,11 +39,13 @@ PAYLOADS = [
 @pytest.mark.parametrize("fmt", sorted(BUILDERS))
 @pytest.mark.parametrize("text", PAYLOADS)
 def test_roundtrip_matches_template(fmt, text):
-    if fmt == "rtf" and any(ord(c) > 126 for c in text):
-        pytest.skip("rtf builder is cp1252; payloads here are ASCII")
+    if fmt in ("rtf", "xls", "pdf") and any(ord(c) > 126 for c in text):
+        pytest.skip("cp1252/latin-1 builders; payloads here are ASCII")
     data = BUILDERS[fmt](42, text)
     out, reason = extract_bytes(f"42.{fmt}", data)
     assert reason is None
+    if fmt == "pdf":  # the PDF line assembler rstrips each text line
+        text = text.rstrip(" ")
     assert out == EXPECTED[fmt].format(id=42, text=text)
 
 
@@ -73,3 +79,21 @@ def test_rtf_fonttbl_not_extracted():
 def test_html_script_and_style_dropped():
     out, _ = extract_bytes("1.html", BUILDERS["html"](1, "body"))
     assert "color" not in out and "var x" not in out
+
+
+def test_pdf_is_real_flate_pdf():
+    data = BUILDERS["pdf"](3, "page text")
+    assert data.startswith(b"%PDF-1.5") and b"/Filter /FlateDecode" in data
+    assert b"page text" not in data  # content streams really compressed
+
+
+def test_msg_is_real_compound_file():
+    data = BUILDERS["msg"](3, "body")
+    assert data.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1")
+    assert "body".encode("utf-16-le") in data  # mini-stream payload
+
+
+def test_xls_biff_records_inside_cfb():
+    data = BUILDERS["xls"](3, "cell text")
+    assert data.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1")
+    assert b"cell text" in data  # latin-1 SST payload

@@ -7000,6 +7000,47 @@ def src_office_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_binary_roundtrip",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''
+          AND NOT contains(text, chr(10))
+    )
+    SELECT doc_id, fmt, expected AS text FROM (
+        SELECT doc_id, 'msg' AS fmt,
+               'Subject: doc ' || doc_id || chr(10) || text AS expected FROM d
+        UNION ALL
+        SELECT doc_id, 'pdf' AS fmt,
+               '[[page1]]doc ' || doc_id || chr(10)
+                   || '[[page2]]' || text || chr(10) AS expected FROM d
+        UNION ALL
+        SELECT doc_id, 'xls' AS fmt,
+               -- xls numbers render as Python floats (xlrd parity):
+               -- the RK integer cell surfaces as '<id>.0'
+               'doc ' || doc_id || '.0 ' || text AS expected FROM d
+    )
+    ORDER BY doc_id, fmt
+    """,
+)
+def src_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S8/S9 under the hard driver signal — the BINARY container
+    formats: each document becomes a real two-page FlateDecode PDF
+    (catalog→pages→content objects, escaped literal strings), an
+    Outlook MSG (UTF-16 property streams inside a real [MS-CFB]
+    compound file, mini-stream path), and a BIFF8 XLS (SST +
+    shared-string + RK-integer cell records inside CFB), then runs
+    through the production pure-Python parsers (sources/pdf_text.py,
+    sources/cfb.py; reference document_processor.py:76-84,167-196).
+    The oracle rebuilds the expected text in SQL — zlib framing, CFB
+    sector/miniFAT chains, BIFF record parsing, RK decoding, and PDF
+    string unescaping all have to be exactly right per document.
+    With src_office/markup_roundtrip this puts ALL 12 supported
+    extraction formats under the driver's value-hash gate."""
+    return _src_roundtrip(spark, sf_dir, ("msg", "pdf", "xls"))
+
+
+@register(
     "src_markup_roundtrip",
     oracle="""
     WITH d AS (
