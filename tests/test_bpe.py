@@ -110,3 +110,40 @@ def test_pair_counts_weighted_by_freq(spark):
 def test_merge_count_respected(spark, n):
     got = learn_bpe_merges(_corpus_df(spark, SENNRICH), n)
     assert len(got) == n
+
+
+def ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(word) + [END_OF_WORD]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_encode_entry_matches_reference_encoder(spark):
+    """pipe_bpe_encode's nested fold must tokenize exactly like the
+    reference per-word greedy encoder over the same merge table."""
+    from vectordb_light_spark.queries import _BPE_MERGES, pipe_bpe_encode
+
+    rows = pipe_bpe_encode(spark, "/root/testdata/sf0.001").collect()
+    import duckdb
+
+    texts = dict(
+        duckdb.sql(
+            "SELECT doc_id, text FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+    )
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        words = [w for w in (texts[r["doc_id"]] or "").lower().strip().split() if w]
+        want = [t for w in words for t in ref_encode(w, _BPE_MERGES)]
+        assert r["encoded"].split(" ") == want if want else r["encoded"] == ""
+        assert r["n_tok"] == len(want)

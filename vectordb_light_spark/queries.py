@@ -7165,6 +7165,87 @@ def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_idx")
 
 
+#: Fixed BPE merge table for pipe_bpe_encode — tokenizers ship as
+#: config, so the encode entry applies a LITERAL rank-ordered table
+#: (this one is what pipe_bpe_merges learns at sf0.01) rather than
+#: re-learning per run; both engines receive the same literals.
+_BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+]
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """DuckDB twin of pipe_bpe_encode: each word becomes the
+    sentinel-delimited string form (' ' || sym || chr(1) per symbol),
+    the 8 merge replaces apply in rank order (the same greedy-exact
+    replace as the _bpe_oracle_sql rounds), and the surviving
+    symbols re-join with single spaces."""
+    spaced = (
+        "' ' || array_to_string(list_append(list_transform("
+        "generate_series(1, length(w)), i -> substr(w, i, 1)), '</w>'),"
+        " chr(1) || ' ') || chr(1)"
+    )
+    expr = spaced
+    for a, b in _BPE_MERGES:
+        expr = (
+            f"replace({expr}, ' ' || '{a}' || chr(1) || ' ' || '{b}' "
+            f"|| chr(1), ' ' || '{a}{b}' || chr(1))"
+        )
+    encoded_word = f"ltrim(replace({expr}, chr(1), ''))"
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   lower(trim(coalesce(text, ''))), '\\s+'),
+                   x -> x <> '') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(COALESCE(list_aggregate(list_transform(words,
+                w -> len(string_split({encoded_word}, ' '))), 'sum'), 0)
+               AS BIGINT) AS n_tok,
+           array_to_string(list_transform(words, w -> {encoded_word}), ' ')
+               AS encoded
+    FROM t
+    ORDER BY doc_id
+    """
+
+
+@register("pipe_bpe_encode", oracle=_bpe_encode_oracle_sql())
+def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the apply side of pipe_bpe_merges: tokenize
+    every document against a fixed rank-ordered merge table (the
+    production shape: tokenizers ship as config). Each word's chars +
+    </w> fold through the 8 merges IN RANK ORDER via the same exact
+    greedy array fold the learner uses (operators/bpe.apply_merge) —
+    all JVM-side higher-order builtins nested inside one projection:
+    no UDF, no explode, no shuffle except the output sort. At 100 TB
+    the cost is the text scan times a constant (merge count). Output:
+    per-document subword count and the encoded token stream, both
+    hash-checked against an engine-independent SQL re-encode."""
+    from vectordb_light_spark.operators.bpe import END_OF_WORD, apply_merge
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+
+    def encode_word(w):
+        syms = F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD)))
+        for a, b in _BPE_MERGES:
+            syms = apply_merge(syms, a, b)
+        return syms
+
+    tokens = F.flatten(F.transform(words, encode_word))
+    return docs.select(
+        "doc_id",
+        F.size(tokens).cast("long").alias("n_tok"),
+        F.array_join(tokens, " ").alias("encoded"),
+    ).orderBy("doc_id")
+
+
 #: Configured language mixing weights for pipe_domain_mix — a config
 #: lever (the mixing convention: weights are declared, not measured),
 #: roughly the corpus's natural language distribution.
