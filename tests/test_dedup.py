@@ -654,3 +654,44 @@ def test_repeated_spans_hot_span_stays_linear(spark):
     spans = repeated_spans(df, anchor=8, min_span_tokens=16).collect()
     assert len(spans) == 400
     assert all(r["span_tokens"] == 24 for r in spans)
+
+
+def test_dedup_lines_keep_first_global_first_occurrence(spark):
+    """Each distinct non-blank segment survives only at its globally
+    first (doc_id, pos); later copies vanish — across docs AND within
+    a doc; blanks are structural and always kept; a doc made entirely
+    of already-seen lines comes back empty."""
+    from vectordb_light_spark.operators.dedup import dedup_lines_keep_first
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma"),
+            (3, "delta\ndelta"),
+            (4, "shared line"),
+            (5, "epsilon\n\nzeta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines_keep_first(df).collect()}
+    assert out[1] == "alpha\nshared line\nbeta"  # first occurrence keeps all
+    assert out[2] == "gamma"  # lost the shared line
+    assert out[3] == "delta"  # within-doc repeat removed
+    assert out[4] == ""  # every line already seen
+    assert out[5] == "epsilon\n\nzeta"  # blank preserved
+    assert len(out) == 5
+
+
+def test_dedup_lines_keep_first_trim_normalized(spark):
+    """Survivor identity is the TRIMMED segment (same normalization as
+    remove_boilerplate): '  shared  ' in a later doc matches 'shared'
+    seen earlier and is removed."""
+    from vectordb_light_spark.operators.dedup import dedup_lines_keep_first
+
+    df = spark.createDataFrame(
+        [(1, "shared"), (2, "  shared  \nkeep me")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines_keep_first(df).collect()}
+    assert out[1] == "shared"
+    assert out[2] == "keep me"

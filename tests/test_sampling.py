@@ -355,3 +355,36 @@ def test_temperature_mix_fractions_properties():
         temperature_mix_fractions({"a": 0.9, "empty": 0.0}, alpha=0.0)
     with pytest.raises(ValueError, match="neg"):
         temperature_mix_fractions({"a": 0.9, "neg": -0.1})
+
+
+def test_curriculum_order_stages_and_determinism(spark):
+    """Equal-population stages ascending with score, ties sharing a
+    stage, deterministic within-stage shuffle, global (stage, key)
+    order — and a rerun reproduces the identical sequence."""
+    from vectordb_light_spark.operators.sampling import curriculum_order
+
+    rows = [(i, (i * 7) % 13) for i in range(40)]  # ties: 40 ids, 13 scores
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    out = curriculum_order(df, n_stages=4).collect()
+
+    assert [r["doc_id"] for r in out] != sorted(r["doc_id"] for r in out)
+    assert len(out) == 40
+    # stage is nondecreasing in score: max score of stage k <= min of k+1
+    by_stage = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r["score"])
+    stages = sorted(by_stage)
+    assert stages[0] == 1 and stages[-1] <= 4
+    for a, b in zip(stages, stages[1:]):
+        assert max(by_stage[a]) <= min(by_stage[b])
+    # equal-score rows always share a stage
+    score_to_stages = {}
+    for r in out:
+        score_to_stages.setdefault(r["score"], set()).add(r["stage"])
+    assert all(len(s) == 1 for s in score_to_stages.values())
+    # emitted in (stage, curriculum_key, id) order
+    keys = [(r["stage"], r["curriculum_key"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+    # deterministic
+    again = curriculum_order(df, n_stages=4).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in out]

@@ -375,3 +375,52 @@ def test_c4_rules_line_filter_and_page_rules(spark):
     assert rows["bad_word"]["rule_no_bad_words"] is False
     for doc in ("few_sentences", "lorem", "brace", "bad_word"):
         assert rows[doc]["keep"] is False, doc
+
+
+def test_readability_counts_and_fk_grade(spark):
+    """The integer counts match a Python reference and the milligrade
+    equals floor(1000 * FK) computed in exact rational arithmetic —
+    including empty text, fragments without terminal punctuation, and
+    vowel-free tokens."""
+    import re
+    from fractions import Fraction
+
+    from vectordb_light_spark.functions.text import (
+        flesch_kincaid_grade_milli,
+        readability_counts,
+    )
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog. It was easy!",
+        "no terminal punctuation here just words",
+        "123 456 789",
+        "",
+        "Rhythm myths. Crwth?!",
+        "A. B. C. D. Multiple tiny sentences? Yes!",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    c = readability_counts("text")
+    out = df.select(
+        "doc_id",
+        c["n_words"].alias("w"),
+        c["n_sentences"].alias("s"),
+        c["n_syllables"].alias("y"),
+        flesch_kincaid_grade_milli(
+            c["n_words"], c["n_sentences"], c["n_syllables"]
+        ).alias("g"),
+    ).collect()
+    for r in out:
+        t = texts[r["doc_id"]]
+        w0 = len(re.findall(r"[a-z0-9]+", t.lower()))
+        s = max(len(re.findall(r"[.!?]", t)), 1)
+        y = len(re.findall(r"[aeiouy]+", t.lower()))
+        assert (r["w"], r["s"], r["y"]) == (w0, s, y)
+        w = max(w0, 1)
+        fk = (
+            Fraction(39, 100) * Fraction(w, s)
+            + Fraction(118, 10) * Fraction(y, w)
+            - Fraction(1559, 100)
+        )
+        assert r["g"] == (fk * 1000).__floor__()

@@ -182,6 +182,63 @@ def quality_score(col: Column | str) -> Column:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def readability_counts(col: Column | str) -> dict[str, Column]:
+    """The three integer counts behind readability scoring, each one
+    regexp scan over the text (ASCII patterns, identical semantics in
+    Spark's Java regex and DuckDB's RE2):
+
+    - ``n_words``: alphanumeric runs ``[a-z0-9]+`` over the lowered
+      text (the word unit Flesch–Kincaid counts),
+    - ``n_sentences``: terminal-punctuation marks ``[.!?]``, floored
+      at 1 so fragment documents still score,
+    - ``n_syllables``: vowel-group runs ``[aeiouy]+`` — the standard
+      cheap syllable estimator (one syllable per contiguous vowel
+      cluster).
+    """
+    t = F.coalesce(_c(col), F.lit(""))
+    low = F.lower(t)
+    return {
+        "n_words": F.regexp_count(low, F.lit("[a-z0-9]+")),
+        "n_sentences": F.greatest(F.regexp_count(t, F.lit("[.!?]")), F.lit(1)),
+        "n_syllables": F.regexp_count(low, F.lit("[aeiouy]+")),
+    }
+
+
+#: Offset added before the integer division in the Flesch–Kincaid
+#: milligrade so the numerator is provably non-negative (grades can go
+#: slightly negative; -15.59 is the formula's constant term). Shared
+#: with the SQL oracle — both engines do the same exact 64-bit math.
+_FK_OFFSET = 1_000_000
+
+
+def flesch_kincaid_grade_milli(
+    n_words: Column, n_sentences: Column, n_syllables: Column
+) -> Column:
+    """Flesch–Kincaid grade level ×1000 as EXACT integer arithmetic
+    (Kincaid et al. 1975: ``0.39·W/S + 11.8·Y/W − 15.59``): the two
+    divisions are put over the common denominator ``W·S`` and the
+    quotient floored — ``⌊(390·W² + 11800·Y·S − 15590·W·S)·1000/...⌋``
+    scaled so every intermediate is a 64-bit integer. No float enters
+    the computation, so any engine reproduces it bit-for-bit (the
+    integer-quantization pattern of the quality classifier). The
+    division itself is done by subtracting the remainder first and
+    dividing exactly via decimal(38,0), which sidesteps both double
+    rounding above 2^53 and decimal scale-6 half-up rounding.
+    """
+    w = F.greatest(n_words, F.lit(1)).cast("long")
+    s = F.greatest(n_sentences, F.lit(1)).cast("long")
+    y = n_syllables.cast("long")
+    num = (
+        F.lit(390) * w * w
+        + F.lit(11800) * y * s
+        + F.lit(_FK_OFFSET - 15590) * w * s
+    )
+    den = w * s
+    exact = num - (num % den)
+    q = (exact.cast("decimal(38,0)") / den.cast("decimal(38,0)")).cast("long")
+    return (q - F.lit(_FK_OFFSET)).cast("long")
+
+
 def gopher_rules(col: Column | str) -> dict[str, Column]:
     """Gopher-style document-quality RULES (Rae et al. 2021 §A1.1.2),
     each an independent boolean column plus the signals they test —

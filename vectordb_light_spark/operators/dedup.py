@@ -1079,6 +1079,64 @@ def remove_boilerplate(
     )
 
 
+def dedup_lines_keep_first(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level exact segment dedup, keep-FIRST-occurrence (the
+    RefinedWeb / MassiveText line-dedup tier): split every document
+    into segments, and keep each distinct non-blank segment only at
+    its globally first occurrence — ordered by ``(doc_id, position)``
+    — removing every later copy corpus-wide, including repeats inside
+    the same document. Blank segments are structural and always kept.
+
+    This is the complement of :func:`remove_boilerplate` (which drops
+    ALL copies of over-frequent segments): here exactly one canonical
+    copy of every segment survives, so no content is lost, only
+    repetition — the semantics training-data line dedup wants.
+
+    Scale: the survivor election is a ``groupBy`` on the 64-bit
+    segment hash aggregating ``min(struct(doc_id, pos))`` — a
+    map-side-combinable shuffle of (hash, id, pos) triples, never the
+    segment text. The election result joins back on the same hash
+    (equi-join, AQE-broadcastable when the distinct-segment table is
+    small), and the rebuild reuses the posexplode positions. All JVM
+    builtins, no UDF."""
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_seg"),
+    ).withColumn("_sh", F.xxhash64(F.trim("_seg")))
+    first = (
+        parts.where(F.trim("_seg") != "")
+        .groupBy("_sh")
+        .agg(F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first"))
+    )
+    kept = parts.join(first, "_sh", "left").where(
+        (F.trim("_seg") == "")
+        | (
+            (F.col(id_col) == F.col("_first")[id_col])
+            & (F.col("_pos") == F.col("_first._pos"))
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                lambda s: s["_seg"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Eval-set decontamination (n-gram overlap; beyond-reference)
 # ---------------------------------------------------------------------------

@@ -533,3 +533,60 @@ def deterministic_shuffle(
     shuffled corpus and readers just concatenate them in order.
     """
     return df.orderBy(hash_bucket_column(id_col, seed=seed), F.col(id_col))
+
+
+def curriculum_order(
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    n_stages: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009 applied to corpus
+    scheduling): bucket documents into ``n_stages`` equal-population
+    stages by ascending score rank, then order the corpus stage-by-
+    stage with a deterministic pseudo-random shuffle WITHIN each stage
+    — easy/low-score data first, hard data last, reproducibly.
+
+    Stage assignment deliberately avoids a global row window (an
+    ``ntile`` over 100 TB is one task): it builds the exact rank CDF
+    over the DISTINCT-score table — ``groupBy(score)`` then a window
+    over score VALUES, whose cardinality is the score domain, not the
+    corpus — and maps ``stage = below·n_stages DIV total + 1`` (ties
+    share the stage of their first member). The map joins back
+    broadcast-style on the score, the within-stage key is the md5
+    routing hex (any engine replays the permutation), and the final
+    order is ONE range exchange. All integer math; no floats anywhere.
+
+    Returns ``(id, score, stage, curriculum_key)`` ordered by
+    ``(stage, curriculum_key, id)``.
+    """
+    cnt = scores.groupBy(score_col).agg(F.count("*").alias("_c"))
+    w_cdf = Window.orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cdf = cnt.withColumn(
+        "_below", F.coalesce(F.sum("_c").over(w_cdf), F.lit(0)).cast("long")
+    ).withColumn(
+        "_total", F.sum("_c").over(Window.partitionBy()).cast("long")
+    )
+    stage_map = cdf.select(
+        score_col,
+        (
+            (
+                ((F.col("_below") * F.lit(int(n_stages)))
+                 - (F.col("_below") * F.lit(int(n_stages))) % F.col("_total"))
+                .cast("decimal(38,0)")
+                / F.col("_total").cast("decimal(38,0)")
+            ).cast("long")
+            + F.lit(1)
+        ).cast("int").alias("stage"),
+    )
+    key = hash_bucket_column(id_col, seed=seed)
+    return (
+        scores.join(F.broadcast(stage_map), score_col)
+        .withColumn("curriculum_key", key)
+        .select(id_col, score_col, "stage", "curriculum_key")
+        .orderBy("stage", "curriculum_key", id_col)
+    )

@@ -1124,13 +1124,12 @@ def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _quality_classifier_oracle_sql() -> str:
-    """DuckDB twin of ts_quality_classifier: the same quantized
-    integer weights as SQL literals, the same md5 bucket, the same
-    higher-order sum — the logit is exact 64-bit arithmetic in both
-    engines, so the match is bit-for-bit (no float dot-product
-    drift), the pipe_dsir_select trick upgraded from buckets to the
-    whole model."""
+def _quality_logit_ctes() -> str:
+    """The shared CTE chain computing ``s(doc_id, n_tok, logit_q)`` —
+    the quantized integer quality-classifier logit in pure SQL (same
+    weights as literals, same md5 bucket, same higher-order sum as the
+    Spark side). Shared by the ts_quality_classifier and
+    pipe_curriculum_order oracles so the twins cannot drift."""
     from vectordb_light_spark.functions.quality_weights import (
         BIAS_Q,
         N_BUCKETS,
@@ -1138,8 +1137,7 @@ def _quality_classifier_oracle_sql() -> str:
     )
 
     weights = "[" + ", ".join(str(int(x)) for x in WEIGHTS_Q) + "]"
-    return f"""
-    WITH w AS (SELECT {weights}::BIGINT[] AS l),
+    return f"""w AS (SELECT {weights}::BIGINT[] AS l),
     t AS (
         SELECT doc_id,
                list_filter(
@@ -1155,7 +1153,16 @@ def _quality_classifier_oracle_sql() -> str:
                     tk -> l[CAST(CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)
                             % {N_BUCKETS} AS INT) + 1])), 0) AS BIGINT) AS logit_q
         FROM t, w
-    )
+    )"""
+
+
+def _quality_classifier_oracle_sql() -> str:
+    """DuckDB twin of ts_quality_classifier: the logit is exact 64-bit
+    arithmetic in both engines, so the match is bit-for-bit (no float
+    dot-product drift), the pipe_dsir_select trick upgraded from
+    buckets to the whole model."""
+    return f"""
+    WITH {_quality_logit_ctes()}
     SELECT doc_id, n_tok, logit_q, logit_q > 0 AS keep
     FROM s ORDER BY doc_id
     """
@@ -1180,6 +1187,65 @@ def ts_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_docs(spark, sf_dir, "doc_id", "text")
     return quality_classifier_scores(docs, WEIGHTS_Q, BIAS_Q).orderBy("doc_id")
+
+
+@register(
+    "ts_readability",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[a-z0-9]+')) AS BIGINT) AS w0,
+               CAST(greatest(len(regexp_extract_all(coalesce(text, ''),
+                                                    '[.!?]')), 1) AS BIGINT) AS s,
+               CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[aeiouy]+')) AS BIGINT) AS y
+        FROM documents
+    ),
+    g AS (SELECT doc_id, w0, s, y, greatest(w0, 1) AS w FROM t)
+    SELECT doc_id,
+           CAST(w0 AS INT) AS n_words,
+           CAST(s AS INT) AS n_sentences,
+           CAST(y AS INT) AS n_syllables,
+           CAST((390 * w * w + 11800 * y * s + 984410 * w * s)
+                // (w * s) - 1000000 AS BIGINT) AS fk_grade_milli
+    FROM g ORDER BY doc_id
+    """,
+)
+def ts_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability gate (the FineWeb-Edu-style document-difficulty
+    signal; functions/text.py readability_counts +
+    flesch_kincaid_grade_milli): Flesch–Kincaid grade level from three
+    integer counts — alphanumeric word runs, terminal punctuation
+    (floored at 1), vowel-group syllable estimates — each ONE regexp
+    scan, all map-side, zero shuffles beyond the sort. The grade is
+    computed ×1000 in EXACT 64-bit integer arithmetic (common
+    denominator + offset keeps the numerator non-negative, remainder
+    subtracted before an exact decimal division), so Spark and DuckDB
+    agree bit-for-bit — the quality-classifier integer-quantization
+    pattern applied to a float formula. At 100 TB the cost is exactly
+    the text scan."""
+    from vectordb_light_spark.functions.text import (
+        flesch_kincaid_grade_milli,
+        readability_counts,
+    )
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    c = readability_counts("text")
+    return docs.select(
+        "doc_id",
+        c["n_words"].alias("n_words"),
+        c["n_sentences"].alias("n_sentences"),
+        c["n_syllables"].alias("n_syllables"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        flesch_kincaid_grade_milli(
+            F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+        ).alias("fk_grade_milli"),
+    ).orderBy("doc_id")
 
 
 @register(
@@ -1892,6 +1958,54 @@ def dd_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_docs(spark, sf_dir)
     return remove_boilerplate(
         docs.select("doc_id", "text"), sep=" ", min_docs=390
+    ).orderBy("doc_id")
+
+
+@register(
+    "dd_line_dedup",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, s.i AS pos, string_split(text, ' ')[s.i] AS w
+        FROM documents,
+             UNNEST(generate_series(1, len(string_split(text, ' ')))) AS s(i)
+    ),
+    f AS (
+        SELECT w, MIN(doc_id * 1000000 + pos) AS k
+        FROM p WHERE trim(w) <> '' GROUP BY w
+    ),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.w
+        FROM p LEFT JOIN f ON p.w = f.w
+        WHERE trim(p.w) = '' OR p.doc_id * 1000000 + p.pos = f.k
+    ),
+    r AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact segment dedup (the RefinedWeb / MassiveText
+    line-dedup tier, operators/dedup.py dedup_lines_keep_first): every
+    distinct non-blank segment survives ONLY at its globally first
+    occurrence by (doc_id, position) — all later copies vanish
+    corpus-wide, including within-document repeats. The complement of
+    dd_remove_boilerplate (which drops ALL copies of hot segments):
+    here exactly one canonical copy remains. Single-line synthetic
+    corpus ⇒ word granularity (sep=' '), same operator, same plan:
+    survivor election is min(struct(doc_id,pos)) grouped on the 64-bit
+    segment hash — a map-side-combinable shuffle of fixed-width
+    triples, never text — then an equi-join back and a positional
+    rebuild. The SQL twin replays the election as MIN(doc_id·10⁶+pos)
+    per segment, the identical ordering."""
+    from vectordb_light_spark.operators.dedup import dedup_lines_keep_first
+
+    docs = load_docs(spark, sf_dir)
+    return dedup_lines_keep_first(
+        docs.select("doc_id", "text"), sep=" "
     ).orderBy("doc_id")
 
 
@@ -5632,6 +5746,62 @@ def pipe_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pos", "doc_id", "lang")
         .orderBy("pos")
     )
+
+
+def _curriculum_order_oracle_sql() -> str:
+    """DuckDB twin of pipe_curriculum_order: the SAME quality-logit
+    CTEs as ts_quality_classifier (shared helper — the score cannot
+    drift), the same distinct-score rank CDF, the same integer stage
+    division, the same md5 routing key."""
+    return f"""
+    WITH {_quality_logit_ctes()},
+    cnt AS (SELECT logit_q, COUNT(*) AS c FROM s GROUP BY logit_q),
+    cdf AS (
+        SELECT logit_q,
+               COALESCE(SUM(c) OVER (ORDER BY logit_q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below,
+               SUM(c) OVER () AS total
+        FROM cnt
+    ),
+    st AS (SELECT logit_q,
+                  CAST((below * 10) // total + 1 AS INT) AS stage
+           FROM cdf)
+    SELECT s.doc_id,
+           s.logit_q,
+           st.stage,
+           substr(md5(concat_ws(':', CAST(s.doc_id AS VARCHAR), '0')), 1, 8)
+               AS curriculum_key
+    FROM s JOIN st USING (logit_q)
+    ORDER BY stage, curriculum_key, doc_id
+    """
+
+
+@register("pipe_curriculum_order", oracle=_curriculum_order_oracle_sql())
+def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum corpus scheduling (Bengio et al. 2009 applied to
+    training-data ordering; operators/sampling.py curriculum_order):
+    documents are bucketed into 10 equal-population stages by
+    ascending learned-quality logit (the ts_quality_classifier score —
+    easy/low first), deterministically shuffled WITHIN each stage via
+    the md5 routing key, and emitted in that global order. Stage
+    assignment avoids the global row window an ntile would need: the
+    exact rank CDF is built over the DISTINCT-score table (window over
+    score VALUES — domain-sized, not corpus-sized), mapped with
+    integer math (ties share a stage), and broadcast-joined back; the
+    final order is ONE range exchange. No floats anywhere, so the SQL
+    twin is bit-exact."""
+    from vectordb_light_spark.functions.quality_weights import BIAS_Q, WEIGHTS_Q
+    from vectordb_light_spark.operators.quality_model import (
+        quality_classifier_scores,
+    )
+    from vectordb_light_spark.operators.sampling import curriculum_order
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    scores = quality_classifier_scores(docs, WEIGHTS_Q, BIAS_Q).select(
+        "doc_id", "logit_q"
+    )
+    return curriculum_order(scores, score_col="logit_q", n_stages=10)
 
 
 @register(
