@@ -695,3 +695,67 @@ def test_dedup_lines_keep_first_trim_normalized(spark):
     out = {r["doc_id"]: r["text"] for r in dedup_lines_keep_first(df).collect()}
     assert out[1] == "shared"
     assert out[2] == "keep me"
+
+
+def test_bloom_decontaminate_superset_of_exact_and_deterministic(spark):
+    """The Bloom probe can never miss a true hit (no false negatives):
+    every document the exact decontaminator flags is flagged by the
+    Bloom variant, per-doc bloom n_hits >= exact n_shared_grams, and
+    two independent builds produce identical words and identical
+    probe results."""
+    from vectordb_light_spark.operators.dedup import (
+        bloom_build,
+        bloom_decontaminate,
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "the secret eval answer is forty two exactly plus noise"),
+            (11, "completely unrelated text about weather patterns today"),
+            (12, "answer is forty two exactly said the guide"),
+        ],
+        "doc_id long, text string",
+    )
+    words = bloom_build(bench, n=4)
+    assert words == bloom_build(bench, n=4)  # deterministic build
+    assert any(w != 0 for w in words)
+
+    bloom = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(train, words, n=4).collect()
+    }
+    exact = {
+        r["doc_id"]: r for r in ngram_contamination(train, bench, n=4).collect()
+    }
+    for did, ex in exact.items():
+        assert bloom[did]["n_hits"] >= ex["n_shared_grams"]
+        if ex["contaminated"]:
+            assert bloom[did]["contaminated"] == 1
+    assert bloom[10]["contaminated"] == 1
+    assert bloom[12]["contaminated"] == 1
+
+
+def test_bloom_small_filter_false_positives_never_negative(spark):
+    """A deliberately tiny filter (64 bits, k=2) saturates: false
+    positives appear, but every true member still probes positive —
+    the Bloom guarantee under the worst geometry."""
+    from vectordb_light_spark.operators.dedup import (
+        bloom_build,
+        bloom_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(i, f"bench doc {i} tokens alpha beta gamma {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    words = bloom_build(bench, n=4, m_bits=64, k=2)
+    assert len(words) == 2
+    # probing the bench docs themselves: all must hit (no false negatives)
+    out = bloom_decontaminate(bench, words, n=4, m_bits=64, k=2).collect()
+    assert all(r["contaminated"] == 1 for r in out)
+    assert all(r["n_hits"] == r["n_grams"] for r in out)

@@ -1208,6 +1208,146 @@ def ngram_contamination(
     )
 
 
+#: Bloom-filter geometry defaults: 2^16 bits in 32-bit words (2048
+#: words = 16 KiB), 4 hash functions. Words are 32-bit so every shift
+#: stays far from the 64-bit sign bit in ANY engine — no overflow
+#: semantics to reconcile between Spark and a SQL twin.
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 4
+BLOOM_WORD_BITS = 32
+
+
+def _pow2_word() -> Column:
+    """1 << b for b in 0..31 as a literal long array — ``element_at``
+    replaces a column-amount shiftleft (the pyspark builtin only takes
+    a Python-int shift), and the lookup works inside HOF lambdas.
+    Built per call: literal Columns need an active SparkSession."""
+    return F.array(*[F.lit(1 << b).cast("long") for b in range(BLOOM_WORD_BITS)])
+
+
+def _bloom_positions(gram: Column, *, m_bits: int, k: int) -> Column:
+    """Array of ``k`` bit positions for a gram: position *i* is the
+    first 32 md5 hex bits of ``gram || ':' || i`` mod ``m_bits`` — the
+    md5-hex primitive every sampler in this package uses, so any
+    engine reproduces the positions exactly."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", gram, F.lit(str(i)))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    bench: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> list[int]:
+    """Build the benchmark-side Bloom filter over token n-grams:
+    returns the dense word array (``m_bits / 32`` ints, zeros
+    included) ready to broadcast as a literal into the probe
+    projection.
+
+    Plan: grams explode, each fans out to its ``k`` bit positions,
+    and ONE ``groupBy(word_idx).agg(bit_or(1 << bit))`` aggregates —
+    map-side-combinable, output bounded at ``m_bits/32`` rows
+    regardless of benchmark size. The collect is that bounded word
+    table (16 KiB at the default geometry), the same bounded-small-
+    side pattern as the query-weight pools."""
+    pos = (
+        bench.select(F.explode(token_ngrams(F.col(text_col), n)).alias("__g"))
+        .select(
+            F.explode(
+                _bloom_positions(F.col("__g"), m_bits=m_bits, k=k)
+            ).alias("__p")
+        )
+    )
+    words = (
+        pos.groupBy((F.col("__p") / BLOOM_WORD_BITS).cast("int").alias("__w"))
+        .agg(
+            F.bit_or(
+                F.element_at(
+                    _pow2_word(),
+                    (F.col("__p") % BLOOM_WORD_BITS).cast("int") + 1,
+                )
+            ).alias("__bits")
+        )
+        .collect()
+    )
+    dense = [0] * (m_bits // BLOOM_WORD_BITS)
+    for r in words:
+        dense[r["__w"]] = int(r["__bits"])
+    return dense
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bloom_words: list[int],
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Decontamination via Bloom-filter membership (Bloom 1970 applied
+    the way large-corpus pipelines do): flag each train document whose
+    token n-grams probe positive against the benchmark filter. Unlike
+    :func:`ngram_contamination`'s exact distinct-key broadcast join,
+    the filter is CONSTANT memory in the benchmark size — the at-scale
+    trade: a deterministic, tunable false-positive rate (never false
+    negatives) for a probe that touches no second table at all.
+
+    Plan shape: the word array enters as a literal; per document,
+    ``n_hits = size(filter(distinct grams, g -> every one of its k
+    bits is set))`` — nested higher-order builtins inside ONE
+    projection over the scan. No join, no shuffle, no UDF; at 100 TB
+    the cost is exactly the text scan (the pipe_bpe_encode trade:
+    HOFs run interpreted, but map-only beats a corpus-sized
+    exchange).
+
+    Returns ``(id, n_grams, n_hits, contaminated)``; bit positions
+    and words are integer md5 arithmetic, so a SQL twin reproduces
+    the filter — false positives included — bit-for-bit."""
+    n_words = m_bits // BLOOM_WORD_BITS
+    if len(bloom_words) != n_words:
+        raise ValueError(
+            f"bloom_words must have {n_words} entries for m_bits={m_bits}, "
+            f"got {len(bloom_words)}"
+        )
+    words = F.array(*[F.lit(int(w)).cast("long") for w in bloom_words])
+    grams = F.array_distinct(token_ngrams(F.col(text_col), n))
+
+    pow2 = _pow2_word()
+
+    def is_hit(g: Column) -> Column:
+        return F.forall(
+            _bloom_positions(g, m_bits=m_bits, k=k),
+            lambda p: (
+                F.element_at(words, (p / BLOOM_WORD_BITS).cast("int") + 1).bitwiseAND(
+                    F.element_at(pow2, (p % BLOOM_WORD_BITS).cast("int") + 1)
+                )
+                != 0
+            ),
+        )
+
+    return train.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        F.size(F.filter(grams, is_hit)).alias("n_hits"),
+    ).withColumn("contaminated", (F.col("n_hits") > 0).cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level exact-substring dedup (repeated-span mining; beyond-reference)
 # ---------------------------------------------------------------------------

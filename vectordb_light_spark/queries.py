@@ -5919,6 +5919,85 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_bloom_decontaminate",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(generate_series(1, len(toks) - 3),
+                                        i -> array_to_string(toks[i:i+3], ' '))
+               END AS grams
+        FROM tok
+    ),
+    bp AS (
+        SELECT CAST(('0x' || substr(md5(gram || ':' || CAST(u.i AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 65536 AS p
+        FROM (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 10),
+             UNNEST([0, 1, 2, 3]) AS u(i)
+    ),
+    w AS (
+        SELECT CAST(p // 32 AS INT) AS wi,
+               bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+        FROM bp GROUP BY 1
+    ),
+    tg AS (
+        SELECT doc_id, len(list_distinct(grams)) AS n_grams,
+               unnest(list_distinct(grams)) AS gram
+        FROM g WHERE doc_id >= 10
+    ),
+    tp AS (
+        SELECT doc_id, n_grams, gram,
+               CAST(('0x' || substr(md5(gram || ':' || CAST(u.i AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 65536 AS p
+        FROM tg, UNNEST([0, 1, 2, 3]) AS u(i)
+    ),
+    tb AS (
+        SELECT doc_id, n_grams, gram,
+               MIN(CASE WHEN (COALESCE(w.word, 0)
+                              & (1::BIGINT << CAST(p % 32 AS INT))) <> 0
+                        THEN 1 ELSE 0 END) AS allset
+        FROM tp LEFT JOIN w ON CAST(p // 32 AS INT) = w.wi
+        GROUP BY doc_id, n_grams, gram
+    )
+    SELECT doc_id,
+           CAST(n_grams AS INT) AS n_grams,
+           CAST(SUM(allset) AS INT) AS n_hits,
+           CAST(SUM(allset) > 0 AS INT) AS contaminated
+    FROM tb GROUP BY doc_id, n_grams
+    ORDER BY doc_id
+    """,
+)
+def pipe_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a deterministic Bloom filter (Bloom 1970 as
+    large-corpus pipelines run it; operators/dedup.py bloom_build +
+    bloom_decontaminate): the benchmark slice's token 4-grams build a
+    2^16-bit / 4-hash filter — ONE bounded bit_or aggregate, 16 KiB
+    regardless of benchmark size — and every train document probes it
+    INSIDE one projection: the word array is a literal, n_hits is
+    size(filter(distinct grams, all k bits set)) as nested
+    higher-order builtins. No join, no shuffle, no UDF at probe time;
+    at 100 TB the probe costs exactly the text scan, and the filter
+    stays constant memory where pipe_decontaminate's exact key set
+    grows with the benchmark. Bit positions are md5-hex integer math,
+    so the SQL twin reproduces the filter — deterministic false
+    positives included — bit-for-bit."""
+    from vectordb_light_spark.operators.dedup import (
+        bloom_build,
+        bloom_decontaminate,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") < 10)
+    train = docs.where(F.col("doc_id") >= 10)
+    words = bloom_build(bench, n=4)
+    return bloom_decontaminate(train, words, n=4).orderBy("doc_id")
+
+
+@register(
     "pipe_semantic_decontaminate",
     oracle=r"""
     WITH tok AS (
