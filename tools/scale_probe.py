@@ -325,6 +325,7 @@ def _all_markers():
         E2E_MARKER,
         IMG_MARKER,
         DECON_MARKER,
+        BLOOM_MARKER,
     )
 
 
@@ -1550,6 +1551,99 @@ def main_decon(dims: tuple[int, ...] = (64, 256, 1024, 4096)) -> None:
         _write_section(DECON_MARKER, out)
 
 
+BLOOM_MARKER = "\n## bloom decontamination: constant memory in benchmark size"
+
+
+def main_bloom(bench_sizes: tuple[int, ...] = (10, 100, 1000)) -> None:
+    """r7: pipe_bloom_decontaminate's scale claim measured — the Bloom
+    probe's cost and memory are CONSTANT in benchmark size (the filter
+    is 16 KiB at any |bench|), where the exact decontaminator's
+    broadcast key set grows linearly. Fixed train side (4,000 sf0.1
+    docs), benchmark swept 100x; records the exact path's distinct key
+    count and both walls. Appends its SCALING.md section with --write."""
+    from vectordb_light_spark.operators.dedup import (
+        BLOOM_M_BITS,
+        BLOOM_WORD_BITS,
+        bloom_build,
+        bloom_decontaminate,
+        ngram_contamination,
+        token_ngrams,
+    )
+
+    spark = get_spark("scale-probe-bloom")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") >= 1000)
+    rows_tbl: dict[int, tuple] = {}
+    for nb in bench_sizes:
+        bench = docs.where(F.col("doc_id") < nb)
+        n_keys = (
+            bench.select(F.explode(token_ngrams(F.col("text"), 4)).alias("g"))
+            .select(F.md5("g"))
+            .distinct()
+            .count()
+        )
+        t0 = time.time()
+        words = bloom_build(bench, n=4)
+        t_build = time.time() - t0
+        nnz_bits = sum(bin(w & 0xFFFFFFFF).count("1") for w in words)
+
+        def probe(words=words):
+            return bloom_decontaminate(train, words, n=4).count()
+
+        def exact(bench=bench):
+            return ngram_contamination(train, bench, n=4).count()
+
+        probe(); exact()  # warm-up
+        t_probe = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            probe()
+            t_probe = min(t_probe, time.time() - t0)
+        t_exact = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            exact()
+            t_exact = min(t_exact, time.time() - t0)
+        rows_tbl[nb] = (n_keys, nnz_bits, t_build, t_probe, t_exact)
+        print(
+            f"|bench|={nb}: {n_keys:,} exact keys, {nnz_bits:,} bloom bits set, "
+            f"build {t_build:.2f}s, probe {t_probe:.2f}s, exact {t_exact:.2f}s",
+            flush=True,
+        )
+    n_words = BLOOM_M_BITS // BLOOM_WORD_BITS
+    lines = [
+        "",
+        BLOOM_MARKER.strip(),
+        "",
+        "| bench docs | exact distinct keys | bloom bits set (of 65,536) |"
+        " bloom build | bloom probe | exact probe |",
+        "|---|---|---|---|---|---|",
+    ] + [
+        f"| {nb} | {nk:,} | {nz:,} | {tb:.2f}s | {tp:.2f}s | {te:.2f}s |"
+        for nb, (nk, nz, tb, tp, te) in sorted(rows_tbl.items())
+    ] + [
+        "",
+        f"Fixed 4,000-doc sf0.1 train side, benchmark swept 100x. The",
+        f"Bloom structure stays {n_words * 8:,} bytes ({n_words} words of"
+        f" {BLOOM_WORD_BITS} bits) at every benchmark size — the probe",
+        "wall is flat because the probe plan literally does not depend",
+        "on |bench| (the word array is the same-size literal; only its",
+        "bit density changes). The exact path's broadcast key set grows",
+        "with the benchmark (the top row's keys fit anywhere; a",
+        "10M-doc benchmark's would not), which is the regime the Bloom",
+        "tier exists for. Saturation is the visible trade: bits-set",
+        "climbs toward the 65,536 ceiling and false-positive hits rise",
+        "with it — at 100 TB you size m_bits to the benchmark, not the",
+        "corpus, and the filter stays broadcast-trivial.",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        _write_section(BLOOM_MARKER, out)
+
+
+
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
@@ -1574,5 +1668,7 @@ if __name__ == "__main__":
         main_imgdedup()
     elif "--decon" in sys.argv:
         main_decon()
+    elif "--bloom" in sys.argv:
+        main_bloom()
     else:
         main()

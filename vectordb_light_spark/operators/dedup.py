@@ -1225,20 +1225,20 @@ def _pow2_word() -> Column:
     return F.array(*[F.lit(1 << b).cast("long") for b in range(BLOOM_WORD_BITS)])
 
 
-def _bloom_positions(gram: Column, *, m_bits: int, k: int) -> Column:
-    """Array of ``k`` bit positions for a gram: position *i* is the
-    first 32 md5 hex bits of ``gram || ':' || i`` mod ``m_bits`` — the
-    md5-hex primitive every sampler in this package uses, so any
-    engine reproduces the positions exactly."""
+def _bloom_positions_from_hex(hex_col: Column, *, m_bits: int, k: int) -> Column:
+    """Array of ``k`` bit positions from ONE md5 hex digest: position
+    *i* is hex chars ``[8i, 8i+8)`` (a 32-bit slice) mod ``m_bits`` —
+    the classic one-hash/split-bits Bloom construction (Kirsch &
+    Mitzenmacher 2006 shows split/derived positions preserve the FPR).
+    One md5 per gram instead of k: the md5 is the expensive step when
+    the probe runs as an interpreted higher-order lambda, and slicing
+    is also exactly what a SQL twin replays (``substr(md5(g),
+    1+8i, 8)``). 128 hex bits bound ``k`` at 4."""
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4] (one 128-bit md5), got {k}")
     return F.array(
         *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", gram, F.lit(str(i)))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
+            F.conv(F.substring(hex_col, 1 + 8 * i, 8), 16, 10).cast("long")
             % m_bits
             for i in range(k)
         ]
@@ -1266,9 +1266,10 @@ def bloom_build(
     side pattern as the query-weight pools."""
     pos = (
         bench.select(F.explode(token_ngrams(F.col(text_col), n)).alias("__g"))
+        .select(F.md5("__g").alias("__h"))
         .select(
             F.explode(
-                _bloom_positions(F.col("__g"), m_bits=m_bits, k=k)
+                _bloom_positions_from_hex(F.col("__h"), m_bits=m_bits, k=k)
             ).alias("__p")
         )
     )
@@ -1308,13 +1309,14 @@ def bloom_decontaminate(
     trade: a deterministic, tunable false-positive rate (never false
     negatives) for a probe that touches no second table at all.
 
-    Plan shape: the word array enters as a literal; per document,
-    ``n_hits = size(filter(distinct grams, g -> every one of its k
-    bits is set))`` — nested higher-order builtins inside ONE
-    projection over the scan. No join, no shuffle, no UDF; at 100 TB
-    the cost is exactly the text scan (the pipe_bpe_encode trade:
-    HOFs run interpreted, but map-only beats a corpus-sized
-    exchange).
+    Plan shape: the word array enters as a literal; the gram md5s are
+    STAGED as their own projection (one md5 per distinct gram — the
+    module-header staging rule: a lambda would re-evaluate the md5
+    subtree per position), then ``n_hits = size(filter(hexes, h ->
+    every one of its k sliced bits is set))`` — nested higher-order
+    builtins, no join, no shuffle, no UDF. At 100 TB the cost is the
+    text scan (the pipe_bpe_encode trade: HOFs run interpreted, but
+    map-only beats a corpus-sized exchange).
 
     Returns ``(id, n_grams, n_hits, contaminated)``; bit positions
     and words are integer md5 arithmetic, so a SQL twin reproduces
@@ -1326,13 +1328,11 @@ def bloom_decontaminate(
             f"got {len(bloom_words)}"
         )
     words = F.array(*[F.lit(int(w)).cast("long") for w in bloom_words])
-    grams = F.array_distinct(token_ngrams(F.col(text_col), n))
-
     pow2 = _pow2_word()
 
-    def is_hit(g: Column) -> Column:
+    def is_hit(h: Column) -> Column:
         return F.forall(
-            _bloom_positions(g, m_bits=m_bits, k=k),
+            _bloom_positions_from_hex(h, m_bits=m_bits, k=k),
             lambda p: (
                 F.element_at(words, (p / BLOOM_WORD_BITS).cast("int") + 1).bitwiseAND(
                     F.element_at(pow2, (p % BLOOM_WORD_BITS).cast("int") + 1)
@@ -1341,10 +1341,16 @@ def bloom_decontaminate(
             ),
         )
 
-    return train.select(
+    staged = train.select(
         F.col(id_col),
-        F.size(grams).alias("n_grams"),
-        F.size(F.filter(grams, is_hit)).alias("n_hits"),
+        F.transform(
+            F.array_distinct(token_ngrams(F.col(text_col), n)), F.md5
+        ).alias("__hexes"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("__hexes").alias("n_grams"),
+        F.size(F.filter(F.col("__hexes"), is_hit)).alias("n_hits"),
     ).withColumn("contaminated", (F.col("n_hits") > 0).cast("int"))
 
 

@@ -5934,8 +5934,8 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok
     ),
     bp AS (
-        SELECT CAST(('0x' || substr(md5(gram || ':' || CAST(u.i AS VARCHAR)),
-                                    1, 8)) AS BIGINT) % 65536 AS p
+        SELECT CAST(('0x' || substr(md5(gram), 1 + 8 * u.i, 8))
+                    AS BIGINT) % 65536 AS p
         FROM (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 10),
              UNNEST([0, 1, 2, 3]) AS u(i)
     ),
@@ -5951,8 +5951,8 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tp AS (
         SELECT doc_id, n_grams, gram,
-               CAST(('0x' || substr(md5(gram || ':' || CAST(u.i AS VARCHAR)),
-                                    1, 8)) AS BIGINT) % 65536 AS p
+               CAST(('0x' || substr(md5(gram), 1 + 8 * u.i, 8))
+                    AS BIGINT) % 65536 AS p
         FROM tg, UNNEST([0, 1, 2, 3]) AS u(i)
     ),
     tb AS (
