@@ -108,3 +108,63 @@ def test_split_token_windows_stride_and_tail(spark):
     h = {r["window_index"]: r["window_hash"] for r in rows if r["doc_id"] == 1}
     assert h[0] == hashlib.md5(b"a b c").hexdigest()
     assert h[1] == hashlib.md5(b"c d e").hexdigest()
+
+
+def test_content_defined_chunks_roundtrip_and_shift_resistance(spark):
+    """CDC invariants: chunks concatenate back to the exact document;
+    short/empty docs come back as one chunk; and — the property the
+    operator exists for — an insertion re-aligns every boundary after
+    the edit, so the chunk streams share their suffix."""
+    import random
+
+    from vectordb_light_spark.operators.chunker import split_content_defined
+
+    rng = random.Random(7)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    base = " ".join(rng.choice(words) for _ in range(120))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "INSERTED PREFIX TEXT " + base),
+            (3, "short"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = split_content_defined(df).collect()
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    chunks = {d: [c for _, c in sorted(v)] for d, v in by.items()}
+
+    assert "".join(chunks[1]) == base
+    assert len(chunks[1]) > 1  # boundaries actually fire
+    assert chunks[3] == ["short"] and chunks[4] == [""]
+    # 1-based contiguous indices
+    assert [i for i, _ in sorted(by[1])] == list(range(1, len(chunks[1]) + 1))
+    # shift resistance: all chunks after the first boundary beyond the
+    # insertion are identical between the edited and unedited docs
+    shared = 0
+    a, b = chunks[1], chunks[2]
+    while shared < min(len(a), len(b)) and a[-1 - shared] == b[-1 - shared]:
+        shared += 1
+    assert shared >= len(a) - 1
+
+
+def test_content_defined_chunks_deterministic_and_content_keyed(spark):
+    """Identical text in different docs produces identical chunk
+    sequences (the chunk-level-dedup enabler), and a rerun reproduces
+    the output exactly."""
+    from vectordb_light_spark.operators.chunker import split_content_defined
+
+    text = " ".join(f"tok{(i * 13) % 37}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = split_content_defined(df).collect()
+    one = sorted((r["chunk_idx"], r["chunk"]) for r in rows if r["doc_id"] == 1)
+    two = sorted((r["chunk_idx"], r["chunk"]) for r in rows if r["doc_id"] == 2)
+    assert one == two
+    again = split_content_defined(df).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

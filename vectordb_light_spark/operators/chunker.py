@@ -223,3 +223,93 @@ def split_token_windows(
         )
         .where(F.col("n_tokens") > 0)
     )
+
+
+def split_content_defined(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/gear CDC family — LBFS,
+    Muthitacharoen et al. 2001 — as dedup-friendly corpus chunking):
+    cut after every character position whose trailing ``k``-gram
+    rolling hash satisfies ``h % divisor == divisor - 1``, giving
+    chunks that average ``divisor`` chars whose boundaries depend only
+    on LOCAL content. The property fixed-size chunking lacks: insert
+    or delete a prefix and every boundary after the edit re-aligns, so
+    chunk-level dedup (hash-groupBy over the output) still matches the
+    unedited copies — shifting survives. No min/max clamp: the basic
+    hash-condition rule keeps every boundary decision position-
+    independent, which is also what makes an exact SQL twin possible.
+
+    Plan shape: char codes stage once (functions/text.py staging
+    rule), per-position k-gram hashes and the boundary filter are
+    higher-order builtins over that array, and chunks slice the
+    original text between consecutive boundaries — everything inside
+    one map-side projection chain over the scan, then one posexplode.
+    No shuffle (callers group the output as they need), no UDF, no
+    float. Hash = the winnowing polynomial (base 257 mod 2^31−1), so
+    the twin replays it with list_reduce.
+
+    Returns ``(id, chunk_idx, chunk)`` with 1-based chunk_idx;
+    concatenating chunks in order reproduces the document exactly.
+    Documents shorter than ``k`` (including empty) come back as one
+    chunk."""
+    from vectordb_light_spark.functions.text import (
+        char_codes,
+        kgram_hashes_from_codes,
+    )
+
+    t = F.col(text_col)
+    n = F.length(t)
+    # char codes stage FIRST: kgram_hashes_from_codes references its
+    # input 3 times (starts, span, slice) — inlined, the O(n) code
+    # extraction would re-run per position, turning the hash pass
+    # O(n²) per document (measured 12x on the sf0.01 corpus)
+    staged_codes = df.select(
+        F.col(id_col), t, char_codes(t).alias("__codes")
+    )
+    staged = staged_codes.select(
+        F.col(id_col),
+        t,
+        kgram_hashes_from_codes(F.col("__codes"), k).alias("__hs"),
+    )
+    # gram starting at 1-based s covers chars [s, s+k-1]: cut after
+    # position i+k for the 0-based transform index i; drop cuts at or
+    # past the end (a cut at n is a no-op and would emit "" chunks)
+    bounds = F.filter(
+        F.transform(
+            F.col("__hs"),
+            lambda h, i: F.when(
+                h % divisor == divisor - 1, i + k
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: (x > 0) & (x < n) & (n >= k),
+    )
+    # the boundary array MUST stage before the chunk lambda: element_at
+    # inside the transform would re-run the filter+transform chain per
+    # chunk per reference (the module-header staging rule)
+    staged_b = staged.select(
+        F.col(id_col),
+        t,
+        F.concat(F.array(F.lit(0)), bounds, F.array(n)).alias("__b"),
+    )
+    b = F.col("__b")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(b) - 1),
+        lambda i: t.substr(
+            F.element_at(b, i) + 1,
+            F.element_at(b, i + 1) - F.element_at(b, i),
+        ),
+    )
+    return staged_b.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx0", "chunk"),
+    ).select(
+        F.col(id_col),
+        (F.col("chunk_idx0") + 1).cast("int").alias("chunk_idx"),
+        "chunk",
+    )

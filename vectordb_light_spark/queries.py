@@ -451,6 +451,62 @@ def pipe_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipe_cdc_chunks",
+    oracle=r"""
+    WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    h AS (
+        SELECT doc_id, text, n,
+               list_transform(
+                   generate_series(1, greatest(n - 8 + 1, 1)),
+                   s -> list_reduce(
+                       list_prepend(0::BIGINT,
+                           list_transform(
+                               generate_series(0, least(8, n) - 1),
+                               j -> ord(substring(text, s + j, 1))::BIGINT)),
+                       (acc, x) -> (acc * 257 + x) % 2147483647)) AS hs
+        FROM c
+    ),
+    b AS (
+        SELECT doc_id, text, n,
+               list_concat(list_concat([0::BIGINT],
+                   list_filter(
+                       list_transform(hs,
+                           (x, i) -> CASE WHEN x % 64 = 63
+                                     THEN CAST(i - 1 + 8 AS BIGINT)
+                                     ELSE -1 END),
+                       p -> p > 0 AND p < n AND n >= 8)),
+                   [CAST(n AS BIGINT)]) AS bnd
+        FROM h
+    )
+    SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+           substring(text, CAST(bnd[u.i] + 1 AS INT),
+                     CAST(bnd[u.i + 1] - bnd[u.i] AS INT)) AS chunk
+    FROM b, UNNEST(generate_series(1, len(bnd) - 1)) AS u(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def pipe_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/chunker.py
+    split_content_defined; LBFS-family Rabin/gear CDC): cut after
+    every char whose trailing 8-gram winnowing-polynomial hash ≡ 63
+    (mod 64) — boundaries depend only on local content, so an edit
+    anywhere re-aligns every later boundary and chunk-level dedup
+    still matches unedited copies (the property fixed-size chunking
+    lacks). Char codes stage once, hashes/boundaries/slices are
+    higher-order builtins in one map-side projection chain, then one
+    posexplode — no shuffle, no UDF, no float; concatenating chunks
+    reproduces each document byte-for-byte. The twin replays the
+    identical polynomial with list_reduce (the ts_winnow_fingerprints
+    primitive)."""
+    from vectordb_light_spark.operators.chunker import split_content_defined
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    return split_content_defined(docs, k=8, divisor=64).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 #: Shared CTE chain: synthesized URL variants -> normalization
 #: (mirrors operators/curation.normalize_url step for step) -> url
 #: min-id dedup -> per-domain cap. Used by the pipe_url_dedup AND
