@@ -135,8 +135,12 @@ def quality_classifier_scores(
     weight array → higher-order ``aggregate`` sum, all inside ONE
     project over the scan — no explode, no groupBy, no join, no UDF.
     The 100 TB cost is exactly the text scan."""
+    from vectordb_light_spark.session import literal_array
+
     n_buckets = len(weights_q)
-    arr = F.array(*[F.lit(int(x)).cast("long") for x in weights_q])
+    # one parsed expression — per-element F.lit pays a py4j round-trip
+    # per weight at every plan build (session.literal_array docstring)
+    arr = literal_array(weights_q, "bigint")
     toks = F.filter(
         F.split(
             F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),

@@ -175,3 +175,29 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def literal_array(values, sql_type: str = "bigint"):
+    """Array literal as ONE parsed SQL expression. ``F.array`` over
+    per-element ``F.lit`` pays a py4j driver round-trip per element —
+    ~3 ms each, so a 2048-word Bloom filter literal cost ~6 s of plan
+    CONSTRUCTION wall per query build (measured; the executed plan is
+    identical either way). Integer types render exactly; doubles use
+    repr (shortest round-trip) with the ``D`` suffix so the parsed
+    value is bit-identical to the Python float."""
+    from pyspark.sql import functions as F
+
+    t = sql_type.lower()
+    if not values:
+        return F.expr(f"CAST(array() AS array<{t}>)")
+    if t in ("bigint", "long", "int", "integer", "smallint", "tinyint"):
+        suffix = "L" if t in ("bigint", "long") else ""
+        body = ",".join(str(int(v)) + suffix for v in values)
+    elif t in ("double", "float"):
+        body = ",".join(repr(float(v)) + "D" for v in values)
+    else:
+        raise ValueError(f"unsupported literal_array type: {sql_type}")
+    arr = F.expr(f"array({body})")
+    return arr if t in ("bigint", "long", "double") else arr.cast(
+        f"array<{t}>"
+    )
