@@ -317,7 +317,12 @@ def dsir_importance_scores(
         lr[i] = math.log((ct + alpha) / (T + alpha * n_buckets)) - math.log(
             (cr + alpha) / (R + alpha * n_buckets)
         )
-    arr = F.array(*[F.lit(float(x)) for x in lr])
+    from vectordb_light_spark.session import literal_array
+
+    # one parsed expression — 256 per-element F.lit calls cost ~0.8 s
+    # of py4j plan-construction wall per build (literal_array docstring);
+    # repr + Spark's correctly-rounded parse keep every double bit-exact
+    arr = literal_array(lr, "double")
     return (
         b.withColumn("__lr", F.element_at(arr, F.col("__bucket") + 1))
         .groupBy(id_col)

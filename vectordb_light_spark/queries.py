@@ -6182,14 +6182,18 @@ def ts_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     All JVM builtins over one scan — split, slide, array_distinct —
     no shuffle, no Python: the cheapest quality gate in the corpus
     pipeline and a pure map at any scale."""
-    from vectordb_light_spark.operators.dedup import token_ngrams
+    from vectordb_light_spark.operators.dedup import (
+        ngram_tokens,
+        token_ngrams_from_tokens,
+    )
 
     docs = load_docs(spark, sf_dir)
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
     g = docs.select(
+        "doc_id", ngram_tokens(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        token_ngrams(F.col("text"), 3).alias("grams"),
+        F.size("__toks").alias("n_tokens"),
+        token_ngrams_from_tokens(F.col("__toks"), 3).alias("grams"),
     )
     dup = 1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
     return g.select(
@@ -6587,6 +6591,11 @@ _CHANGED_THIS_ROUND = {
     "pipe_temperature_mix",    # ADVICE: zero-share shares rejected
     "dd_embedding_near_dups",  # r7 item 6: dim hint plumbed (output-neutral)
     "dd_semantic_dedup",       # r7 item 6: dim hint plumbed (output-neutral)
+    # r7 late perf pass (all output-neutral; each already r3-stale so
+    # the move from class (c) to (b) leaves the 48-row total intact):
+    "pipe_dsir_select",        # literal_array for the 256 log-ratios
+    "pipe_decontaminate",      # staged ngram tokens (split-per-gram fix)
+    "ts_repetition_filter",    # staged ngram tokens (split-per-gram fix)
 }
 
 
