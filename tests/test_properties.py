@@ -365,3 +365,79 @@ def test_stratified_take_quota_properties(spark, ids, n):
     }
     sup = {(r["doc_id"], r["take_rank"]) for r in out}
     assert sub <= sup
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (r7) — roundtrip on arbitrary unicode,
+# keep-first line dedup vs a Python reference
+# ---------------------------------------------------------------------------
+
+
+@given(
+    texts=st.lists(st.text(max_size=400), min_size=1, max_size=10),
+    divisor=st.sampled_from([16, 64, 256]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cdc_roundtrip_on_arbitrary_unicode(spark, texts, divisor):
+    """CDC's structural invariants hold for ANY input, not just the
+    ASCII corpus: chunks concatenate back to the exact document, every
+    doc returns >= 1 chunk, and indices are 1-based and contiguous.
+    (Boundary PLACEMENT on non-ASCII is engine-defined via ascii();
+    the roundtrip is position-sliced so it never depends on that.)"""
+    from vectordb_light_spark.operators.chunker import split_content_defined
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = split_content_defined(df, divisor=divisor).collect()
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk"]
+    for doc_id, text in enumerate(texts):
+        chunks = by.get(doc_id, {})
+        assert chunks, (doc_id, text)
+        assert sorted(chunks) == list(range(1, len(chunks) + 1))
+        assert "".join(chunks[i] for i in sorted(chunks)) == text
+
+
+def _ref_line_dedup(docs: list[tuple[int, str]], sep: str) -> dict[int, str]:
+    seen: set = set()
+    out: dict[int, str] = {}
+    for doc_id, text in sorted(docs):
+        kept = []
+        for seg in text.split(sep):
+            key = seg.strip(" ")
+            if key == "":
+                kept.append(seg)
+            elif key not in seen:
+                seen.add(key)
+                kept.append(seg)
+        out[doc_id] = sep.join(kept)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab \n")), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_line_dedup_matches_reference_loop(spark, docs):
+    """dedup_lines_keep_first ≡ the sequential keep-first loop on
+    adversarial inputs: tiny alphabet forces heavy cross-doc and
+    within-doc collisions, blank and whitespace-only segments
+    included. The kept text must match the loop EXACTLY — including
+    the trim-normalized survivor identity."""
+    from vectordb_light_spark.operators.dedup import dedup_lines_keep_first
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines_keep_first(df, sep="\n").collect()
+    }
+    assert got == _ref_line_dedup(rows, "\n")
