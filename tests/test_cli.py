@@ -126,3 +126,45 @@ def test_cli_rag_chat_streams_completion(spark, corpus_dir, tmp_path, capsys):
     sent = _MockChatHandler.requests_seen[-1]["body"]["messages"][1]["content"]
     assert "theme0 content" in sent and "---" in sent
     assert _MockChatHandler.requests_seen[-1]["body"]["model"] == "test-model"
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    """curate: parquet corpus in -> per-stage JSON report + survivor
+    parquet out; --bench wires the decontaminate stage."""
+    src = str(tmp_path / "corpus")
+    bench = str(tmp_path / "bench")
+    out = str(tmp_path / "curated")
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was that kind "
+        "of day for everyone involved in the field trial. later that week "
+        "the committee reviewed every single observation with care because "
+        "results of this nature tend to shape policy for seasons to come. "
+        "nobody objected when the final tally showed a clear improvement "
+        "across nearly all measured categories of the ongoing study"
+    )
+    spark.createDataFrame(
+        [
+            (1, good + " one"),
+            (2, good + " one"),  # exact dup
+            (3, good + " plus the secret benchmark answer is forty two"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(1, "the secret benchmark answer is forty two")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(bench)
+
+    assert main([
+        "curate", "--input", src, "--output", out,
+        "--stages", "exact_dedup,decontaminate", "--bench", bench,
+        "--decontaminate-n", "4",
+    ]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    stages = [l for l in lines if "stage" in l]
+    assert [s["stage"] for s in stages] == ["exact_dedup", "decontaminate"]
+    assert stages[0]["rows_in"] == 3 and stages[0]["rows_out"] == 2
+    assert stages[1]["rows_out"] == 1
+    assert lines[-1]["rows_out"] == 1
+    survivors = spark.read.parquet(out).collect()
+    assert [r["doc_id"] for r in survivors] == [1]

@@ -87,3 +87,73 @@ def test_q7_malformed_json_rows_skipped(spark):
     assert set(rows) == {1, 3}
     assert rows[1]["file_name"] == "a.txt"
     assert rows[3]["page"] is None
+
+
+def test_run_curation_chain_and_reports(spark):
+    """The composable curation runner: each stage drops what its
+    operator is documented to drop, survivors keep original ids and
+    schema, per-stage reports account for every row, and report=False
+    returns the same survivors as one lazy plan."""
+    from vectordb_light_spark.operators.curate_pipeline import run_curation
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was that kind "
+        "of day for everyone involved in the field trial. later that week "
+        "the committee reviewed every single observation with care because "
+        "results of this nature tend to shape policy for seasons to come. "
+        "nobody objected when the final tally showed a clear improvement "
+        "across nearly all measured categories of the ongoing study"
+    )
+    rows = [
+        (1, good + "one"),
+        (2, good + "two"),
+        (3, good + "one"),      # exact dup of 1 -> exact_dedup drops
+        (4, "spam spam spam spam spam spam spam spam spam spam"),  # repetition
+        (5, "x"),                # gopher word-count fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, reports = run_curation(
+        df, ("exact_dedup", "repetition", "gopher"), report=True
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2]
+    assert [r["stage"] for r in reports] == ["exact_dedup", "repetition", "gopher"]
+    assert reports[0]["rows_in"] == 5 and reports[0]["rows_out"] == 4
+    for r in reports:
+        assert r["rows_in"] - r["dropped"] == r["rows_out"]
+    assert set(out.columns) == {"doc_id", "text"}
+
+    lazy, lazy_reports = run_curation(
+        df, ("exact_dedup", "repetition", "gopher"), report=False
+    )
+    assert sorted(r["doc_id"] for r in lazy.collect()) == ids
+    assert all(set(r) == {"stage"} for r in lazy_reports)
+
+
+def test_run_curation_decontaminate_and_errors(spark):
+    """The decontaminate stage needs a bench frame (clear error
+    otherwise) and drops exactly the leaking documents; unknown stage
+    names fail fast with the available list."""
+    import pytest
+
+    from vectordb_light_spark.operators.curate_pipeline import run_curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "totally clean document about gardening and soil quality"),
+            (2, "the secret eval answer is forty two exactly plus padding"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    out, _ = run_curation(df, ("decontaminate",), bench=bench,
+                          decontaminate_n=4)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+    with pytest.raises(ValueError, match="bench"):
+        run_curation(df, ("decontaminate",))
+    with pytest.raises(ValueError, match="unknown curation stages"):
+        run_curation(df, ("nope",))

@@ -10,6 +10,8 @@ as JSON lines so the CLI composes with shell pipelines.
     python -m vectordb_light_spark search  --db-root R --name N --query "..." [--k 6]
     python -m vectordb_light_spark hybrid  --db-root R --name N --query "..."
     python -m vectordb_light_spark diverse --db-root R --name N --query "..."
+    python -m vectordb_light_spark curate --input P.parquet --output OUT \
+        [--stages exact_dedup,repetition,gopher,quality] [--bench B.parquet]
     python -m vectordb_light_spark srp-index --db-root R --name N
     python -m vectordb_light_spark compact --db-root R --name N
     python -m vectordb_light_spark list    --db-root R
@@ -66,6 +68,25 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--base-url", required=True)
             p.add_argument("--model", default="local-model")
             p.add_argument("--api-key", default="not-needed")
+
+    # training-data curation over a parquet corpus (beyond-reference
+    # surface; operators/curate_pipeline.py)
+    p = sub.add_parser("curate")
+    p.add_argument("--input", required=True, help="parquet with doc_id,text")
+    p.add_argument("--output", required=True, help="survivor parquet dir")
+    p.add_argument(
+        "--stages",
+        default=None,
+        help="comma list from operators/curate_pipeline.STAGES "
+        "(default: exact_dedup,repetition,gopher,quality)",
+    )
+    p.add_argument("--bench", default=None,
+                   help="benchmark parquet for the decontaminate stage")
+    p.add_argument("--decontaminate-n", type=int, default=8,
+                   help="token n-gram width for the decontaminate stage")
+    p.add_argument("--no-report", action="store_true",
+                   help="skip per-stage counts: the chain stays one lazy "
+                   "plan and costs exactly the final write")
 
     common(sub.add_parser("srp-index"))
     common(sub.add_parser("pq-index"))
@@ -133,6 +154,31 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         _emit({"meta": meta, "n_rejects": rejects.count()})
+        return 0
+
+    if a.cmd == "curate":
+        from vectordb_light_spark.operators.curate_pipeline import (
+            DEFAULT_STAGES,
+            run_curation,
+        )
+
+        docs = spark.read.parquet(a.input)
+        stages = (
+            [s.strip() for s in a.stages.split(",") if s.strip()]
+            if a.stages
+            else list(DEFAULT_STAGES)
+        )
+        ctx = {"decontaminate_n": a.decontaminate_n}
+        if a.bench:
+            ctx["bench"] = spark.read.parquet(a.bench)
+        survivors, reports = run_curation(
+            docs, stages, report=not a.no_report, **ctx
+        )
+        survivors.write.mode("overwrite").parquet(a.output)
+        for r in reports:
+            _emit(r)
+        _emit({"output": a.output, "stages": stages,
+               "rows_out": survivors.count()})
         return 0
 
     if a.cmd == "compact":

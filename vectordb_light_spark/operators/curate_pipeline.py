@@ -1,0 +1,175 @@
+"""Composable curation-pipeline runner: the CLI-facing chain over the
+engine's corpus-curation operators (no reference analogue — the
+reference is a retrieval GUI; this is the training-data side the
+engine adds on top, per SURVEY §4).
+
+A pipeline is an ordered list of STAGE NAMES from :data:`STAGES`;
+each stage is a pure ``DataFrame -> DataFrame`` filter/transform over
+``(doc_id, text, ...)`` built entirely from the already-tested
+operators (exact/line dedup, learned quality gate, Gopher/C4 rules,
+repetition, decontamination). :func:`run_curation` threads a corpus
+through the chain and, when reporting, counts survivors per stage —
+one action per stage on a persisted frame; with ``report=False`` the
+whole chain stays ONE lazy plan (zero intermediate actions) so the
+100 TB run costs exactly the final write.
+
+Stage contracts:
+- every stage preserves the input schema (extra columns pass through);
+- filters only DROP rows, transforms may rewrite ``text``;
+- survivors keep their original ``doc_id`` (deterministic — min-id or
+  keep-first semantics throughout, never partition order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _stage_exact_dedup(df: DataFrame, ctx: dict) -> DataFrame:
+    from vectordb_light_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(df)
+
+
+def _stage_line_dedup(df: DataFrame, ctx: dict) -> DataFrame:
+    """Keep-first segment dedup, then drop docs whose every segment
+    was already seen (their rewrite is empty)."""
+    from vectordb_light_spark.operators.dedup import dedup_lines_keep_first
+
+    sep = ctx.get("line_sep", "\n")
+    rewritten = dedup_lines_keep_first(
+        df.select("doc_id", "text"), sep=sep
+    ).withColumnRenamed("text", "__new_text")
+    return (
+        df.drop("text")
+        .join(rewritten, "doc_id")
+        .withColumnRenamed("__new_text", "text")
+        .where(F.length(F.trim("text")) > 0)
+    )
+
+
+def _stage_quality(df: DataFrame, ctx: dict) -> DataFrame:
+    """Learned quality gate (the distilled classifier, integer
+    micro-logits): keep documents scoring above σ(0) = 0.5."""
+    from vectordb_light_spark.functions.quality_weights import (
+        BIAS_Q,
+        WEIGHTS_Q,
+    )
+    from vectordb_light_spark.operators.quality_model import (
+        quality_classifier_scores,
+    )
+
+    keep_ids = quality_classifier_scores(
+        df.select("doc_id", "text"), WEIGHTS_Q, BIAS_Q
+    ).where("keep")
+    return df.join(keep_ids.select("doc_id"), "doc_id")
+
+
+def _stage_gopher(df: DataFrame, ctx: dict) -> DataFrame:
+    from vectordb_light_spark.functions.text import gopher_rules
+
+    return df.where(gopher_rules(F.col("text"))["keep"])
+
+
+def _stage_c4(df: DataFrame, ctx: dict) -> DataFrame:
+    """C4 page gate + line cleaning: drops blocked pages and rewrites
+    ``text`` to the kept lines."""
+    from vectordb_light_spark.functions.text import c4_rules
+
+    rules = c4_rules(F.col("text"))
+    return (
+        df.where(rules["keep"])
+        .withColumn("text", c4_rules(F.col("text"))["cleaned_text"])
+        .where(F.length(F.trim("text")) > 0)
+    )
+
+
+def _stage_repetition(df: DataFrame, ctx: dict) -> DataFrame:
+    """Gopher duplicate-n-gram heuristic: drop documents whose token
+    3-grams repeat above the bar (generated/spammy text)."""
+    from vectordb_light_spark.operators.dedup import (
+        ngram_tokens,
+        token_ngrams_from_tokens,
+    )
+
+    bar = float(ctx.get("repetition_bar", 0.20))
+    staged = df.withColumn("__toks", ngram_tokens(F.col("text"))).withColumn(
+        "__grams", token_ngrams_from_tokens(F.col("__toks"), 3)
+    )
+    dup = 1.0 - F.size(F.array_distinct("__grams")).cast("double") / F.size(
+        "__grams"
+    )
+    return staged.where(dup <= bar).drop("__toks", "__grams")
+
+
+def _stage_decontaminate(df: DataFrame, ctx: dict) -> DataFrame:
+    """Drop documents sharing any token n-gram with the benchmark
+    corpus (requires ``ctx['bench']``)."""
+    from vectordb_light_spark.operators.dedup import ngram_contamination
+
+    bench = ctx.get("bench")
+    if bench is None:
+        raise ValueError(
+            "the 'decontaminate' stage needs ctx['bench'] "
+            "(a DataFrame with a text column; CLI: --bench PATH)"
+        )
+    n = int(ctx.get("decontaminate_n", 8))
+    clean = ngram_contamination(
+        df.select("doc_id", "text"), bench, n=n
+    ).where(~F.col("contaminated"))
+    return df.join(clean.select("doc_id"), "doc_id")
+
+
+#: name -> stage callable. Order in a pipeline is the caller's choice;
+#: the conventional cheap-to-expensive chain is the `DEFAULT_STAGES`.
+STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
+    "exact_dedup": _stage_exact_dedup,
+    "line_dedup": _stage_line_dedup,
+    "quality": _stage_quality,
+    "gopher": _stage_gopher,
+    "c4": _stage_c4,
+    "repetition": _stage_repetition,
+    "decontaminate": _stage_decontaminate,
+}
+
+DEFAULT_STAGES = ("exact_dedup", "repetition", "gopher", "quality")
+
+
+def run_curation(
+    docs: DataFrame,
+    stages: list[str] | tuple[str, ...] = DEFAULT_STAGES,
+    *,
+    report: bool = True,
+    **ctx,
+) -> tuple[DataFrame, list[dict]]:
+    """Thread a corpus through the named stages.
+
+    Returns ``(survivors, stage_reports)``. With ``report=True`` each
+    stage's frame persists and one count action runs per stage (the
+    numbers a curation run wants to log); with ``report=False`` the
+    reports carry no counts and the chain composes into ONE lazy plan
+    — at 100 TB the pipeline then costs exactly the final action."""
+    unknown = [s for s in stages if s not in STAGES]
+    if unknown:
+        raise ValueError(f"unknown curation stages {unknown}; have {sorted(STAGES)}")
+    from vectordb_light_spark.session import persist_if_batch
+
+    reports: list[dict] = []
+    cur = docs
+    n_in = cur.count() if report else None
+    for name in stages:
+        cur = STAGES[name](cur, ctx)
+        if report:
+            cur = persist_if_batch(cur)
+            n_out = cur.count()
+            reports.append(
+                {"stage": name, "rows_in": n_in, "rows_out": n_out,
+                 "dropped": n_in - n_out}
+            )
+            n_in = n_out
+        else:
+            reports.append({"stage": name})
+    return cur, reports
