@@ -1304,10 +1304,55 @@ def ts_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "ts_gopher_filter",
-    oracle=r"""
-    WITH t AS (
+def _curate_chain_oracle_sql() -> str:
+    """DuckDB twin of pipe_curate_chain: the three stages are pure
+    filters, so the composed survivor set is the INTERSECTION of the
+    per-stage keep sets — each expressed with the SAME shared CTE text
+    as its standalone oracle (quality logits via _quality_logit_ctes,
+    exact dedup and repetition as the dd_exact_dedup /
+    ts_repetition_filter shapes)."""
+    return f"""
+    WITH {_quality_logit_ctes()},
+    keyed AS (
+        SELECT doc_id,
+               sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k2
+        FROM documents
+    ),
+    winners AS (SELECT k2, MIN(doc_id) AS doc_id FROM keyed GROUP BY k2),
+    d1 AS (SELECT keyed.doc_id FROM keyed
+           JOIN winners ON keyed.k2 = winners.k2
+                       AND keyed.doc_id = winners.doc_id),
+    tok3 AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks3
+        FROM documents
+    ),
+    g3 AS (
+        SELECT doc_id,
+               CASE WHEN len(toks3) <= 3 THEN [array_to_string(toks3, ' ')]
+                    ELSE list_transform(generate_series(1, len(toks3) - 2),
+                                        i -> array_to_string(toks3[i:i+2], ' '))
+               END AS grams
+        FROM tok3
+    ),
+    rep AS (
+        SELECT doc_id FROM g3
+        WHERE 1.0 - len(list_distinct(grams))::DOUBLE / len(grams) <= 0.05
+    ),
+    q AS (SELECT doc_id FROM s WHERE logit_q > 0)
+    SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars
+    FROM documents d
+    JOIN d1 ON d.doc_id = d1.doc_id
+    JOIN rep ON d.doc_id = rep.doc_id
+    JOIN q ON d.doc_id = q.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+#: Gopher-rule CTEs (gt/gm), factored so composed oracles can reuse
+#: the exact text (the curate chain ultimately grades the Gopher gate
+#: standalone — see pipe_curate_chain's docstring — but the factoring
+#: stays: one text, any future composition cannot drift).
+_GOPHER_TM_CTES = r"""gt AS (
         SELECT doc_id,
                trim(text) AS tt,
                CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1332,7 +1377,7 @@ def ts_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_split(text, chr(10)) AS lines
         FROM documents
     ),
-    m AS (
+    gm AS (
         SELECT doc_id, n_words,
                CASE WHEN n_words = 0 THEN 0.0
                     ELSE nonspace::DOUBLE / n_words END AS mean_wl,
@@ -1347,8 +1392,20 @@ def ts_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter(lines,
                    x -> regexp_matches(trim(x), '(\.\.\.|…)$')))::DOUBLE
                    / len(lines) AS ellipsis_frac
-        FROM t
-    )
+        FROM gt
+    )"""
+
+_GOPHER_KEEP_SQL = """(n_words >= 50 AND n_words <= 100000)
+               AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+               AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+               AND stop_hits >= 2 AND bullet_frac <= 0.9
+               AND ellipsis_frac <= 0.3"""
+
+
+@register(
+    "ts_gopher_filter",
+    oracle=f"""
+    WITH {_GOPHER_TM_CTES}
     SELECT doc_id,
            CAST(n_words AS INT) AS n_words,
            ROUND(mean_wl, 6) AS mean_word_len,
@@ -1364,7 +1421,7 @@ def ts_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
                AND stop_hits >= 2 AND bullet_frac <= 0.9
                AND ellipsis_frac <= 0.3 AS keep
-    FROM m
+    FROM gm
     ORDER BY doc_id
     """,
 )
@@ -1392,6 +1449,36 @@ def ts_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["rule_bullet_lines"].alias("rule_bullet_lines"),
         r["rule_ellipsis_lines"].alias("rule_ellipsis_lines"),
         r["keep"].alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register("pipe_curate_chain", oracle=_curate_chain_oracle_sql())
+def pipe_curate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `curate` CLI chain as ONE driver-graded plan
+    (operators/curate_pipeline.py run_curation, report=False): exact
+    dedup → repetition gate (bar 0.05 — the corpus-splitting setting
+    here) → learned quality gate, composed lazily so the whole
+    pipeline is a single job. The Gopher stage is exercised standalone
+    by ts_gopher_filter instead: its required-stopword rule is
+    structurally zero on this synthetic vocabulary, and an empty
+    survivor set would grade nothing. All stages are pure filters, so
+    the oracle intersects the per-stage keep sets — each written with
+    the SAME shared CTE text as its standalone oracle (the twins
+    cannot drift). Scale shape: one narrow-key dedup exchange + one
+    quality semi-join; every gate expression rides the scan. This is
+    the entry that pins the PRODUCT surface (the CLI chain), not just
+    its ingredients."""
+    from vectordb_light_spark.operators.curate_pipeline import run_curation
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    out, _ = run_curation(
+        docs,
+        ("exact_dedup", "repetition", "quality"),
+        report=False,
+        repetition_bar=0.05,
+    )
+    return out.select(
+        "doc_id", F.length("text").cast("int").alias("n_chars")
     ).orderBy("doc_id")
 
 
@@ -6596,6 +6683,7 @@ _CHANGED_THIS_ROUND = {
     "pipe_dsir_select",        # literal_array for the 256 log-ratios
     "pipe_decontaminate",      # staged ngram tokens (split-per-gram fix)
     "ts_repetition_filter",    # staged ngram tokens (split-per-gram fix)
+    "ts_gopher_filter",        # oracle CTEs factored shared (gt/gm rename)
 }
 
 
