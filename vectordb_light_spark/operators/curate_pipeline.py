@@ -53,19 +53,19 @@ def _stage_line_dedup(df: DataFrame, ctx: dict) -> DataFrame:
 
 def _stage_quality(df: DataFrame, ctx: dict) -> DataFrame:
     """Learned quality gate (the distilled classifier, integer
-    micro-logits): keep documents scoring above σ(0) = 0.5."""
+    micro-logits): keep documents scoring above σ(0) = 0.5. Gated IN
+    PLACE with the logit column expression — a join back against the
+    scored frame would re-execute every upstream stage a second time
+    (measured ~2× on the composed chain)."""
     from vectordb_light_spark.functions.quality_weights import (
         BIAS_Q,
         WEIGHTS_Q,
     )
     from vectordb_light_spark.operators.quality_model import (
-        quality_classifier_scores,
+        quality_logit_column,
     )
 
-    keep_ids = quality_classifier_scores(
-        df.select("doc_id", "text"), WEIGHTS_Q, BIAS_Q
-    ).where("keep")
-    return df.join(keep_ids.select("doc_id"), "doc_id")
+    return df.where(quality_logit_column(WEIGHTS_Q, BIAS_Q) > 0)
 
 
 def _stage_gopher(df: DataFrame, ctx: dict) -> DataFrame:

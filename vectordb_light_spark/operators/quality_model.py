@@ -114,6 +114,52 @@ def quantize_logreg(
     return [int(round(float(x) * scale)) for x in w], int(round(b * scale))
 
 
+def quality_logit_column(
+    weights_q: list[int],
+    bias_q: int,
+    *,
+    text_col: str = "text",
+) -> Column:
+    """The quantized quality logit as a COLUMN expression —
+    ``bias_q + Σ_tokens weights_q[bucket(token)]`` (exact 64-bit
+    integers; tokenize → per-element ``element_at`` on the literal
+    weight array → higher-order ``aggregate`` sum). Use this to score
+    or gate in place (``df.where(quality_logit_column(...) > 0)``):
+    it adds NO join and NO recomputation of whatever produced ``df``,
+    which matters inside composed pipelines."""
+    from vectordb_light_spark.session import literal_array
+
+    n_buckets = len(weights_q)
+    # one parsed expression — per-element F.lit pays a py4j round-trip
+    # per weight at every plan build (session.literal_array docstring)
+    arr = literal_array(weights_q, "bigint")
+
+    def contrib(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).cast("int")
+        return F.element_at(arr, bucket + F.lit(1))
+
+    return F.lit(int(bias_q)).cast("long") + F.aggregate(
+        F.transform(_quality_tokens(text_col), contrib),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _quality_tokens(text_col: str) -> Column:
+    """The pinned tokenization all three engines share (explicit
+    Java-\s class; see hashed_count_features)."""
+    return F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            r"[ \t\n\x0B\f\r]+",
+        ),
+        lambda x: x != "",
+    )
+
+
 def quality_classifier_scores(
     df: DataFrame,
     weights_q: list[int],
@@ -135,35 +181,10 @@ def quality_classifier_scores(
     weight array → higher-order ``aggregate`` sum, all inside ONE
     project over the scan — no explode, no groupBy, no join, no UDF.
     The 100 TB cost is exactly the text scan."""
-    from vectordb_light_spark.session import literal_array
-
-    n_buckets = len(weights_q)
-    # one parsed expression — per-element F.lit pays a py4j round-trip
-    # per weight at every plan build (session.literal_array docstring)
-    arr = literal_array(weights_q, "bigint")
-    toks = F.filter(
-        F.split(
-            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-            r"[ \t\n\x0B\f\r]+",  # explicit Java-\s class; see hashed_count_features
-        ),
-        lambda x: x != "",
-    )
-
-    def contrib(t: Column) -> Column:
-        bucket = (
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-            % n_buckets
-        ).cast("int")
-        return F.element_at(arr, bucket + F.lit(1))
-
-    logit = F.lit(int(bias_q)).cast("long") + F.aggregate(
-        F.transform(toks, contrib),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    logit = quality_logit_column(weights_q, bias_q, text_col=text_col)
     return df.select(
         F.col(id_col),
-        F.size(toks).cast("int").alias("n_tok"),
+        F.size(_quality_tokens(text_col)).cast("int").alias("n_tok"),
         logit.alias("logit_q"),
         (logit > F.lit(0)).alias("keep"),
     )
