@@ -147,3 +147,56 @@ def test_encode_entry_matches_reference_encoder(spark):
         want = [t for w in words for t in ref_encode(w, _BPE_MERGES)]
         assert r["encoded"].split(" ") == want if want else r["encoded"] == ""
         assert r["n_tok"] == len(want)
+
+
+# ---------------------------------------------------------------------------
+# r8: the pinned cross-engine whitespace class (VERDICT r7 item 3)
+# ---------------------------------------------------------------------------
+
+#: Java \s splits on \x0B, RE2 \s does not, Python str.split() adds
+#: Unicode whitespace (NBSP, \x1c...). This text trips every one of
+#: those divergences: the pinned class must split on \x0B but keep
+#: NBSP and \x1c INSIDE tokens, identically on all three engines.
+TRICKY = "Alpha\x0bbeta GAMMA\xa0delta\tfive\x0csix\rseven\nEIGHT nine\x1cten"
+TRICKY_TOKENS = [
+    "alpha", "beta", "gamma\xa0delta", "five", "six",
+    "seven", "eight", "nine\x1cten",
+]
+
+
+def test_pinned_ws_class_identical_across_engines(spark):
+    import re
+
+    import duckdb
+
+    from vectordb_light_spark.functions.text import PINNED_WS_RE
+    from vectordb_light_spark.operators.dedup import ngram_tokens
+
+    # the quality-model trainer pins the same class (spelled lowercase)
+    assert PINNED_WS_RE.lower() == "[ \\t\\n\\x0b\\f\\r]+"
+
+    # Python (trainer convention: quality_model.hashed_count_features)
+    py = [t for t in re.split(PINNED_WS_RE, TRICKY.lower()) if t]
+    assert py == TRICKY_TOKENS
+
+    # Spark/Java: ngram_tokens is the ordered token stream
+    df = spark.createDataFrame([(TRICKY,)], "text string")
+    spark_toks = df.select(ngram_tokens("text").alias("t")).head()["t"]
+    assert spark_toks == TRICKY_TOKENS
+
+    # DuckDB/RE2: the oracle-twin spelling, injected verbatim
+    duck = duckdb.sql(
+        "SELECT list_filter(string_split_regex(lower(trim(t)), "
+        f"'{PINNED_WS_RE}'), x -> x <> '') AS toks FROM "
+        "(SELECT ? AS t)",
+        params=[TRICKY],
+    ).fetchone()[0]
+    assert duck == TRICKY_TOKENS
+
+
+def test_word_vocab_uses_pinned_class(spark):
+    """word_vocab must count \x0B-separated words separately (Java \s
+    did this implicitly; the pin makes DuckDB twins agree)."""
+    df = spark.createDataFrame([("aa\x0bbb aa",), ("bb\xa0cc",)], "text string")
+    got = {r["word"]: r["freq"] for r in word_vocab(df).collect()}
+    assert got == {"aa": 2, "bb": 1, "bb\xa0cc": 1}

@@ -64,11 +64,19 @@ def word_vocab(
     df: DataFrame, *, text_col: str = "text", word_col: str = "word"
 ) -> DataFrame:
     """``(word, freq)`` over lowercased whitespace-split tokens — the
-    ONE corpus-sized aggregation; everything after runs on this."""
+    ONE corpus-sized aggregation; everything after runs on this.
+    Tokenizes on the PINNED class (functions/text.py PINNED_WS_RE):
+    Java ``\\s`` and RE2 ``\\s`` disagree on \\x0B, so the DuckDB twin
+    must spell the identical class (r7 VERDICT item 3)."""
+    from vectordb_light_spark.functions.text import PINNED_WS_RE
+
     return (
         df.select(
             F.explode(
-                F.split(F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+")
+                F.split(
+                    F.lower(F.trim(F.coalesce(text_col, F.lit("")))),
+                    PINNED_WS_RE,
+                )
             ).alias(word_col)
         )
         .where(F.col(word_col) != "")

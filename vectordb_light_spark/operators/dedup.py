@@ -1164,9 +1164,14 @@ def token_ngrams_from_tokens(toks: Column | str, n: int = 8) -> Column:
 def ngram_tokens(col: Column | str) -> Column:
     """The tokenization :func:`token_ngrams_from_tokens` expects —
     lower-cased whitespace split (the GPT-3-style decontamination
-    unit). Stage it as a column, don't inline it."""
+    unit) on the PINNED class (Java-``\\s``; RE2 ``\\s`` lacks \\x0B,
+    so DuckDB oracle twins must spell the same class — see
+    functions/text.py PINNED_WS_RE). Stage it as a column, don't
+    inline it."""
+    from vectordb_light_spark.functions.text import PINNED_WS_RE
+
     col = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    return F.split(F.lower(F.trim(col)), PINNED_WS_RE)
 
 
 def token_ngrams(col: Column | str, n: int = 8) -> Column:

@@ -1323,7 +1323,7 @@ def _curate_chain_oracle_sql() -> str:
            JOIN winners ON keyed.k2 = winners.k2
                        AND keyed.doc_id = winners.doc_id),
     tok3 AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks3
+        SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks3
         FROM documents
     ),
     g3 AS (
@@ -6009,7 +6009,7 @@ def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_decontaminate",
     oracle=r"""
     WITH tok AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
         FROM documents
     ),
     g AS (
@@ -6065,7 +6065,7 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_bloom_decontaminate",
     oracle=r"""
     WITH tok AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
         FROM documents
     ),
     g AS (
@@ -6239,7 +6239,7 @@ def pipe_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_repetition_filter",
     oracle=r"""
     WITH tok AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
         FROM documents
     ),
     g AS (
@@ -6419,55 +6419,63 @@ _LAST_GRADED = {
     'ann_opq_topk': 6,
     'ann_pca_topk': 6,
     'ann_pq_topk': 5,
-    'ann_recall_contract': 3,
-    'ann_srp_topk': 4,
-    'ann_topk_join': 6,
-    'dd_containment_pairs': 3,
+    'ann_recall_contract': 7,
+    'ann_srp_topk': 7,
+    'ann_topk_join': 7,
+    'dd_containment_pairs': 7,
     'dd_cross_corpus_candidates': 5,
     'dd_duplicate_clusters': 6,
-    'dd_duplicate_groups': 4,
-    'dd_embedding_near_dups': 5,
+    'dd_duplicate_groups': 7,
+    'dd_embedding_near_dups': 7,
     'dd_exact_dedup': 6,
     'dd_image_near_dups': 6,
     'dd_jaccard_pairs': 6,
+    'dd_line_dedup': 7,
     'dd_minhash_candidates': 5,
     'dd_remove_boilerplate': 6,
     'dd_repeated_spans': 5,
-    'dd_semantic_dedup': 6,
+    'dd_semantic_dedup': 7,
     'dd_simhash_near_dups': 6,
     'dd_strip_repeated_spans': 5,
-    'dq_events_constraints': 4,
+    'dq_events_constraints': 7,
     'emb_doc_mean_pool': 5,
     'emb_feature_hash_topk': 6,
-    'emb_mini_encoder_topk': 6,
+    'emb_mini_encoder_topk': 7,
     'kw_bm25_topk': 6,
     'kw_hybrid_rrf': 6,
     'mm_audio_features': 5,
     'mm_audio_windows': 5,
     'mm_frame_counts': 5,
     'mm_image_decode': 5,
-    'mm_image_pipeline': 6,
+    'mm_image_pipeline': 7,
     'mm_jpeg_decode': 5,
     'mm_video_frames': 5,
-    'pipe_chunk_fixed': 3,
-    'pipe_chunk_normalized': 3,
+    'pipe_bloom_decontaminate': 7,
+    'pipe_bpe_encode': 7,
+    'pipe_bpe_merges': 7,
+    'pipe_cdc_chunks': 7,
+    'pipe_chunk_fixed': 7,
+    'pipe_chunk_normalized': 7,
     'pipe_corpus_mix': 5,
     'pipe_corpus_shuffle': 6,
     'pipe_corpus_split': 5,
-    'pipe_decontaminate': 3,
+    'pipe_curate_chain': 7,
+    'pipe_curriculum_order': 7,
+    'pipe_decontaminate': 7,
     'pipe_doc_hash': 6,
-    'pipe_dsir_select': 3,
-    'pipe_hash_embed_topk': 6,
-    'pipe_negative_samples': 3,
-    'pipe_pdf_page_chunks': 3,
+    'pipe_domain_mix': 7,
+    'pipe_dsir_select': 7,
+    'pipe_hash_embed_topk': 7,
+    'pipe_negative_samples': 7,
+    'pipe_pdf_page_chunks': 7,
     'pipe_semantic_decontaminate': 6,
-    'pipe_sequence_pack': 3,
+    'pipe_sequence_pack': 7,
     'pipe_stratified_take': 5,
-    'pipe_temperature_mix': 6,
+    'pipe_temperature_mix': 7,
     'pipe_token_budget_mix': 5,
-    'pipe_token_windows': 3,
+    'pipe_token_windows': 7,
     'pipe_training_corpus': 6,
-    'pipe_url_dedup': 6,
+    'pipe_url_dedup': 7,
     'pipe_weighted_sample': 5,
     'prof_corpus_quantiles': 5,
     'prof_events_corr': 6,
@@ -6475,11 +6483,11 @@ _LAST_GRADED = {
     'prof_events_pivot': 5,
     'prof_events_rollup': 5,
     'prof_events_sketch': 5,
-    'prof_sketch_accuracy': 3,
+    'prof_sketch_accuracy': 7,
     'prof_value_histogram': 5,
-    'rel_big_orders': 3,
+    'rel_big_orders': 7,
     'rel_customer_activity': 6,
-    'rel_events_asof': 3,
+    'rel_events_asof': 7,
     'rel_events_cohorts': 6,
     'rel_events_funnel': 6,
     'rel_events_gapfill': 5,
@@ -6494,169 +6502,185 @@ _LAST_GRADED = {
     'rel_pricing_summary': 5,
     'rel_region_volume': 6,
     'rel_scd2_merge': 5,
-    'rel_sessions_overlap': 3,
+    'rel_sessions_overlap': 7,
     'rel_shipping_priority': 6,
     'rel_top_orders_by_revenue': 6,
     'rel_user_retention': 5,
-    'rel_window_order_rank': 3,
+    'rel_window_order_rank': 7,
     'sim_cosine_pairs_exact': 6,
     'sim_sparse_cosine_pairs': 6,
     'skew_salted_user_join': 5,
-    'st_clicks_attribution': 3,
+    'src_binary_roundtrip': 7,
+    'src_markup_roundtrip': 7,
+    'src_office_roundtrip': 7,
+    'st_clicks_attribution': 7,
     'st_events_dedup': 5,
     'st_events_sessions': 6,
     'st_events_sliding': 5,
     'st_events_window': 5,
-    'st_heavy_hitters': 6,
-    'st_user_running_totals': 6,
+    'st_heavy_hitters': 7,
+    'st_user_running_totals': 7,
     'st_windowed_quantiles': 6,
-    'ts_bigram_lm_score': 3,
+    'ts_bigram_lm_score': 7,
     'ts_c4_filter': 6,
-    'ts_gopher_filter': 5,
+    'ts_gopher_filter': 7,
     'ts_lang_id': 6,
     'ts_pii_scrub': 5,
-    'ts_quality_classifier': 6,
+    'ts_quality_classifier': 7,
     'ts_quality_score': 6,
-    'ts_repetition_filter': 3,
-    'ts_text_stats': 4,
-    'ts_tfidf_top_terms': 3,
+    'ts_readability': 7,
+    'ts_repetition_filter': 7,
+    'ts_text_stats': 7,
+    'ts_tfidf_top_terms': 7,
     'ts_vocab_topk': 5,
-    'ts_winnow_fingerprints': 3,
+    'ts_winnow_fingerprints': 7,
     'vq_batch_topk': 6,
     'vq_chunks_only': 6,
     'vq_citations': 5,
     'vq_filtered_topk': 5,
     'vq_grouped_topk': 6,
-    'vq_mmr_rerank': 3,
+    'vq_mmr_rerank': 7,
     'vq_postfilters': 5,
     'vq_rag_prompt': 6,
-    'vq_range_search': 3,
+    'vq_range_search': 7,
     'vq_threshold_after_topk': 5,
     'vq_topk_cosine': 6,
     'vq_topk_quantized': 5,
 }
 
 _SOLO_COST_S = {
-    'ann_ivf_topk': 1.721,
-    'ann_ivfpq_topk': 1.204,
-    'ann_opq_topk': 1.732,
-    'ann_pca_topk': 1.299,
-    'ann_pq_topk': 1.243,
-    'ann_recall_contract': 4.857,
-    'ann_srp_topk': 0.403,
-    'ann_topk_join': 1.522,
-    'dd_containment_pairs': 1.575,
-    'dd_cross_corpus_candidates': 1.211,
-    'dd_duplicate_clusters': 4.396,
-    'dd_duplicate_groups': 0.344,
-    'dd_embedding_near_dups': 2.367,
-    'dd_exact_dedup': 0.717,
-    'dd_image_near_dups': 3.589,
-    'dd_jaccard_pairs': 0.499,
-    'dd_minhash_candidates': 1.107,
-    'dd_remove_boilerplate': 0.877,
-    'dd_repeated_spans': 0.792,
-    'dd_semantic_dedup': 2.614,
-    'dd_simhash_near_dups': 2.584,
-    'dd_strip_repeated_spans': 1.12,
-    'dq_events_constraints': 0.402,
-    'emb_doc_mean_pool': 0.221,
-    'emb_feature_hash_topk': 0.749,
-    'emb_mini_encoder_topk': 1.031,
-    'kw_bm25_topk': 0.566,
-    'kw_hybrid_rrf': 0.945,
-    'mm_audio_features': 1.187,
-    'mm_audio_windows': 0.187,
-    'mm_frame_counts': 0.2,
-    'mm_image_decode': 1.349,
-    'mm_image_pipeline': 0.911,
-    'mm_jpeg_decode': 1.249,
-    'mm_video_frames': 2.805,
-    'pipe_chunk_fixed': 0.489,
-    'pipe_chunk_normalized': 0.897,
-    'pipe_corpus_mix': 0.118,
-    'pipe_corpus_shuffle': 0.371,
-    'pipe_corpus_split': 0.114,
-    'pipe_decontaminate': 0.754,
-    'pipe_doc_hash': 0.367,
-    'pipe_dsir_select': 0.665,
-    'pipe_hash_embed_topk': 0.851,
-    'pipe_negative_samples': 0.653,
-    'pipe_pdf_page_chunks': 1.056,
-    'pipe_semantic_decontaminate': 5.933,
-    'pipe_sequence_pack': 0.552,
-    'pipe_stratified_take': 0.204,
-    'pipe_temperature_mix': 0.704,
-    'pipe_token_budget_mix': 0.288,
-    'pipe_token_windows': 0.408,
-    'pipe_training_corpus': 1.336,
-    'pipe_url_dedup': 1.172,
-    'pipe_weighted_sample': 0.149,
-    'prof_corpus_quantiles': 0.16,
-    'prof_events_corr': 0.447,
-    'prof_events_cube': 0.191,
-    'prof_events_pivot': 0.204,
-    'prof_events_rollup': 0.261,
-    'prof_events_sketch': 0.882,
-    'prof_sketch_accuracy': 2.515,
-    'prof_value_histogram': 0.116,
-    'rel_big_orders': 0.392,
-    'rel_customer_activity': 0.267,
-    'rel_events_asof': 0.444,
-    'rel_events_cohorts': 0.34,
-    'rel_events_funnel': 0.378,
-    'rel_events_gapfill': 0.237,
-    'rel_events_gaps': 0.262,
-    'rel_events_interval': 0.295,
-    'rel_events_json': 0.331,
-    'rel_events_moving_avg': 0.425,
-    'rel_events_scd2': 0.148,
-    'rel_forecast_revenue': 0.111,
-    'rel_join_nation_customers': 0.168,
-    'rel_orders_pareto': 0.353,
+    'ann_ivf_topk': 0.541,
+    'ann_ivfpq_topk': 1.099,
+    'ann_opq_topk': 0.994,
+    'ann_pca_topk': 0.662,
+    'ann_pq_topk': 1.136,
+    'ann_recall_contract': 5.327,
+    'ann_srp_topk': 0.476,
+    'ann_topk_join': 1.228,
+    'dd_containment_pairs': 1.461,
+    'dd_cross_corpus_candidates': 1.133,
+    'dd_duplicate_clusters': 3.471,
+    'dd_duplicate_groups': 0.371,
+    'dd_embedding_near_dups': 0.912,
+    'dd_exact_dedup': 0.631,
+    'dd_image_near_dups': 3.657,
+    'dd_jaccard_pairs': 0.392,
+    'dd_line_dedup': 0.801,
+    'dd_minhash_candidates': 1.063,
+    'dd_remove_boilerplate': 1.01,
+    'dd_repeated_spans': 0.946,
+    'dd_semantic_dedup': 1.798,
+    'dd_simhash_near_dups': 2.154,
+    'dd_strip_repeated_spans': 1.254,
+    'dq_events_constraints': 0.564,
+    'emb_doc_mean_pool': 0.236,
+    'emb_feature_hash_topk': 0.782,
+    'emb_mini_encoder_topk': 2.13,
+    'kw_bm25_topk': 0.523,
+    'kw_hybrid_rrf': 1.241,
+    'mm_audio_features': 1.073,
+    'mm_audio_windows': 0.193,
+    'mm_frame_counts': 0.188,
+    'mm_image_decode': 1.351,
+    'mm_image_pipeline': 1.738,
+    'mm_jpeg_decode': 1.118,
+    'mm_video_frames': 1.788,
+    'pipe_bloom_decontaminate': 1.114,
+    'pipe_bpe_encode': 3.643,
+    'pipe_bpe_merges': 3.883,
+    'pipe_cdc_chunks': 1.264,
+    'pipe_chunk_fixed': 0.478,
+    'pipe_chunk_normalized': 0.947,
+    'pipe_corpus_mix': 0.114,
+    'pipe_corpus_shuffle': 0.314,
+    'pipe_corpus_split': 0.119,
+    'pipe_curate_chain': 5.085,
+    'pipe_curriculum_order': 1.148,
+    'pipe_decontaminate': 0.966,
+    'pipe_doc_hash': 0.295,
+    'pipe_domain_mix': 1.163,
+    'pipe_dsir_select': 0.905,
+    'pipe_hash_embed_topk': 1.596,
+    'pipe_negative_samples': 0.437,
+    'pipe_pdf_page_chunks': 0.975,
+    'pipe_semantic_decontaminate': 2.04,
+    'pipe_sequence_pack': 0.505,
+    'pipe_stratified_take': 0.216,
+    'pipe_temperature_mix': 0.578,
+    'pipe_token_budget_mix': 0.32,
+    'pipe_token_windows': 0.323,
+    'pipe_training_corpus': 1.153,
+    'pipe_url_dedup': 1.312,
+    'pipe_weighted_sample': 0.144,
+    'prof_corpus_quantiles': 0.162,
+    'prof_events_corr': 0.353,
+    'prof_events_cube': 0.183,
+    'prof_events_pivot': 0.255,
+    'prof_events_rollup': 0.212,
+    'prof_events_sketch': 0.767,
+    'prof_sketch_accuracy': 2.64,
+    'prof_value_histogram': 0.113,
+    'rel_big_orders': 0.352,
+    'rel_customer_activity': 0.316,
+    'rel_events_asof': 0.39,
+    'rel_events_cohorts': 0.256,
+    'rel_events_funnel': 0.252,
+    'rel_events_gapfill': 0.253,
+    'rel_events_gaps': 0.265,
+    'rel_events_interval': 0.304,
+    'rel_events_json': 0.305,
+    'rel_events_moving_avg': 0.326,
+    'rel_events_scd2': 0.194,
+    'rel_forecast_revenue': 0.11,
+    'rel_join_nation_customers': 0.179,
+    'rel_orders_pareto': 0.252,
     'rel_pricing_summary': 0.232,
-    'rel_region_volume': 0.339,
-    'rel_scd2_merge': 0.385,
-    'rel_sessions_overlap': 0.563,
-    'rel_shipping_priority': 0.326,
-    'rel_top_orders_by_revenue': 0.331,
-    'rel_user_retention': 0.346,
-    'rel_window_order_rank': 0.551,
-    'sim_cosine_pairs_exact': 0.74,
-    'sim_sparse_cosine_pairs': 0.818,
-    'skew_salted_user_join': 0.24,
-    'st_clicks_attribution': 2.242,
-    'st_events_dedup': 0.307,
-    'st_events_sessions': 1.018,
-    'st_events_sliding': 0.198,
-    'st_events_window': 0.19,
-    'st_heavy_hitters': 1.061,
-    'st_user_running_totals': 1.456,
-    'st_windowed_quantiles': 1.138,
-    'ts_bigram_lm_score': 1.244,
-    'ts_c4_filter': 0.555,
-    'ts_gopher_filter': 0.638,
-    'ts_lang_id': 0.864,
-    'ts_pii_scrub': 0.434,
-    'ts_quality_classifier': 1.392,
-    'ts_quality_score': 0.468,
+    'rel_region_volume': 0.269,
+    'rel_scd2_merge': 0.316,
+    'rel_sessions_overlap': 0.53,
+    'rel_shipping_priority': 0.262,
+    'rel_top_orders_by_revenue': 0.283,
+    'rel_user_retention': 0.319,
+    'rel_window_order_rank': 0.526,
+    'sim_cosine_pairs_exact': 0.653,
+    'sim_sparse_cosine_pairs': 1.249,
+    'skew_salted_user_join': 0.273,
+    'src_binary_roundtrip': 1.166,
+    'src_markup_roundtrip': 1.149,
+    'src_office_roundtrip': 1.073,
+    'st_clicks_attribution': 2.249,
+    'st_events_dedup': 0.279,
+    'st_events_sessions': 1.091,
+    'st_events_sliding': 0.218,
+    'st_events_window': 0.172,
+    'st_heavy_hitters': 1.094,
+    'st_user_running_totals': 1.611,
+    'st_windowed_quantiles': 1.099,
+    'ts_bigram_lm_score': 1.054,
+    'ts_c4_filter': 0.409,
+    'ts_gopher_filter': 0.837,
+    'ts_lang_id': 0.857,
+    'ts_pii_scrub': 0.396,
+    'ts_quality_classifier': 0.462,
+    'ts_quality_score': 0.404,
+    'ts_readability': 0.386,
     'ts_repetition_filter': 0.638,
-    'ts_text_stats': 0.338,
-    'ts_tfidf_top_terms': 0.758,
-    'ts_vocab_topk': 0.291,
-    'ts_winnow_fingerprints': 0.947,
-    'vq_batch_topk': 0.405,
-    'vq_chunks_only': 0.437,
-    'vq_citations': 0.239,
-    'vq_filtered_topk': 0.214,
-    'vq_grouped_topk': 0.196,
-    'vq_mmr_rerank': 0.786,
-    'vq_postfilters': 0.325,
-    'vq_rag_prompt': 0.385,
-    'vq_range_search': 0.467,
-    'vq_threshold_after_topk': 0.208,
-    'vq_topk_cosine': 0.24,
-    'vq_topk_quantized': 0.301,
+    'ts_text_stats': 0.41,
+    'ts_tfidf_top_terms': 0.577,
+    'ts_vocab_topk': 0.315,
+    'ts_winnow_fingerprints': 0.831,
+    'vq_batch_topk': 0.344,
+    'vq_chunks_only': 0.312,
+    'vq_citations': 0.285,
+    'vq_filtered_topk': 0.26,
+    'vq_grouped_topk': 0.266,
+    'vq_mmr_rerank': 0.813,
+    'vq_postfilters': 0.308,
+    'vq_rag_prompt': 0.302,
+    'vq_range_search': 0.407,
+    'vq_threshold_after_topk': 0.263,
+    'vq_topk_cosine': 0.256,
+    'vq_topk_quantized': 0.263,
 }
 
 
@@ -6665,25 +6689,20 @@ _SOLO_COST_S = {
 #: (ann_ivf/pca/opq_topk) hash-green. Class (a).
 _PRE_ORACLE_STALE: set = set()
 
-#: Entries new or implementation-changed in round 7. Class (b).
+#: Entries new or implementation-changed in round 8. Kept MINIMAL on
+#: purpose (VERDICT r7 item 1: the 50-row driver cut must clear the
+#: 42-entry r5-stale tail, so 6 changed + 42 r5 + 2 cheapest-r6 = 50).
+#: All six changes are ONE fix: the shared whitespace tokenization
+#: class pinned to Java-\s ``[ \t\n\x0B\f\r]+`` on BOTH engines
+#: (VERDICT item 3 for BPE, ADVICE for ngram_tokens) — RE2 ``\s``
+#: lacks \x0B, so the old ``\s+`` drifts on real text.
 _CHANGED_THIS_ROUND = {
-    "pipe_hash_embed_topk",    # rows-only → bounded-contract oracle
-    "emb_mini_encoder_topk",   # rows-only → bounded-contract oracle
-    "mm_image_pipeline",       # rows-only → bounded-contract oracle
-    "pipe_url_dedup",          # ADVICE: ?-preserving utm strip, no repair
-    "ts_quality_classifier",   # ADVICE: pinned whitespace class, 3 engines
-    "st_user_running_totals",  # ADVICE: last_ms carried in state (TTL)
-    "st_heavy_hitters",        # ADVICE: last_ms carried in state (TTL)
-    "ann_topk_join",           # ADVICE: byte gate reads element width
-    "pipe_temperature_mix",    # ADVICE: zero-share shares rejected
-    "dd_embedding_near_dups",  # r7 item 6: dim hint plumbed (output-neutral)
-    "dd_semantic_dedup",       # r7 item 6: dim hint plumbed (output-neutral)
-    # r7 late perf pass (all output-neutral; each already r3-stale so
-    # the move from class (c) to (b) leaves the 48-row total intact):
-    "pipe_dsir_select",        # literal_array for the 256 log-ratios
-    "pipe_decontaminate",      # staged ngram tokens (split-per-gram fix)
-    "ts_repetition_filter",    # staged ngram tokens (split-per-gram fix)
-    "ts_gopher_filter",        # oracle CTEs factored shared (gt/gm rename)
+    "pipe_bpe_merges",          # word_vocab pinned WS class (both engines)
+    "pipe_bpe_encode",          # word_vocab pinned WS class (both engines)
+    "ts_repetition_filter",     # ngram_tokens pinned WS class (both engines)
+    "pipe_decontaminate",       # ngram_tokens pinned WS class (both engines)
+    "pipe_bloom_decontaminate", # ngram_tokens pinned WS class (both engines)
+    "pipe_curate_chain",        # repetition stage rides ngram_tokens
 }
 
 
@@ -7500,7 +7519,7 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
                    chr(1) || ' ') || chr(1) AS w
         FROM (
             SELECT unnest(string_split_regex(
-                       lower(trim(coalesce(text, ''))), '\s+')) AS word
+                       lower(trim(coalesce(text, ''))), '[ \t\n\x0B\f\r]+')) AS word
             FROM documents
         )
         WHERE word <> ''
@@ -7599,7 +7618,7 @@ def _bpe_encode_oracle_sql() -> str:
     WITH t AS (
         SELECT doc_id,
                list_filter(string_split_regex(
-                   lower(trim(coalesce(text, ''))), '\\s+'),
+                   lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0B\\f\\r]+'),
                    x -> x <> '') AS words
         FROM documents
     )
@@ -7628,9 +7647,11 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against an engine-independent SQL re-encode."""
     from vectordb_light_spark.operators.bpe import END_OF_WORD, apply_merge
 
+    from vectordb_light_spark.functions.text import PINNED_WS_RE
+
     docs = load_docs(spark, sf_dir, "doc_id", "text")
     words = F.filter(
-        F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+"),
+        F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), PINNED_WS_RE),
         lambda x: x != "",
     )
 
