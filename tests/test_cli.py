@@ -168,3 +168,32 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert lines[-1]["rows_out"] == 1
     survivors = spark.read.parquet(out).collect()
     assert [r["doc_id"] for r in survivors] == [1]
+
+
+def test_cli_curate_r8_stages_and_no_report(spark, tmp_path, capsys):
+    """The r8 stage surface via the CLI: readability gate + curriculum
+    ordering, and --no-report still reports the true written row count
+    (counted from the output parquet, not by re-running the chain)."""
+    src = str(tmp_path / "corpus8")
+    out = str(tmp_path / "curated8")
+    spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat. the dog ran to the top."),
+            (2, "a dog ran up. it sat."),
+            (3, "extraordinarily incomprehensible institutionalization "
+                "notwithstanding overcapitalization internationalization "
+                "incontrovertibility characteristically"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+
+    assert main([
+        "curate", "--input", src, "--output", out,
+        "--stages", "readability,curriculum",
+        "--readability-max-grade-milli", "10000",
+        "--curriculum-stages", "2", "--no-report",
+    ]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["rows_out"] == 2          # doc 3 gated out
+    survivors = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in survivors) == [1, 2]

@@ -157,3 +157,94 @@ def test_run_curation_decontaminate_and_errors(spark):
         run_curation(df, ("decontaminate",))
     with pytest.raises(ValueError, match="unknown curation stages"):
         run_curation(df, ("nope",))
+
+
+def test_run_curation_new_r8_stages(spark):
+    """bloom_decontaminate drops leakers via the constant-memory
+    filter, readability gates on the integer FK milligrade, and
+    curriculum is a pure reordering (drops nothing, easy-first)."""
+    import pytest
+
+    from vectordb_light_spark.operators.curate_pipeline import run_curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "totally clean document about gardening and soil quality"),
+            (2, "the secret eval answer is forty two exactly plus padding"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    out, _ = run_curation(df, ("bloom_decontaminate",), bench=bench,
+                          decontaminate_n=4)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    with pytest.raises(ValueError, match="bloom_decontaminate"):
+        run_curation(df, ("bloom_decontaminate",))
+
+    # readability: one simple-word doc, one polysyllabic monster
+    rdf = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat. the dog ran to the top."),
+            (2, "extraordinarily incomprehensible institutionalization "
+                "notwithstanding overcapitalization internationalization "
+                "incontrovertibility characteristically"),
+        ],
+        "doc_id long, text string",
+    )
+    out, _ = run_curation(rdf, ("readability",),
+                          readability_max_grade_milli=10000)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    # a min bound flips the survivor set
+    out, _ = run_curation(rdf, ("readability",),
+                          readability_max_grade_milli=10**9,
+                          readability_min_grade_milli=10001)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+    # curriculum: nothing dropped, schema preserved, easy-first order
+    cdf = spark.createDataFrame(
+        [
+            (1, "extraordinarily incomprehensible institutionalization "
+                "notwithstanding overcapitalization"),
+            (2, "the cat sat on the mat."),
+            (3, "a dog ran up."),
+        ],
+        "doc_id long, text string",
+    )
+    out, _ = run_curation(cdf, ("curriculum",), curriculum_stages=3)
+    rows = out.collect()
+    assert set(out.columns) == {"doc_id", "text"}
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
+    # the polysyllabic doc (hardest) comes last
+    assert rows[-1]["doc_id"] == 1
+
+
+def test_run_curation_report_releases_intermediate_frames(spark):
+    """With report=True only the FINAL stage's frame may stay
+    persisted once the chain returns — intermediates unpersist as
+    soon as the next stage's count materializes (r7 ADVICE)."""
+    from vectordb_light_spark.operators.curate_pipeline import run_curation
+
+    df = spark.createDataFrame(
+        [(i, f"unique text number {i} with words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    before = {
+        rdd_id for rdd_id, _ in
+        spark.sparkContext._jsc.getPersistentRDDs().items()
+    }
+    out, reports = run_curation(
+        df, ("exact_dedup", "line_dedup", "repetition"), report=True
+    )
+    after = {
+        rdd_id for rdd_id, _ in
+        spark.sparkContext._jsc.getPersistentRDDs().items()
+    }
+    new = after - before
+    assert len(new) <= 1, (
+        f"{len(new)} intermediate frames still persisted; expected "
+        "at most the final stage's"
+    )
+    out.unpersist()

@@ -81,9 +81,18 @@ def main(argv: list[str] | None = None) -> int:
         "(default: exact_dedup,repetition,gopher,quality)",
     )
     p.add_argument("--bench", default=None,
-                   help="benchmark parquet for the decontaminate stage")
+                   help="benchmark parquet for the decontaminate / "
+                   "bloom_decontaminate stages")
     p.add_argument("--decontaminate-n", type=int, default=8,
-                   help="token n-gram width for the decontaminate stage")
+                   help="token n-gram width for the decontaminate / "
+                   "bloom_decontaminate stages")
+    p.add_argument("--readability-max-grade-milli", type=int,
+                   default=30000,
+                   help="readability stage: keep FK grade*1000 <= this")
+    p.add_argument("--curriculum-stages", type=int, default=10,
+                   help="curriculum stage count (easy-first ordering)")
+    p.add_argument("--curriculum-seed", type=int, default=0,
+                   help="curriculum within-stage shuffle seed")
     p.add_argument("--no-report", action="store_true",
                    help="skip per-stage counts: the chain stays one lazy "
                    "plan and costs exactly the final write")
@@ -168,7 +177,12 @@ def main(argv: list[str] | None = None) -> int:
             if a.stages
             else list(DEFAULT_STAGES)
         )
-        ctx = {"decontaminate_n": a.decontaminate_n}
+        ctx = {
+            "decontaminate_n": a.decontaminate_n,
+            "readability_max_grade_milli": a.readability_max_grade_milli,
+            "curriculum_stages": a.curriculum_stages,
+            "curriculum_seed": a.curriculum_seed,
+        }
         if a.bench:
             ctx["bench"] = spark.read.parquet(a.bench)
         survivors, reports = run_curation(
@@ -177,8 +191,13 @@ def main(argv: list[str] | None = None) -> int:
         survivors.write.mode("overwrite").parquet(a.output)
         for r in reports:
             _emit(r)
+        # Count the WRITTEN parquet, not the lazy chain: re-counting
+        # `survivors` would re-execute every curation stage a second
+        # time, breaking the "--no-report costs exactly the final
+        # write" contract (reading the fresh footer metadata back is
+        # a metadata-only job at any scale).
         _emit({"output": a.output, "stages": stages,
-               "rows_out": survivors.count()})
+               "rows_out": spark.read.parquet(a.output).count()})
         return 0
 
     if a.cmd == "compact":

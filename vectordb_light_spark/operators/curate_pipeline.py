@@ -123,6 +123,102 @@ def _stage_decontaminate(df: DataFrame, ctx: dict) -> DataFrame:
     return df.join(clean.select("doc_id"), "doc_id")
 
 
+def _stage_bloom_decontaminate(df: DataFrame, ctx: dict) -> DataFrame:
+    """Bloom-filter decontamination (requires ``ctx['bench']``): the
+    constant-memory tier for benchmark sets too big to broadcast as
+    exact keys — a 16 KiB word array rides into the probe projection
+    as a literal, so the probe touches no second table at all.
+    Deterministic false positives (never false negatives) are the
+    priced trade; docs that emit no grams (empty text) probe clean.
+    A prebuilt filter can be passed as ``ctx['bloom_words']`` to
+    amortize the build across runs."""
+    from vectordb_light_spark.operators.dedup import (
+        bloom_build,
+        bloom_decontaminate,
+    )
+
+    bench = ctx.get("bench")
+    words = ctx.get("bloom_words")
+    if bench is None and words is None:
+        raise ValueError(
+            "the 'bloom_decontaminate' stage needs ctx['bench'] (a "
+            "DataFrame with a text column; CLI: --bench PATH) or a "
+            "prebuilt ctx['bloom_words'] word array"
+        )
+    n = int(ctx.get("decontaminate_n", 8))
+    if words is None:
+        words = bloom_build(bench, n=n)
+    flagged = bloom_decontaminate(df.select("doc_id", "text"), words, n=n)
+    return df.join(
+        flagged.where(F.col("contaminated") == 1).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+
+
+def _stage_readability(df: DataFrame, ctx: dict) -> DataFrame:
+    """Flesch-Kincaid readability gate (the FineWeb-Edu-style
+    difficulty signal, exact integer milligrade math): keep documents
+    at or below ``ctx['readability_max_grade_milli']`` (default 30000
+    = FK grade 30.0) and, when set, at or above
+    ``ctx['readability_min_grade_milli']``. Gated IN PLACE — the
+    grade is a pure column expression, so the gate rides the scan."""
+    from vectordb_light_spark.functions.text import (
+        flesch_kincaid_grade_milli,
+        readability_counts,
+    )
+
+    c = readability_counts("text")
+    grade = flesch_kincaid_grade_milli(
+        c["n_words"], c["n_sentences"], c["n_syllables"]
+    )
+    cond = grade <= int(ctx.get("readability_max_grade_milli", 30000))
+    min_g = ctx.get("readability_min_grade_milli")
+    if min_g is not None:
+        cond = cond & (grade >= int(min_g))
+    return df.where(cond)
+
+
+def _stage_curriculum(df: DataFrame, ctx: dict) -> DataFrame:
+    """Terminal ORDERING stage (drops nothing): curriculum-order the
+    survivors easy-first by the exact-integer FK milligrade (or any
+    column named by ``ctx['curriculum_score_col']``), with the
+    deterministic within-stage shuffle from sampling.curriculum_order.
+    Schema passes through unchanged; only row order changes — put it
+    LAST so the written corpus streams to the trainer in curriculum
+    order."""
+    from vectordb_light_spark.operators.sampling import curriculum_order
+
+    score_col = ctx.get("curriculum_score_col")
+    if score_col is not None:
+        scored = df.select("doc_id", F.col(score_col).alias("score"))
+    else:
+        from vectordb_light_spark.functions.text import (
+            flesch_kincaid_grade_milli,
+            readability_counts,
+        )
+
+        c = readability_counts("text")
+        scored = df.select(
+            "doc_id",
+            flesch_kincaid_grade_milli(
+                c["n_words"], c["n_sentences"], c["n_syllables"]
+            ).alias("score"),
+        )
+    ranked = curriculum_order(
+        scored,
+        n_stages=int(ctx.get("curriculum_stages", 10)),
+        seed=int(ctx.get("curriculum_seed", 0)),
+    )
+    return (
+        df.join(
+            ranked.select("doc_id", "stage", "curriculum_key"), "doc_id"
+        )
+        .orderBy("stage", "curriculum_key", "doc_id")
+        .drop("stage", "curriculum_key")
+    )
+
+
 #: name -> stage callable. Order in a pipeline is the caller's choice;
 #: the conventional cheap-to-expensive chain is the `DEFAULT_STAGES`.
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
@@ -133,6 +229,9 @@ STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "c4": _stage_c4,
     "repetition": _stage_repetition,
     "decontaminate": _stage_decontaminate,
+    "bloom_decontaminate": _stage_bloom_decontaminate,
+    "readability": _stage_readability,
+    "curriculum": _stage_curriculum,
 }
 
 DEFAULT_STAGES = ("exact_dedup", "repetition", "gopher", "quality")
@@ -159,12 +258,21 @@ def run_curation(
 
     reports: list[dict] = []
     cur = docs
+    prev_persisted: DataFrame | None = None
     n_in = cur.count() if report else None
     for name in stages:
         cur = STAGES[name](cur, ctx)
         if report:
             cur = persist_if_batch(cur)
             n_out = cur.count()
+            # The count above materialized THIS stage's cache, so the
+            # previous stage's frame is no longer read by anything —
+            # release it now instead of pinning every intermediate
+            # frame in executor memory for the session (long chains
+            # would otherwise hold O(stages) copies of the corpus).
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = cur
             reports.append(
                 {"stage": name, "rows_in": n_in, "rows_out": n_out,
                  "dropped": n_in - n_out}

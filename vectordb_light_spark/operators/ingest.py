@@ -309,8 +309,13 @@ def compact_vectors(
         with open(meta_path) as f:
             meta = json.load(f)
         meta["num_vectors"] = spark.read.parquet(vectors_dir).count()
-        with open(meta_path, "w") as f:
+        # Atomic swap, matching the manifest fold below: an in-place
+        # open('w') truncates first, so a crash mid-dump corrupts the
+        # store's metadata; os.replace of a fully-written temp cannot.
+        m_tmp_path = meta_path + ".tmp"
+        with open(m_tmp_path, "w") as f:
             json.dump(meta, f, indent=2)
+        os.replace(m_tmp_path, meta_path)
         out["num_vectors"] = meta["num_vectors"]
 
     # A content-upsert stream (dedup_content=True) appends one tiny
