@@ -16,6 +16,8 @@ multi-partition layout a real corpus would have.
     python tools/scale_probe.py --ivfio [--write]    # IVF partition-pruned IO (ANN_EVAL.md)
     python tools/scale_probe.py --scd2 [--write]     # SCD2 merge dim-invariance
     python tools/scale_probe.py --spans [--write]    # exact-substring adversarial
+    python tools/scale_probe.py --bpe [--write]      # BPE round cost vs corpus
+    python tools/scale_probe.py --linededup [--write] # line dedup, boilerplate-heavy
 """
 
 from __future__ import annotations
@@ -326,6 +328,8 @@ def _all_markers():
         IMG_MARKER,
         DECON_MARKER,
         BLOOM_MARKER,
+        BPE_MARKER,
+        LINEDEDUP_MARKER,
     )
 
 
@@ -1644,6 +1648,238 @@ def main_bloom(bench_sizes: tuple[int, ...] = (10, 100, 1000)) -> None:
 
 
 
+
+BPE_MARKER = "\n## bpe merge learning: round cost tracks the vocab, not the corpus"
+
+
+def main_bpe(factors: tuple[int, ...] = (1, 4, 16)) -> None:
+    """r8 (VERDICT r7 item 6a): pipe_bpe_merges' central 100 TB claim
+    measured — the corpus is touched ONCE (the word_vocab groupBy);
+    every merge round after runs on the Zipf-bounded vocab, so round
+    cost must go FLAT as the corpus grows with a saturated vocab.
+    Sweeps the corpus x1/x4/x16 with IDENTICAL text (replicate offsets
+    ids only), which holds distinct words constant while frequencies
+    scale — isolating round cost from vocab growth. Appends its
+    SCALING.md section with --write."""
+    from vectordb_light_spark.operators.bpe import learn_bpe_merges, word_vocab
+
+    spark = get_spark("scale-probe-bpe")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(WORK, exist_ok=True)
+    rows_tbl: dict[int, tuple] = {}
+    for factor in factors:
+        path = f"{WORK}/bpe_docs_x{factor}"
+        if not os.path.isdir(path):
+            replicate(spark, "documents", "doc_id", factor, path)
+        docs = spark.read.parquet(path).select("doc_id", "text")
+        n_docs = docs.count()  # warm the scan
+        vocab_rows = word_vocab(docs).count()
+        merges = None
+        # total learn wall (includes the one corpus agg), best of 2
+        t_learn = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            merges = learn_bpe_merges(docs, 8)
+            t_learn = min(t_learn, time.time() - t0)
+        # the corpus-sized part alone: the vocab aggregation
+        t_vocab = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            word_vocab(docs).count()
+            t_vocab = min(t_vocab, time.time() - t0)
+        per_round = (t_learn - t_vocab) / 8
+        rows_tbl[factor] = (n_docs, vocab_rows, t_vocab, t_learn, per_round)
+        print(
+            f"x{factor}: {n_docs:,} docs, vocab {vocab_rows:,}, vocab agg "
+            f"{t_vocab:.2f}s, learn(8) {t_learn:.2f}s, "
+            f"per-round {per_round:.2f}s, merges[0]={merges[0]['a']}+{merges[0]['b']}",
+            flush=True,
+        )
+    # Second axis: corpus FIXED, vocab swept — the testdata corpus
+    # shares one ~31-word vocab, so the corpus sweep alone shows round
+    # cost flat at trivially-small vocab. Synthesize doc_id-derived
+    # words to grow DISTINCT words 64x at constant corpus size and
+    # show the per-round cost is priced by the vocab dimension (and
+    # stays bounded), which is the actual 100 TB claim.
+    vocab_tbl: dict[int, tuple] = {}
+    for n_vocab in (1_000, 8_000, 64_000):
+        docs = (
+            spark.range(128_000)
+            .select(
+                F.concat(
+                    F.lit("w"),
+                    (F.col("id") % n_vocab).cast("string"),
+                    F.lit("x"),
+                    ((F.col("id") * 31) % n_vocab).cast("string"),
+                ).alias("text")
+            )
+            .repartition(32)
+            .persist()
+        )
+        docs.count()
+        t_learn = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            learn_bpe_merges(docs, 8)
+            t_learn = min(t_learn, time.time() - t0)
+        t_vocab = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            word_vocab(docs).count()
+            t_vocab = min(t_vocab, time.time() - t0)
+        vocab_tbl[n_vocab] = (t_vocab, t_learn, (t_learn - t_vocab) / 8)
+        print(
+            f"vocab~{n_vocab:,}: vocab agg {t_vocab:.2f}s, learn(8) "
+            f"{t_learn:.2f}s, per-round {vocab_tbl[n_vocab][2]:.2f}s",
+            flush=True,
+        )
+        docs.unpersist()
+
+    base = rows_tbl[factors[0]]
+    lines = [
+        "",
+        BPE_MARKER.strip(),
+        "",
+        "| corpus | docs | distinct words | vocab agg (corpus-sized) |"
+        " learn 8 merges | per merge round |",
+        "|---|---|---|---|---|---|",
+    ] + [
+        f"| x{f} | {nd:,} | {nv:,} | {tv:.2f}s | {tl:.2f}s | {pr:.2f}s |"
+        for f, (nd, nv, tv, tl, pr) in sorted(rows_tbl.items())
+    ] + [
+        "",
+        "| distinct words (fixed 128k-doc corpus) | vocab agg |"
+        " learn 8 merges | per merge round |",
+        "|---|---|---|---|",
+    ] + [
+        f"| ~{nv:,} | {tv:.2f}s | {tl:.2f}s | {pr:.2f}s |"
+        for nv, (tv, tl, pr) in sorted(vocab_tbl.items())
+    ] + [
+        "",
+        "Identical text per copy (ids offset), so the vocab is CONSTANT",
+        "while the corpus grows 16x — the saturated-vocab regime a large",
+        "corpus converges to under Zipf. The corpus-sized cost is the ONE",
+        "word_vocab aggregation (map-side-combinable: only (word, count)",
+        "partials shuffle); every merge round after runs on the vocab",
+        f"table ({base[1]:,} rows here), so per-round wall stays flat as",
+        "the corpus scales — at 100 TB the 8-round (or 50k-round) loop",
+        "prices by the vocab, and only the single corpus agg prices by",
+        "the data. Round cost that GREW with the factor would mean the",
+        "corpus leaked into the loop; the first table shows it does not.",
+        "The second table sweeps the OTHER axis (the testdata corpus has",
+        "a ~31-word shared vocab, too small to stress the loop): corpus",
+        "fixed, distinct words grown 64x. Per-round cost moves with the",
+        "vocab dimension and stays bounded by it — merge rounds price by",
+        "|vocab|, never by the corpus, which is what makes 50k merges on",
+        "100 TB feasible: one corpus-sized agg, then a loop whose working",
+        "set is Zipf-bounded.",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        _write_section(BPE_MARKER, out)
+
+
+LINEDEDUP_MARKER = (
+    "\n## keep-first line dedup under replicated-segment (boilerplate) data"
+)
+
+
+def main_linededup(factors: tuple[int, ...] = (1, 4, 16)) -> None:
+    """r8 (VERDICT r7 item 6b): dedup_lines_keep_first under the
+    adversarial boilerplate-heavy regime — every doc carries 5
+    segments drawn from a 100-segment global pool (each pool segment
+    duplicated across ~5% of the corpus: mega-hot keys) plus 5
+    doc-unique segments. Only (hash, id, pos) triples shuffle, so the
+    wall must track the corpus ~linearly even when half of all
+    segments corpus-wide are duplicates. Appends its SCALING.md
+    section with --write."""
+    from vectordb_light_spark.operators.dedup import dedup_lines_keep_first
+
+    spark = get_spark("scale-probe-linededup")
+    spark.sparkContext.setLogLevel("ERROR")
+    base_docs = 40_000
+    rows_tbl: dict[int, tuple] = {}
+    for factor in factors:
+        n_docs = base_docs * factor
+        seg_exprs = []
+        for j in range(10):
+            if j % 2 == 0:
+                # pool segment: 100 distinct values corpus-wide
+                seg_exprs.append(
+                    F.concat(
+                        F.lit(f"shared boilerplate footer variant "),
+                        ((F.col("doc_id") * 7 + F.lit(j * 13)) % 100).cast("string"),
+                        F.lit(" all rights reserved contact support"),
+                    )
+                )
+            else:
+                seg_exprs.append(
+                    F.concat(
+                        F.lit("unique payload "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(f" segment {j} with its own words"),
+                    )
+                )
+        df = (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"))
+            .repartition(max(4, factor * 8))
+            .select("doc_id", F.concat_ws("\n", *seg_exprs).alias("text"))
+        )
+        df = df.persist()
+        df.count()  # materialize input off the clock
+
+        def run(df=df):
+            out = dedup_lines_keep_first(df)
+            return out.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.size(F.split("text", "\n"))).alias("segs"),
+            ).collect()[0]
+
+        r = run()  # warm-up
+        wall = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            r = run()
+            wall = min(wall, time.time() - t0)
+        in_segs = n_docs * 10
+        rows_tbl[factor] = (n_docs, in_segs, int(r["segs"]), wall)
+        print(
+            f"x{factor}: {n_docs:,} docs, {in_segs:,} segments in, "
+            f"{int(r['segs']):,} out, {wall:.2f}s",
+            flush=True,
+        )
+        df.unpersist()
+    w1 = rows_tbl[factors[0]][3]
+    lines = [
+        "",
+        LINEDEDUP_MARKER.strip(),
+        "",
+        "| corpus | docs | segments in | segments out | wall | wall ratio |",
+        "|---|---|---|---|---|---|",
+    ] + [
+        f"| x{f} | {nd:,} | {si:,} | {so:,} | {w:.2f}s | {w / w1:.1f}x |"
+        for f, (nd, si, so, w) in sorted(rows_tbl.items())
+    ] + [
+        "",
+        "Adversarial boilerplate regime: 50% of all segments corpus-wide",
+        "come from a 100-value pool, so each pool segment is duplicated",
+        "across tens of thousands of documents (the mega-hot-key case",
+        "for the min(struct(doc,pos)) election), and survivors collapse",
+        "to ~the unique half plus 100 pool firsts. The shuffle carries",
+        "only (hash, id, pos) triples — never text — and the election is",
+        "a map-side-combinable MIN, so the hot keys combine before the",
+        "exchange and the wall tracks the corpus ~linearly (x16 data at",
+        "~x16 wall or better above; a quadratic or hot-key-serialized",
+        "plan would blow past it).",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        _write_section(LINEDEDUP_MARKER, out)
+
+
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
@@ -1670,5 +1906,9 @@ if __name__ == "__main__":
         main_decon()
     elif "--bloom" in sys.argv:
         main_bloom()
+    elif "--bpe" in sys.argv:
+        main_bpe()
+    elif "--linededup" in sys.argv:
+        main_linededup()
     else:
         main()
