@@ -424,3 +424,34 @@ def test_readability_counts_and_fk_grade(spark):
             - Fraction(1559, 100)
         )
         assert r["g"] == (fk * 1000).__floor__()
+
+
+def test_gopher_rules_custom_stopword_set(spark):
+    """r8 (VERDICT item 8): a corpus-adapted stopword set makes the
+    Gopher gate non-degenerate on text with no English function words
+    — the default set keeps structurally zero such rows."""
+    from vectordb_light_spark.functions.text import gopher_rules
+
+    # 60 words, no English stopwords, synthetic-vocab style
+    words = " ".join(
+        f"token{i % 7} corpus datum" for i in range(20)
+    )
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    default_keep = df.select(
+        gopher_rules("text")["keep"].alias("k")
+    ).head()["k"]
+    assert default_keep is False  # rule_stopwords structurally fails
+
+    adapted = gopher_rules("text", stopwords=("token0", "corpus", "datum"))
+    row = df.select(
+        adapted["rule_stopwords"].alias("s"), adapted["keep"].alias("k")
+    ).head()
+    assert row["s"] is True and row["k"] is True
+
+    # default arg is the unchanged 8-word set: identical output
+    from vectordb_light_spark.functions.text import GOPHER_STOPWORDS
+
+    explicit = df.select(
+        gopher_rules("text", GOPHER_STOPWORDS)["keep"].alias("k")
+    ).head()["k"]
+    assert explicit == default_keep

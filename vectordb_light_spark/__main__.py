@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--decontaminate-n", type=int, default=8,
                    help="token n-gram width for the decontaminate / "
                    "bloom_decontaminate stages")
+    p.add_argument("--gopher-stopwords", default=None,
+                   help="comma list replacing the 8 English Gopher "
+                   "required words (REQUIRED for non-English or "
+                   "synthetic corpora — the default keeps zero rows "
+                   "on a corpus with no English function words)")
     p.add_argument("--readability-max-grade-milli", type=int,
                    default=30000,
                    help="readability stage: keep FK grade*1000 <= this")
@@ -183,6 +188,10 @@ def main(argv: list[str] | None = None) -> int:
             "curriculum_stages": a.curriculum_stages,
             "curriculum_seed": a.curriculum_seed,
         }
+        if a.gopher_stopwords:
+            ctx["gopher_stopwords"] = [
+                s.strip() for s in a.gopher_stopwords.split(",") if s.strip()
+            ]
         if a.bench:
             ctx["bench"] = spark.read.parquet(a.bench)
         survivors, reports = run_curation(

@@ -253,7 +253,10 @@ def flesch_kincaid_grade_milli(
     return (q - F.lit(_FK_OFFSET)).cast("long")
 
 
-def gopher_rules(col: Column | str) -> dict[str, Column]:
+def gopher_rules(
+    col: Column | str,
+    stopwords: tuple[str, ...] | list[str] = GOPHER_STOPWORDS,
+) -> dict[str, Column]:
     """Gopher-style document-quality RULES (Rae et al. 2021 §A1.1.2),
     each an independent boolean column plus the signals they test —
     all JVM-side builtins (regexp_count / split / filter), zero UDFs,
@@ -263,7 +266,11 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
     - ``rule_mean_word_len``:  3 ≤ mean word length ≤ 10
     - ``rule_symbol_ratio``:   (# + ellipsis) / words ≤ 0.1
     - ``rule_alpha_words``:    ≥ 80 % of words contain a letter
-    - ``rule_stopwords``:      ≥ 2 of the 8 Gopher required words
+    - ``rule_stopwords``:      ≥ 2 of the required stopwords
+      (default: the 8 Gopher English words; pass a corpus-adapted
+      set for non-English or synthetic corpora — on a corpus with no
+      English function words the default makes ``keep`` structurally
+      zero, see the curate-pipeline gopher stage)
     - ``rule_bullet_lines``:   ≤ 90 % of lines start with a bullet
     - ``rule_ellipsis_lines``: ≤ 30 % of lines end with an ellipsis
     - ``keep``: AND of all rules.
@@ -285,7 +292,7 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
     )
     stop_hits = sum(
         F.when(F.lower(t).rlike(rf"\b{sw}\b"), 1).otherwise(0)
-        for sw in GOPHER_STOPWORDS
+        for sw in stopwords
     )
     lines = F.split(_c(col), r"\n")
     n_lines = F.size(lines)

@@ -69,9 +69,18 @@ def _stage_quality(df: DataFrame, ctx: dict) -> DataFrame:
 
 
 def _stage_gopher(df: DataFrame, ctx: dict) -> DataFrame:
-    from vectordb_light_spark.functions.text import gopher_rules
+    """Gopher rule gate. ``ctx['gopher_stopwords']`` swaps the
+    required-stopword set — MANDATORY knowledge for non-English or
+    synthetic corpora: with the default 8 English function words,
+    a corpus containing none of them keeps structurally ZERO rows
+    (the r6 finding on the driver testdata)."""
+    from vectordb_light_spark.functions.text import (
+        GOPHER_STOPWORDS,
+        gopher_rules,
+    )
 
-    return df.where(gopher_rules(F.col("text"))["keep"])
+    stopwords = tuple(ctx.get("gopher_stopwords") or GOPHER_STOPWORDS)
+    return df.where(gopher_rules(F.col("text"), stopwords)["keep"])
 
 
 def _stage_c4(df: DataFrame, ctx: dict) -> DataFrame:

@@ -6703,6 +6703,11 @@ _CHANGED_THIS_ROUND = {
     "pipe_decontaminate",       # ngram_tokens pinned WS class (both engines)
     "pipe_bloom_decontaminate", # ngram_tokens pinned WS class (both engines)
     "pipe_curate_chain",        # repetition stage rides ngram_tokens
+    # VERDICT item 8 (affordable: 7 changed + 42 r5 + 1 r6 = 50, all
+    # r5 still clear): gopher_rules gained a stopwords parameter
+    # (default = the unchanged 8-word set, so output is identical —
+    # marked changed under the conservative output-neutral precedent).
+    "ts_gopher_filter",
 }
 
 
