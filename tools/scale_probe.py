@@ -18,6 +18,7 @@ multi-partition layout a real corpus would have.
     python tools/scale_probe.py --spans [--write]    # exact-substring adversarial
     python tools/scale_probe.py --bpe [--write]      # BPE round cost vs corpus
     python tools/scale_probe.py --linededup [--write] # line dedup, boilerplate-heavy
+    python tools/scale_probe.py --curatechain [--write] # 7-stage curate chain e2e
 """
 
 from __future__ import annotations
@@ -330,6 +331,7 @@ def _all_markers():
         BLOOM_MARKER,
         BPE_MARKER,
         LINEDEDUP_MARKER,
+        CHAIN_MARKER,
     )
 
 
@@ -1880,6 +1882,103 @@ def main_linededup(factors: tuple[int, ...] = (1, 4, 16)) -> None:
         _write_section(LINEDEDUP_MARKER, out)
 
 
+
+CHAIN_MARKER = "\n## curate CLI chain incl. the r8 stages, composed at x1/x4/x16"
+
+
+def main_curatechain(factors: tuple[int, ...] = (1, 4, 16)) -> None:
+    """r8: the PRODUCT curation surface (operators/curate_pipeline
+    run_curation, report=False — one lazy plan) measured with the r8
+    stages in the chain: exact_dedup -> line_dedup -> repetition ->
+    quality -> readability -> bloom_decontaminate -> curriculum, under
+    the bounded-cluster replicate_unique protocol, terminated by a
+    parquet WRITE (the CLI's real action — a count would let Catalyst
+    elide the curriculum range exchange). Claim: the full chain stays
+    near-linear composed, including the two join-back stages (bloom
+    anti-join, curriculum order join) and the terminal global sort.
+    Appends its SCALING.md section with --write."""
+    from vectordb_light_spark.operators.curate_pipeline import run_curation
+
+    spark = get_spark("scale-probe-curatechain")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows_tbl: dict[int, tuple] = {}
+    try:
+        for factor in factors:
+            d = os.path.join(WORK, f"docs_uq_x{factor}")
+            if not os.path.isdir(d):
+                replicate_unique(spark, factor, d)
+            docs = spark.read.parquet(d).select("doc_id", "text")
+            n_docs = docs.count()
+            # 8-gram decontamination (the operator default): on this
+            # 31-word token-soup corpus, 4-grams collide across nearly
+            # ALL documents (the bench shares vocabulary with everything
+            # -> zero survivors), while exact 8-gram overlap pins
+            # exactly the bench documents themselves — the realistic
+            # "drop eval data from train" semantic.
+            bench = docs.where(F.col("doc_id") < 50)
+            out_dir = os.path.join(WORK, f"chain_out_x{factor}")
+
+            def go(docs=docs, bench=bench, out_dir=out_dir):
+                survivors, _ = run_curation(
+                    docs,
+                    ("exact_dedup", "line_dedup", "repetition",
+                     "quality", "readability", "bloom_decontaminate",
+                     "curriculum"),
+                    report=False,
+                    bench=bench,
+                )
+                survivors.write.mode("overwrite").parquet(out_dir)
+                return spark.read.parquet(out_dir).count()
+
+            n_out = go()  # warm-up
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                n_out = go()
+                best = min(best, time.time() - t0)
+            rows_tbl[factor] = (n_docs, n_out, best)
+            print(
+                f"x{factor}: {n_docs:,} docs in -> {n_out:,} survivors "
+                f"written, {best:.2f}s",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(WORK, ignore_errors=True)
+    w1 = rows_tbl[factors[0]][2]
+    lines = [
+        "",
+        CHAIN_MARKER.strip(),
+        "",
+        "| factor | docs in | survivors written | wall | wall vs x1 |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| x{f} | {nd:,} | {no:,} | {w:.2f}s | {w / w1:.1f}x |"
+        for f, (nd, no, w) in sorted(rows_tbl.items())
+    ] + [
+        "",
+        "The 7-stage curate chain as ONE lazy plan ending in the real",
+        "CLI action (parquet write): gate expressions ride the scan,",
+        "the dedup/line-dedup elections shuffle fixed-width keys, the",
+        "bloom probe is map-side against a constant 16 KiB literal,",
+        "and the two join-backs (bloom anti-join on flagged ids,",
+        "curriculum order join on (id, stage, key)) carry id-sized",
+        "rows. The terminal curriculum sort is the chain's only",
+        "range exchange. The wall curve is overhead-dominated through",
+        "x4 (a 7-stage chain is ~15 Spark jobs' worth of fixed stage/",
+        "scheduling cost at these corpus sizes, plus the bloom build's",
+        "bounded collect and the double write+readback), with x16 data",
+        "at well under x16 wall — the honest reading is the same as",
+        "the e2e section's: composed per-row cost is bounded from",
+        "above and no stage hands a super-linear blowup to the next;",
+        "report=False keeps intermediate actions at zero (the 100 TB",
+        "contract: the chain costs the final write).",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        _write_section(CHAIN_MARKER, out)
+
+
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
@@ -1910,5 +2009,7 @@ if __name__ == "__main__":
         main_bpe()
     elif "--linededup" in sys.argv:
         main_linededup()
+    elif "--curatechain" in sys.argv:
+        main_curatechain()
     else:
         main()
