@@ -185,8 +185,10 @@ def test_pinned_ws_class_identical_across_engines(spark):
     assert spark_toks == TRICKY_TOKENS
 
     # DuckDB/RE2: the oracle-twin spelling, injected verbatim
+    # trim(t, ' '): DuckDB 1-arg trim strips Unicode spaces (NBSP),
+    # Spark's only ASCII space — twins spell the char set explicitly
     duck = duckdb.sql(
-        "SELECT list_filter(string_split_regex(lower(trim(t)), "
+        "SELECT list_filter(string_split_regex(lower(trim(t, ' ')), "
         f"'{PINNED_WS_RE}'), x -> x <> '') AS toks FROM "
         "(SELECT ? AS t)",
         params=[TRICKY],

@@ -441,3 +441,61 @@ def test_line_dedup_matches_reference_loop(spark, docs):
         for r in dedup_lines_keep_first(df, sep="\n").collect()
     }
     assert got == _ref_line_dedup(rows, "\n")
+
+
+# ---------------------------------------------------------------------------
+# r8: the pinned cross-engine whitespace class, property-tested
+# ---------------------------------------------------------------------------
+
+#: Texts salted with the exact divergence characters: \x0B (Java \s
+#: has it, RE2 \s lacks it), NBSP and \x1c (Python str.split() splits
+#: on them, the pinned class must not), plus ordinary whitespace.
+_ws_tricky_text = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ09.,!") + [" ", "\t", "\n", "\x0b", "\f", "\r",
+                              "\xa0", "\x1c", " "]
+    ),
+    max_size=120,
+)
+
+
+@given(texts=st.lists(_ws_tricky_text, min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pinned_ws_tokenization_identical_three_engines(spark, texts):
+    """For ANY text, ngram_tokens (Spark/Java regex), the DuckDB twin
+    spelling, and Python re.split on PINNED_WS_RE must produce the
+    identical token stream — the cross-engine contract every
+    ngram/BPE oracle rests on."""
+    import re as _re
+
+    import duckdb
+
+    from vectordb_light_spark.functions.text import PINNED_WS_RE
+    from vectordb_light_spark.operators.dedup import ngram_tokens
+
+    # Spark trim strips only ASCII spaces; mirror that (not .strip())
+    def py_tokens(t):
+        trimmed = t.strip(" ")
+        return _re.split(PINNED_WS_RE, trimmed.lower())
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", ngram_tokens("text").alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in rows:
+        want = py_tokens(t)
+        assert got[i] == want, (t, got[i], want)
+        # trim(s, ' '): DuckDB's 1-arg trim strips the Unicode SPACE
+        # class (NBSP, thin space) where Spark's strips only ASCII
+        # space — the oracle twins pin the explicit char set.
+        duck = con.execute(
+            "SELECT string_split_regex(lower(trim(?, ' ')), "
+            f"'{PINNED_WS_RE}')",
+            [t],
+        ).fetchone()[0]
+        assert duck == want, (t, duck, want)

@@ -1323,7 +1323,7 @@ def _curate_chain_oracle_sql() -> str:
            JOIN winners ON keyed.k2 = winners.k2
                        AND keyed.doc_id = winners.doc_id),
     tok3 AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks3
+        SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+') AS toks3
         FROM documents
     ),
     g3 AS (
@@ -6009,7 +6009,7 @@ def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_decontaminate",
     oracle=r"""
     WITH tok AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
+        SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS toks
         FROM documents
     ),
     g AS (
@@ -6065,7 +6065,7 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_bloom_decontaminate",
     oracle=r"""
     WITH tok AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
+        SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS toks
         FROM documents
     ),
     g AS (
@@ -6239,7 +6239,7 @@ def pipe_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_repetition_filter",
     oracle=r"""
     WITH tok AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
+        SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS toks
         FROM documents
     ),
     g AS (
@@ -7524,7 +7524,7 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
                    chr(1) || ' ') || chr(1) AS w
         FROM (
             SELECT unnest(string_split_regex(
-                       lower(trim(coalesce(text, ''))), '[ \t\n\x0B\f\r]+')) AS word
+                       lower(trim(coalesce(text, ''), ' ')), '[ \t\n\x0B\f\r]+')) AS word
             FROM documents
         )
         WHERE word <> ''
@@ -7623,7 +7623,7 @@ def _bpe_encode_oracle_sql() -> str:
     WITH t AS (
         SELECT doc_id,
                list_filter(string_split_regex(
-                   lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0B\\f\\r]+'),
+                   lower(trim(coalesce(text, ''), ' ')), '[ \\t\\n\\x0B\\f\\r]+'),
                    x -> x <> '') AS words
         FROM documents
     )
