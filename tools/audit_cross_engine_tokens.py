@@ -1,0 +1,81 @@
+"""Inventory of latent cross-engine tokenization skew (r8 -> r9).
+
+Two divergence classes the r8 property tests pinned down:
+
+1. bare ``\\s`` in a DuckDB oracle regex: RE2 ``\\s`` lacks \\x0B,
+   Java ``\\s`` has it -> Spark/DuckDB token streams differ on text
+   containing a vertical tab. Fix = the shared explicit class
+   ``PINNED_WS_RE`` on BOTH sides (done in r8 for the six
+   ngram/BPE-path entries).
+2. 1-arg ``trim(expr)`` in an oracle: DuckDB strips the Unicode
+   SPACE class (NBSP, thin space, ...), Spark's ``trim`` strips only
+   ASCII space -> leading/trailing NBSP diverges. Fix =
+   ``trim(expr, ' ')`` on the DuckDB side (done in r8 for the same
+   six entries).
+
+Both classes are invisible on the ASCII single-line driver corpus —
+every oracle is hash-green today — but bite on real text. This tool
+prints the remaining sites per registry entry so a round can bundle
+the migration into its grading cut deliberately (COVERAGE.md
+"Registry grading budget" rule 2). Pure-Python: no Spark session.
+
+    python tools/audit_cross_engine_tokens.py
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# ORACLES maps name -> SQL without needing a SparkSession: the query
+# CALLABLES are lazy, and registration only stores strings.
+from vectordb_light_spark.queries import ORACLES  # noqa: E402
+
+#: 1-arg trim( / ltrim( / rtrim( — a second arg means the char set is
+#: already explicit. Matches nested parens one level deep.
+_TRIM_RE = re.compile(r"\b[lr]?trim\(\s*[^(),]*(?:\([^()]*\))?[^(),]*\)", re.I)
+_BARE_WS_RE = re.compile(r"\\s")
+
+
+def audit() -> dict[str, dict[str, list[str]]]:
+    out: dict[str, dict[str, list[str]]] = {}
+    for name, sql in ORACLES.items():
+        if not isinstance(sql, str):
+            continue
+        bare_ws = sorted(
+            {m.strip() for m in re.findall(r".{0,40}\\s.{0,12}", sql)}
+        ) if _BARE_WS_RE.search(sql) else []
+        trims = sorted({m.strip() for m in _TRIM_RE.findall(sql)})
+        if bare_ws or trims:
+            out[name] = {"bare_ws": bare_ws, "one_arg_trim": trims}
+    return out
+
+
+def main() -> None:
+    found = audit()
+    n_ws = sum(1 for v in found.values() if v["bare_ws"])
+    n_tr = sum(1 for v in found.values() if v["one_arg_trim"])
+    print(
+        f"{len(found)} entries carry latent cross-engine tokenization "
+        f"sites ({n_ws} with bare \\s, {n_tr} with 1-arg trim):\n"
+    )
+    for name, v in sorted(found.items()):
+        print(f"## {name}")
+        for site in v["bare_ws"]:
+            print(f"  \\s  ... {site}")
+        for site in v["one_arg_trim"]:
+            print(f"  trim    {site}")
+        print()
+    print(
+        "Migration rule: when an entry above enters _CHANGED_THIS_ROUND\n"
+        "for any reason, ALSO pin its \\s sites to PINNED_WS_RE and its\n"
+        "1-arg trims to trim(expr, ' ') on both engines — the entry is\n"
+        "already paying its grading slot."
+    )
+
+
+if __name__ == "__main__":
+    main()
