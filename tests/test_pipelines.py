@@ -248,3 +248,39 @@ def test_run_curation_report_releases_intermediate_frames(spark):
         "at most the final stage's"
     )
     out.unpersist()
+
+
+def test_bloom_stage_prebuilt_words_and_curriculum_score_col(spark):
+    """ctx['bloom_words'] skips the benchmark-side build entirely
+    (amortized filters), and ctx['curriculum_score_col'] orders by a
+    caller-provided column instead of the FK milligrade."""
+    from vectordb_light_spark.operators.curate_pipeline import run_curation
+    from vectordb_light_spark.operators.dedup import bloom_build
+
+    df = spark.createDataFrame(
+        [
+            (1, "totally clean document about gardening and soil quality"),
+            (2, "the secret eval answer is forty two exactly plus padding"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    words = bloom_build(bench, n=4)
+    # no ctx['bench'] at all — the prebuilt array alone must suffice
+    out, _ = run_curation(df, ("bloom_decontaminate",),
+                          bloom_words=words, decontaminate_n=4)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+    cdf = spark.createDataFrame(
+        [(1, "aaa", 30), (2, "bbb", 10), (3, "ccc", 20)],
+        "doc_id long, text string, difficulty int",
+    )
+    out, _ = run_curation(cdf, ("curriculum",),
+                          curriculum_score_col="difficulty",
+                          curriculum_stages=3)
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [2, 3, 1]  # ascending difficulty
+    assert set(out.columns) == {"doc_id", "text", "difficulty"}

@@ -169,3 +169,30 @@ def test_plans_md_covers_every_registered_query():
         f"gen_plans NOTES drift: missing {sorted(set(QUERIES) - notes_keys)}, "
         f"stale {sorted(notes_keys - set(QUERIES))}"
     )
+
+
+def test_composed_curate_chain_plan_is_clean(spark):
+    """The full 7-stage curate chain (incl. the r8 stages) composed
+    lazily must carry none of the registry anti-patterns — the chain
+    is product surface (CLI), not a registered query, so the
+    parametrized guard above never sees it."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.curate_pipeline import run_curation
+
+    docs = (
+        spark.read.parquet(SF + "/documents.parquet")
+        .select("doc_id", "text")
+    )
+    bench = docs.where(F.col("doc_id") < 10)
+    survivors, _ = run_curation(
+        docs,
+        ("exact_dedup", "line_dedup", "repetition", "quality",
+         "readability", "bloom_decontaminate", "curriculum"),
+        report=False,
+        bench=bench,
+    )
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
