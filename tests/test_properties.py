@@ -499,3 +499,43 @@ def test_pinned_ws_tokenization_identical_three_engines(spark, texts):
             [t],
         ).fetchone()[0]
         assert duck == want, (t, duck, want)
+
+
+@given(texts=st.lists(_ws_tricky_text, min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pinned_canonical_text_identical_three_engines(spark, texts):
+    """r8 migration batch 2: the exact-dedup/minhash canonical form —
+    collapse whitespace runs to one space, trim, lowercase — must be
+    byte-identical across Spark (dedup.canonical_text, Java \\s+), the
+    pinned DuckDB oracle spelling (explicit class + 2-arg trim), and
+    a Python reference. This is the contract dd_exact_dedup,
+    dd_minhash_candidates, dd_cross_corpus_candidates and the
+    curate-chain keyed CTE now rest on."""
+    import re as _re
+
+    import duckdb
+
+    from vectordb_light_spark.operators.dedup import canonical_text
+
+    def py_canon(t):
+        # Java \s == the pinned class; collapse-then-trim, then lower
+        return _re.sub(r"[ \t\n\x0b\f\r]+", " ", t).strip(" ").lower()
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", canonical_text("text").alias("t")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in rows:
+        want = py_canon(t)
+        assert got[i] == want, (t, got[i], want)
+        duck = con.execute(
+            "SELECT lower(trim(regexp_replace(?, "
+            "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))",
+            [t],
+        ).fetchone()[0]
+        assert duck == want, (t, duck, want)

@@ -97,3 +97,37 @@ def test_xls_biff_records_inside_cfb():
     data = BUILDERS["xls"](3, "cell text")
     assert data.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1")
     assert b"cell text" in data  # latin-1 SST payload
+
+
+# ---------------------------------------------------------------------------
+# r8 ADVICE: builders fail LOUDLY on inputs outside their format caps
+# (oversized payloads, non-latin-1 text) instead of corrupting bytes
+# or dying with an opaque IndexError/struct.error mid-query.
+# ---------------------------------------------------------------------------
+
+
+def test_build_cfb_rejects_payload_beyond_single_fat_sector():
+    from vectordb_light_spark.sources.synth_docs import build_cfb
+
+    with pytest.raises(ValueError, match="DIFAT"):
+        build_cfb({"Workbook": b"x" * (130 * 512)})
+
+
+def test_biff_sst_rejects_non_latin1_and_oversized():
+    from vectordb_light_spark.sources.synth_docs import biff_sst
+
+    with pytest.raises(ValueError, match="latin-1"):
+        biff_sst(["café ☃"])  # snowman is not latin-1
+    with pytest.raises(ValueError, match="16-bit"):
+        biff_sst(["x" * 70_000])
+
+
+def test_build_pdf_rejects_non_latin1():
+    with pytest.raises(ValueError, match="latin-1"):
+        BUILDERS["pdf"](1, "☃ snowman")
+
+
+def test_build_msg_accepts_non_latin1():
+    # MSG bodies are UTF-16 — full Unicode stays in scope
+    data = BUILDERS["msg"](1, "café ☃")
+    assert "café ☃".encode("utf-16-le") in data

@@ -1315,7 +1315,7 @@ def _curate_chain_oracle_sql() -> str:
     WITH {_quality_logit_ctes()},
     keyed AS (
         SELECT doc_id,
-               sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k2
+               sha256(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))) AS k2
         FROM documents
     ),
     winners AS (SELECT k2, MIN(doc_id) AS doc_id FROM keyed GROUP BY k2),
@@ -1354,25 +1354,25 @@ def _curate_chain_oracle_sql() -> str:
 #: stays: one text, any future composition cannot drift).
 _GOPHER_TM_CTES = r"""gt AS (
         SELECT doc_id,
-               trim(text) AS tt,
-               CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               trim(text, ' ') AS tt,
+               CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0B\f\r]+'))
                END AS n_words,
-               length(regexp_replace(trim(text), '\s', '', 'g')) AS nonspace,
-               len(regexp_extract_all(trim(text), '#|\.\.\.|…')) AS n_sym,
-               CASE WHEN length(trim(text)) = 0 THEN 0
+               length(regexp_replace(trim(text, ' '), '[ \t\n\x0B\f\r]', '', 'g')) AS nonspace,
+               len(regexp_extract_all(trim(text, ' '), '#|\.\.\.|…')) AS n_sym,
+               CASE WHEN length(trim(text, ' ')) = 0 THEN 0
                     ELSE len(list_filter(
-                        regexp_split_to_array(trim(text), '\s+'),
+                        regexp_split_to_array(trim(text, ' '), '[ \t\n\x0B\f\r]+'),
                         x -> regexp_matches(x, '[A-Za-z]')))
                END AS n_alpha,
-               (CASE WHEN regexp_matches(lower(trim(text)), '\bthe\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text)), '\bbe\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text)), '\bto\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text)), '\bof\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text)), '\band\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text)), '\bthat\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text)), '\bhave\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text)), '\bwith\b') THEN 1 ELSE 0 END
+               (CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bthe\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bbe\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bto\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bof\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\band\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bthat\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bhave\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bwith\b') THEN 1 ELSE 0 END
                ) AS stop_hits,
                string_split(text, chr(10)) AS lines
         FROM documents
@@ -1387,10 +1387,10 @@ _GOPHER_TM_CTES = r"""gt AS (
                     ELSE n_alpha::DOUBLE / n_words END AS alpha_frac,
                stop_hits,
                len(list_filter(lines,
-                   x -> regexp_matches(trim(x), '^[-*•]')))::DOUBLE
+                   x -> regexp_matches(trim(x, ' '), '^[-*•]')))::DOUBLE
                    / len(lines) AS bullet_frac,
                len(list_filter(lines,
-                   x -> regexp_matches(trim(x), '(\.\.\.|…)$')))::DOUBLE
+                   x -> regexp_matches(trim(x, ' '), '(\.\.\.|…)$')))::DOUBLE
                    / len(lines) AS ellipsis_frac
         FROM gt
     )"""
@@ -1649,7 +1649,7 @@ def ts_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH keyed AS (
         SELECT doc_id, lang, source,
-               sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS k
+               sha256(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))) AS k
         FROM documents
     ),
     winners AS (SELECT k, MIN(doc_id) AS doc_id FROM keyed GROUP BY k)
@@ -1751,14 +1751,25 @@ def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_hash_cte(n: int) -> str:
+def _shingle_hash_cte(n: int, pinned: bool = False) -> str:
     """DuckDB CTE fragment computing, per document, the SAME 31-bit
     polynomial char-shingle hashes as ``dedup._np_shingle_hashes``
     (finalize=False): window n, base 257, mod 2^31-1 over canonical
-    text — the oracle-twin hash family."""
+    text — the oracle-twin hash family.
+
+    ``pinned=True`` spells the canonicalization with the explicit
+    whitespace class + 2-arg trim (the r8 cross-engine pin — see
+    tools/audit_cross_engine_tokens.py). The legacy ``\\s+``/1-arg
+    spelling stays selectable so dd_simhash_near_dups' oracle text is
+    untouched until that entry next enters the grading cut (r9)."""
+    canon = (
+        "lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))"
+        if pinned
+        else "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    )
     return f"""
     c AS (
-        SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        SELECT doc_id, {canon} AS t
         FROM documents
     ),
     h AS (
@@ -1777,6 +1788,7 @@ def _shingle_hash_cte(n: int) -> str:
 
 def _minhash_cand_ctes(
     pair_cond: str = "a.doc_id < bb.doc_id",
+    pinned: bool = False,
 ) -> str:
     """Shared CTE chain ending in ``cand`` = MinHash-LSH candidate
     pairs (poly31 family, 16 hashes / 4 bands, n_eq ≥ 12): signature
@@ -1784,7 +1796,12 @@ def _minhash_cand_ctes(
     ``minhash_poly_params``), poly band keys, band equi-join —
     integer-for-integer the same arithmetic as the Spark plan. Used
     by the candidates oracle, the recursive-CTE clusters oracle, and
-    (with a cross-corpus ``pair_cond``) the cross-corpus oracle."""
+    (with a cross-corpus ``pair_cond``) the cross-corpus oracle.
+
+    ``pinned`` forwards to :func:`_shingle_hash_cte` — True for the
+    two entries whose r8 grading slot pays for the cross-engine
+    whitespace pin; dd_duplicate_clusters keeps the legacy spelling
+    until its own slot comes up (r9)."""
     from vectordb_light_spark.operators.dedup import minhash_poly_params
 
     p61 = (1 << 61) - 1
@@ -1794,7 +1811,7 @@ def _minhash_cand_ctes(
         f" % {p61} + {b}) % {p61} AS BIGINT)))"
         for a, b in zip(a_list, b_list)
     )
-    return f"""{_shingle_hash_cte(5)},
+    return f"""{_shingle_hash_cte(5, pinned=pinned)},
     sig AS (
         SELECT doc_id,
                [{sig_items}] AS sig
@@ -1834,7 +1851,7 @@ def _minhash_oracle_sql() -> str:
     equi-join, est-Jaccard filter — integer-for-integer the same
     arithmetic as the Spark plan."""
     return f"""
-    WITH {_minhash_cand_ctes()}
+    WITH {_minhash_cand_ctes(pinned=True)}
     SELECT id_a, id_b, ROUND(n_eq / 16.0, 6) AS est_jaccard
     FROM cand
     ORDER BY id_a, id_b
@@ -1876,7 +1893,7 @@ def _cross_corpus_oracle_sql() -> str:
     the pair condition switched from the self-join guard to the
     ref/new corpus split (ref = doc_id < 250, new = doc_id ≥ 250)."""
     return f"""
-    WITH {_minhash_cand_ctes("a.doc_id < 250 AND bb.doc_id >= 250")}
+    WITH {_minhash_cand_ctes("a.doc_id < 250 AND bb.doc_id >= 250", pinned=True)}
     SELECT id_a AS ref_id, id_b AS new_id,
            ROUND(n_eq / 16.0, 6) AS est_jaccard
     FROM cand
@@ -2180,7 +2197,7 @@ _SPAN_MINE_CTES = r"""
       FROM documents
     ),
     tok AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS toks
       FROM base
     ),
     g0 AS (
@@ -2269,7 +2286,7 @@ def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     + r"""
     ,
     tokp0 AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS rtoks FROM base
+      SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') AS rtoks FROM base
     ),
     tokp AS (
       SELECT doc_id,
@@ -6341,7 +6358,7 @@ def prof_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id, source,
-               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               CAST(len(list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                                     x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents
     ),
@@ -6691,23 +6708,39 @@ _PRE_ORACLE_STALE: set = set()
 
 #: Entries new or implementation-changed in round 8. Kept MINIMAL on
 #: purpose (VERDICT r7 item 1: the 50-row driver cut must clear the
-#: 42-entry r5-stale tail, so 6 changed + 42 r5 + 2 cheapest-r6 = 50).
-#: All six changes are ONE fix: the shared whitespace tokenization
-#: class pinned to Java-\s ``[ \t\n\x0B\f\r]+`` on BOTH engines
-#: (VERDICT item 3 for BPE, ADVICE for ngram_tokens) — RE2 ``\s``
-#: lacks \x0B, so the old ``\s+`` drifts on real text.
+#: 42-entry r5-stale tail). Budget math: 8 non-r5 changed + 6 r5
+#: changed + 36 r5 unchanged = 50 — every r5-stale entry still makes
+#: the cut, with zero r6 fill. All changes are ONE fix applied
+#: per-entry: the cross-engine whitespace tokenization pin
+#: (VERDICT item 3 / ADVICE / tools/audit_cross_engine_tokens.py) —
+#: RE2 ``\s`` lacks \x0B where Java ``\s`` has it, and DuckDB's
+#: 1-arg ``trim`` strips the Unicode SPACE class where Spark's
+#: ``trim`` strips only ASCII space, so oracles spell the explicit
+#: class ``[ \t\n\x0B\f\r]+`` and ``trim(expr, ' ')``.
 _CHANGED_THIS_ROUND = {
-    "pipe_bpe_merges",          # word_vocab pinned WS class (both engines)
+    "pipe_bpe_merges",          # word_vocab pinned WS class + trim(x, ' ')
     "pipe_bpe_encode",          # word_vocab pinned WS class (both engines)
     "ts_repetition_filter",     # ngram_tokens pinned WS class (both engines)
     "pipe_decontaminate",       # ngram_tokens pinned WS class (both engines)
     "pipe_bloom_decontaminate", # ngram_tokens pinned WS class (both engines)
-    "pipe_curate_chain",        # repetition stage rides ngram_tokens
-    # VERDICT item 8 (affordable: 7 changed + 42 r5 + 1 r6 = 50, all
-    # r5 still clear): gopher_rules gained a stopwords parameter
-    # (default = the unchanged 8-word set, so output is identical —
-    # marked changed under the conservative output-neutral precedent).
+    "pipe_curate_chain",        # repetition stage + keyed CTE pin
+    # gopher_rules gained a stopwords parameter (default = the
+    # unchanged 8-word set, so output is identical — marked changed
+    # under the conservative output-neutral precedent) and its oracle
+    # CTEs carry the tokenization pin.
     "ts_gopher_filter",
+    # The audit-tool migration rule applied to every flagged entry
+    # already graded this round for free (r5-stale, so already in the
+    # cut) plus ONE headroom slot spent on dd_exact_dedup — its keyed
+    # CTE is the shape pipe_curate_chain's oracle mirrors, so the two
+    # texts must pin together or drift.
+    "dd_exact_dedup",            # the 1 non-r5 headroom slot
+    "dd_minhash_candidates",     # r5 — shingle canon CTE pinned
+    "dd_cross_corpus_candidates",# r5 — shingle canon CTE pinned
+    "dd_repeated_spans",         # r5 — span-mine tok CTE pinned
+    "dd_strip_repeated_spans",   # r5 — span-mine + rebuild tok pinned
+    "pipe_token_budget_mix",     # r5 — token-count CTE pinned
+    "ts_vocab_topk",             # r5 — vocab tokenization pinned
 }
 
 
@@ -7118,7 +7151,7 @@ def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_vocab_topk",
     oracle=r"""
     WITH tok AS (
-        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        SELECT unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS token
         FROM documents
     ),
     c AS (
@@ -7537,7 +7570,7 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
     , s{r} AS MATERIALIZED (
         SELECT word, freq, w,
                list_filter(list_transform(string_split(w, chr(1)),
-                                          x -> trim(x)),
+                                          x -> trim(x, ' ')),
                            x -> x <> '') AS syms
         FROM {prev}
     ),

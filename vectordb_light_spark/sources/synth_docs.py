@@ -233,6 +233,17 @@ def build_cfb(streams: dict[str, bytes]) -> bytes:
         sect += len(_cfb_pad(data, 512)) // 512
     total_sect = sect
 
+    # One FAT sector = 128 sector slots (~64 KiB of payload). The
+    # synthetic roundtrip rows are far smaller; anything bigger needs
+    # a DIFAT chain this builder deliberately doesn't implement —
+    # fail loudly instead of corrupting the FAT (ADVICE r8).
+    if total_sect > 128:
+        raise ValueError(
+            f"build_cfb: payload needs {total_sect} sectors but the "
+            "single-FAT-sector builder addresses at most 128 (~64 KiB)"
+            " — grow via DIFAT or shrink the document"
+        )
+
     fat = [_FREESECT] * 128
     fat[0] = _FATSECT
 
@@ -291,6 +302,11 @@ def build_cfb(streams: dict[str, bytes]) -> bytes:
 
 
 def biff_rec(opcode: int, payload: bytes) -> bytes:
+    if len(payload) > 0xFFFF:
+        raise ValueError(
+            f"biff_rec: {len(payload)}-byte payload exceeds the 16-bit"
+            f" BIFF record length field (opcode 0x{opcode:04X})"
+        )
     return struct.pack("<HH", opcode, len(payload)) + payload
 
 
@@ -301,7 +317,19 @@ def biff_bof(doctype: int) -> bytes:
 def biff_sst(strings: list[str], total: int | None = None) -> bytes:
     payload = struct.pack("<II", total or len(strings), len(strings))
     for s in strings:
-        payload += struct.pack("<HB", len(s), 0) + s.encode("latin-1")
+        if len(s) > 0xFFFF:
+            raise ValueError(
+                f"biff_sst: {len(s)}-char string exceeds the 16-bit "
+                "BIFF8 XLUnicodeRichExtendedString length field"
+            )
+        try:
+            enc = s.encode("latin-1")
+        except UnicodeEncodeError as e:
+            raise ValueError(
+                "biff_sst emits uncompressed 8-bit BIFF8 strings; the "
+                "text must be latin-1-encodable (ADVICE r8)"
+            ) from e
+        payload += struct.pack("<HB", len(s), 0) + enc
     return biff_rec(0x00FC, payload)
 
 
@@ -369,10 +397,16 @@ def build_pdf(doc_id: int, text: str) -> bytes:
     esc = (
         text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
     )
-    pages = [
-        f"BT /F1 12 Tf 72 720 Td (doc {doc_id}) Tj ET".encode("latin-1"),
-        f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1"),
-    ]
+    try:
+        pages = [
+            f"BT /F1 12 Tf 72 720 Td (doc {doc_id}) Tj ET".encode("latin-1"),
+            f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1"),
+        ]
+    except UnicodeEncodeError as e:
+        raise ValueError(
+            "build_pdf emits latin-1 literal-string content streams; "
+            "the text must be latin-1-encodable (ADVICE r8)"
+        ) from e
     objs: dict[int, bytes] = {}
     kid_refs = []
     next_num = 3
