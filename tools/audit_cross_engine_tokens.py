@@ -54,6 +54,17 @@ def audit() -> dict[str, dict[str, list[str]]]:
     return out
 
 
+def _suggest(site: str) -> str:
+    """The pinned spelling for one flagged site — ready to paste.
+    Spark-side code needs NO change for either class: Java ``\\s`` IS
+    the pinned class and Spark ``trim`` IS ``trim(x, ' ')`` — the pin
+    is oracle-text-only (r8 batch-1/2 precedent)."""
+    out = re.sub(r"\\s(\+?)", r"[ \\t\\n\\x0B\\f\\r]\1", site)
+    # each 1-arg trim(...) gains the explicit char-set argument; the
+    # _TRIM_RE match already excludes trims with a second arg
+    return _TRIM_RE.sub(lambda m: m.group(0)[:-1] + ", ' ')", out)
+
+
 def main() -> None:
     found = audit()
     n_ws = sum(1 for v in found.values() if v["bare_ws"])
@@ -66,8 +77,10 @@ def main() -> None:
         print(f"## {name}")
         for site in v["bare_ws"]:
             print(f"  \\s  ... {site}")
+            print(f"      -> {_suggest(site)}")
         for site in v["one_arg_trim"]:
             print(f"  trim    {site}")
+            print(f"      -> {_suggest(site)}")
         print()
     print(
         "Migration rule: when an entry above enters _CHANGED_THIS_ROUND\n"
