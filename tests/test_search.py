@@ -722,3 +722,38 @@ def test_open_rolls_back_standalone_artifact_commit_crash(spark, tmp_path):
         load_index_artifacts(db_path)["ivf_centroids"], old_centroids
     )
     _shutil.rmtree(db_path)
+
+
+def test_topk_contract_flipped_matches_v1(spark):
+    """The staged r9 contract rewrite (flipped membership, no
+    corpus-id broadcast) must be byte-identical to the v1 projection the three
+    gradable entries still run — the equivalence that lets r9 flip
+    the call sites spending only the grading slots, not re-design."""
+    from vectordb_light_spark.functions.embedding import (
+        HashingEmbedder,
+        embed_documents,
+    )
+    from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+    from vectordb_light_spark.queries import (
+        _topk_contract,
+        _topk_contract_flipped,
+        load_docs,
+    )
+
+    docs = load_docs(spark, "/root/testdata/sf0.001", "doc_id", "text")
+    embedded = embed_documents(
+        docs, {"encoder": "hashing", "dim": 64, "seed": 0}
+    ).drop("text")
+    qtext = docs.where(F.col("doc_id") == 0).select("text").first()[0]
+    q = [float(x) for x in HashingEmbedder(dim=64, seed=0).encode([qtext])[0]]
+    out = topk_cosine(
+        embedded,
+        q,
+        SearchParams(k=10, threshold=0.0, assume_normalized=True),
+        id_col="doc_id",
+        vec_col="vector",
+    )
+    v1 = [r.asDict() for r in _topk_contract(embedded, out).collect()]
+    v2 = [r.asDict() for r in _topk_contract_flipped(embedded, out).collect()]
+    assert v1 == v2
+    assert len(v1) == 10 and all(r["in_pool"] == 1 for r in v1)
