@@ -1,0 +1,189 @@
+"""End-to-end oracle parity on ADVERSARIAL whitespace-salted text.
+
+The driver's corpus is single-line ASCII, so the two cross-engine
+tokenization skew classes (RE2 ``\\s`` lacking \\x0B; DuckDB 1-arg
+``trim`` stripping the Unicode SPACE class — see
+tools/audit_cross_engine_tokens.py) can never fire there. This tool
+fires them on purpose: it synthesizes a ``documents`` table whose
+texts are salted with every divergence character (\\x0B, NBSP,
+\\x1C, \\f, \\r, \\t, newlines, runs of spaces, leading/trailing
+salts), then runs the SAME Spark-vs-DuckDB compare as
+tools/check_oracle.py for two entry groups:
+
+- PINNED entries (the r8 migration batches): must PASS — this is the
+  empirical proof the pin holds end-to-end through real plans, not
+  just at the tokenizer-unit level;
+- KNOWN-SKEWED entries (still on bare ``\\s``/1-arg trim, queued for
+  r9): allowed to FAIL — a failure here CONFIRMS the audit's claim
+  that the latent skew is real, and a pass means the salt simply
+  missed that entry's sites this time (the skew is still latent).
+
+Exit code is 1 only if a PINNED entry fails (or a harness error).
+
+    python tools/adversarial_oracle_check.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import tempfile
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from check_oracle import _canon, table_hash  # noqa: E402
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from vectordb_light_spark.session import get_spark  # noqa: E402
+
+#: Entries whose oracles carry the pinned spelling after r8 — each
+#: reads ONLY the documents table, so the synthetic table suffices.
+PINNED = [
+    "dd_exact_dedup",
+    "dd_minhash_candidates",
+    "dd_cross_corpus_candidates",
+    "dd_repeated_spans",
+    "dd_strip_repeated_spans",
+    "pipe_token_budget_mix",
+    "ts_vocab_topk",
+    "ts_gopher_filter",
+    "ts_repetition_filter",
+    "pipe_decontaminate",
+    "pipe_bloom_decontaminate",
+    "pipe_bpe_merges",
+    "pipe_bpe_encode",
+    "pipe_curate_chain",
+]
+
+#: Documents-only entries still on the legacy spelling (r9 queue) —
+#: reported, never fatal.
+KNOWN_SKEWED = [
+    "dd_duplicate_groups",
+    "dd_duplicate_clusters",
+    "dd_jaccard_pairs",
+    "dd_simhash_near_dups",
+    "ts_quality_classifier",
+    "ts_quality_score",
+    "ts_text_stats",
+    "ts_winnow_fingerprints",
+]
+
+_SALT = ["\x0b", "\xa0", "\x1c", "\t", "\f", "\r", "\n", "  ", "   ", " "]
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog and then some more "
+    "words with be to of that have data spark oracle pin check"
+).split()
+
+
+def make_docs(n: int, seed: int = 8) -> list[tuple]:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.randint(4, 28)
+        parts = []
+        for _ in range(k):
+            parts.append(rng.choice(_WORDS))
+            parts.append(
+                rng.choice(_SALT) if rng.random() < 0.4 else " "
+            )
+        text = "".join(parts)
+        if rng.random() < 0.3:
+            text = rng.choice(_SALT) + text
+        if rng.random() < 0.3:
+            text = text + rng.choice(_SALT)
+        # duplicate clusters so dedup tiers have real work
+        if i % 11 == 0 and rows:
+            text = rows[rng.randrange(len(rows))][1]
+        rows.append(
+            (
+                i,
+                text,
+                rng.choice(["en", "de", "fr"]),
+                rng.choice(["web", "books", "code", "wiki"]),
+                len(text),
+            )
+        )
+    return rows
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    rows = make_docs(n)
+
+    tmp = tempfile.mkdtemp(prefix="adversarial_docs_")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY d TO '{tmp}/documents.parquet' (FORMAT parquet)")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet'"
+    )
+
+    spark = get_spark("adversarial-oracle")
+    qs, oracles = queries(), oracle_sql()
+    fatal = 0
+
+    def compare(name: str) -> str:
+        sdf = qs[name](spark, tmp)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        if len(srows) != len(orows):
+            return f"rows {len(srows)} vs {len(orows)}"
+        if sorted(c.lower() for c in scols) != sorted(
+            c.lower() for c in ocols
+        ):
+            return f"schema {sorted(scols)} vs {sorted(ocols)}"
+        sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
+        if sh != oh:
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            sset = sorted(
+                "|".join(_canon(r[i]) for i in order) for r in srows
+            )
+            oset = sorted(
+                "|".join(_canon(r[i]) for i in oorder) for r in orows
+            )
+            diff = next(
+                (f"{a!r} vs {b!r}" for a, b in zip(sset, oset) if a != b),
+                "",
+            )
+            return f"hash {sh} vs {oh}  first-diff {diff[:160]}"
+        return ""
+
+    print(f"# adversarial documents: {n} rows -> {tmp}\n")
+    print("## PINNED entries (must pass)")
+    for name in PINNED:
+        try:
+            why = compare(name)
+        except Exception as e:  # noqa: BLE001
+            why = f"error: {e}"
+        if why:
+            fatal += 1
+            print(f"FAIL {name}: {why}")
+        else:
+            print(f"PASS {name}")
+
+    print("\n## KNOWN-SKEWED entries (r9 queue; failures EXPECTED)")
+    for name in KNOWN_SKEWED:
+        try:
+            why = compare(name)
+        except Exception as e:  # noqa: BLE001
+            why = f"error: {e}"
+        print(f"{'SKEW-CONFIRMED' if why else 'not-tripped  '} {name}"
+              + (f": {why[:120]}" if why else ""))
+
+    print(f"\npinned failures: {fatal}")
+    return 1 if fatal else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -7731,7 +7731,12 @@ def _bpe_encode_oracle_sql() -> str:
             f"replace({expr}, ' ' || '{a}' || chr(1) || ' ' || '{b}' "
             f"|| chr(1), ' ' || '{a}{b}' || chr(1))"
         )
-    encoded_word = f"ltrim(replace({expr}, chr(1), ''))"
+    # 2-arg ltrim: a word can BE a Unicode-space char (NBSP survives
+    # the pinned split), and 1-arg ltrim would strip it as a leading
+    # "space" after the sentinels drop — found by
+    # tools/adversarial_oracle_check.py (the static audit's regex
+    # cannot see through the nested replace chain).
+    encoded_word = f"ltrim(replace({expr}, chr(1), ''), ' ')"
     return f"""
     WITH t AS (
         SELECT doc_id,
