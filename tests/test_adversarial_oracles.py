@@ -75,3 +75,50 @@ def test_pinned_entry_survives_adversarial_whitespace(
         c.lower() for c in ocols
     )
     assert table_hash(scols, srows) == table_hash(ocols, orows), name
+
+
+def test_lower_cross_engine_boundary_is_the_known_14(spark):
+    """41 oracles lower() their text, so the exact Spark-vs-DuckDB
+    case-mapping boundary must be KNOWN, not assumed. Exhaustive BMP
+    sweep (r8 measurement): the engines diverge on exactly 14
+    codepoints — U+0130 İ (Spark applies the full Unicode lowercase
+    i + U+0307, DuckDB's simple mapping gives bare i) plus 13
+    recently-encoded cased letters (Glagolitic/Latin-Ext additions)
+    where the JVM's Unicode tables are newer than utf8proc's. None
+    can appear in the driver corpus; an İ-bearing corpus needs the
+    replace-then-lower oracle pin documented in
+    tools/audit_cross_engine_tokens.py. If a container upgrade moves
+    either engine's Unicode tables, this test is the tripwire."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    chars = [
+        chr(c)
+        for c in range(0x20, 0x10000)
+        if not 0xD800 <= c <= 0xDFFF
+    ]
+    pdf = pd.DataFrame({"i": range(len(chars)), "t": chars})
+    srows = dict(
+        (r["i"], r["lo"])
+        for r in spark.createDataFrame(pdf)
+        .select("i", F.lower("t").alias("lo"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("chars", pdf)
+    drows = dict(con.execute("SELECT i, lower(t) FROM chars").fetchall())
+    con.close()
+    divergent = {
+        ord(chars[i]) for i in range(len(chars)) if srows[i] != drows[i]
+    }
+    known = {
+        0x0130,  # İ — the one FULL-mapping expansion (SpecialCasing)
+        # JVM-newer-than-utf8proc cased letters (Unicode 12-16):
+        0x1C89, 0x2C2F, 0xA7C0, 0xA7C7, 0xA7C9, 0xA7CB, 0xA7CC,
+        0xA7D0, 0xA7D6, 0xA7D8, 0xA7DA, 0xA7DC, 0xA7F5,
+    }
+    assert divergent == known, (
+        f"lower() boundary moved: new {sorted(hex(c) for c in divergent - known)}, "
+        f"gone {sorted(hex(c) for c in known - divergent)}"
+    )

@@ -19,6 +19,26 @@ prints the remaining sites per registry entry so a round can bundle
 the migration into its grading cut deliberately (COVERAGE.md
 "Registry grading budget" rule 2). Pure-Python: no Spark session.
 
+A third, MEASURED (not latent) boundary is case mapping: Spark's
+``lower`` applies the full Unicode mapping while DuckDB's is simple
+1:1, and the exhaustive r8 BMP sweep
+(tests/test_adversarial_oracles.py
+``test_lower_cross_engine_boundary_is_the_known_14``) pins the
+divergence to exactly 14 codepoints — U+0130 İ (→ ``i`` + U+0307 on
+Spark, bare ``i`` on DuckDB) plus 13 rare cased letters where the
+JVM's Unicode tables are newer than utf8proc's. No oracle uses
+``upper``. For an İ-bearing corpus the oracle-side pin is
+replace-then-lower: ``lower(replace(e, chr(304), 'i' || chr(775)))``;
+not applied anywhere because the driver corpus cannot contain these
+codepoints and the rewrite would obscure 41 oracles for a
+one-codepoint case.
+
+Static-analysis limits (why the end-to-end harness exists): the
+trim regex matches one paren level, so a 1-arg trim wrapped around
+a deeply nested expression escapes this audit —
+tools/adversarial_oracle_check.py caught exactly such a miss in
+pipe_bpe_encode's ltrim (r8).
+
     python tools/audit_cross_engine_tokens.py
 """
 
