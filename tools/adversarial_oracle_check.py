@@ -97,6 +97,14 @@ def make_docs(n: int, seed: int = 8) -> list[tuple]:
         # duplicate clusters so dedup tiers have real work
         if i % 11 == 0 and rows:
             text = rows[rng.randrange(len(rows))][1]
+        # \x0B-vs-space VARIANT of an earlier doc: canonical forms
+        # collapse to the same text on Spark (Java \s has \x0B) but
+        # not on a legacy '\s+' oracle (RE2 lacks it) — the pair that
+        # trips shingle-level tiers (jaccard/minhash/clusters), not
+        # just tokenizers
+        elif i % 13 == 0 and rows:
+            donor = rows[rng.randrange(len(rows))][1]
+            text = donor.replace(" ", "\x0b", 1)
         rows.append(
             (
                 i,
