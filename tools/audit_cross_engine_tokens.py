@@ -54,10 +54,37 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # CALLABLES are lazy, and registration only stores strings.
 from vectordb_light_spark.queries import ORACLES  # noqa: E402
 
-#: 1-arg trim( / ltrim( / rtrim( — a second arg means the char set is
-#: already explicit. Matches nested parens one level deep.
-_TRIM_RE = re.compile(r"\b[lr]?trim\(\s*[^(),]*(?:\([^()]*\))?[^(),]*\)", re.I)
+#: trim( / ltrim( / rtrim( call heads; the argument list is walked
+#: with a paren-aware scanner (not a regex — the one-level-deep regex
+#: this replaced MISSED pipe_bpe_encode's ltrim around a nested
+#: replace chain; the adversarial harness caught it at runtime in r8).
+_TRIM_HEAD_RE = re.compile(r"\b([lr]?trim)\(", re.I)
 _BARE_WS_RE = re.compile(r"\\s")
+
+
+def _one_arg_trims(sql: str) -> list[str]:
+    """Every [lr]trim(...) call in ``sql`` whose argument list has
+    exactly ONE top-level argument (no explicit char set), with fully
+    balanced parens at any nesting depth."""
+    out = []
+    for m in _TRIM_HEAD_RE.finditer(sql):
+        depth, args, i = 1, 1, m.end()
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "'":  # skip string literals ('' = escaped quote)
+                i += 1
+                while i < len(sql) and sql[i] != "'":
+                    i += 1
+            elif ch == "," and depth == 1:
+                args += 1
+            i += 1
+        if depth == 0 and args == 1:
+            out.append(" ".join(sql[m.start():i].split()))
+    return out
 
 
 def audit() -> dict[str, dict[str, list[str]]]:
@@ -68,7 +95,7 @@ def audit() -> dict[str, dict[str, list[str]]]:
         bare_ws = sorted(
             {m.strip() for m in re.findall(r".{0,40}\\s.{0,12}", sql)}
         ) if _BARE_WS_RE.search(sql) else []
-        trims = sorted({m.strip() for m in _TRIM_RE.findall(sql)})
+        trims = sorted({t[:120] for t in _one_arg_trims(sql)})
         if bare_ws or trims:
             out[name] = {"bare_ws": bare_ws, "one_arg_trim": trims}
     return out
@@ -80,9 +107,11 @@ def _suggest(site: str) -> str:
     the pinned class and Spark ``trim`` IS ``trim(x, ' ')`` — the pin
     is oracle-text-only (r8 batch-1/2 precedent)."""
     out = re.sub(r"\\s(\+?)", r"[ \\t\\n\\x0B\\f\\r]\1", site)
-    # each 1-arg trim(...) gains the explicit char-set argument; the
-    # _TRIM_RE match already excludes trims with a second arg
-    return _TRIM_RE.sub(lambda m: m.group(0)[:-1] + ", ' ')", out)
+    # each 1-arg trim(...) gains the explicit char-set argument (the
+    # scanner only reports complete balanced 1-arg calls)
+    for call in _one_arg_trims(out):
+        out = out.replace(call, call[:-1] + ", ' ')")
+    return out
 
 
 def main() -> None:
