@@ -20,8 +20,11 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from adversarial_oracle_check import make_docs  # noqa: E402
-from check_oracle import table_hash  # noqa: E402
+from adversarial_oracle_check import (  # noqa: E402
+    compare_entry,
+    make_docs,
+    write_docs_parquet,
+)
 
 #: Cheap pinned entries; the full 14-entry sweep (incl. minhash, BPE
 #: learning, the curate chain) is tools/adversarial_oracle_check.py.
@@ -38,15 +41,7 @@ SUBSET = [
 @pytest.fixture(scope="module")
 def adversarial_dir(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("adversarial_docs")
-    rows = make_docs(120)
-    con = duckdb.connect()
-    con.execute(
-        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
-        "source VARCHAR, n_chars BIGINT)"
-    )
-    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", rows)
-    con.execute(f"COPY d TO '{tmp}/documents.parquet' (FORMAT parquet)")
-    con.close()
+    write_docs_parquet(make_docs(120), str(tmp))
     return str(tmp)
 
 
@@ -54,27 +49,14 @@ def adversarial_dir(tmp_path_factory):
 def test_pinned_entry_survives_adversarial_whitespace(
     spark, adversarial_dir, name
 ):
-    from vectordb_light_spark.queries import ORACLES, QUERIES
-
-    sdf = QUERIES[name](spark, adversarial_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
-
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"'{adversarial_dir}/documents.parquet'"
     )
-    res = con.execute(ORACLES[name])
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    why = compare_entry(spark, con, name, adversarial_dir)
     con.close()
-
-    assert len(srows) == len(orows), (name, len(srows), len(orows))
-    assert sorted(c.lower() for c in scols) == sorted(
-        c.lower() for c in ocols
-    )
-    assert table_hash(scols, srows) == table_hash(ocols, orows), name
+    assert not why, (name, why)
 
 
 def test_lower_cross_engine_boundary_is_the_known_14(spark):

@@ -757,3 +757,31 @@ def test_topk_contract_flipped_matches_v1(spark):
     v2 = [r.asDict() for r in _topk_contract_flipped(embedded, out).collect()]
     assert v1 == v2
     assert len(v1) == 10 and all(r["in_pool"] == 1 for r in v1)
+
+
+def test_topk_contract_flipped_robust_to_duplicate_ids(spark):
+    """A malformed top-k that repeats a doc_id at two ranks must not
+    inflate the flipped contract's n_docs/n_bad_norms through join
+    multiplication — the contract exists to FLAG broken plans, so it
+    must stay v1-identical exactly there (r8 review finding)."""
+    from vectordb_light_spark.queries import (
+        _topk_contract,
+        _topk_contract_flipped,
+    )
+
+    embedded = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(50)],
+        "doc_id long, vector array<double>",
+    )
+    # doc 0 appears at ranks 1 AND 2; rank 3 points outside the pool
+    out = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 0.9), (999, 3, 0.8)],
+        "doc_id long, rank int, similarity_score double",
+    )
+    v1 = [r.asDict() for r in _topk_contract(embedded, out).collect()]
+    v2 = [
+        r.asDict() for r in _topk_contract_flipped(embedded, out).collect()
+    ]
+    assert v1 == v2
+    assert [r["n_docs"] for r in v2] == [50, 50, 50]
+    assert [r["in_pool"] for r in v2] == [1, 1, 0]

@@ -55,6 +55,18 @@ PINNED = [
     "pipe_bloom_decontaminate",
     "pipe_bpe_merges",
     "pipe_bpe_encode",
+]
+
+#: Entries whose oracles are pinned at SOME sites but still carry a
+#: known legacy site (r9 queue) — a pass here is margin, not proof:
+#: pipe_curate_chain's quality CTE keeps the 1-arg trim shared with
+#: ts_quality_classifier/pipe_curriculum_order (deferred — pinning it
+#: costs two grading slots the r8 cut doesn't have). Measured on this
+#: corpus: edge-NBSP docs get divergent quality TOKEN streams, and
+#: the hash stays green only while no logit straddles the keep
+#: threshold. Reported separately so a flip is read as the deferred
+#: skew firing, not a pin regression.
+PARTIALLY_PINNED = [
     "pipe_curate_chain",
 ]
 
@@ -117,55 +129,68 @@ def make_docs(n: int, seed: int = 8) -> list[tuple]:
     return rows
 
 
-def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    rows = make_docs(n)
-
-    tmp = tempfile.mkdtemp(prefix="adversarial_docs_")
+def write_docs_parquet(rows: list[tuple], dest_dir: str) -> None:
+    """Write the synthetic rows as ``documents.parquet`` in
+    ``dest_dir`` (the 5-column driver schema)."""
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
         "source VARCHAR, n_chars BIGINT)"
     )
     con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", rows)
-    con.execute(f"COPY d TO '{tmp}/documents.parquet' (FORMAT parquet)")
+    con.execute(
+        f"COPY d TO '{dest_dir}/documents.parquet' (FORMAT parquet)"
+    )
+    con.close()
+
+
+def compare_entry(spark, con, name: str, sf_dir: str) -> str:
+    """The driver's compare for ONE registry entry over ``sf_dir``:
+    row count, lowercased schema, order-insensitive value hash.
+    Returns '' on match, else a human-readable reason. ``con`` must
+    already expose the tables the oracle reads as views. Shared by
+    the CLI report below and tests/test_adversarial_oracles.py so
+    the two cannot drift."""
+    qs, oracles = queries(), oracle_sql()
+    sdf = qs[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    res = con.execute(oracles[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    if len(srows) != len(orows):
+        return f"rows {len(srows)} vs {len(orows)}"
+    if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+        return f"schema {sorted(scols)} vs {sorted(ocols)}"
+    sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
+    if sh != oh:
+        order = sorted(range(len(scols)), key=lambda i: scols[i])
+        oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        sset = sorted("|".join(_canon(r[i]) for i in order) for r in srows)
+        oset = sorted("|".join(_canon(r[i]) for i in oorder) for r in orows)
+        diff = next(
+            (f"{a!r} vs {b!r}" for a, b in zip(sset, oset) if a != b), ""
+        )
+        return f"hash {sh} vs {oh}  first-diff {diff[:160]}"
+    return ""
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    rows = make_docs(n)
+
+    tmp = tempfile.mkdtemp(prefix="adversarial_docs_")
+    write_docs_parquet(rows, tmp)
+    con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet'"
     )
 
     spark = get_spark("adversarial-oracle")
-    qs, oracles = queries(), oracle_sql()
     fatal = 0
 
     def compare(name: str) -> str:
-        sdf = qs[name](spark, tmp)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
-        if len(srows) != len(orows):
-            return f"rows {len(srows)} vs {len(orows)}"
-        if sorted(c.lower() for c in scols) != sorted(
-            c.lower() for c in ocols
-        ):
-            return f"schema {sorted(scols)} vs {sorted(ocols)}"
-        sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
-        if sh != oh:
-            order = sorted(range(len(scols)), key=lambda i: scols[i])
-            oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
-            sset = sorted(
-                "|".join(_canon(r[i]) for i in order) for r in srows
-            )
-            oset = sorted(
-                "|".join(_canon(r[i]) for i in oorder) for r in orows
-            )
-            diff = next(
-                (f"{a!r} vs {b!r}" for a, b in zip(sset, oset) if a != b),
-                "",
-            )
-            return f"hash {sh} vs {oh}  first-diff {diff[:160]}"
-        return ""
+        return compare_entry(spark, con, name, tmp)
 
     print(f"# adversarial documents: {n} rows -> {tmp}\n")
     print("## PINNED entries (must pass)")
@@ -173,23 +198,45 @@ def main() -> int:
         try:
             why = compare(name)
         except Exception as e:  # noqa: BLE001
-            why = f"error: {e}"
+            why, fatal = f"harness error: {e}", fatal + 1
+            print(f"ERROR {name}: {why[:160]}")
+            continue
         if why:
             fatal += 1
             print(f"FAIL {name}: {why}")
         else:
             print(f"PASS {name}")
 
+    print(
+        "\n## PARTIALLY-PINNED entries (one known legacy site deferred"
+        " to r9; a pass is margin, not proof)"
+    )
+    for name in PARTIALLY_PINNED:
+        try:
+            why = compare(name)
+        except Exception as e:  # noqa: BLE001
+            fatal += 1
+            print(f"ERROR {name}: harness error: {e}")
+            continue
+        print(
+            f"{'DEFERRED-SKEW-FIRED' if why else 'holds-on-margin'} "
+            f"{name}" + (f": {why[:120]}" if why else "")
+        )
+
     print("\n## KNOWN-SKEWED entries (r9 queue; failures EXPECTED)")
     for name in KNOWN_SKEWED:
         try:
             why = compare(name)
         except Exception as e:  # noqa: BLE001
-            why = f"error: {e}"
+            fatal += 1
+            print(f"ERROR {name}: harness error: {e}")
+            continue
+        # a harness error above is FATAL — it must never masquerade
+        # as skew evidence (r8 review)
         print(f"{'SKEW-CONFIRMED' if why else 'not-tripped  '} {name}"
               + (f": {why[:120]}" if why else ""))
 
-    print(f"\npinned failures: {fatal}")
+    print(f"\npinned failures / harness errors: {fatal}")
     return 1 if fatal else 0
 
 

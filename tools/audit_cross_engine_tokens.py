@@ -95,10 +95,39 @@ def audit() -> dict[str, dict[str, list[str]]]:
         bare_ws = sorted(
             {m.strip() for m in re.findall(r".{0,40}\\s.{0,12}", sql)}
         ) if _BARE_WS_RE.search(sql) else []
-        trims = sorted({t[:120] for t in _one_arg_trims(sql)})
+        # full call texts — _suggest needs the balanced call; display
+        # truncation happens at PRINT time only (a [:120] here made
+        # long nested trims un-suggestable, found by r8 review)
+        trims = sorted(set(_one_arg_trims(sql)))
         if bare_ws or trims:
             out[name] = {"bare_ws": bare_ws, "one_arg_trim": trims}
     return out
+
+
+def _sub_pinned_ws(site: str) -> str:
+    """Replace each ``\\s`` token with the pinned spelling, aware of
+    bracket context: inside an existing character class the chars
+    splice in BARE (``[^\\w\\s]`` -> ``[^\\w \\t\\n\\x0B\\f\\r]``);
+    outside, they get their own class. A naive global sub would emit
+    the invalid nested form ``[^\\w[ ...]]`` (found by r8 review)."""
+    out, i, depth = [], 0, 0
+    while i < len(site):
+        if site[i] == "[" and not (i and site[i - 1] == "\\"):
+            depth += 1
+            out.append(site[i])
+        elif site[i] == "]" and not (i and site[i - 1] == "\\"):
+            depth = max(0, depth - 1)
+            out.append(site[i])
+        elif site.startswith("\\s", i):
+            out.append(
+                " \\t\\n\\x0B\\f\\r" if depth else "[ \\t\\n\\x0B\\f\\r]"
+            )
+            i += 2
+            continue
+        else:
+            out.append(site[i])
+        i += 1
+    return "".join(out)
 
 
 def _suggest(site: str) -> str:
@@ -106,7 +135,7 @@ def _suggest(site: str) -> str:
     Spark-side code needs NO change for either class: Java ``\\s`` IS
     the pinned class and Spark ``trim`` IS ``trim(x, ' ')`` — the pin
     is oracle-text-only (r8 batch-1/2 precedent)."""
-    out = re.sub(r"\\s(\+?)", r"[ \\t\\n\\x0B\\f\\r]\1", site)
+    out = _sub_pinned_ws(site)
     # each 1-arg trim(...) gains the explicit char-set argument (the
     # scanner only reports complete balanced 1-arg calls)
     for call in _one_arg_trims(out):
@@ -122,14 +151,18 @@ def main() -> None:
         f"{len(found)} entries carry latent cross-engine tokenization "
         f"sites ({n_ws} with bare \\s, {n_tr} with 1-arg trim):\n"
     )
+    def disp(s: str, n: int = 140) -> str:
+        # head … tail so a long trim call still SHOWS its ", ' ')" end
+        return s if len(s) <= n else s[: n - 44] + " … " + s[-40:]
+
     for name, v in sorted(found.items()):
         print(f"## {name}")
         for site in v["bare_ws"]:
             print(f"  \\s  ... {site}")
             print(f"      -> {_suggest(site)}")
         for site in v["one_arg_trim"]:
-            print(f"  trim    {site}")
-            print(f"      -> {_suggest(site)}")
+            print(f"  trim    {disp(site)}")
+            print(f"      -> {disp(_suggest(site))}")
         print()
     print(
         "Migration rule: when an entry above enters _CHANGED_THIS_ROUND\n"

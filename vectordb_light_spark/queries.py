@@ -970,11 +970,13 @@ def _topk_contract_flipped(
     The structural change: the pool-membership check flips direction.
     The k-row top-k frame broadcasts INTO ``embedded`` and the
     membership evidence rides the SAME single reduce as the norm
-    stats (``collect_list`` of matched ranks — ≤ k elements), so
-    v1's broadcast of ALL corpus ids — the piece that cannot survive
-    100 TB (a multi-GB driver-side build) — disappears entirely, and
-    the contract costs 2 subtree executions of the embed stage
-    instead of 3.
+    stats (collected matched ranks — ≤ k elements), so v1's
+    broadcast of ALL corpus ids — the piece that cannot survive
+    100 TB (a multi-GB driver-side build) — disappears entirely.
+    The embed stage still appears under 3 subtrees in the lazy form
+    (out twice + the reduce); the execution-count win comes from
+    pairing this with ``persist_if_batch(embedded)``, which
+    materializes the embed ONCE and serves every subtree from cache.
 
     r8 measurement record (sf0.1 hashing entry, median of 5 warm
     solos) for the r9 decision:
@@ -995,17 +997,23 @@ def _topk_contract_flipped(
     sq_norm = F.aggregate(
         vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
     )
-    j = embedded.join(
-        F.broadcast(out.select(id_col, F.col("rank").alias("__mr"))),
-        id_col,
-        "left",
+    # ONE broadcast row per id (ranks collected) — a malformed top-k
+    # that repeats a doc_id at two ranks must not multiply embedded
+    # rows through the join, or n_docs/n_bad_norms would inflate
+    # exactly on the broken plans the contract exists to flag
+    # (r8 review finding).
+    per_id = out.groupBy(id_col).agg(
+        F.collect_set("rank").alias("__mrs")
     )
+    j = embedded.join(F.broadcast(per_id), id_col, "left")
     red = j.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(F.abs(F.sqrt(sq_norm) - 1.0) > 1e-5, 1)).alias(
             "n_bad_norms"
         ),
-        F.sort_array(F.collect_list("__mr")).alias("__matched"),
+        F.sort_array(
+            F.flatten(F.collect_list("__mrs"))
+        ).alias("__matched"),
     )
     w = Window.orderBy("rank")
     return (
