@@ -134,3 +134,35 @@ def test_registry_order_policy_staleness_first():
         block = [n for n in rest if q._LAST_GRADED[n] == rnd]
         costs = [q._SOLO_COST_S.get(n, 1.0) for n in block]
         assert costs == sorted(costs), f"round-{rnd} block must be cost-ascending"
+
+
+def test_changed_entries_carry_no_unpinned_tokenization_sites():
+    """COVERAGE.md protocol rule 2 enforced at CI time: an entry
+    spending a grading slot this round must ALSO pin its latent
+    cross-engine tokenization sites (bare \\s, 1-arg trim) — the
+    migration rides slots already being paid. The one documented
+    exception is a site living in a CTE shared with out-of-cut
+    entries (pinning it would consume slots the cut doesn't have);
+    those entries are declared PARTIALLY_PINNED in the adversarial
+    harness, which reports them as holds-on-margin."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    from adversarial_oracle_check import PARTIALLY_PINNED
+    from audit_cross_engine_tokens import audit
+
+    from vectordb_light_spark import queries as q
+
+    flagged = set(audit())
+    violations = (
+        q._CHANGED_THIS_ROUND & flagged - set(PARTIALLY_PINNED)
+    )
+    assert not violations, (
+        f"changed-this-round entries with unpinned oracle sites: "
+        f"{sorted(violations)} — pin them (tools/audit_cross_engine_"
+        f"tokens.py prints the rewrites) or declare them "
+        f"PARTIALLY_PINNED with the shared-CTE justification"
+    )
