@@ -6520,53 +6520,53 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LAST_GRADED = {
     'ann_ivf_topk': 6,
-    'ann_ivfpq_topk': 5,
+    'ann_ivfpq_topk': 8,
     'ann_opq_topk': 6,
     'ann_pca_topk': 6,
-    'ann_pq_topk': 5,
+    'ann_pq_topk': 8,
     'ann_recall_contract': 7,
     'ann_srp_topk': 7,
     'ann_topk_join': 7,
     'dd_containment_pairs': 7,
-    'dd_cross_corpus_candidates': 5,
+    'dd_cross_corpus_candidates': 8,
     'dd_duplicate_clusters': 6,
     'dd_duplicate_groups': 7,
     'dd_embedding_near_dups': 7,
-    'dd_exact_dedup': 6,
+    'dd_exact_dedup': 8,
     'dd_image_near_dups': 6,
     'dd_jaccard_pairs': 6,
     'dd_line_dedup': 7,
-    'dd_minhash_candidates': 5,
+    'dd_minhash_candidates': 8,
     'dd_remove_boilerplate': 6,
-    'dd_repeated_spans': 5,
+    'dd_repeated_spans': 8,
     'dd_semantic_dedup': 7,
     'dd_simhash_near_dups': 6,
-    'dd_strip_repeated_spans': 5,
+    'dd_strip_repeated_spans': 8,
     'dq_events_constraints': 7,
-    'emb_doc_mean_pool': 5,
+    'emb_doc_mean_pool': 8,
     'emb_feature_hash_topk': 6,
     'emb_mini_encoder_topk': 7,
     'kw_bm25_topk': 6,
     'kw_hybrid_rrf': 6,
-    'mm_audio_features': 5,
-    'mm_audio_windows': 5,
-    'mm_frame_counts': 5,
-    'mm_image_decode': 5,
+    'mm_audio_features': 8,
+    'mm_audio_windows': 8,
+    'mm_frame_counts': 8,
+    'mm_image_decode': 8,
     'mm_image_pipeline': 7,
-    'mm_jpeg_decode': 5,
-    'mm_video_frames': 5,
-    'pipe_bloom_decontaminate': 7,
-    'pipe_bpe_encode': 7,
-    'pipe_bpe_merges': 7,
+    'mm_jpeg_decode': 8,
+    'mm_video_frames': 8,
+    'pipe_bloom_decontaminate': 8,
+    'pipe_bpe_encode': 8,
+    'pipe_bpe_merges': 8,
     'pipe_cdc_chunks': 7,
     'pipe_chunk_fixed': 7,
     'pipe_chunk_normalized': 7,
-    'pipe_corpus_mix': 5,
+    'pipe_corpus_mix': 8,
     'pipe_corpus_shuffle': 6,
-    'pipe_corpus_split': 5,
-    'pipe_curate_chain': 7,
+    'pipe_corpus_split': 8,
+    'pipe_curate_chain': 8,
     'pipe_curriculum_order': 7,
-    'pipe_decontaminate': 7,
+    'pipe_decontaminate': 8,
     'pipe_doc_hash': 6,
     'pipe_domain_mix': 7,
     'pipe_dsir_select': 7,
@@ -6575,82 +6575,82 @@ _LAST_GRADED = {
     'pipe_pdf_page_chunks': 7,
     'pipe_semantic_decontaminate': 6,
     'pipe_sequence_pack': 7,
-    'pipe_stratified_take': 5,
+    'pipe_stratified_take': 8,
     'pipe_temperature_mix': 7,
-    'pipe_token_budget_mix': 5,
+    'pipe_token_budget_mix': 8,
     'pipe_token_windows': 7,
     'pipe_training_corpus': 6,
     'pipe_url_dedup': 7,
-    'pipe_weighted_sample': 5,
-    'prof_corpus_quantiles': 5,
+    'pipe_weighted_sample': 8,
+    'prof_corpus_quantiles': 8,
     'prof_events_corr': 6,
-    'prof_events_cube': 5,
-    'prof_events_pivot': 5,
-    'prof_events_rollup': 5,
-    'prof_events_sketch': 5,
+    'prof_events_cube': 8,
+    'prof_events_pivot': 8,
+    'prof_events_rollup': 8,
+    'prof_events_sketch': 8,
     'prof_sketch_accuracy': 7,
-    'prof_value_histogram': 5,
+    'prof_value_histogram': 8,
     'rel_big_orders': 7,
     'rel_customer_activity': 6,
     'rel_events_asof': 7,
     'rel_events_cohorts': 6,
     'rel_events_funnel': 6,
-    'rel_events_gapfill': 5,
-    'rel_events_gaps': 5,
+    'rel_events_gapfill': 8,
+    'rel_events_gaps': 8,
     'rel_events_interval': 6,
     'rel_events_json': 6,
     'rel_events_moving_avg': 6,
     'rel_events_scd2': 6,
-    'rel_forecast_revenue': 5,
-    'rel_join_nation_customers': 5,
+    'rel_forecast_revenue': 8,
+    'rel_join_nation_customers': 8,
     'rel_orders_pareto': 6,
-    'rel_pricing_summary': 5,
+    'rel_pricing_summary': 8,
     'rel_region_volume': 6,
-    'rel_scd2_merge': 5,
+    'rel_scd2_merge': 8,
     'rel_sessions_overlap': 7,
     'rel_shipping_priority': 6,
     'rel_top_orders_by_revenue': 6,
-    'rel_user_retention': 5,
+    'rel_user_retention': 8,
     'rel_window_order_rank': 7,
     'sim_cosine_pairs_exact': 6,
     'sim_sparse_cosine_pairs': 6,
-    'skew_salted_user_join': 5,
+    'skew_salted_user_join': 8,
     'src_binary_roundtrip': 7,
     'src_markup_roundtrip': 7,
     'src_office_roundtrip': 7,
     'st_clicks_attribution': 7,
-    'st_events_dedup': 5,
+    'st_events_dedup': 8,
     'st_events_sessions': 6,
-    'st_events_sliding': 5,
-    'st_events_window': 5,
+    'st_events_sliding': 8,
+    'st_events_window': 8,
     'st_heavy_hitters': 7,
     'st_user_running_totals': 7,
     'st_windowed_quantiles': 6,
     'ts_bigram_lm_score': 7,
     'ts_c4_filter': 6,
-    'ts_gopher_filter': 7,
+    'ts_gopher_filter': 8,
     'ts_lang_id': 6,
-    'ts_pii_scrub': 5,
+    'ts_pii_scrub': 8,
     'ts_quality_classifier': 7,
     'ts_quality_score': 6,
     'ts_readability': 7,
-    'ts_repetition_filter': 7,
+    'ts_repetition_filter': 8,
     'ts_text_stats': 7,
     'ts_tfidf_top_terms': 7,
-    'ts_vocab_topk': 5,
+    'ts_vocab_topk': 8,
     'ts_winnow_fingerprints': 7,
     'vq_batch_topk': 6,
     'vq_chunks_only': 6,
-    'vq_citations': 5,
-    'vq_filtered_topk': 5,
+    'vq_citations': 8,
+    'vq_filtered_topk': 8,
     'vq_grouped_topk': 6,
     'vq_mmr_rerank': 7,
-    'vq_postfilters': 5,
+    'vq_postfilters': 8,
     'vq_rag_prompt': 6,
     'vq_range_search': 7,
-    'vq_threshold_after_topk': 5,
+    'vq_threshold_after_topk': 8,
     'vq_topk_cosine': 6,
-    'vq_topk_quantized': 5,
+    'vq_topk_quantized': 8,
 }
 
 _SOLO_COST_S = {
@@ -6794,41 +6794,47 @@ _SOLO_COST_S = {
 #: (ann_ivf/pca/opq_topk) hash-green. Class (a).
 _PRE_ORACLE_STALE: set = set()
 
-#: Entries new or implementation-changed in round 8. Kept MINIMAL on
-#: purpose (VERDICT r7 item 1: the 50-row driver cut must clear the
-#: 42-entry r5-stale tail). Budget math: 8 non-r5 changed + 6 r5
-#: changed + 36 r5 unchanged = 50 — every r5-stale entry still makes
-#: the cut, with zero r6 fill. All changes are ONE fix applied
-#: per-entry: the cross-engine whitespace tokenization pin
-#: (VERDICT item 3 / ADVICE / tools/audit_cross_engine_tokens.py) —
-#: RE2 ``\s`` lacks \x0B where Java ``\s`` has it, and DuckDB's
-#: 1-arg ``trim`` strips the Unicode SPACE class where Spark's
-#: ``trim`` strips only ASCII space, so oracles spell the explicit
-#: class ``[ \t\n\x0B\f\r]+`` and ``trim(expr, ' ')``.
+
+#: r9 cut (grading-budget protocol, COVERAGE.md): 6 changed +
+#: 39 r6-stale (every one still in the cut) + 5 oldest-r7 fill = 50.
+#: Changes this round: (1) the contract-trio flip — the staged
+#: `_topk_contract_flipped` (id-membership per ADVICE r8) +
+#: `persist_if_batch(embedded)` wired into the three bounded-contract
+#: entries, removing the all-corpus-id broadcast (the one 100 TB
+#: hazard the r8 verdict named); (2) the shared quality-logit CTE
+#: pinned to 2-arg trim, upgrading ts_quality_classifier,
+#: pipe_curriculum_order and pipe_curate_chain to fully pinned
+#: cross-engine tokenization; (3) the standing migration rule —
+#: every r6-stale entry in the audit inventory pins its ``\s``/1-arg
+#: trim sites for free while its slot is already being re-graded.
 _CHANGED_THIS_ROUND = {
-    "pipe_bpe_merges",          # word_vocab pinned WS class + trim(x, ' ')
-    "pipe_bpe_encode",          # word_vocab pinned WS class (both engines)
-    "ts_repetition_filter",     # ngram_tokens pinned WS class (both engines)
-    "pipe_decontaminate",       # ngram_tokens pinned WS class (both engines)
-    "pipe_bloom_decontaminate", # ngram_tokens pinned WS class (both engines)
-    "pipe_curate_chain",        # repetition stage + keyed CTE pin
-    # gopher_rules gained a stopwords parameter (default = the
-    # unchanged 8-word set, so output is identical — marked changed
-    # under the conservative output-neutral precedent) and its oracle
-    # CTEs carry the tokenization pin.
-    "ts_gopher_filter",
-    # The audit-tool migration rule applied to every flagged entry
-    # already graded this round for free (r5-stale, so already in the
-    # cut) plus ONE headroom slot spent on dd_exact_dedup — its keyed
-    # CTE is the shape pipe_curate_chain's oracle mirrors, so the two
-    # texts must pin together or drift.
-    "dd_exact_dedup",            # the 1 non-r5 headroom slot
-    "dd_minhash_candidates",     # r5 — shingle canon CTE pinned
-    "dd_cross_corpus_candidates",# r5 — shingle canon CTE pinned
-    "dd_repeated_spans",         # r5 — span-mine tok CTE pinned
-    "dd_strip_repeated_spans",   # r5 — span-mine + rebuild tok pinned
-    "pipe_token_budget_mix",     # r5 — token-count CTE pinned
-    "ts_vocab_topk",             # r5 — vocab tokenization pinned
+    # (1) contract-trio flip (VERDICT r8 item 1)
+    "emb_mini_encoder_topk",
+    "pipe_hash_embed_topk",
+    "mm_image_pipeline",
+    # (2) shared quality-logit CTE pin (VERDICT r8 item 3)
+    "ts_quality_classifier",
+    "pipe_curriculum_order",
+    "pipe_curate_chain",
+    # (3) free r6-stale tokenization pins (VERDICT r8 item 4 /
+    # migration rule 5: already in the cut, class (c) -> (b))
+    "dd_duplicate_clusters",
+    "dd_jaccard_pairs",
+    "dd_remove_boilerplate",
+    "dd_simhash_near_dups",
+    "emb_feature_hash_topk",
+    "kw_bm25_topk",
+    "kw_hybrid_rrf",
+    "pipe_semantic_decontaminate",
+    "pipe_training_corpus",
+    "sim_sparse_cosine_pairs",
+    "ts_c4_filter",
+    "ts_quality_score",
+    "vq_chunks_only",
+    # (3b) r7-fill entries that land in the cut anyway -> same free
+    # pin rule (fixpoint of: pin every inventory entry in the cut)
+    "dd_duplicate_groups",
+    "pipe_token_windows",
 }
 
 
