@@ -785,3 +785,41 @@ def test_topk_contract_flipped_robust_to_duplicate_ids(spark):
     assert v1 == v2
     assert [r["n_docs"] for r in v2] == [50, 50, 50]
     assert [r["in_pool"] for r in v2] == [1, 1, 0]
+
+
+def test_topk_contract_flipped_duplicate_rank_mixed_membership(spark):
+    """ADVICE r8: collecting matched RANKS let a malformed top-k that
+    emits rank 2 twice — once for an in-pool id, once for an
+    out-of-pool id — read in_pool [1,1,1] where v1 reads [1,1,0].
+    The id-membership form must stay v1-identical on exactly this
+    input. A NULL id row must also read in_pool 0, like v1's
+    left-join + coalesce."""
+    from vectordb_light_spark.queries import (
+        _topk_contract,
+        _topk_contract_flipped,
+    )
+
+    embedded = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(50)],
+        "doc_id long, vector array<double>",
+    )
+    # rank 2 appears twice: doc 7 (in pool) and doc 999 (not); plus a
+    # NULL-id row at rank 4
+    out = spark.createDataFrame(
+        [(0, 1, 1.0), (7, 2, 0.9), (999, 2, 0.9), (None, 4, 0.7)],
+        "doc_id long, rank int, similarity_score double",
+    )
+    v1 = sorted(
+        (r.asDict() for r in _topk_contract(embedded, out).collect()),
+        key=lambda r: (r["rank"], r["in_pool"]),
+    )
+    v2 = sorted(
+        (
+            r.asDict()
+            for r in _topk_contract_flipped(embedded, out).collect()
+        ),
+        key=lambda r: (r["rank"], r["in_pool"]),
+    )
+    assert v1 == v2
+    assert [r["in_pool"] for r in v2] == [1, 0, 1, 0]
+    assert all(r["n_docs"] == 50 for r in v2)

@@ -962,24 +962,20 @@ def _topk_contract_flipped(
     vec_col: str = "vector",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Staged r9 replacement for :func:`_topk_contract` (the VERDICT
-    item-5 follow-up — measured, tested, but NOT yet wired into the
-    three gradable entries: flipping them costs three grading slots
-    the r8 cut doesn't have; see CHANGELOG r8).
-
-    The structural change: the pool-membership check flips direction.
-    The k-row top-k frame broadcasts INTO ``embedded`` and the
-    membership evidence rides the SAME single reduce as the norm
-    stats (collected matched ranks — ≤ k elements), so v1's
-    broadcast of ALL corpus ids — the piece that cannot survive
-    100 TB (a multi-GB driver-side build) — disappears entirely.
-    The embed stage still appears under 3 subtrees in the lazy form
-    (out twice + the reduce); the execution-count win comes from
-    pairing this with ``persist_if_batch(embedded)``, which
+    """The wired (r9) replacement for :func:`_topk_contract` — the
+    pool-membership check flips direction. The k-row top-k frame
+    broadcasts INTO ``embedded`` and the membership evidence rides
+    the SAME single reduce as the norm stats (collect_set of matched
+    ids — ≤ k elements), so v1's broadcast of ALL corpus ids — the
+    piece that cannot survive 100 TB (a multi-GB driver-side build)
+    — disappears entirely. The embed stage still appears under 3
+    subtrees in the lazy form (out twice + the reduce); the
+    execution-count win comes from pairing this with
+    ``persist_if_batch(embedded)`` at the call sites, which
     materializes the embed ONCE and serves every subtree from cache.
 
     r8 measurement record (sf0.1 hashing entry, median of 5 warm
-    solos) for the r9 decision:
+    solos) behind the r9 wiring decision:
 
     - v1 as shipped: 2.10 s (3 embed subtrees overlap on local[32])
     - this form: 2.11 s plain / **1.85 s with persist_if_batch on
@@ -989,21 +985,23 @@ def _topk_contract_flipped(
     - a collect-the-top-k-once variant: 2.46 s — serializing the
       top-k job beats the subtree overlap; rejected
 
-    r9 recommendation: this form + ``persist_if_batch(embedded)``.
-    The contract's residual cost over the r6 rows-only entries is
-    real verification compute, priced in CHANGELOG r8. Byte-identical
-    output to v1 is asserted by
-    tests/test_search.py::test_topk_contract_flipped_matches_v1."""
+    Membership is judged on matched IDs, not matched ranks (ADVICE
+    r8): collecting ranks made a malformed top-k that emits the same
+    rank for an in-pool and an out-of-pool id mark BOTH rows in_pool.
+    Byte-identical output to v1 is asserted by
+    tests/test_search.py::test_topk_contract_flipped_matches_v1 (incl.
+    duplicate-id and duplicate-rank mixed-membership inputs)."""
     sq_norm = F.aggregate(
         vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
     )
-    # ONE broadcast row per id (ranks collected) — a malformed top-k
-    # that repeats a doc_id at two ranks must not multiply embedded
-    # rows through the join, or n_docs/n_bad_norms would inflate
-    # exactly on the broken plans the contract exists to flag
-    # (r8 review finding).
-    per_id = out.groupBy(id_col).agg(
-        F.collect_set("rank").alias("__mrs")
+    # ONE broadcast row per distinct id — a malformed top-k that
+    # repeats a doc_id at two ranks must not multiply embedded rows
+    # through the join, or n_docs/n_bad_norms would inflate exactly
+    # on the broken plans the contract exists to flag (r8 review
+    # finding). collect_set over the matched join side is still ≤ k
+    # elements on the same single reduce.
+    per_id = out.select(id_col).distinct().withColumn(
+        "__hit", F.lit(1)
     )
     j = embedded.join(F.broadcast(per_id), id_col, "left")
     red = j.agg(
@@ -1011,9 +1009,9 @@ def _topk_contract_flipped(
         F.count(F.when(F.abs(F.sqrt(sq_norm) - 1.0) > 1e-5, 1)).alias(
             "n_bad_norms"
         ),
-        F.sort_array(
-            F.flatten(F.collect_list("__mrs"))
-        ).alias("__matched"),
+        F.collect_set(
+            F.when(F.col("__hit").isNotNull(), F.col(id_col))
+        ).alias("__matched_ids"),
     )
     w = Window.orderBy("rank")
     return (
@@ -1021,9 +1019,12 @@ def _topk_contract_flipped(
         .select(
             F.col("rank").cast("int").alias("rank"),
             (F.col(id_col) == 0).cast("int").alias("is_query_doc"),
-            F.array_contains("__matched", F.col("rank"))
-            .cast("int")
-            .alias("in_pool"),
+            # coalesce: array_contains is NULL for a NULL id; v1's
+            # left-join+coalesce reads the same row as 0
+            F.coalesce(
+                F.array_contains("__matched_ids", F.col(id_col)),
+                F.lit(False),
+            ).cast("int").alias("in_pool"),
             (
                 (F.col("rank") > 1)
                 | (F.col("similarity_score") >= 0.999)
@@ -1067,17 +1068,23 @@ def pipe_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract of ``_topk_contract``: blake2b has no DuckDB twin, so
     the oracle pins unit norms over every embedded row,
     self-retrieval at rank 1, pool membership, clip range,
-    monotonicity, and embed-stage cardinality instead."""
+    monotonicity, and embed-stage cardinality instead. r9: flipped
+    contract (membership broadcast is the k-row top-k, not the
+    corpus ids) + the embed stage persisted once for its three
+    consumers."""
     from vectordb_light_spark.functions.embedding import (
         HashingEmbedder,
         embed_documents,
     )
     from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+    from vectordb_light_spark.session import persist_if_batch
 
     docs = load_docs(spark, sf_dir, "doc_id", "text")
-    embedded = embed_documents(
-        docs, {"encoder": "hashing", "dim": 64, "seed": 0}
-    ).drop("text")
+    embedded = persist_if_batch(
+        embed_documents(
+            docs, {"encoder": "hashing", "dim": 64, "seed": 0}
+        ).drop("text")
+    )
     qtext = docs.where(F.col("doc_id") == 0).select("text").first()[0]
     q = [float(x) for x in HashingEmbedder(dim=64, seed=0).encode([qtext])[0]]
     out = topk_cosine(
@@ -1087,7 +1094,7 @@ def pipe_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         vec_col="vector",
     )
-    return _topk_contract(embedded, out)
+    return _topk_contract_flipped(embedded, out)
 
 
 @register("emb_mini_encoder_topk", oracle=_TOPK_CONTRACT_ORACLE)
@@ -1104,17 +1111,20 @@ def emb_mini_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_topk_contract`` bounded oracle — the forward pass has no SQL
     twin, so the oracle pins unit norms across every encoded
     document, rank-1 self-retrieval, pool membership, clip range,
-    monotonicity, and embed-stage cardinality."""
+    monotonicity, and embed-stage cardinality. r9: flipped contract
+    (k-row membership broadcast, no corpus-id broadcast) + the
+    forward pass persisted once for its three consumers."""
     from vectordb_light_spark.functions.embedding import (
         MiniTransformerEmbedder,
         embed_documents,
     )
     from vectordb_light_spark.operators.search import SearchParams, topk_cosine
+    from vectordb_light_spark.session import persist_if_batch
 
     enc = MiniTransformerEmbedder(32, seed=5, max_seq=64)
     spec = enc.spec
     docs = load_docs(spark, sf_dir, "doc_id", "text")
-    embedded = embed_documents(docs, spec).drop("text")
+    embedded = persist_if_batch(embed_documents(docs, spec).drop("text"))
     qtext = docs.where(F.col("doc_id") == 0).select("text").first()[0]
     q = [float(x) for x in enc.encode([qtext])[0]]
     out = topk_cosine(
@@ -1124,7 +1134,7 @@ def emb_mini_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         vec_col="vector",
     )
-    return _topk_contract(embedded, out)
+    return _topk_contract_flipped(embedded, out)
 
 
 # ---------------------------------------------------------------------------
@@ -3253,16 +3263,20 @@ def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     INDEPENDENT engine (JVM codegen ascii-sum over the same text
     bytes vs the numpy byte mean — the mm_image_decode byte-math
     trick, engine-vs-engine); plus per-rank self-retrieval,
-    membership, clip range, monotonicity, and pool cardinality."""
+    membership, clip range, monotonicity, and pool cardinality.
+    r9: flipped membership (the top-5 ids broadcast into the pool
+    scan and ride the stats reduce — no pool-id broadcast) + the
+    decode/feature stage persisted once for its four consumers."""
     from vectordb_light_spark.operators.multimodal import (
         decode_images,
         image_features,
         media_from_documents,
     )
     from vectordb_light_spark.operators.similarity import add_srp_signature, ann_topk_srp
+    from vectordb_light_spark.session import persist_if_batch
 
     media = media_from_documents(spark, sf_dir, limit=200)
-    feats = image_features(decode_images(media), dim=32)
+    feats = persist_if_batch(image_features(decode_images(media), dim=32))
     q_row = feats.where(F.col("media_id") == 0).select("features").first()
     q = [float(x) for x in q_row[0]]
     indexed = add_srp_signature(feats, vec_col="features", n_planes=16, dim=32)
@@ -3285,7 +3299,14 @@ def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq_norm = F.aggregate(
         "features", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
     )
-    stats = feats.select(
+    # Flipped membership (r9, same shape as _topk_contract_flipped):
+    # the ≤5 returned ids broadcast INTO the pool scan and the
+    # matched ids ride the SAME reduce as the pool stats, so the
+    # pool-id broadcast of the v1 form disappears.
+    per_id = out.select("media_id").distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    stats = feats.join(F.broadcast(per_id), "media_id", "left").agg(
         F.count(F.lit(1)).alias("n_pool"),
         F.count(F.when(F.abs(F.sqrt(sq_norm) - 1.0) > 1e-5, 1)).alias(
             "n_bad_feat_norms"
@@ -3305,19 +3326,23 @@ def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             )
         ).alias("n_bad_px_mean"),
+        F.collect_set(
+            F.when(F.col("__hit").isNotNull(), F.col("media_id"))
+        ).alias("__matched_ids"),
     )
 
     w = Window.orderBy(
         F.col("similarity_score").desc(), F.col("media_id").asc()
     )
-    pool = feats.select("media_id", F.lit(1).alias("in_pool"))
     return (
         out.withColumn("rank", F.row_number().over(w))
-        .join(F.broadcast(pool), "media_id", "left")
         .crossJoin(F.broadcast(stats))
         .select(
             F.col("rank").cast("int").alias("rank"),
-            F.coalesce("in_pool", F.lit(0)).cast("int").alias("in_pool"),
+            F.coalesce(
+                F.array_contains("__matched_ids", F.col("media_id")),
+                F.lit(False),
+            ).cast("int").alias("in_pool"),
             (
                 (F.col("rank") > 1) | (F.col("similarity_score") >= 0.999)
             ).cast("int").alias("top1_self_sim"),
