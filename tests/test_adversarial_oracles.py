@@ -26,8 +26,10 @@ from adversarial_oracle_check import (  # noqa: E402
     write_docs_parquet,
 )
 
-#: Cheap pinned entries; the full 14-entry sweep (incl. minhash, BPE
+#: Cheap pinned entries; the full 30-entry sweep (incl. minhash, BPE
 #: learning, the curate chain) is tools/adversarial_oracle_check.py.
+#: ts_gopher_filter + ts_lang_id carry the r9 Java-\b pin (the
+#: case-salt catch); ts_quality_score the r9 2-arg-trim batch.
 SUBSET = [
     "dd_exact_dedup",
     "ts_vocab_topk",
@@ -35,6 +37,8 @@ SUBSET = [
     "ts_repetition_filter",
     "pipe_token_budget_mix",
     "pipe_bpe_encode",
+    "ts_lang_id",
+    "ts_quality_score",
 ]
 
 

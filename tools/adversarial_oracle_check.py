@@ -7,8 +7,10 @@ tools/audit_cross_engine_tokens.py) can never fire there. This tool
 fires them on purpose: it synthesizes a ``documents`` table whose
 texts are salted with every divergence character (\\x0B, NBSP,
 \\x1C, \\f, \\r, \\t, newlines, runs of spaces, leading/trailing
-salts), then runs the SAME Spark-vs-DuckDB compare as
-tools/check_oracle.py for two entry groups:
+salts) plus mixed-case non-ASCII words exercising the ``lower()``
+path on the codepoints where the engines provably agree (r9), then
+runs the SAME Spark-vs-DuckDB compare as tools/check_oracle.py for
+two entry groups:
 
 - PINNED entries (the r8 migration batches): must PASS — this is the
   empirical proof the pin holds end-to-end through real plans, not
@@ -39,8 +41,9 @@ from check_oracle import _canon, table_hash  # noqa: E402
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
 from vectordb_light_spark.session import get_spark  # noqa: E402
 
-#: Entries whose oracles carry the pinned spelling after r8 — each
-#: reads ONLY the documents table, so the synthetic table suffices.
+#: Entries whose oracles carry the pinned spelling (r8 + r9
+#: migration batches) — each reads ONLY the documents table, so the
+#: synthetic table suffices.
 PINNED = [
     "dd_exact_dedup",
     "dd_minhash_candidates",
@@ -55,30 +58,53 @@ PINNED = [
     "pipe_bloom_decontaminate",
     "pipe_bpe_merges",
     "pipe_bpe_encode",
-]
-
-#: Entries whose oracles are pinned at SOME sites but still carry a
-#: known legacy site (r9 queue) — a pass here is margin, not proof:
-#: pipe_curate_chain's quality CTE keeps the 1-arg trim shared with
-#: ts_quality_classifier/pipe_curriculum_order (deferred — pinning it
-#: costs two grading slots the r8 cut doesn't have). Measured on this
-#: corpus: edge-NBSP docs get divergent quality TOKEN streams, and
-#: the hash stays green only while no logit straddles the keep
-#: threshold. Reported separately so a flip is read as the deferred
-#: skew firing, not a pin regression.
-PARTIALLY_PINNED = [
+    # r9 batch — the quality-CTE trio (the r8 PARTIALLY_PINNED chain
+    # upgraded: its quality stage now shares the pinned 2-arg-trim
+    # CTE with the classifier and curriculum twins)...
+    "ts_quality_classifier",
+    "pipe_curriculum_order",
     "pipe_curate_chain",
-]
-
-#: Documents-only entries still on the legacy spelling (r9 queue) —
-#: reported, never fatal.
-KNOWN_SKEWED = [
+    # ...and the r6-stale free pins that rode the r9 grading cut:
     "dd_duplicate_groups",
     "dd_duplicate_clusters",
     "dd_jaccard_pairs",
     "dd_simhash_near_dups",
-    "ts_quality_classifier",
+    "dd_remove_boilerplate",
     "ts_quality_score",
+    "ts_c4_filter",
+    "pipe_training_corpus",
+    "pipe_token_windows",
+    "pipe_semantic_decontaminate",
+    "sim_sparse_cosine_pairs",
+    "kw_bm25_topk",
+    # kw_hybrid_rrf is pinned too but reads the embeddings table,
+    # which this harness does not fake — covered by check_oracle
+    # only (its BM25 arm shares _BM25_ORACLE_CTE with kw_bm25_topk,
+    # which IS exercised here).
+    "emb_feature_hash_topk",
+    # r9 Java-\b pin (split-on-word-class membership instead of RE2
+    # \b — the 4th measured divergence class; ts_gopher_filter and
+    # ts_c4_filter above carry the same pin)
+    "ts_lang_id",
+]
+
+#: Entries pinned at SOME sites with a known legacy site deferred to
+#: a later grading slot — none left after the r9 batch (the chain
+#: moved to PINNED above). Kept as a slot for future partial states.
+PARTIALLY_PINNED: list[str] = []
+
+#: Documents-only entries still on the legacy spelling (r10 queue;
+#: see tools/audit_cross_engine_tokens.py for the full 14-entry
+#: inventory — the rest read tables this harness doesn't fake) —
+#: reported, never fatal.
+KNOWN_SKEWED = [
+    "dd_embedding_near_dups",
+    "dd_semantic_dedup",
+    "dd_line_dedup",
+    "pipe_chunk_fixed",
+    "pipe_chunk_normalized",
+    "pipe_dsir_select",
+    "pipe_pdf_page_chunks",
     "ts_text_stats",
     "ts_winnow_fingerprints",
 ]
@@ -88,6 +114,19 @@ _WORDS = (
     "the quick brown fox jumps over a lazy dog and then some more "
     "words with be to of that have data spark oracle pin check"
 ).split()
+#: Mixed-case non-ASCII words exercising the ``lower()`` path (r9,
+#: VERDICT item 6). Every codepoint here lower()s identically on both
+#: engines — the divergent set is EXACTLY the 14 codepoints pinned by
+#: tests/test_adversarial_oracles.py::
+#: test_lower_cross_engine_boundary_is_the_known_14 (İ + 13
+#: JVM-newer letters), all excluded, as is Σ (Java applies the
+#: contextual final-sigma FULL mapping inside words; utf8proc
+#: doesn't). A failure on these words is a REAL pin regression, not
+#: the documented unpinned case class.
+_CASE_WORDS = [
+    "Ärger", "ÜBER", "CaFÉ", "Ñandú", "Łódź", "ŽURNÁL",
+    "МОСКВА", "Привет", "ĞÜNEŞsiz", "ẞharp", "ǅungla",
+]
 
 
 def make_docs(n: int, seed: int = 8) -> list[tuple]:
@@ -97,7 +136,11 @@ def make_docs(n: int, seed: int = 8) -> list[tuple]:
         k = rng.randint(4, 28)
         parts = []
         for _ in range(k):
-            parts.append(rng.choice(_WORDS))
+            parts.append(
+                rng.choice(_CASE_WORDS)
+                if rng.random() < 0.15
+                else rng.choice(_WORDS)
+            )
             parts.append(
                 rng.choice(_SALT) if rng.random() < 0.4 else " "
             )

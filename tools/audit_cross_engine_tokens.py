@@ -1,6 +1,6 @@
-"""Inventory of latent cross-engine tokenization skew (r8 -> r9).
+"""Inventory of latent cross-engine tokenization skew (r8 -> r10).
 
-Two divergence classes the r8 property tests pinned down:
+Divergence classes the r8/r9 property tests pinned down:
 
 1. bare ``\\s`` in a DuckDB oracle regex: RE2 ``\\s`` lacks \\x0B,
    Java ``\\s`` has it -> Spark/DuckDB token streams differ on text
@@ -13,7 +13,19 @@ Two divergence classes the r8 property tests pinned down:
    ``trim(expr, ' ')`` on the DuckDB side (done in r8 for the same
    six entries).
 
-Both classes are invisible on the ASCII single-line driver corpus —
+4. ``\\b`` in an oracle regex: Java's ``\\b`` word class is
+   Unicode-aware (``Character.isLetterOrDigit`` plus ``_``) while
+   RE2's is ASCII ``[0-9A-Za-z_]`` -> ``'\\band\\b'`` fires inside
+   "Ñandú" on DuckDB but not on Spark (r9 case-salted adversarial
+   harness catch, confirmed live on ts_gopher_filter). RE2 has no
+   lookaround, so the pin is structural: split on maximal non-word
+   runs with the JAVA word class
+   (``regexp_split_to_array(e, '[^\\p{L}\\p{Nd}_]+')``) and test/count
+   token membership — exact whenever the needle is all word chars
+   (done in r9 for ts_gopher_filter / ts_c4_filter / ts_lang_id;
+   equivalence probe in CHANGELOG r9).
+
+All classes are invisible on the ASCII single-line driver corpus —
 every oracle is hash-green today — but bite on real text. This tool
 prints the remaining sites per registry entry so a round can bundle
 the migration into its grading cut deliberately (COVERAGE.md
@@ -60,6 +72,11 @@ from vectordb_light_spark.queries import ORACLES  # noqa: E402
 #: replace chain; the adversarial harness caught it at runtime in r8).
 _TRIM_HEAD_RE = re.compile(r"\b([lr]?trim)\(", re.I)
 _BARE_WS_RE = re.compile(r"\\s")
+#: a regex-\b inside a string literal of the oracle SQL (class 4).
+#: The SQL text carries the two characters backslash+b; Python's own
+#: \b word-boundary in THIS pattern would match everywhere, hence the
+#: escaped literal.
+_WORD_BOUNDARY_RE = re.compile(r"\\b")
 
 
 def _one_arg_trims(sql: str) -> list[str]:
@@ -92,6 +109,10 @@ def audit() -> dict[str, dict[str, list[str]]]:
     for name, sql in ORACLES.items():
         if not isinstance(sql, str):
             continue
+        # strip SQL line comments: a '-- Java \b ...' explainer must
+        # not read as a flagged site (r9; naive because no oracle
+        # embeds '--' inside a string literal)
+        sql = re.sub(r"--[^\n]*", "", sql)
         bare_ws = sorted(
             {m.strip() for m in re.findall(r".{0,40}\\s.{0,12}", sql)}
         ) if _BARE_WS_RE.search(sql) else []
@@ -99,8 +120,15 @@ def audit() -> dict[str, dict[str, list[str]]]:
         # truncation happens at PRINT time only (a [:120] here made
         # long nested trims un-suggestable, found by r8 review)
         trims = sorted(set(_one_arg_trims(sql)))
-        if bare_ws or trims:
-            out[name] = {"bare_ws": bare_ws, "one_arg_trim": trims}
+        word_bounds = sorted(
+            {m.strip() for m in re.findall(r".{0,36}\\b.{0,16}", sql)}
+        ) if _WORD_BOUNDARY_RE.search(sql) else []
+        if bare_ws or trims or word_bounds:
+            out[name] = {
+                "bare_ws": bare_ws,
+                "one_arg_trim": trims,
+                "word_boundary": word_bounds,
+            }
     return out
 
 
@@ -147,9 +175,11 @@ def main() -> None:
     found = audit()
     n_ws = sum(1 for v in found.values() if v["bare_ws"])
     n_tr = sum(1 for v in found.values() if v["one_arg_trim"])
+    n_wb = sum(1 for v in found.values() if v["word_boundary"])
     print(
         f"{len(found)} entries carry latent cross-engine tokenization "
-        f"sites ({n_ws} with bare \\s, {n_tr} with 1-arg trim):\n"
+        f"sites ({n_ws} with bare \\s, {n_tr} with 1-arg trim, "
+        f"{n_wb} with regex \\b):\n"
     )
     def disp(s: str, n: int = 140) -> str:
         # head … tail so a long trim call still SHOWS its ", ' ')" end
@@ -163,6 +193,13 @@ def main() -> None:
         for site in v["one_arg_trim"]:
             print(f"  trim    {disp(site)}")
             print(f"      -> {disp(_suggest(site))}")
+        for site in v["word_boundary"]:
+            print(f"  \\b  ... {disp(site)}")
+            print(
+                "      -> no drop-in rewrite (RE2 lacks lookaround): "
+                "split on '[^\\p{L}\\p{Nd}_]+' and test/count token "
+                "membership (r9 gopher/c4/lang_id precedent)"
+            )
         print()
     print(
         "Migration rule: when an entry above enters _CHANGED_THIS_ROUND\n"

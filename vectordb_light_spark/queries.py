@@ -319,8 +319,9 @@ _RAG_QUESTION = "What do the sample documents describe?"
            repeat('-', 80) || chr(10) ||
            regexp_replace(
                trim(regexp_replace(text, '\n[ \t]+\n',
-                                   chr(10) || chr(10), 'g')),
-               '\n\s*\n\s*\n*', chr(10) || chr(10), 'g') || chr(10)
+                                   chr(10) || chr(10), 'g'), ' '),
+               '\n[ \t\n\x0B\f\r]*\n[ \t\n\x0B\f\r]*\n*',
+               chr(10) || chr(10), 'g') || chr(10)
                AS formatted
     FROM topk ORDER BY rank
     """,
@@ -1185,9 +1186,18 @@ def _lang_id_oracle_sql() -> str:
     from vectordb_light_spark.functions.text import LANG_PROFILES
 
     langs = sorted(LANG_PROFILES)
+    # Spark counts with Java \b (Unicode-word-aware); RE2's \b is
+    # ASCII, so e.g. '\bund\b' would fire inside "Ñundú"-style words
+    # here but not on Spark. Lookaround-free pin (r9): split on
+    # maximal non-word runs with the JAVA word class and count token
+    # membership — exact for the all-ASCII-word-char profiles.
+    def words_list(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]"
+
     score_cols = ",\n            ".join(
-        "len(regexp_extract_all(lower(text), "
-        f"'\\b({'|'.join(LANG_PROFILES[lang])})\\b')) AS s_{lang}"
+        "len(list_filter(regexp_split_to_array(lower(text), "
+        f"'[^\\p{{L}}\\p{{Nd}}_]+'), x -> list_contains({words_list(lang)}, x))) "
+        f"AS s_{lang}"
         for lang in langs
     )
     slist = ", ".join(f"s_{lang}" for lang in langs)
@@ -1243,17 +1253,17 @@ def ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                length(text) AS n,
                CASE WHEN length(text) = 0 THEN 0.0
-                    ELSE len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE
+                    ELSE len(regexp_extract_all(text, '[^\w \t\n\x0B\f\r]'))::DOUBLE
                          / length(text) END AS pr,
-               CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0
+               CASE WHEN len(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) = 0
                     THEN 0.0
                     ELSE len(list_filter(
-                        regexp_split_to_array(lower(trim(text)), '\s+'),
+                        regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                         x -> list_contains(
                             ['the','a','an','and','or','of','to','in','is','it',
                              'that','for','on','with','as','was','at','by','be'],
                             regexp_replace(x, '[^\w]', '', 'g'))))::DOUBLE
-                         / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                         / len(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'))
                END AS swr
         FROM documents
     )
@@ -1283,7 +1293,12 @@ def _quality_logit_ctes() -> str:
     the quantized integer quality-classifier logit in pure SQL (same
     weights as literals, same md5 bucket, same higher-order sum as the
     Spark side). Shared by the ts_quality_classifier and
-    pipe_curriculum_order oracles so the twins cannot drift."""
+    pipe_curriculum_order oracles (and pipe_curate_chain's quality
+    stage) so the twins cannot drift. r9: the leading trim pinned to
+    2-arg form — DuckDB's 1-arg trim strips the Unicode SPACE class
+    where Spark's strips only ASCII space, the last unpinned site the
+    adversarial harness measured as holds-on-margin (14/400 salted
+    docs flipped logits without crossing the keep threshold)."""
     from vectordb_light_spark.functions.quality_weights import (
         BIAS_Q,
         N_BUCKETS,
@@ -1295,7 +1310,7 @@ def _quality_logit_ctes() -> str:
     t AS (
         SELECT doc_id,
                list_filter(
-                   string_split_regex(lower(trim(coalesce(text, ''))),
+                   string_split_regex(lower(trim(coalesce(text, ''), ' ')),
                                       '[ \\t\\n\\x0b\\f\\r]+'),
                    x -> x <> '') AS toks
         FROM documents
@@ -1463,14 +1478,20 @@ _GOPHER_TM_CTES = r"""gt AS (
                         regexp_split_to_array(trim(text, ' '), '[ \t\n\x0B\f\r]+'),
                         x -> regexp_matches(x, '[A-Za-z]')))
                END AS n_alpha,
-               (CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bthe\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bbe\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bto\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bof\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\band\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bthat\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bhave\b') THEN 1 ELSE 0 END
-                + CASE WHEN regexp_matches(lower(trim(text, ' ')), '\bwith\b') THEN 1 ELSE 0 END
+               -- Java \b is Unicode-word-aware (Character.isLetterOrDigit
+               -- plus '_') while RE2 \b is ASCII, so '\band\b' fires
+               -- inside "Ñandú" here but not on Spark (r9 adversarial
+               -- harness catch). Lookaround-free pin: split on maximal
+               -- non-word runs with the JAVA word class and test token
+               -- membership — exact for all-word-char stopwords.
+               (CASE WHEN list_contains(regexp_split_to_array(lower(trim(text, ' ')), '[^\p{L}\p{Nd}_]+'), 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(regexp_split_to_array(lower(trim(text, ' ')), '[^\p{L}\p{Nd}_]+'), 'be') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(regexp_split_to_array(lower(trim(text, ' ')), '[^\p{L}\p{Nd}_]+'), 'to') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(regexp_split_to_array(lower(trim(text, ' ')), '[^\p{L}\p{Nd}_]+'), 'of') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(regexp_split_to_array(lower(trim(text, ' ')), '[^\p{L}\p{Nd}_]+'), 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(regexp_split_to_array(lower(trim(text, ' ')), '[^\p{L}\p{Nd}_]+'), 'that') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(regexp_split_to_array(lower(trim(text, ' ')), '[^\p{L}\p{Nd}_]+'), 'have') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(regexp_split_to_array(lower(trim(text, ' ')), '[^\p{L}\p{Nd}_]+'), 'with') THEN 1 ELSE 0 END
                ) AS stop_hits,
                string_split(text, chr(10)) AS lines
         FROM documents
@@ -1592,10 +1613,10 @@ def pipe_curate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (
         SELECT doc_id,
                list_filter(string_split(lined, chr(10)), x ->
-                   regexp_matches(trim(x), '[.!?"”]$')
-                   AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
-                   AND NOT regexp_matches(lower(trim(x)), 'javascript')
-                   AND NOT regexp_matches(lower(trim(x)),
+                   regexp_matches(trim(x, ' '), '[.!?"”]$')
+                   AND len(regexp_split_to_array(trim(x, ' '), '[ \t\n\x0B\f\r]+')) >= 5
+                   AND NOT regexp_matches(lower(trim(x, ' ')), 'javascript')
+                   AND NOT regexp_matches(lower(trim(x, ' ')),
                        'terms of use|privacy policy|cookie policy|uses cookies')
                ) AS kept,
                lower(lined) AS low
@@ -1617,12 +1638,12 @@ def pipe_curate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS rule_min_sentences,
            NOT regexp_matches(low, 'lorem ipsum') AS rule_no_lorem,
            NOT contains(low, '{') AS rule_no_brace,
-           NOT regexp_matches(low, '\b(porn|xxx|viagra)\b')
+           NOT len(list_intersect(regexp_split_to_array(low, '[^\p{L}\p{Nd}_]+'), ['porn', 'xxx', 'viagra'])) > 0
                AS rule_no_bad_words,
            len(regexp_extract_all(cleaned, '[.!?]')) >= 3
                AND NOT regexp_matches(low, 'lorem ipsum')
                AND NOT contains(low, '{')
-               AND NOT regexp_matches(low, '\b(porn|xxx|viagra)\b')
+               AND NOT len(list_intersect(regexp_split_to_array(low, '[^\p{L}\p{Nd}_]+'), ['porn', 'xxx', 'viagra'])) > 0
                AS keep
     FROM m
     ORDER BY doc_id
@@ -1768,7 +1789,7 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd_duplicate_groups",
     oracle=r"""
-    SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+    SELECT sha256(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))) AS text_hash,
            COUNT(*) AS n_dups, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM documents
     GROUP BY 1 HAVING COUNT(*) > 1
@@ -1792,7 +1813,7 @@ def dd_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                    generate_series(0, greatest(length(t) - 5, 0)),
                    x -> substring(t, x + 1, 5))) AS sh
         FROM (SELECT doc_id,
-                     lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+                     lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) AS t
               FROM documents WHERE doc_id < 250)
     )
     SELECT id_a, id_b, jaccard FROM (
@@ -1858,8 +1879,9 @@ def _shingle_hash_cte(n: int, pinned: bool = False) -> str:
     ``pinned=True`` spells the canonicalization with the explicit
     whitespace class + 2-arg trim (the r8 cross-engine pin — see
     tools/audit_cross_engine_tokens.py). The legacy ``\\s+``/1-arg
-    spelling stays selectable so dd_simhash_near_dups' oracle text is
-    untouched until that entry next enters the grading cut (r9)."""
+    spelling remains only as the documented before-state — every call
+    site passes pinned=True as of r9 (dd_simhash_near_dups and
+    dd_duplicate_clusters flipped with their grading slots)."""
     canon = (
         "lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))"
         if pinned
@@ -1896,10 +1918,9 @@ def _minhash_cand_ctes(
     by the candidates oracle, the recursive-CTE clusters oracle, and
     (with a cross-corpus ``pair_cond``) the cross-corpus oracle.
 
-    ``pinned`` forwards to :func:`_shingle_hash_cte` — True for the
-    two entries whose r8 grading slot pays for the cross-engine
-    whitespace pin; dd_duplicate_clusters keeps the legacy spelling
-    until its own slot comes up (r9)."""
+    ``pinned`` forwards to :func:`_shingle_hash_cte` — every caller
+    passes True as of r9 (dd_duplicate_clusters flipped with its
+    grading slot)."""
     from vectordb_light_spark.operators.dedup import minhash_poly_params
 
     p61 = (1 << 61) - 1
@@ -2038,7 +2059,7 @@ def _simhash_oracle_sql() -> str:
     blocking lossless and the Hamming verify is exact on both
     sides."""
     return f"""
-    WITH {_shingle_hash_cte(4)},
+    WITH {_shingle_hash_cte(4, pinned=True)},
     sk AS (
         SELECT doc_id,
                CAST(list_aggregate(list_transform(generate_series(0, 30),
@@ -2187,7 +2208,7 @@ def dd_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
              UNNEST(generate_series(1, len(string_split(text, ' ')))) AS s(i)
     ),
     hot AS (
-        SELECT w FROM p WHERE trim(w) <> ''
+        SELECT w FROM p WHERE trim(w, ' ') <> ''
         GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 390
     ),
     kept AS (
@@ -2826,26 +2847,26 @@ def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, text,
                least(length(text) / 500.0, 1.0) * 0.4
                + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
-                        ELSE len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE
+                        ELSE len(regexp_extract_all(text, '[^\w \t\n\x0B\f\r]'))::DOUBLE
                              / length(text) END) <= 0.2
                   THEN 1.0 ELSE 0.5 END) * 0.3
                + (CASE WHEN (CASE
-                        WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0
+                        WHEN len(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) = 0
                         THEN 0.0
                         ELSE len(list_filter(
-                            regexp_split_to_array(lower(trim(text)), '\s+'),
+                            regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                             x -> list_contains(
                                 ['the','a','an','and','or','of','to','in','is','it',
                                  'that','for','on','with','as','was','at','by','be'],
                                 regexp_replace(x, '[^\w]', '', 'g'))))::DOUBLE
-                             / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                             / len(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'))
                         END) >= 0.05
                   THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
         FROM documents
     ),
     gated AS (SELECT * FROM scored WHERE quality >= 0.5),
     keyed AS (
-        SELECT *, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS k
+        SELECT *, sha256(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))) AS k
         FROM gated
     ),
     winners AS (SELECT k, MIN(doc_id) AS doc_id FROM keyed GROUP BY k)
@@ -4006,7 +4027,7 @@ _BM25_ORACLE_CTE = rf"""
     toks AS (
         SELECT doc_id, t.term
         FROM documents,
-             LATERAL unnest(regexp_split_to_array(lower(text), '\s+')) AS t(term)
+             LATERAL unnest(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+')) AS t(term)
         WHERE t.term <> ''
     ),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
@@ -4751,7 +4772,7 @@ def _clusters_oracle_sql() -> str:
     set, then per-node min reachable id — the fixed point the
     engine's iterative min-label propagation converges to."""
     return f"""
-    WITH RECURSIVE {_minhash_cand_ctes()},
+    WITH RECURSIVE {_minhash_cand_ctes(pinned=True)},
     edges AS MATERIALIZED (
         SELECT id_a AS a, id_b AS b FROM cand
         UNION
@@ -5248,7 +5269,8 @@ def pipe_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH tok AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               list_filter(string_split_regex(lower(trim(text, ' ')),
+                                              '[ \t\n\x0B\f\r]+'),
                            x -> x <> '') AS toks
         FROM documents
     ),
@@ -6274,7 +6296,9 @@ def pipe_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_semantic_decontaminate",
     oracle=r"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text, ' ')),
+                                         '[ \t\n\x0B\f\r]+')) AS t
         FROM documents
     ),
     w AS (
@@ -6860,6 +6884,13 @@ _CHANGED_THIS_ROUND = {
     # pin rule (fixpoint of: pin every inventory entry in the cut)
     "dd_duplicate_groups",
     "pipe_token_windows",
+    # (4) the Java-\b class the r9 case-salted adversarial harness
+    # measured (Java \b is Unicode-word-aware, RE2's is ASCII — e.g.
+    # '\band\b' fires inside "Ñandú" on DuckDB only). ts_lang_id is
+    # r6-stale (free); ts_gopher_filter is the one r8-fresh entry
+    # whose skew the harness CONFIRMED, worth its slot.
+    "ts_gopher_filter",
+    "ts_lang_id",
 }
 
 
@@ -6919,7 +6950,9 @@ def _feature_hash_oracle_sql() -> str:
     values = ", ".join(f"({b}, {w})" for b, w in qw)
     return f"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text, ' ')),
+                                         '[ \\t\\n\\x0B\\f\\r]+')) AS t
         FROM documents
     ),
     w AS (
@@ -7433,7 +7466,8 @@ def rel_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
         FROM (
             SELECT doc_id,
-                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+                   unnest(string_split_regex(lower(trim(text, ' ')),
+                                             '[ \t\n\x0B\f\r]+')) AS t
             FROM documents WHERE doc_id < 200
         ) WHERE t <> ''
         GROUP BY doc_id, t
