@@ -6703,138 +6703,138 @@ _LAST_GRADED = {
 }
 
 _SOLO_COST_S = {
-    'ann_ivf_topk': 0.541,
-    'ann_ivfpq_topk': 1.099,
-    'ann_opq_topk': 0.994,
-    'ann_pca_topk': 0.662,
-    'ann_pq_topk': 1.136,
-    'ann_recall_contract': 5.327,
-    'ann_srp_topk': 0.476,
-    'ann_topk_join': 1.228,
-    'dd_containment_pairs': 1.461,
-    'dd_cross_corpus_candidates': 1.133,
-    'dd_duplicate_clusters': 3.471,
-    'dd_duplicate_groups': 0.371,
-    'dd_embedding_near_dups': 0.912,
-    'dd_exact_dedup': 0.631,
-    'dd_image_near_dups': 3.657,
-    'dd_jaccard_pairs': 0.392,
-    'dd_line_dedup': 0.801,
-    'dd_minhash_candidates': 1.063,
-    'dd_remove_boilerplate': 1.01,
-    'dd_repeated_spans': 0.946,
-    'dd_semantic_dedup': 1.798,
-    'dd_simhash_near_dups': 2.154,
-    'dd_strip_repeated_spans': 1.254,
-    'dq_events_constraints': 0.564,
-    'emb_doc_mean_pool': 0.236,
-    'emb_feature_hash_topk': 0.782,
-    'emb_mini_encoder_topk': 2.13,
-    'kw_bm25_topk': 0.523,
-    'kw_hybrid_rrf': 1.241,
-    'mm_audio_features': 1.073,
-    'mm_audio_windows': 0.193,
-    'mm_frame_counts': 0.188,
-    'mm_image_decode': 1.351,
-    'mm_image_pipeline': 1.738,
-    'mm_jpeg_decode': 1.118,
-    'mm_video_frames': 1.788,
-    'pipe_bloom_decontaminate': 1.114,
-    'pipe_bpe_encode': 3.643,
-    'pipe_bpe_merges': 3.883,
-    'pipe_cdc_chunks': 1.264,
-    'pipe_chunk_fixed': 0.478,
-    'pipe_chunk_normalized': 0.947,
-    'pipe_corpus_mix': 0.114,
-    'pipe_corpus_shuffle': 0.314,
-    'pipe_corpus_split': 0.119,
-    'pipe_curate_chain': 5.085,
-    'pipe_curriculum_order': 1.148,
-    'pipe_decontaminate': 0.966,
-    'pipe_doc_hash': 0.295,
-    'pipe_domain_mix': 1.163,
-    'pipe_dsir_select': 0.905,
-    'pipe_hash_embed_topk': 1.596,
-    'pipe_negative_samples': 0.437,
-    'pipe_pdf_page_chunks': 0.975,
-    'pipe_semantic_decontaminate': 2.04,
-    'pipe_sequence_pack': 0.505,
-    'pipe_stratified_take': 0.216,
-    'pipe_temperature_mix': 0.578,
-    'pipe_token_budget_mix': 0.32,
-    'pipe_token_windows': 0.323,
-    'pipe_training_corpus': 1.153,
-    'pipe_url_dedup': 1.312,
-    'pipe_weighted_sample': 0.144,
-    'prof_corpus_quantiles': 0.162,
-    'prof_events_corr': 0.353,
-    'prof_events_cube': 0.183,
-    'prof_events_pivot': 0.255,
-    'prof_events_rollup': 0.212,
-    'prof_events_sketch': 0.767,
-    'prof_sketch_accuracy': 2.64,
-    'prof_value_histogram': 0.113,
-    'rel_big_orders': 0.352,
-    'rel_customer_activity': 0.316,
-    'rel_events_asof': 0.39,
-    'rel_events_cohorts': 0.256,
-    'rel_events_funnel': 0.252,
-    'rel_events_gapfill': 0.253,
-    'rel_events_gaps': 0.265,
-    'rel_events_interval': 0.304,
-    'rel_events_json': 0.305,
-    'rel_events_moving_avg': 0.326,
-    'rel_events_scd2': 0.194,
-    'rel_forecast_revenue': 0.11,
-    'rel_join_nation_customers': 0.179,
-    'rel_orders_pareto': 0.252,
-    'rel_pricing_summary': 0.232,
-    'rel_region_volume': 0.269,
-    'rel_scd2_merge': 0.316,
-    'rel_sessions_overlap': 0.53,
-    'rel_shipping_priority': 0.262,
-    'rel_top_orders_by_revenue': 0.283,
-    'rel_user_retention': 0.319,
-    'rel_window_order_rank': 0.526,
-    'sim_cosine_pairs_exact': 0.653,
-    'sim_sparse_cosine_pairs': 1.249,
-    'skew_salted_user_join': 0.273,
-    'src_binary_roundtrip': 1.166,
-    'src_markup_roundtrip': 1.149,
-    'src_office_roundtrip': 1.073,
-    'st_clicks_attribution': 2.249,
-    'st_events_dedup': 0.279,
-    'st_events_sessions': 1.091,
-    'st_events_sliding': 0.218,
-    'st_events_window': 0.172,
-    'st_heavy_hitters': 1.094,
-    'st_user_running_totals': 1.611,
-    'st_windowed_quantiles': 1.099,
-    'ts_bigram_lm_score': 1.054,
-    'ts_c4_filter': 0.409,
-    'ts_gopher_filter': 0.837,
-    'ts_lang_id': 0.857,
-    'ts_pii_scrub': 0.396,
-    'ts_quality_classifier': 0.462,
-    'ts_quality_score': 0.404,
-    'ts_readability': 0.386,
-    'ts_repetition_filter': 0.638,
-    'ts_text_stats': 0.41,
-    'ts_tfidf_top_terms': 0.577,
-    'ts_vocab_topk': 0.315,
-    'ts_winnow_fingerprints': 0.831,
-    'vq_batch_topk': 0.344,
-    'vq_chunks_only': 0.312,
-    'vq_citations': 0.285,
-    'vq_filtered_topk': 0.26,
-    'vq_grouped_topk': 0.266,
-    'vq_mmr_rerank': 0.813,
-    'vq_postfilters': 0.308,
-    'vq_rag_prompt': 0.302,
-    'vq_range_search': 0.407,
-    'vq_threshold_after_topk': 0.263,
-    'vq_topk_cosine': 0.256,
-    'vq_topk_quantized': 0.263,
+    'ann_ivf_topk': 0.712,
+    'ann_ivfpq_topk': 1.334,
+    'ann_opq_topk': 1.383,
+    'ann_pca_topk': 0.698,
+    'ann_pq_topk': 1.289,
+    'ann_recall_contract': 6.207,
+    'ann_srp_topk': 0.707,
+    'ann_topk_join': 1.6,
+    'dd_containment_pairs': 1.494,
+    'dd_cross_corpus_candidates': 1.648,
+    'dd_duplicate_clusters': 4.103,
+    'dd_duplicate_groups': 0.441,
+    'dd_embedding_near_dups': 1.176,
+    'dd_exact_dedup': 0.786,
+    'dd_image_near_dups': 3.825,
+    'dd_jaccard_pairs': 0.615,
+    'dd_line_dedup': 0.717,
+    'dd_minhash_candidates': 1.269,
+    'dd_remove_boilerplate': 0.899,
+    'dd_repeated_spans': 0.998,
+    'dd_semantic_dedup': 2.065,
+    'dd_simhash_near_dups': 2.502,
+    'dd_strip_repeated_spans': 1.568,
+    'dq_events_constraints': 0.495,
+    'emb_doc_mean_pool': 0.273,
+    'emb_feature_hash_topk': 0.926,
+    'emb_mini_encoder_topk': 1.208,
+    'kw_bm25_topk': 0.657,
+    'kw_hybrid_rrf': 1.048,
+    'mm_audio_features': 1.582,
+    'mm_audio_windows': 0.234,
+    'mm_frame_counts': 0.236,
+    'mm_image_decode': 1.525,
+    'mm_image_pipeline': 0.92,
+    'mm_jpeg_decode': 1.505,
+    'mm_video_frames': 2.4,
+    'pipe_bloom_decontaminate': 1.199,
+    'pipe_bpe_encode': 3.665,
+    'pipe_bpe_merges': 3.603,
+    'pipe_cdc_chunks': 1.437,
+    'pipe_chunk_fixed': 0.552,
+    'pipe_chunk_normalized': 1.082,
+    'pipe_corpus_mix': 0.159,
+    'pipe_corpus_shuffle': 0.418,
+    'pipe_corpus_split': 0.149,
+    'pipe_curate_chain': 4.157,
+    'pipe_curriculum_order': 1.033,
+    'pipe_decontaminate': 0.806,
+    'pipe_doc_hash': 0.379,
+    'pipe_domain_mix': 1.28,
+    'pipe_dsir_select': 0.753,
+    'pipe_hash_embed_topk': 1.12,
+    'pipe_negative_samples': 0.586,
+    'pipe_pdf_page_chunks': 1.117,
+    'pipe_semantic_decontaminate': 2.74,
+    'pipe_sequence_pack': 0.636,
+    'pipe_stratified_take': 0.259,
+    'pipe_temperature_mix': 0.42,
+    'pipe_token_budget_mix': 0.398,
+    'pipe_token_windows': 0.582,
+    'pipe_training_corpus': 1.162,
+    'pipe_url_dedup': 1.08,
+    'pipe_weighted_sample': 0.146,
+    'prof_corpus_quantiles': 0.178,
+    'prof_events_corr': 0.414,
+    'prof_events_cube': 0.206,
+    'prof_events_pivot': 0.298,
+    'prof_events_rollup': 0.267,
+    'prof_events_sketch': 0.863,
+    'prof_sketch_accuracy': 3.138,
+    'prof_value_histogram': 0.133,
+    'rel_big_orders': 0.484,
+    'rel_customer_activity': 0.286,
+    'rel_events_asof': 0.452,
+    'rel_events_cohorts': 0.37,
+    'rel_events_funnel': 0.356,
+    'rel_events_gapfill': 0.291,
+    'rel_events_gaps': 0.33,
+    'rel_events_interval': 0.355,
+    'rel_events_json': 0.364,
+    'rel_events_moving_avg': 0.422,
+    'rel_events_scd2': 0.185,
+    'rel_forecast_revenue': 0.136,
+    'rel_join_nation_customers': 0.19,
+    'rel_orders_pareto': 0.375,
+    'rel_pricing_summary': 0.304,
+    'rel_region_volume': 0.355,
+    'rel_scd2_merge': 0.473,
+    'rel_sessions_overlap': 0.636,
+    'rel_shipping_priority': 0.341,
+    'rel_top_orders_by_revenue': 0.381,
+    'rel_user_retention': 0.405,
+    'rel_window_order_rank': 0.566,
+    'sim_cosine_pairs_exact': 0.757,
+    'sim_sparse_cosine_pairs': 0.952,
+    'skew_salted_user_join': 0.284,
+    'src_binary_roundtrip': 1.303,
+    'src_markup_roundtrip': 1.281,
+    'src_office_roundtrip': 1.327,
+    'st_clicks_attribution': 2.336,
+    'st_events_dedup': 0.307,
+    'st_events_sessions': 1.241,
+    'st_events_sliding': 0.23,
+    'st_events_window': 0.21,
+    'st_heavy_hitters': 1.147,
+    'st_user_running_totals': 1.715,
+    'st_windowed_quantiles': 1.412,
+    'ts_bigram_lm_score': 1.168,
+    'ts_c4_filter': 0.518,
+    'ts_gopher_filter': 0.687,
+    'ts_lang_id': 0.844,
+    'ts_pii_scrub': 0.496,
+    'ts_quality_classifier': 0.567,
+    'ts_quality_score': 0.534,
+    'ts_readability': 0.492,
+    'ts_repetition_filter': 0.492,
+    'ts_text_stats': 0.378,
+    'ts_tfidf_top_terms': 0.76,
+    'ts_vocab_topk': 0.379,
+    'ts_winnow_fingerprints': 0.983,
+    'vq_batch_topk': 0.435,
+    'vq_chunks_only': 0.63,
+    'vq_citations': 0.33,
+    'vq_filtered_topk': 0.292,
+    'vq_grouped_topk': 0.265,
+    'vq_mmr_rerank': 0.884,
+    'vq_postfilters': 0.342,
+    'vq_rag_prompt': 0.416,
+    'vq_range_search': 0.478,
+    'vq_threshold_after_topk': 0.307,
+    'vq_topk_cosine': 0.273,
+    'vq_topk_quantized': 0.283,
 }
 
 
