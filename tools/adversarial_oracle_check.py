@@ -94,8 +94,9 @@ PINNED = [
 PARTIALLY_PINNED: list[str] = []
 
 #: Documents-only entries still on the legacy spelling (r10 queue;
-#: see tools/audit_cross_engine_tokens.py for the full 14-entry
-#: inventory — the rest read tables this harness doesn't fake) —
+#: see tools/audit_cross_engine_tokens.py for the full 15-entry
+#: inventory — the rest read tables this harness doesn't fake, e.g.
+#: the src_* roundtrips and the url-bearing mix/dedup entries) —
 #: reported, never fatal.
 KNOWN_SKEWED = [
     "dd_embedding_near_dups",

@@ -104,15 +104,43 @@ def _one_arg_trims(sql: str) -> list[str]:
     return out
 
 
+def _strip_sql_comments(sql: str) -> str:
+    """Remove ``-- ...`` line comments, treating ``--`` inside a
+    single-quoted literal ('' = escaped quote) as content."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def audit() -> dict[str, dict[str, list[str]]]:
     out: dict[str, dict[str, list[str]]] = {}
     for name, sql in ORACLES.items():
         if not isinstance(sql, str):
             continue
-        # strip SQL line comments: a '-- Java \b ...' explainer must
-        # not read as a flagged site (r9; naive because no oracle
-        # embeds '--' inside a string literal)
-        sql = re.sub(r"--[^\n]*", "", sql)
+        # strip SQL line comments OUTSIDE string literals: a
+        # '-- Java \b ...' explainer must not read as a flagged
+        # site, while vq_rag_prompt's literal '---' separators must
+        # survive (a naive regex strip truncated exactly those lines
+        # — r9 self-review catch)
+        sql = _strip_sql_comments(sql)
         bare_ws = sorted(
             {m.strip() for m in re.findall(r".{0,40}\\s.{0,12}", sql)}
         ) if _BARE_WS_RE.search(sql) else []

@@ -1992,15 +1992,20 @@ def main_contract(factors: tuple[int, ...] = (1, 4, 16)) -> None:
     1. the embed stage runs ONCE (persist_if_batch), not once per
        contract subtree — measured as the wall saved by the persist:
        wall(flipped, no persist) - wall(flipped + persist) tracks
-       ~2x the bare-embed cost as the corpus grows (the two extra
-       subtree executions the cache removes), while the persisted
-       entry stays at embed-once + fixed job overhead;
+       the two extra subtree executions the cache removes (~1.5x the
+       bare-embed cost measured at x4-x64: local[32] scheduling
+       partially overlaps the subtrees, a serial cluster pays the
+       full 2x), while the persisted entry stays at embed-once +
+       fixed job overhead;
     2. every BroadcastExchange in the executed plan descends from
        either the k-row top-k (LIMIT k) or the single-row stats
        aggregate — asserted on the plan text: the v1 corpus-id pool
        broadcast shape (a broadcast whose subtree scans the cached
        embed output WITHOUT a limit) is absent, so driver-side
        broadcast bytes are O(k), independent of corpus size.
+       Negative control (r9): the same detector run against the OLD
+       v1 `_topk_contract` plan reads bounded=False — it genuinely
+       discriminates the hazard shape, it doesn't pass everything.
 
     Appends its SCALING.md section with --write."""
     from vectordb_light_spark.functions.embedding import (
