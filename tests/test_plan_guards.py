@@ -196,3 +196,30 @@ def test_composed_curate_chain_plan_is_clean(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flipped_contract_entries_broadcast_only_bounded_frames(spark):
+    """r9 regression guard for the contract-trio flip: every
+    BroadcastExchange in the three bounded-contract entries must
+    descend from a LIMIT-k top-k (TakeOrderedAndProject) or a
+    single-row aggregate — the v1 shape (broadcasting a projection of
+    EVERY corpus id, multi-GB at real scale) must never come back.
+    The detector is validated by a negative control: against the old
+    v1 `_topk_contract` plan it reads bounded=False
+    (tools/scale_probe.py --contract docstring, r9)."""
+    from vectordb_light_spark.queries import QUERIES
+
+    for name in (
+        "pipe_hash_embed_topk",
+        "emb_mini_encoder_topk",
+        "mm_image_pipeline",
+    ):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for seg in plan.split("BroadcastExchange")[1:]:
+            head = seg[:2000]
+            assert (
+                "TakeOrderedAndProject" in head
+                or "HashAggregate" in head
+                or "SortAggregate" in head
+            ), f"{name}: unbounded broadcast subtree\n{head[:600]}"

@@ -388,3 +388,34 @@ def test_curriculum_order_stages_and_determinism(spark):
     # deterministic
     again = curriculum_order(df, n_stages=4).collect()
     assert [r["doc_id"] for r in again] == [r["doc_id"] for r in out]
+
+
+def test_leakage_safe_split_staged_oracle_parity(spark):
+    """The r10-staged pipe_leakage_safe_split entry (queries.py —
+    NOT yet registered, per the grading-budget rule) must already be
+    hash-identical to its DuckDB oracle at sf0.001, so r10's
+    registration is a one-line wire-up, not a debugging session.
+    Also pins the invariant the entry exists for: zero near-dup
+    clusters span more than one split."""
+    import duckdb
+
+    from vectordb_light_spark.queries import (
+        _leakage_split_oracle_sql,
+        pipe_leakage_safe_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sdf = pipe_leakage_safe_split(spark, sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    res = con.execute(_leakage_split_oracle_sql())
+    ocols = [d[0] for d in res.description]
+    orows = [tuple(r) for r in res.fetchall()]
+    con.close()
+    assert sdf.columns == ocols
+    assert srows == orows
+    assert all(r[-1] == 0 for r in srows), "a cluster spans splits"
+    assert {r[0] for r in srows} <= {"train", "val", "test"}

@@ -3983,6 +3983,109 @@ def pipe_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Staged for r10 registration (grading-budget rule: no new gradable
+#: entries while a stale tail exists — r8 verdict item 8). The oracle
+#: text is final; r10 wires `@register("pipe_leakage_safe_split",
+#: oracle=_LEAKAGE_SPLIT_ORACLE)` (+ ONE_ROW_BNLJ_OK for the 1-row
+#: leak-check crossJoin) when the r7 tail is fresh. Cross-engine
+#: parity is already pinned by
+#: tests/test_sampling.py::test_leakage_safe_split_staged_oracle_parity.
+def _leakage_split_oracle_sql() -> str:
+    """DuckDB twin of pipe_leakage_safe_split: the SAME recursive-CTE
+    cluster fixed point as dd_duplicate_clusters, split routing by
+    COALESCE(cluster_id, doc_id) through the shared md5-threshold
+    CASE, and the leak self-check (clusters spanning >1 split — 0 by
+    construction, so a broken router fails the value hash)."""
+    return f"""
+    WITH RECURSIVE {_minhash_cand_ctes(pinned=True)},
+    edges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION
+        SELECT id_b AS a, id_a AS b FROM cand
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    routed AS (
+        SELECT d.doc_id, d.n_chars, comp.cluster_id,
+               {split_case_sql("COALESCE(comp.cluster_id, d.doc_id)", _SPLIT_WEIGHTS)} AS split
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+    ),
+    leaky AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_clusters
+        FROM (
+            SELECT cluster_id FROM routed WHERE cluster_id IS NOT NULL
+            GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1
+        )
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           (SELECT n_leaky_clusters FROM leaky) AS n_leaky_clusters
+    FROM routed
+    GROUP BY split
+    ORDER BY split
+    """
+
+
+def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (sampling.leakage_safe_split
+    — the eval-contamination guard): near-dup clusters from the SAME
+    MinHash->connected-components fixed point as
+    dd_duplicate_clusters, every document routed by its cluster label
+    (own id for singletons) through the deterministic md5-threshold
+    CASE, so a test document can never have a near-copy in train.
+    Output: per-split doc/char totals plus the leak self-check — the
+    count of clusters spanning more than one split, pinned to 0 by
+    the oracle (a routing regression flips the hash). The cluster
+    table joins in broadcast-sized (only docs WITH duplicates); the
+    routing itself is map-side."""
+    from vectordb_light_spark.operators.components import duplicate_clusters
+    from vectordb_light_spark.operators.dedup import (
+        canonical_text,
+        minhash_lsh_candidates,
+    )
+    from vectordb_light_spark.operators.sampling import leakage_safe_split
+
+    docs = load_docs(spark, sf_dir)
+    base = docs.where(F.length(canonical_text("text")) > 0)
+    pairs = minhash_lsh_candidates(
+        base, num_hashes=16, bands=4, hash_family="poly31", max_bucket=None
+    ).where(F.col("est_jaccard") >= 0.75)
+    clusters = duplicate_clusters(pairs, left_id="id_a", right_id="id_b").select(
+        "doc_id", "cluster_id"
+    )
+    routed = leakage_safe_split(
+        docs, clusters, _SPLIT_WEIGHTS, id_col="doc_id",
+        cluster_col="cluster_id", seed=0,
+    )
+    leaky = (
+        routed.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("__ns"))
+        .agg(
+            F.count(F.when(F.col("__ns") > 1, 1))
+            .cast("long")
+            .alias("n_leaky_clusters")
+        )
+    )
+    return (
+        routed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .orderBy("split")
+    )
+
+
 @register(
     "pipe_corpus_mix",
     oracle=f"""
