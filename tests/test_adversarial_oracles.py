@@ -26,7 +26,7 @@ from adversarial_oracle_check import (  # noqa: E402
     write_docs_parquet,
 )
 
-#: Cheap pinned entries; the full 30-entry sweep (incl. minhash, BPE
+#: Cheap pinned entries; the full 32-entry sweep (incl. minhash, BPE
 #: learning, the curate chain) is tools/adversarial_oracle_check.py.
 #: ts_gopher_filter + ts_lang_id carry the r9 Java-\b pin (the
 #: case-salt catch); ts_quality_score the r9 2-arg-trim batch.

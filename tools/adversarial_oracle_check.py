@@ -77,11 +77,13 @@ PINNED = [
     "pipe_semantic_decontaminate",
     "sim_sparse_cosine_pairs",
     "kw_bm25_topk",
-    # kw_hybrid_rrf is pinned too but reads the embeddings table,
-    # which this harness does not fake — covered by check_oracle
-    # only (its BM25 arm shares _BM25_ORACLE_CTE with kw_bm25_topk,
-    # which IS exercised here).
     "emb_feature_hash_topk",
+    # embeddings-reading pinned entries, runnable since the harness
+    # fakes embeddings.parquet (r9): the hybrid fusion's lexical arm
+    # tokenizes the salted text; the chunks formatter's whitespace
+    # regex chain runs on it directly.
+    "kw_hybrid_rrf",
+    "vq_chunks_only",
     # r9 Java-\b pin (split-on-word-class membership instead of RE2
     # \b — the 4th measured divergence class; ts_gopher_filter and
     # ts_c4_filter above carry the same pin)
@@ -188,6 +190,38 @@ def write_docs_parquet(rows: list[tuple], dest_dir: str) -> None:
     con.close()
 
 
+def write_embeddings_parquet(
+    n: int, dest_dir: str, *, dim: int = 64, seed: int = 9
+) -> None:
+    """Synthetic ``embeddings.parquet`` matching the driver schema
+    (vec_id BIGINT, embedding FLOAT[dim], label INT): seeded unit
+    Gaussians written as float32 so BOTH engines read identical
+    values — lets the embeddings-reading pinned entries
+    (vq_chunks_only, kw_hybrid_rrf) run under the salted corpus
+    instead of being harness-blind (r9)."""
+    import math
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        rows.append((i, [x / nrm for x in v], i % 5))
+    con = duckdb.connect()
+    # FLOAT[] (list), not FLOAT[dim] (fixed-size array): the array
+    # type writes a parquet FixedSizeList that Spark surfaces as a
+    # struct; the driver tables use the list form.
+    con.execute(
+        "CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], "
+        "label INTEGER)"
+    )
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    con.execute(
+        f"COPY e TO '{dest_dir}/embeddings.parquet' (FORMAT parquet)"
+    )
+    con.close()
+
+
 def compare_entry(spark, con, name: str, sf_dir: str) -> str:
     """The driver's compare for ONE registry entry over ``sf_dir``:
     row count, lowercased schema, order-insensitive value hash.
@@ -225,9 +259,13 @@ def main() -> int:
 
     tmp = tempfile.mkdtemp(prefix="adversarial_docs_")
     write_docs_parquet(rows, tmp)
+    write_embeddings_parquet(n, tmp)
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp}/embeddings.parquet'"
     )
 
     spark = get_spark("adversarial-oracle")
