@@ -10,17 +10,21 @@ texts are salted with every divergence character (\\x0B, NBSP,
 salts) plus mixed-case non-ASCII words exercising the ``lower()``
 path on the codepoints where the engines provably agree (r9), then
 runs the SAME Spark-vs-DuckDB compare as tools/check_oracle.py for
-two entry groups:
+three entry groups:
 
-- PINNED entries (the r8 migration batches): must PASS — this is the
-  empirical proof the pin holds end-to-end through real plans, not
-  just at the tokenizer-unit level;
-- KNOWN-SKEWED entries (still on bare ``\\s``/1-arg trim, queued for
-  r9): allowed to FAIL — a failure here CONFIRMS the audit's claim
-  that the latent skew is real, and a pass means the salt simply
-  missed that entry's sites this time (the skew is still latent).
+- PINNED entries (the r8/r9 migration batches): must PASS — this is
+  the empirical proof the pin holds end-to-end through real plans,
+  not just at the tokenizer-unit level;
+- CLEAN entries (no flagged legacy site): must PASS — a failure here
+  is a NEW divergence class, exactly how the Java-``\\b`` class was
+  found in r9;
+- KNOWN-SKEWED entries (still on bare ``\\s``/1-arg trim/``\\b``,
+  queued for r10): allowed to FAIL — a failure here CONFIRMS the
+  audit's claim that the latent skew is real, and a pass means the
+  salt simply missed that entry's sites this time (still latent).
 
-Exit code is 1 only if a PINNED entry fails (or a harness error).
+Exit code is 1 only if a PINNED/CLEAN entry fails (or a harness
+error).
 
     python tools/adversarial_oracle_check.py [n_docs]
 """
@@ -95,11 +99,28 @@ PINNED = [
 #: moved to PINNED above). Kept as a slot for future partial states.
 PARTIALLY_PINNED: list[str] = []
 
+#: Text-touching entries whose oracles carry NO flagged legacy site
+#: (r9): they must pass on the salted corpus too — a failure here is
+#: not a known class firing but a NEW divergence class, exactly how
+#: the Java-\b class was found. Fatal like PINNED.
+CLEAN_MUST_PASS = [
+    "ts_readability",
+    "ts_bigram_lm_score",
+    "dd_containment_pairs",
+    "ts_tfidf_top_terms",
+    "pipe_cdc_chunks",
+    "pipe_doc_hash",
+    "vq_rag_prompt",
+    "pipe_weighted_sample",
+]
+
 #: Documents-only entries still on the legacy spelling (r10 queue;
 #: see tools/audit_cross_engine_tokens.py for the full 15-entry
 #: inventory — the rest read tables this harness doesn't fake, e.g.
 #: the src_* roundtrips and the url-bearing mix/dedup entries) —
-#: reported, never fatal.
+#: reported, never fatal. ts_pii_scrub's regex-\b IPv4 boundary
+#: (class 4) needs a letter-adjacent IP to fire, which this
+#: generator doesn't salt — it rides here as documented-latent.
 KNOWN_SKEWED = [
     "dd_embedding_near_dups",
     "dd_semantic_dedup",
@@ -110,6 +131,7 @@ KNOWN_SKEWED = [
     "pipe_pdf_page_chunks",
     "ts_text_stats",
     "ts_winnow_fingerprints",
+    "ts_pii_scrub",
 ]
 
 _SALT = ["\x0b", "\xa0", "\x1c", "\t", "\f", "\r", "\n", "  ", "   ", " "]
@@ -305,7 +327,24 @@ def main() -> int:
             f"{name}" + (f": {why[:120]}" if why else "")
         )
 
-    print("\n## KNOWN-SKEWED entries (r9 queue; failures EXPECTED)")
+    print(
+        "\n## CLEAN entries (no flagged sites; a failure is a NEW"
+        " divergence class)"
+    )
+    for name in CLEAN_MUST_PASS:
+        try:
+            why = compare(name)
+        except Exception as e:  # noqa: BLE001
+            fatal += 1
+            print(f"ERROR {name}: harness error: {e}")
+            continue
+        if why:
+            fatal += 1
+            print(f"FAIL {name}: {why[:160]}")
+        else:
+            print(f"PASS {name}")
+
+    print("\n## KNOWN-SKEWED entries (r10 queue; failures EXPECTED)")
     for name in KNOWN_SKEWED:
         try:
             why = compare(name)
