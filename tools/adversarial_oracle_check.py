@@ -151,6 +151,11 @@ _WORDS = (
 _CASE_WORDS = [
     "Ärger", "ÜBER", "CaFÉ", "Ñandú", "Łódź", "ŽURNÁL",
     "МОСКВА", "Привет", "ĞÜNEŞsiz", "ẞharp", "ǅungla",
+    # letter-adjacent IPv4s: Java \b sees é/º as word chars (no
+    # boundary before the digits → no match), RE2 sees non-word
+    # (boundary → match) — the salt that fires ts_pii_scrub's
+    # class-4 site instead of leaving it latent (r9).
+    "é10.0.0.1", "10.0.0.2º",
 ]
 
 
