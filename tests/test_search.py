@@ -823,3 +823,47 @@ def test_topk_contract_flipped_duplicate_rank_mixed_membership(spark):
     assert v1 == v2
     assert [r["in_pool"] for r in v2] == [1, 0, 1, 0]
     assert all(r["n_docs"] == 50 for r in v2)
+
+
+def test_topk_contract_flipped_matches_v1_on_random_malformed_frames(spark):
+    """Seeded randomized equivalence: six corpora of malformed top-k
+    frames — duplicate ids, duplicate ranks, out-of-pool ids, NULL
+    ids, empty out — must read byte-identical between v1 and the
+    flipped contract. The three hand-written shapes above pin the
+    known failure modes; this sweep guards the ones nobody thought
+    of."""
+    import random
+
+    from vectordb_light_spark.queries import (
+        _topk_contract,
+        _topk_contract_flipped,
+    )
+
+    embedded = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(40)],
+        "doc_id long, vector array<double>",
+    )
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(0, 8)
+        rows = []
+        for r in range(1, n + 1):
+            doc = rng.choice([rng.randrange(40), 998 + rng.randrange(3), None])
+            rank = rng.choice([r, max(1, r - 1)])  # occasional dup rank
+            rows.append((doc, rank, round(1.0 - 0.05 * r, 3)))
+        out = spark.createDataFrame(
+            rows, "doc_id long, rank int, similarity_score double"
+        )
+        key = lambda d: (d["rank"], d["in_pool"], str(d))
+        v1 = sorted(
+            (r.asDict() for r in _topk_contract(embedded, out).collect()),
+            key=key,
+        )
+        v2 = sorted(
+            (
+                r.asDict()
+                for r in _topk_contract_flipped(embedded, out).collect()
+            ),
+            key=key,
+        )
+        assert v1 == v2, f"seed {seed}: {v1} != {v2}"
