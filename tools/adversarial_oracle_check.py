@@ -23,6 +23,14 @@ three entry groups:
   audit's claim that the latent skew is real, and a pass means the
   salt simply missed that entry's sites this time (still latent).
 
+The src_* roundtrip entries are deliberately in NO group (measured,
+r9): their SYNTH builders are format-bounded in ways this corpus
+violates by design — XML 1.0 cannot represent \\x0B/\\x1C at all
+(the docx/xlsx bodies drop, a file-format law, not engine skew) and
+build_pdf's r8 loud-failure guard correctly refuses non-latin-1
+text (the Cyrillic case salts). Their extract paths handle real
+files; only the synthetic write side is bounded.
+
 Exit code is 1 only if a PINNED/CLEAN entry fails (or a harness
 error).
 
@@ -112,6 +120,23 @@ CLEAN_MUST_PASS = [
     "pipe_doc_hash",
     "vq_rag_prompt",
     "pipe_weighted_sample",
+    # the full vq search surface + representatives of the mm/ann/src
+    # families, all verified green on this corpus in the r9 discovery
+    # sweep (salted text flows through their post-filters, citation
+    # grouping, formatting, and extraction paths)
+    "vq_topk_cosine",
+    "vq_batch_topk",
+    "vq_citations",
+    "vq_filtered_topk",
+    "vq_grouped_topk",
+    "vq_mmr_rerank",
+    "vq_postfilters",
+    "vq_range_search",
+    "vq_threshold_after_topk",
+    "vq_topk_quantized",
+    "src_markup_roundtrip",
+    "mm_image_decode",
+    "ann_srp_topk",
 ]
 
 #: Documents-only entries still on the legacy spelling (r10 queue;
