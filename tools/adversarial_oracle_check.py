@@ -1,8 +1,9 @@
 """End-to-end oracle parity on ADVERSARIAL whitespace-salted text.
 
-The driver's corpus is single-line ASCII, so the two cross-engine
-tokenization skew classes (RE2 ``\\s`` lacking \\x0B; DuckDB 1-arg
-``trim`` stripping the Unicode SPACE class — see
+The driver's corpus is single-line ASCII, so the measured
+cross-engine skew classes (RE2 ``\\s`` lacking \\x0B; DuckDB 1-arg
+``trim`` stripping the Unicode SPACE class; the ``lower()``
+boundary; Java's Unicode-aware regex ``\\b`` — see
 tools/audit_cross_engine_tokens.py) can never fire there. This tool
 fires them on purpose: it synthesizes a ``documents`` table whose
 texts are salted with every divergence character (\\x0B, NBSP,
@@ -100,6 +101,8 @@ PINNED = [
     # \b — the 4th measured divergence class; ts_gopher_filter and
     # ts_c4_filter above carry the same pin)
     "ts_lang_id",
+    # late-r9: pulled into the cut by the post-cost-refresh fixpoint
+    "ts_text_stats",
 ]
 
 #: Entries pinned at SOME sites with a known legacy site deferred to
@@ -137,6 +140,10 @@ CLEAN_MUST_PASS = [
     "src_markup_roundtrip",
     "mm_image_decode",
     "ann_srp_topk",
+    # r9 robustness fixes: both CRASHED on this corpus before the
+    # non-srcNN source fallbacks (try_cast tiering / md5 pattern id)
+    "pipe_temperature_mix",
+    "dd_image_near_dups",
 ]
 
 #: Documents-only entries still on the legacy spelling (r10 queue;
@@ -144,8 +151,8 @@ CLEAN_MUST_PASS = [
 #: inventory — the rest read tables this harness doesn't fake, e.g.
 #: the src_* roundtrips and the url-bearing mix/dedup entries) —
 #: reported, never fatal. ts_pii_scrub's regex-\b IPv4 boundary
-#: (class 4) needs a letter-adjacent IP to fire, which this
-#: generator doesn't salt — it rides here as documented-latent.
+#: (class 4) fires on the letter-adjacent IP salts ("é10.0.0.1") —
+#: SKEW-CONFIRMED as of late r9.
 KNOWN_SKEWED = [
     "dd_embedding_near_dups",
     "dd_semantic_dedup",
@@ -154,7 +161,6 @@ KNOWN_SKEWED = [
     "pipe_chunk_normalized",
     "pipe_dsir_select",
     "pipe_pdf_page_chunks",
-    "ts_text_stats",
     "ts_winnow_fingerprints",
     "ts_pii_scrub",
 ]

@@ -699,8 +699,8 @@ def _temperature_mix_oracle_sql() -> str:
     return f"""
     WITH g AS (
         SELECT doc_id,
-               CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'web'
-                    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 'books'
+               CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 'web'
+                    WHEN TRY_CAST(substr(source, 4) AS INT) < 15 THEN 'books'
                     ELSE 'code' END AS grp
         FROM documents
     )
@@ -738,7 +738,11 @@ def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_frac=0.5,
     )
     docs = load_docs(spark, sf_dir, "doc_id", "source")
-    src_num = F.substring("source", 4, 8).cast("int")
+    # try_cast, not cast: an unparseable source label must tier into
+    # the otherwise-branch, not ANSI-crash the whole job — on the
+    # graded srcNN corpus the two are identical (rule-6 error-path
+    # carve-out; the r9 adversarial corpus measured the crash).
+    src_num = F.expr("try_cast(substring(source, 4, 8) AS int)")
     grouped = docs.select(
         "doc_id",
         F.when(src_num < 10, F.lit("web"))
@@ -1147,12 +1151,12 @@ def emb_mini_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_text_stats",
     oracle=r"""
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INT)
+           CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+                ELSE CAST(length(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0B\f\r]+')) AS INT)
            END AS n_ws_tokens,
-           CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_word_tokens,
+           CAST(length(regexp_extract_all(text, '\w+|[^\w \t\n\x0B\f\r]')) AS INT) AS n_word_tokens,
            ROUND(CASE WHEN length(text) = 0 THEN 0.0
-                 ELSE length(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text)
+                 ELSE length(regexp_extract_all(text, '[^\w \t\n\x0B\f\r]'))::DOUBLE / length(text)
                  END, 6) AS punct_ratio,
            length(text) AS n_chars_actual
     FROM documents
@@ -2124,7 +2128,12 @@ def _image_near_dup_oracle_sql() -> str:
 
     return f"""
     WITH d AS (
-        SELECT doc_id, CAST(substr(source, 4) AS INT) AS s,
+        SELECT doc_id,
+               CASE WHEN regexp_matches(source, '^src[0-9]{{1,6}}$')
+                    THEN CAST(substr(source, 4) AS INT)
+                    ELSE CAST(CAST(('0x' || substr(md5(source), 1, 8))
+                              AS BIGINT) % 1000 AS INT)
+               END AS s,
                CAST(doc_id % 16 AS INT) AS nr, CAST(doc_id % 18 AS INT) AS nc,
                CAST(doc_id % 97 AS INT) AS nv
         FROM documents
@@ -2180,10 +2189,30 @@ def dd_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
         R = _np.arange(16)[:, None]
         C = _np.arange(18)[None, :]
+        import hashlib as _hl
+
         for pdf in batches:
             rows = []
             for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
-                s, did = int(str(source)[3:]), int(doc_id)
+                # srcNN parses directly; any other source label gets a
+                # deterministic md5-derived pattern id instead of a
+                # ValueError killing the whole job (r9 adversarial
+                # corpus catch; rule-6 error-path carve-out — the
+                # graded corpus always parses). The oracle spells the
+                # SAME rule (regexp ^src[0-9]{1,6}$, md5 fallback).
+                src = str(source)
+                if (
+                    src.startswith("src")
+                    and 3 < len(src) <= 9
+                    and all(c in "0123456789" for c in src[3:])
+                ):
+                    s = int(src[3:])
+                else:
+                    s = (
+                        int(_hl.md5(src.encode("utf-8")).hexdigest()[:8], 16)
+                        % 1000
+                    )
+                did = int(doc_id)
                 px = ((s + 3) * (R * 17 + C * 23 + 11)) % 256
                 nr, nc, nv = did % 16, did % 18, did % 97
                 px[nr, nc] = ((s + 3) * (nr * 17 + nc * 23 + 11) + nv) % 256
@@ -6987,6 +7016,16 @@ _CHANGED_THIS_ROUND = {
     # pin rule (fixpoint of: pin every inventory entry in the cut)
     "dd_duplicate_groups",
     "pipe_token_windows",
+    # (5) robustness fallbacks for non-srcNN source labels (r9
+    # adversarial catch): dd_image_near_dups r6-stale/free;
+    # pipe_temperature_mix landed in the cut as r7 fill after the
+    # cost-floor refresh, so its fix is free too. With both marked,
+    # the fixpoint pulled the last r7-fill slot to ts_text_stats —
+    # an inventory entry, pinned free by the standing rule. Final
+    # cut: 26 changed + 24 unchanged-r6 = 50, zero r7 fill.
+    "dd_image_near_dups",
+    "pipe_temperature_mix",
+    "ts_text_stats",
     # (4) the Java-\b class the r9 case-salted adversarial harness
     # measured (Java \b is Unicode-word-aware, RE2's is ASCII — e.g.
     # '\band\b' fires inside "Ñandú" on DuckDB only). ts_lang_id is
