@@ -147,3 +147,54 @@ def test_tune_session_restores_utc_timezone(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
         S._TUNED.add(id(spark))
+
+
+def test_event_ts_nanos_normalization_matches_duckdb_at_boundaries(
+    spark, tmp_path
+):
+    """load_table's ns→µs normalization (`ts div 1000` on the legacy
+    nanosAsLong long) must agree with DuckDB's CAST(ns AS TIMESTAMP)
+    at the sub-µs rounding boundaries, INCLUDING pre-epoch values —
+    both truncate toward zero, which is not the floor() a naive
+    reading assumes (r9 probe: .9999995 s and negative-ns cases all
+    agree). A driver corpus with pre-1970 or ns-precision events
+    stays oracle-green because of exactly this."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.session import load_table
+
+    vals = [
+        0,
+        1_000_000_000_000_000_500,
+        1_000_000_000_000_000_999,
+        1_000_000_000_999_999_500,
+        1_000_000_000_999_999_999,
+        -5_000_000_000_000_000_500,
+        -1,
+    ]
+    t = pa.table(
+        {
+            "event_id": list(range(len(vals))),
+            "ts": pa.array(vals, type=pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    ev = load_table(spark, str(tmp_path), "events")
+    srows = dict(
+        (r["event_id"], r["us"])
+        for r in ev.select(
+            "event_id", F.unix_micros("ts").alias("us")
+        ).collect()
+    )
+    con = duckdb.connect()
+    drows = dict(
+        con.execute(
+            "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) "
+            f"FROM '{tmp_path}/events.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    assert srows == drows
