@@ -4018,7 +4018,9 @@ def pipe_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: oracle=_LEAKAGE_SPLIT_ORACLE)` (+ ONE_ROW_BNLJ_OK for the 1-row
 #: leak-check crossJoin) when the r7 tail is fresh. Cross-engine
 #: parity is already pinned by
-#: tests/test_sampling.py::test_leakage_safe_split_staged_oracle_parity.
+#: tests/test_sampling.py::test_leakage_safe_split_staged_oracle_parity,
+#: hand-verified at sf0.01, and probe-verified on the adversarial
+#: salted corpus (late r9: hash-identical, zero leaky clusters).
 def _leakage_split_oracle_sql() -> str:
     """DuckDB twin of pipe_leakage_safe_split: the SAME recursive-CTE
     cluster fixed point as dd_duplicate_clusters, split routing by
