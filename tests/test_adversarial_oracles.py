@@ -24,6 +24,7 @@ from adversarial_oracle_check import (  # noqa: E402
     compare_entry,
     make_docs,
     write_docs_parquet,
+    write_embeddings_parquet,
 )
 
 #: Cheap pinned entries; the full 32-entry sweep (incl. minhash, BPE
@@ -39,6 +40,11 @@ SUBSET = [
     "pipe_bpe_encode",
     "ts_lang_id",
     "ts_quality_score",
+    # embeddings-reading entries (the module fixture fakes the
+    # embeddings table, late r9): the chunks formatter's whitespace
+    # chain and the full search path run on salted text per-commit
+    "vq_chunks_only",
+    "vq_topk_cosine",
 ]
 
 
@@ -46,6 +52,7 @@ SUBSET = [
 def adversarial_dir(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("adversarial_docs")
     write_docs_parquet(make_docs(120), str(tmp))
+    write_embeddings_parquet(120, str(tmp))
     return str(tmp)
 
 
@@ -57,6 +64,10 @@ def test_pinned_entry_survives_adversarial_whitespace(
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"'{adversarial_dir}/documents.parquet'"
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{adversarial_dir}/embeddings.parquet'"
     )
     why = compare_entry(spark, con, name, adversarial_dir)
     con.close()
