@@ -6839,135 +6839,135 @@ _LAST_GRADED = {
 _SOLO_COST_S = {
     'ann_ivf_topk': 0.712,
     'ann_ivfpq_topk': 1.22,
-    'ann_opq_topk': 1.383,
+    'ann_opq_topk': 1.246,
     'ann_pca_topk': 0.698,
     'ann_pq_topk': 1.264,
     'ann_recall_contract': 6.207,
-    'ann_srp_topk': 0.675,
-    'ann_topk_join': 1.575,
+    'ann_srp_topk': 0.651,
+    'ann_topk_join': 1.472,
     'dd_containment_pairs': 1.494,
     'dd_cross_corpus_candidates': 1.365,
     'dd_duplicate_clusters': 4.103,
-    'dd_duplicate_groups': 0.441,
-    'dd_embedding_near_dups': 1.124,
-    'dd_exact_dedup': 0.692,
-    'dd_image_near_dups': 3.791,
-    'dd_jaccard_pairs': 0.615,
-    'dd_line_dedup': 0.714,
-    'dd_minhash_candidates': 1.266,
-    'dd_remove_boilerplate': 0.899,
+    'dd_duplicate_groups': 0.427,
+    'dd_embedding_near_dups': 0.961,
+    'dd_exact_dedup': 0.674,
+    'dd_image_near_dups': 3.522,
+    'dd_jaccard_pairs': 0.608,
+    'dd_line_dedup': 0.673,
+    'dd_minhash_candidates': 1.143,
+    'dd_remove_boilerplate': 0.856,
     'dd_repeated_spans': 0.998,
     'dd_semantic_dedup': 2.065,
     'dd_simhash_near_dups': 2.502,
     'dd_strip_repeated_spans': 1.292,
-    'dq_events_constraints': 0.495,
-    'emb_doc_mean_pool': 0.273,
+    'dq_events_constraints': 0.448,
+    'emb_doc_mean_pool': 0.269,
     'emb_feature_hash_topk': 0.845,
-    'emb_mini_encoder_topk': 1.208,
+    'emb_mini_encoder_topk': 1.136,
     'kw_bm25_topk': 0.657,
-    'kw_hybrid_rrf': 1.048,
+    'kw_hybrid_rrf': 1.009,
     'mm_audio_features': 1.411,
     'mm_audio_windows': 0.234,
     'mm_frame_counts': 0.236,
-    'mm_image_decode': 1.525,
+    'mm_image_decode': 1.523,
     'mm_image_pipeline': 0.92,
-    'mm_jpeg_decode': 1.43,
+    'mm_jpeg_decode': 1.422,
     'mm_video_frames': 2.021,
     'pipe_bloom_decontaminate': 1.112,
-    'pipe_bpe_encode': 3.665,
+    'pipe_bpe_encode': 3.46,
     'pipe_bpe_merges': 3.603,
-    'pipe_cdc_chunks': 1.354,
-    'pipe_chunk_fixed': 0.552,
-    'pipe_chunk_normalized': 1.025,
-    'pipe_corpus_mix': 0.159,
-    'pipe_corpus_shuffle': 0.39,
-    'pipe_corpus_split': 0.149,
+    'pipe_cdc_chunks': 1.343,
+    'pipe_chunk_fixed': 0.546,
+    'pipe_chunk_normalized': 1.023,
+    'pipe_corpus_mix': 0.15,
+    'pipe_corpus_shuffle': 0.375,
+    'pipe_corpus_split': 0.138,
     'pipe_curate_chain': 3.891,
-    'pipe_curriculum_order': 1.033,
-    'pipe_decontaminate': 0.8,
-    'pipe_doc_hash': 0.361,
-    'pipe_domain_mix': 1.245,
+    'pipe_curriculum_order': 0.954,
+    'pipe_decontaminate': 0.687,
+    'pipe_doc_hash': 0.357,
+    'pipe_domain_mix': 1.043,
     'pipe_dsir_select': 0.705,
-    'pipe_hash_embed_topk': 1.12,
-    'pipe_negative_samples': 0.586,
-    'pipe_pdf_page_chunks': 1.103,
-    'pipe_semantic_decontaminate': 2.74,
-    'pipe_sequence_pack': 0.614,
+    'pipe_hash_embed_topk': 1.007,
+    'pipe_negative_samples': 0.471,
+    'pipe_pdf_page_chunks': 1.04,
+    'pipe_semantic_decontaminate': 2.18,
+    'pipe_sequence_pack': 0.5,
     'pipe_stratified_take': 0.25,
     'pipe_temperature_mix': 0.42,
-    'pipe_token_budget_mix': 0.398,
-    'pipe_token_windows': 0.51,
+    'pipe_token_budget_mix': 0.35,
+    'pipe_token_windows': 0.431,
     'pipe_training_corpus': 1.162,
-    'pipe_url_dedup': 1.08,
+    'pipe_url_dedup': 0.939,
     'pipe_weighted_sample': 0.146,
     'prof_corpus_quantiles': 0.178,
     'prof_events_corr': 0.394,
     'prof_events_cube': 0.206,
-    'prof_events_pivot': 0.298,
+    'prof_events_pivot': 0.283,
     'prof_events_rollup': 0.266,
-    'prof_events_sketch': 0.863,
-    'prof_sketch_accuracy': 3.138,
+    'prof_events_sketch': 0.839,
+    'prof_sketch_accuracy': 3.115,
     'prof_value_histogram': 0.133,
-    'rel_big_orders': 0.462,
+    'rel_big_orders': 0.403,
     'rel_customer_activity': 0.286,
     'rel_events_asof': 0.452,
     'rel_events_cohorts': 0.37,
     'rel_events_funnel': 0.356,
-    'rel_events_gapfill': 0.291,
+    'rel_events_gapfill': 0.258,
     'rel_events_gaps': 0.33,
-    'rel_events_interval': 0.355,
+    'rel_events_interval': 0.349,
     'rel_events_json': 0.364,
-    'rel_events_moving_avg': 0.422,
+    'rel_events_moving_avg': 0.417,
     'rel_events_scd2': 0.185,
-    'rel_forecast_revenue': 0.136,
+    'rel_forecast_revenue': 0.133,
     'rel_join_nation_customers': 0.19,
-    'rel_orders_pareto': 0.375,
-    'rel_pricing_summary': 0.299,
+    'rel_orders_pareto': 0.36,
+    'rel_pricing_summary': 0.296,
     'rel_region_volume': 0.355,
-    'rel_scd2_merge': 0.473,
+    'rel_scd2_merge': 0.366,
     'rel_sessions_overlap': 0.636,
     'rel_shipping_priority': 0.341,
     'rel_top_orders_by_revenue': 0.357,
-    'rel_user_retention': 0.405,
-    'rel_window_order_rank': 0.566,
-    'sim_cosine_pairs_exact': 0.757,
+    'rel_user_retention': 0.362,
+    'rel_window_order_rank': 0.543,
+    'sim_cosine_pairs_exact': 0.691,
     'sim_sparse_cosine_pairs': 0.952,
-    'skew_salted_user_join': 0.284,
-    'src_binary_roundtrip': 1.278,
+    'skew_salted_user_join': 0.264,
+    'src_binary_roundtrip': 1.172,
     'src_markup_roundtrip': 1.281,
     'src_office_roundtrip': 1.327,
     'st_clicks_attribution': 2.336,
     'st_events_dedup': 0.307,
-    'st_events_sessions': 1.241,
+    'st_events_sessions': 1.205,
     'st_events_sliding': 0.23,
     'st_events_window': 0.21,
-    'st_heavy_hitters': 1.147,
+    'st_heavy_hitters': 0.984,
     'st_user_running_totals': 1.665,
-    'st_windowed_quantiles': 1.412,
-    'ts_bigram_lm_score': 1.168,
-    'ts_c4_filter': 0.518,
-    'ts_gopher_filter': 0.687,
-    'ts_lang_id': 0.717,
+    'st_windowed_quantiles': 1.193,
+    'ts_bigram_lm_score': 1.128,
+    'ts_c4_filter': 0.503,
+    'ts_gopher_filter': 0.68,
+    'ts_lang_id': 0.716,
     'ts_pii_scrub': 0.496,
-    'ts_quality_classifier': 0.567,
-    'ts_quality_score': 0.534,
+    'ts_quality_classifier': 0.504,
+    'ts_quality_score': 0.484,
     'ts_readability': 0.492,
-    'ts_repetition_filter': 0.492,
+    'ts_repetition_filter': 0.488,
     'ts_text_stats': 0.378,
-    'ts_tfidf_top_terms': 0.748,
-    'ts_vocab_topk': 0.379,
-    'ts_winnow_fingerprints': 0.958,
+    'ts_tfidf_top_terms': 0.713,
+    'ts_vocab_topk': 0.328,
+    'ts_winnow_fingerprints': 0.903,
     'vq_batch_topk': 0.435,
-    'vq_chunks_only': 0.515,
+    'vq_chunks_only': 0.481,
     'vq_citations': 0.304,
     'vq_filtered_topk': 0.265,
     'vq_grouped_topk': 0.265,
     'vq_mmr_rerank': 0.884,
     'vq_postfilters': 0.342,
-    'vq_rag_prompt': 0.416,
-    'vq_range_search': 0.478,
-    'vq_threshold_after_topk': 0.29,
-    'vq_topk_cosine': 0.273,
+    'vq_rag_prompt': 0.391,
+    'vq_range_search': 0.395,
+    'vq_threshold_after_topk': 0.282,
+    'vq_topk_cosine': 0.267,
     'vq_topk_quantized': 0.283,
 }
 
