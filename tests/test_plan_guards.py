@@ -37,6 +37,9 @@ ONE_ROW_BNLJ_OK = {
     "pipe_hash_embed_topk",
     "emb_mini_encoder_topk",
     "mm_image_pipeline",
+    # r10: the leak self-check — a 1-row "clusters spanning >1 split"
+    # aggregate crossJoined onto the 3 per-split totals.
+    "pipe_leakage_safe_split",
 }
 
 

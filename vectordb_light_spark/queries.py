@@ -4012,15 +4012,13 @@ def pipe_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Staged for r10 registration (grading-budget rule: no new gradable
-#: entries while a stale tail exists — r8 verdict item 8). The oracle
-#: text is final; r10 wires `@register("pipe_leakage_safe_split",
-#: oracle=_LEAKAGE_SPLIT_ORACLE)` (+ ONE_ROW_BNLJ_OK for the 1-row
-#: leak-check crossJoin) when the r7 tail is fresh. Cross-engine
-#: parity is already pinned by
+#: Staged in r8/r9, REGISTERED in r10 (r9 verdict item 1) once the
+#: r7-stale tail fit inside the same 50-row cut. The oracle text was
+#: frozen in r9; cross-engine parity was already pinned by
 #: tests/test_sampling.py::test_leakage_safe_split_staged_oracle_parity,
 #: hand-verified at sf0.01, and probe-verified on the adversarial
-#: salted corpus (late r9: hash-identical, zero leaky clusters).
+#: salted corpus (late r9: hash-identical, zero leaky clusters). The
+#: 1-row leak-check crossJoin is in test_plan_guards.ONE_ROW_BNLJ_OK.
 def _leakage_split_oracle_sql() -> str:
     """DuckDB twin of pipe_leakage_safe_split: the SAME recursive-CTE
     cluster fixed point as dd_duplicate_clusters, split routing by
@@ -4065,6 +4063,7 @@ def _leakage_split_oracle_sql() -> str:
     """
 
 
+@register("pipe_leakage_safe_split", oracle=_leakage_split_oracle_sql())
 def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (sampling.leakage_safe_split
     — the eval-contamination guard): near-dup clusters from the SAME
@@ -6702,40 +6701,40 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and asserts the policy holds.
 
 _LAST_GRADED = {
-    'ann_ivf_topk': 6,
+    'ann_ivf_topk': 9,
     'ann_ivfpq_topk': 8,
-    'ann_opq_topk': 6,
-    'ann_pca_topk': 6,
+    'ann_opq_topk': 9,
+    'ann_pca_topk': 9,
     'ann_pq_topk': 8,
     'ann_recall_contract': 7,
     'ann_srp_topk': 7,
     'ann_topk_join': 7,
     'dd_containment_pairs': 7,
     'dd_cross_corpus_candidates': 8,
-    'dd_duplicate_clusters': 6,
-    'dd_duplicate_groups': 7,
+    'dd_duplicate_clusters': 9,
+    'dd_duplicate_groups': 9,
     'dd_embedding_near_dups': 7,
     'dd_exact_dedup': 8,
-    'dd_image_near_dups': 6,
-    'dd_jaccard_pairs': 6,
+    'dd_image_near_dups': 9,
+    'dd_jaccard_pairs': 9,
     'dd_line_dedup': 7,
     'dd_minhash_candidates': 8,
-    'dd_remove_boilerplate': 6,
+    'dd_remove_boilerplate': 9,
     'dd_repeated_spans': 8,
     'dd_semantic_dedup': 7,
-    'dd_simhash_near_dups': 6,
+    'dd_simhash_near_dups': 9,
     'dd_strip_repeated_spans': 8,
     'dq_events_constraints': 7,
     'emb_doc_mean_pool': 8,
-    'emb_feature_hash_topk': 6,
-    'emb_mini_encoder_topk': 7,
-    'kw_bm25_topk': 6,
-    'kw_hybrid_rrf': 6,
+    'emb_feature_hash_topk': 9,
+    'emb_mini_encoder_topk': 9,
+    'kw_bm25_topk': 9,
+    'kw_hybrid_rrf': 9,
     'mm_audio_features': 8,
     'mm_audio_windows': 8,
     'mm_frame_counts': 8,
     'mm_image_decode': 8,
-    'mm_image_pipeline': 7,
+    'mm_image_pipeline': 9,
     'mm_jpeg_decode': 8,
     'mm_video_frames': 8,
     'pipe_bloom_decontaminate': 8,
@@ -6745,28 +6744,28 @@ _LAST_GRADED = {
     'pipe_chunk_fixed': 7,
     'pipe_chunk_normalized': 7,
     'pipe_corpus_mix': 8,
-    'pipe_corpus_shuffle': 6,
+    'pipe_corpus_shuffle': 9,
     'pipe_corpus_split': 8,
-    'pipe_curate_chain': 8,
-    'pipe_curriculum_order': 7,
+    'pipe_curate_chain': 9,
+    'pipe_curriculum_order': 9,
     'pipe_decontaminate': 8,
-    'pipe_doc_hash': 6,
+    'pipe_doc_hash': 9,
     'pipe_domain_mix': 7,
     'pipe_dsir_select': 7,
-    'pipe_hash_embed_topk': 7,
+    'pipe_hash_embed_topk': 9,
     'pipe_negative_samples': 7,
     'pipe_pdf_page_chunks': 7,
-    'pipe_semantic_decontaminate': 6,
+    'pipe_semantic_decontaminate': 9,
     'pipe_sequence_pack': 7,
     'pipe_stratified_take': 8,
-    'pipe_temperature_mix': 7,
+    'pipe_temperature_mix': 9,
     'pipe_token_budget_mix': 8,
-    'pipe_token_windows': 7,
-    'pipe_training_corpus': 6,
+    'pipe_token_windows': 9,
+    'pipe_training_corpus': 9,
     'pipe_url_dedup': 7,
     'pipe_weighted_sample': 8,
     'prof_corpus_quantiles': 8,
-    'prof_events_corr': 6,
+    'prof_events_corr': 9,
     'prof_events_cube': 8,
     'prof_events_pivot': 8,
     'prof_events_rollup': 8,
@@ -6774,65 +6773,65 @@ _LAST_GRADED = {
     'prof_sketch_accuracy': 7,
     'prof_value_histogram': 8,
     'rel_big_orders': 7,
-    'rel_customer_activity': 6,
+    'rel_customer_activity': 9,
     'rel_events_asof': 7,
-    'rel_events_cohorts': 6,
-    'rel_events_funnel': 6,
+    'rel_events_cohorts': 9,
+    'rel_events_funnel': 9,
     'rel_events_gapfill': 8,
     'rel_events_gaps': 8,
-    'rel_events_interval': 6,
-    'rel_events_json': 6,
-    'rel_events_moving_avg': 6,
-    'rel_events_scd2': 6,
+    'rel_events_interval': 9,
+    'rel_events_json': 9,
+    'rel_events_moving_avg': 9,
+    'rel_events_scd2': 9,
     'rel_forecast_revenue': 8,
     'rel_join_nation_customers': 8,
-    'rel_orders_pareto': 6,
+    'rel_orders_pareto': 9,
     'rel_pricing_summary': 8,
-    'rel_region_volume': 6,
+    'rel_region_volume': 9,
     'rel_scd2_merge': 8,
     'rel_sessions_overlap': 7,
-    'rel_shipping_priority': 6,
-    'rel_top_orders_by_revenue': 6,
+    'rel_shipping_priority': 9,
+    'rel_top_orders_by_revenue': 9,
     'rel_user_retention': 8,
     'rel_window_order_rank': 7,
-    'sim_cosine_pairs_exact': 6,
-    'sim_sparse_cosine_pairs': 6,
+    'sim_cosine_pairs_exact': 9,
+    'sim_sparse_cosine_pairs': 9,
     'skew_salted_user_join': 8,
     'src_binary_roundtrip': 7,
     'src_markup_roundtrip': 7,
     'src_office_roundtrip': 7,
     'st_clicks_attribution': 7,
     'st_events_dedup': 8,
-    'st_events_sessions': 6,
+    'st_events_sessions': 9,
     'st_events_sliding': 8,
     'st_events_window': 8,
     'st_heavy_hitters': 7,
     'st_user_running_totals': 7,
-    'st_windowed_quantiles': 6,
+    'st_windowed_quantiles': 9,
     'ts_bigram_lm_score': 7,
-    'ts_c4_filter': 6,
-    'ts_gopher_filter': 8,
-    'ts_lang_id': 6,
+    'ts_c4_filter': 9,
+    'ts_gopher_filter': 9,
+    'ts_lang_id': 9,
     'ts_pii_scrub': 8,
-    'ts_quality_classifier': 7,
-    'ts_quality_score': 6,
+    'ts_quality_classifier': 9,
+    'ts_quality_score': 9,
     'ts_readability': 7,
     'ts_repetition_filter': 8,
-    'ts_text_stats': 7,
+    'ts_text_stats': 9,
     'ts_tfidf_top_terms': 7,
     'ts_vocab_topk': 8,
     'ts_winnow_fingerprints': 7,
-    'vq_batch_topk': 6,
-    'vq_chunks_only': 6,
+    'vq_batch_topk': 9,
+    'vq_chunks_only': 9,
     'vq_citations': 8,
     'vq_filtered_topk': 8,
-    'vq_grouped_topk': 6,
+    'vq_grouped_topk': 9,
     'vq_mmr_rerank': 7,
     'vq_postfilters': 8,
-    'vq_rag_prompt': 6,
+    'vq_rag_prompt': 9,
     'vq_range_search': 7,
     'vq_threshold_after_topk': 8,
-    'vq_topk_cosine': 6,
+    'vq_topk_cosine': 9,
     'vq_topk_quantized': 8,
 }
 
@@ -6978,63 +6977,43 @@ _SOLO_COST_S = {
 _PRE_ORACLE_STALE: set = set()
 
 
-#: r9 cut (grading-budget protocol, COVERAGE.md): 6 changed +
-#: 39 r6-stale (every one still in the cut) + 5 oldest-r7 fill = 50.
-#: Changes this round: (1) the contract-trio flip — the staged
-#: `_topk_contract_flipped` (id-membership per ADVICE r8) +
-#: `persist_if_batch(embedded)` wired into the three bounded-contract
-#: entries, removing the all-corpus-id broadcast (the one 100 TB
-#: hazard the r8 verdict named); (2) the shared quality-logit CTE
-#: pinned to 2-arg trim, upgrading ts_quality_classifier,
-#: pipe_curriculum_order and pipe_curate_chain to fully pinned
-#: cross-engine tokenization; (3) the standing migration rule —
-#: every r6-stale entry in the audit inventory pins its ``\s``/1-arg
-#: trim sites for free while its slot is already being re-graded.
+#: r10 cut (grading-budget protocol, COVERAGE.md): 3 distinct
+#: additions + 34 r7-stale (13 of them pinned free in place) + 13
+#: cheapest-r8 fill = 50, clearing the entire r7 tail. Changes this
+#: round: (1) register the staged `pipe_leakage_safe_split` (r8
+#: verdict item 8 / r9 item 1 — new entry, 1 slot); (2) pin
+#: ts_pii_scrub's harness-CONFIRMED IPv4-`\b` boundary skew (r8-fresh
+#: headroom spend, the ts_gopher_filter precedent: confirmed skew
+#: outranks freshness); (3) the ADVICE r9 parse-window alignment in
+#: pipe_temperature_mix's oracle (substr(source,4) -> 4,8 to match
+#: Spark — output-identical on the graded srcNN corpus, marked per
+#: the conservative rule-6 default); (4) the standing migration rule:
+#: all 13 r7-stale audit-inventory entries pin their bare-`\s` /
+#: 1-arg-trim sites for FREE while their slots are already being
+#: re-graded (rule 5 — class (c) -> (b), same cut set).
 _CHANGED_THIS_ROUND = {
-    # (1) contract-trio flip (VERDICT r8 item 1)
-    "emb_mini_encoder_topk",
-    "pipe_hash_embed_topk",
-    "mm_image_pipeline",
-    # (2) shared quality-logit CTE pin (VERDICT r8 item 3)
-    "ts_quality_classifier",
-    "pipe_curriculum_order",
-    "pipe_curate_chain",
-    # (3) free r6-stale tokenization pins (VERDICT r8 item 4 /
-    # migration rule 5: already in the cut, class (c) -> (b))
-    "dd_duplicate_clusters",
-    "dd_jaccard_pairs",
-    "dd_remove_boilerplate",
-    "dd_simhash_near_dups",
-    "emb_feature_hash_topk",
-    "kw_bm25_topk",
-    "kw_hybrid_rrf",
-    "pipe_semantic_decontaminate",
-    "pipe_training_corpus",
-    "sim_sparse_cosine_pairs",
-    "ts_c4_filter",
-    "ts_quality_score",
-    "vq_chunks_only",
-    # (3b) r7-fill entries that land in the cut anyway -> same free
-    # pin rule (fixpoint of: pin every inventory entry in the cut)
-    "dd_duplicate_groups",
-    "pipe_token_windows",
-    # (5) robustness fallbacks for non-srcNN source labels (r9
-    # adversarial catch): dd_image_near_dups r6-stale/free;
-    # pipe_temperature_mix landed in the cut as r7 fill after the
-    # cost-floor refresh, so its fix is free too. With both marked,
-    # the fixpoint pulled the last r7-fill slot to ts_text_stats —
-    # an inventory entry, pinned free by the standing rule. Final
-    # cut: 26 changed + 24 unchanged-r6 = 50, zero r7 fill.
-    "dd_image_near_dups",
+    # (1) new entry (r9 verdict item 1): staged oracle + parity test
+    # landed in r9; registration is the only r10 delta.
+    "pipe_leakage_safe_split",
+    # (2) confirmed-skew headroom spend (r9 verdict item 3)
+    "ts_pii_scrub",
+    # (3) ADVICE r9: oracle parse window aligned to Spark's
     "pipe_temperature_mix",
-    "ts_text_stats",
-    # (4) the Java-\b class the r9 case-salted adversarial harness
-    # measured (Java \b is Unicode-word-aware, RE2's is ASCII — e.g.
-    # '\band\b' fires inside "Ñandú" on DuckDB only). ts_lang_id is
-    # r6-stale (free); ts_gopher_filter is the one r8-fresh entry
-    # whose skew the harness CONFIRMED, worth its slot.
-    "ts_gopher_filter",
-    "ts_lang_id",
+    # (4) free r7-stale tokenization pins (rule 5: already in the
+    # cut by staleness; audit inventory -> 1 latent entry afterwards)
+    "dd_embedding_near_dups",
+    "dd_line_dedup",
+    "dd_semantic_dedup",
+    "pipe_chunk_fixed",
+    "pipe_chunk_normalized",
+    "pipe_domain_mix",
+    "pipe_dsir_select",
+    "pipe_pdf_page_chunks",
+    "pipe_url_dedup",
+    "src_binary_roundtrip",
+    "src_markup_roundtrip",
+    "src_office_roundtrip",
+    "ts_winnow_fingerprints",
 }
 
 
