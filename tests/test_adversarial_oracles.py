@@ -45,6 +45,11 @@ SUBSET = [
     # chain and the full search path run on salted text per-commit
     "vq_chunks_only",
     "vq_topk_cosine",
+    # r10 pins exercised per-commit: the IPv4 Java-\b 2-pass
+    # emulation (the letter-adjacent IP salts that confirmed the old
+    # skew) and the BMP-swept Python-WS chunker strip class
+    "ts_pii_scrub",
+    "pipe_chunk_fixed",
 ]
 
 
@@ -119,3 +124,121 @@ def test_lower_cross_engine_boundary_is_the_known_14(spark):
         f"lower() boundary moved: new {sorted(hex(c) for c in divergent - known)}, "
         f"gone {sorted(hex(c) for c in known - divergent)}"
     )
+
+def test_python_ws_class_re2_twin_is_exact_on_bmp(spark):
+    """The chunker oracles (pipe_chunk_fixed / pipe_pdf_page_chunks,
+    r10 pin) strip with the RE2 class
+    ``[\\x09-\\x0d\\x1c-\\x1f\\x85\\x{2028}\\x{2029}\\p{Zs}]`` as the
+    twin of the Spark side's ``pystrip`` (Java
+    ``[\\p{IsWhite_Space}\\x1c-\\x1f]``) and of Python ``str.strip()``
+    inside the page-split UDF. Exhaustive BMP sweep: all three word
+    classes agree on every codepoint. If a container upgrade moves any
+    engine's Unicode tables, this is the tripwire (the lower() test's
+    sibling)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    chars = [
+        chr(c) for c in range(1, 0x10000) if not 0xD800 <= c <= 0xDFFF
+    ]
+    pdf = pd.DataFrame({"i": range(len(chars)), "t": chars})
+    jrows = dict(
+        (r["i"], bool(r["m"]))
+        for r in spark.createDataFrame(pdf)
+        .select("i", F.col("t").rlike(r"[\p{IsWhite_Space}\x1c-\x1f]").alias("m"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("chars", pdf)
+    drows = dict(
+        con.execute(
+            r"SELECT i, regexp_matches(t,"
+            r" '[\x09-\x0d\x1c-\x1f\x85\x{2028}\x{2029}\p{Zs}]') FROM chars"
+        ).fetchall()
+    )
+    con.close()
+    bad = [
+        hex(ord(chars[i]))
+        for i in range(len(chars))
+        if jrows[i] != bool(drows[i])
+        or jrows[i] != (chars[i].strip() == "")
+    ]
+    assert not bad, f"Python-WS twin moved: {bad[:20]}"
+
+
+def test_pii_ipv4_boundary_emulation_matches_java_on_reachable_shapes(spark):
+    """ts_pii_scrub's oracle (r10) emulates the Spark pattern's Java
+    ``\\b`` with consumed word-class capture groups run in TWO replace
+    passes (queries.py _PII_IP_B). Pin the equivalence on every
+    reachable shape: word-char adjacency (the é/º salts that CONFIRMED
+    the old RE2-\\b skew in r9), separators incl. NBSP, chains,
+    string edges, underscore (a word char to both), over-long octets."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.queries import _PII_IP_B
+
+    cases = [
+        "10.0.0.1", "x10.0.0.1", "é10.0.0.1", "10.0.0.2º", "a 10.0.0.1 b",
+        "1.1.1.1 2.2.2.2 3.3.3.3 4.4.4.4", "1234.1.1.1", "1.1.1.1234",
+        "ip:10.0.0.1.", "10.0.0.1_", "_10.0.0.1", "Ñ10.0.0.1 10.0.0.2 è",
+        "10.0.0.1é", "from 10.0.255.7 done", "10.0.0.1\xa010.0.0.2",
+        "«10.0.0.1»", "10.0.0.1,10.0.0.2,10.0.0.3", "", " 9.9.9.9 ",
+    ]
+    jp = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    srows = (
+        spark.createDataFrame(list(enumerate(cases)), "i int, t string")
+        .select(
+            "i",
+            F.regexp_replace("t", jp, "<IP>").alias("r"),
+            F.size(F.regexp_extract_all("t", F.lit(jp), F.lit(0))).alias("n"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    for t, s in zip(cases, srows):
+        r1, c1, c2 = con.execute(
+            "SELECT regexp_replace(?, ?, '\\1<IP>\\3', 'g'),"
+            " len(regexp_extract_all(?, ?)),"
+            " len(regexp_extract_all(regexp_replace(?, ?, '\\1<IP>\\3', 'g'), ?))",
+            [t, _PII_IP_B, t, _PII_IP_B, t, _PII_IP_B, _PII_IP_B],
+        ).fetchone()
+        r2 = con.execute(
+            "SELECT regexp_replace(?, ?, '\\1<IP>\\3', 'g')", [r1, _PII_IP_B]
+        ).fetchone()[0]
+        assert (r2, c1 + c2) == (s["r"], s["n"]), (t, r2, c1 + c2, s)
+    con.close()
+
+
+def test_pii_ipv4_emulation_residual_boundary_is_degenerate_chains(spark):
+    """Document the MEASURED residual of the 2-pass emulation: in a
+    dotted-digit chain where a missed leftmost match overlaps a later
+    pattern-valid span (>=5 dot-joined octets, no separators), the
+    engines legitimately pick different spans. This shape cannot occur
+    in the graded corpus (' from 10.0.N.7' injection) or the harness's
+    word-shaped salts. If this test ever FAILS, the residual is gone
+    and the emulation comment in queries.py should be simplified."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.queries import _PII_IP_B
+
+    t = ".10.0.0.3.43.410.0.0.5.3.4"
+    jp = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    srow = (
+        spark.createDataFrame([(t,)], "t string")
+        .select(F.regexp_replace("t", jp, "<IP>").alias("r"))
+        .collect()[0]["r"]
+    )
+    con = duckdb.connect()
+    r1 = con.execute(
+        "SELECT regexp_replace(?, ?, '\\1<IP>\\3', 'g')", [t, _PII_IP_B]
+    ).fetchone()[0]
+    r2 = con.execute(
+        "SELECT regexp_replace(?, ?, '\\1<IP>\\3', 'g')", [r1, _PII_IP_B]
+    ).fetchone()[0]
+    con.close()
+    assert srow == ".<IP>.<IP>.5.3.4"
+    assert r2 == ".<IP>.43.<IP>.3.4"

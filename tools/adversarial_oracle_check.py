@@ -103,6 +103,41 @@ PINNED = [
     "ts_lang_id",
     # late-r9: pulled into the cut by the post-cost-refresh fixpoint
     "ts_text_stats",
+    # r10 batch — the final migration sweep (audit inventory now 0):
+    # the r7-stale free pins (\s -> explicit class, 1-arg trim ->
+    # 2-arg; the chunker strips use the BMP-swept RE2 twin of
+    # Python-str.strip, tests/test_adversarial_oracles.py)...
+    "dd_embedding_near_dups",
+    "dd_semantic_dedup",
+    "dd_line_dedup",
+    "pipe_chunk_fixed",
+    "pipe_dsir_select",
+    "ts_winnow_fingerprints",
+    "pipe_pdf_page_chunks",
+    # ...the url-chain twins (they synthesize urls from doc_id and
+    # never read the salted text — trivially green here; the
+    # trim(url, ' ') pin matters for real url columns, not this
+    # corpus)...
+    "pipe_url_dedup",
+    "pipe_domain_mix",
+    # ...and the class-4 headroom spend: the IPv4 Java-\b 2-pass
+    # capture-group emulation (queries.py _PII_IP_B) must hold on the
+    # letter-adjacent IP salts that CONFIRMED the old skew in r9.
+    "ts_pii_scrub",
+]
+
+#: Entries whose oracle twins a Python UDF that SQL cannot fully
+#: reproduce — pipe_chunk_normalized's normalizer applies NFKC and a
+#: C0/C1/invisibles deletion table (functions/text.py
+#: normalize_text_py) before the whitespace collapse, so on salted
+#: text the engines legitimately differ (e.g. a dropped \x1C shifts
+#: n_chars; NFKC turns NBSP into a space pre-collapse). The strip
+#: and collapse sites ARE pinned (graded-corpus equivalence is
+#: exact); the UDF's full char-class behavior is owned by
+#: tests/test_text_functions.py parity tests. Reported, never fatal
+#: — the src_* no-group precedent, but visible.
+UDF_BOUNDED = [
+    "pipe_chunk_normalized",
 ]
 
 #: Entries pinned at SOME sites with a known legacy site deferred to
@@ -146,24 +181,11 @@ CLEAN_MUST_PASS = [
     "dd_image_near_dups",
 ]
 
-#: Documents-only entries still on the legacy spelling (r10 queue;
-#: see tools/audit_cross_engine_tokens.py for the full 15-entry
-#: inventory — the rest read tables this harness doesn't fake, e.g.
-#: the src_* roundtrips and the url-bearing mix/dedup entries) —
-#: reported, never fatal. ts_pii_scrub's regex-\b IPv4 boundary
-#: (class 4) fires on the letter-adjacent IP salts ("é10.0.0.1") —
-#: SKEW-CONFIRMED as of late r9.
-KNOWN_SKEWED = [
-    "dd_embedding_near_dups",
-    "dd_semantic_dedup",
-    "dd_line_dedup",
-    "pipe_chunk_fixed",
-    "pipe_chunk_normalized",
-    "pipe_dsir_select",
-    "pipe_pdf_page_chunks",
-    "ts_winnow_fingerprints",
-    "ts_pii_scrub",
-]
+#: Entries still on a legacy spelling — EMPTY as of r10 (the final
+#: migration batch landed; tools/audit_cross_engine_tokens.py
+#: inventory reads 0). Kept as a slot should a new divergence class
+#: surface. Reported, never fatal.
+KNOWN_SKEWED: list[str] = []
 
 _SALT = ["\x0b", "\xa0", "\x1c", "\t", "\f", "\r", "\n", "  ", "   ", " "]
 _WORDS = (
@@ -379,6 +401,21 @@ def main() -> int:
             print(f"FAIL {name}: {why[:160]}")
         else:
             print(f"PASS {name}")
+
+    print(
+        "\n## UDF-BOUNDED entries (oracle twins a Python UDF SQL"
+        " can't fully express — NFKC etc.; divergence EXPECTED here,"
+        " graded-corpus equivalence is exact)"
+    )
+    for name in UDF_BOUNDED:
+        try:
+            why = compare(name)
+        except Exception as e:  # noqa: BLE001
+            fatal += 1
+            print(f"ERROR {name}: harness error: {e}")
+            continue
+        print(f"{'udf-boundary-fired' if why else 'agrees-here  '} {name}"
+              + (f": {why[:120]}" if why else ""))
 
     print("\n## KNOWN-SKEWED entries (r10 queue; failures EXPECTED)")
     for name in KNOWN_SKEWED:

@@ -413,7 +413,7 @@ def vq_rag_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_chunk_fixed",
     oracle=r"""
     WITH base AS (
-        SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+        SELECT doc_id, regexp_replace(text, '^[\x09-\x0d\x1c-\x1f\x85\x{2028}\x{2029}\p{Zs}]+|[\x09-\x0d\x1c-\x1f\x85\x{2028}\x{2029}\p{Zs}]+$', '', 'g') AS t
         FROM documents
     ),
     starts AS (
@@ -425,7 +425,7 @@ def vq_rag_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces AS (
         SELECT doc_id, chunk_start,
                regexp_replace(substring(t, chunk_start + 1, 300),
-                              '^\s+|\s+$', '', 'g') AS chunk
+                              '^[\x09-\x0d\x1c-\x1f\x85\x{2028}\x{2029}\p{Zs}]+|[\x09-\x0d\x1c-\x1f\x85\x{2028}\x{2029}\p{Zs}]+$', '', 'g') AS chunk
         FROM starts
     )
     SELECT doc_id, chunk_start, chunk,
@@ -531,7 +531,7 @@ _URL_CHAIN_CTES = r"""
                END AS url
         FROM documents
     ),
-    n1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM u0),
+    n1 AS (SELECT doc_id, regexp_replace(trim(url, ' '), '#.*$', '') AS u FROM u0),
     n2 AS (
         SELECT doc_id,
                lower(regexp_extract(u, '^[^:/?#]+://[^/?#]*', 0))
@@ -699,8 +699,8 @@ def _temperature_mix_oracle_sql() -> str:
     return f"""
     WITH g AS (
         SELECT doc_id,
-               CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 'web'
-                    WHEN TRY_CAST(substr(source, 4) AS INT) < 15 THEN 'books'
+               CASE WHEN TRY_CAST(substr(source, 4, 8) AS INT) < 10 THEN 'web'
+                    WHEN TRY_CAST(substr(source, 4, 8) AS INT) < 15 THEN 'books'
                     ELSE 'code' END AS grp
         FROM documents
     )
@@ -785,7 +785,7 @@ def pipe_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_chunk_normalized",
     oracle=r"""
     WITH base AS (
-        SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+        SELECT doc_id, regexp_replace(text, '^[\x09-\x0d\x1c-\x1f\x85\x{2028}\x{2029}\p{Zs}]+|[\x09-\x0d\x1c-\x1f\x85\x{2028}\x{2029}\p{Zs}]+$', '', 'g') AS t
         FROM documents
     ),
     starts AS (
@@ -797,12 +797,12 @@ def pipe_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces AS (
         SELECT doc_id, chunk_start,
                regexp_replace(substring(t, chunk_start + 1, 300),
-                              '^\s+|\s+$', '', 'g') AS chunk
+                              '^[\x09-\x0d\x1c-\x1f\x85\x{2028}\x{2029}\p{Zs}]+|[\x09-\x0d\x1c-\x1f\x85\x{2028}\x{2029}\p{Zs}]+$', '', 'g') AS chunk
         FROM starts
     ),
     normed AS (
         SELECT doc_id, chunk_start,
-               trim(regexp_replace(chunk, '\s+', ' ', 'g')) AS text
+               trim(regexp_replace(chunk, '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS text
         FROM pieces WHERE chunk != ''
     )
     SELECT doc_id, chunk_start, sha256(text) AS text_hash,
@@ -859,7 +859,7 @@ def pipe_chunk_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pieces AS (
         SELECT doc_id, s,
-               regexp_replace(substring(t, s + 1, 300), '^\s+|\s+$', '', 'g')
+               regexp_replace(substring(t, s + 1, 300), '^[\x09-\x0d\x1c-\x1f\x85\x{2028}\x{2029}\p{Zs}]+|[\x09-\x0d\x1c-\x1f\x85\x{2028}\x{2029}\p{Zs}]+$', '', 'g')
                    AS chunk,
                CASE WHEN s >= 400 THEN 2 ELSE 1 END AS page_number
         FROM starts
@@ -1701,7 +1701,7 @@ def ts_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_winnow_fingerprints",
     oracle=r"""
     WITH c AS (
-        SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) AS t
         FROM documents
     ),
     h AS (
@@ -2279,12 +2279,12 @@ def dd_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     f AS (
         SELECT w, MIN(doc_id * 1000000 + pos) AS k
-        FROM p WHERE trim(w) <> '' GROUP BY w
+        FROM p WHERE trim(w, ' ') <> '' GROUP BY w
     ),
     kept AS (
         SELECT p.doc_id, p.pos, p.w
         FROM p LEFT JOIN f ON p.w = f.w
-        WHERE trim(p.w) = '' OR p.doc_id * 1000000 + p.pos = f.k
+        WHERE trim(p.w, ' ') = '' OR p.doc_id * 1000000 + p.pos = f.k
     ),
     r AS (
         SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text
@@ -2672,7 +2672,7 @@ def _embedding_near_dup_oracle_sql() -> str:
     rounding boundary, far above the ~1e-15 engine float drift."""
     return r"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS t
         FROM documents
     ),
     w AS (
@@ -2713,7 +2713,7 @@ def _semantic_dedup_oracle_sql() -> str:
     cluster keep decision — the two proven oracles composed."""
     return r"""
     WITH RECURSIVE tok AS (
-        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS t
         FROM documents
     ),
     w AS (
@@ -5280,7 +5280,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH tok AS (
         SELECT doc_id, lang,
-               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               unnest(list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                                   x -> x <> '')) AS t
         FROM documents
     ),
@@ -6232,28 +6232,58 @@ def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(scores, score_col="logit_q", n_stages=10)
 
 
+#: RE2 emulation of the Spark IPv4 pattern's Java ``\b`` (class-4 pin,
+#: r10): no lookaround in RE2, so each boundary becomes a CONSUMED
+#: capture group over the measured Java word class [\p{L}\p{Nd}_]
+#: (+ ^/$), replaced back via \1/\3. One pass can miss an IP whose
+#: left separator was consumed as the previous match's \3, so the
+#: replace runs TWICE (misses are never adjacent: an IP that fails at
+#: its own start can't also eat its right neighbour's separator) and
+#: the count sums fresh matches across the two passes (scrubbed IPs
+#: leave no digits, so pass 2 never double-counts). Equivalence
+#: measured against Spark on 19 hand-built boundary cases (word-char
+#: adjacency incl. the harness's "é10.0.0.1"/"10.0.0.2º" salts, NBSP
+#: separators, comma chains, _ boundaries) — exact; a 400-case fuzz
+#: over a deliberately degenerate dotted-digit alphabet shows the
+#: RESIDUAL boundary: in chains like '.43.410.0.0.5.' the missed
+#: leftmost match can overlap a later one and the two engines pick
+#: different (equally pattern-valid) spans. That shape needs >=5
+#: dot-joined octets with no intervening separator — impossible in
+#: the graded corpus's ' from 10.0.N.7' injection and absent from the
+#: harness's word-shaped salts (tests/test_adversarial_oracles.py
+#: pins the reachable-shape agreement).
+_PII_IP_B = r"(^|[^\p{L}\p{Nd}_])((?:[0-9]{1,3}\.){3}[0-9]{1,3})($|[^\p{L}\p{Nd}_])"
+
+
 @register(
     "ts_pii_scrub",
-    oracle=r"""
+    oracle=rf"""
     WITH aug AS (
         SELECT doc_id,
                text || ' contact user' || CAST(doc_id AS VARCHAR)
                     || '@example.com or +1-555-0142 from 10.0.'
                     || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
         FROM documents
+    ),
+    ep AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\+?[0-9]{{1,3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '<PHONE>', 'g') AS s,
+               regexp_replace(t, '{_PII_IP_B}', '\1<IP>\3', 'g') AS c1
+        FROM aug
     )
     SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(t,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
-               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text,
+           regexp_replace(regexp_replace(s,
+               '{_PII_IP_B}', '\1<IP>\3', 'g'),
+               '{_PII_IP_B}', '\1<IP>\3', 'g') AS text,
            CAST(len(regexp_extract_all(t,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
            CAST(len(regexp_extract_all(t,
-               '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS INT) AS n_phone,
-           CAST(len(regexp_extract_all(t,
-               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ipv4
-    FROM aug
+               '\+?[0-9]{{1,3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{_PII_IP_B}'))
+              + len(regexp_extract_all(c1, '{_PII_IP_B}')) AS INT) AS n_ipv4
+    FROM ep
     ORDER BY doc_id
     """,
 )
@@ -7700,7 +7730,7 @@ def _src_roundtrip(spark: SparkSession, sf_dir: str, fmts: tuple) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT doc_id, text FROM documents
-        WHERE text IS NOT NULL AND trim(text) <> ''
+        WHERE text IS NOT NULL AND trim(text, ' ') <> ''
           AND NOT contains(text, chr(10))
     )
     SELECT doc_id, fmt, expected AS text FROM (
@@ -7739,7 +7769,7 @@ def src_office_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT doc_id, text FROM documents
-        WHERE text IS NOT NULL AND trim(text) <> ''
+        WHERE text IS NOT NULL AND trim(text, ' ') <> ''
           AND NOT contains(text, chr(10))
     )
     SELECT doc_id, fmt, expected AS text FROM (
@@ -7780,7 +7810,7 @@ def src_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT doc_id, text FROM documents
-        WHERE text IS NOT NULL AND trim(text) <> ''
+        WHERE text IS NOT NULL AND trim(text, ' ') <> ''
           AND NOT contains(text, chr(10))
     )
     SELECT doc_id, fmt, expected AS text FROM (
