@@ -203,13 +203,21 @@ def test_composed_curate_chain_plan_is_clean(spark):
 
 def test_flipped_contract_entries_broadcast_only_bounded_frames(spark):
     """r9 regression guard for the contract-trio flip: every
-    BroadcastExchange in the three bounded-contract entries must
-    descend from a LIMIT-k top-k (TakeOrderedAndProject) or a
-    single-row aggregate — the v1 shape (broadcasting a projection of
-    EVERY corpus id, multi-GB at real scale) must never come back.
-    The detector is validated by a negative control: against the old
-    v1 `_topk_contract` plan it reads bounded=False
-    (tools/scale_probe.py --contract docstring, r9)."""
+    BroadcastExchange in the three bounded-contract entries must be
+    row-bounded — each scan inside a broadcast subtree needs a
+    LIMIT-k / global-aggregate ancestor between it and the exchange,
+    so the v1 shape (broadcasting a projection of EVERY corpus id,
+    multi-GB at real scale) can never come back. r10 (ADVICE r9): the
+    detector is the tree-anchored ``broadcast_subtrees_bounded``
+    shared with tools/scale_probe.py --contract, not a substring
+    window — a keyed aggregate adjacent to an unbounded scan no
+    longer masks it. Negative control below."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from scale_probe import broadcast_subtrees_bounded
+
     from vectordb_light_spark.queries import QUERIES
 
     for name in (
@@ -219,10 +227,51 @@ def test_flipped_contract_entries_broadcast_only_bounded_frames(spark):
     ):
         df = QUERIES[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        for seg in plan.split("BroadcastExchange")[1:]:
-            head = seg[:2000]
-            assert (
-                "TakeOrderedAndProject" in head
-                or "HashAggregate" in head
-                or "SortAggregate" in head
-            ), f"{name}: unbounded broadcast subtree\n{head[:600]}"
+        assert broadcast_subtrees_bounded(plan), (
+            f"{name}: unbounded broadcast subtree\n{plan[:1200]}"
+        )
+
+
+def test_broadcast_detector_negative_control(spark):
+    """The detector must read the v1 hazard shape as UNBOUNDED: a
+    broadcast-hash-join whose build side is a plain projection of the
+    full (cached) corpus — no limit, no global aggregate — exactly
+    the all-corpus-id broadcast the r9 flip removed. Both the cached
+    (InMemoryTableScan) and uncached (FileScan/LocalTableScan) forms
+    must trip it; the bounded LIMIT-k form must not."""
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from scale_probe import broadcast_subtrees_bounded
+
+    from vectordb_light_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    ids = docs.select("doc_id")
+
+    # v1 hazard: broadcast EVERY corpus id into the probe side
+    v1 = docs.join(F.broadcast(ids), "doc_id")
+    plan_v1 = v1._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_v1
+    assert not broadcast_subtrees_bounded(plan_v1)
+
+    # cached variant (InMemoryTableScan build side)
+    ids_cached = ids.persist()
+    try:
+        ids_cached.count()
+        v1c = docs.join(F.broadcast(ids_cached), "doc_id")
+        plan_v1c = v1c._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan_v1c
+        assert not broadcast_subtrees_bounded(plan_v1c)
+    finally:
+        ids_cached.unpersist()
+
+    # bounded form: broadcast a LIMIT-k frame — must pass
+    topk = ids.orderBy("doc_id").limit(5)
+    ok = docs.join(F.broadcast(topk), "doc_id")
+    plan_ok = ok._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_ok
+    assert broadcast_subtrees_bounded(plan_ok)

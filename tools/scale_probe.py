@@ -1983,6 +1983,71 @@ def main_curatechain(factors: tuple[int, ...] = (1, 4, 16)) -> None:
 
 CONTRACT_MARKER = "\n## flipped top-k contract: embed-once + k-row broadcast at x1/x4/x16"
 
+#: Row-capping physical nodes: everything broadcast above one of these
+#: is k-row/1-row by construction. Keyed aggregates deliberately do
+#: NOT bound (their cardinality is the key domain — corpus-sized in
+#: the v1 hazard shape).
+_BOUNDING_NODES = (
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "HashAggregate(keys=[]",
+    "SortAggregate(keys=[]",
+    "ObjectHashAggregate(keys=[]",
+)
+_SCAN_NODES = (
+    "FileScan",
+    "Scan parquet",
+    "LocalTableScan",
+    "Range (",
+    "InMemoryTableScan",  # the v1 hazard broadcast the CACHED embeds
+    "BatchScan",
+    "RowDataSourceScan",
+)
+
+
+def _node_indent(line: str) -> int:
+    """Column where the operator name starts in a plan-tree line
+    (tree prefix chars are spaces, ':', '+', '-')."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def broadcast_subtrees_bounded(plan: str) -> bool:
+    """True iff EVERY BroadcastExchange subtree in ``plan`` (an
+    ``executedPlan().toString()``) is row-bounded: each scan inside
+    the subtree has a bounding ancestor (LIMIT-k / global-aggregate
+    node) strictly between it and the exchange. Anchored on the tree
+    structure via indentation — not a substring window, so a keyed
+    aggregate sitting NEXT TO an unbounded scan can no longer mask it
+    (ADVICE r9). Validated by a negative control against the v1
+    all-corpus-id broadcast shape
+    (tests/test_plan_guards.py::test_broadcast_detector_negative_control)."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        root = _node_indent(line)
+        # subtree = following lines strictly deeper than the exchange
+        stack: list[tuple[int, bool]] = []  # (indent, bounded-above?)
+        for sub in lines[i + 1:]:
+            ind = _node_indent(sub)
+            if ind <= root:
+                break
+            while stack and stack[-1][0] >= ind:
+                stack.pop()
+            bounded_above = bool(stack) and stack[-1][1]
+            if any(t in sub for t in _SCAN_NODES) and not bounded_above:
+                return False
+            bounding = bounded_above or any(
+                t in sub for t in _BOUNDING_NODES
+            )
+            stack.append((ind, bounding))
+    return True
+
 
 def main_contract(factors: tuple[int, ...] = (1, 4, 16)) -> None:
     """r9 (VERDICT r8 item 7): close the "what bounds a 1000-executor
@@ -2083,15 +2148,9 @@ def main_contract(factors: tuple[int, ...] = (1, 4, 16)) -> None:
             n_bc = plan.count("BroadcastExchange")
             # v1's hazard shape: a broadcast subtree containing the
             # cached-embed scan without a LocalLimit/TakeOrdered above
-            # it. In the flipped plan both broadcasts descend from
-            # the top-k (TakeOrderedAndProject) or the global Agg.
-            bounded = True
-            for seg in plan.split("BroadcastExchange")[1:]:
-                head = seg[:2000]
-                if ("TakeOrderedAndProject" not in head
-                        and "HashAggregate" not in head
-                        and "SortAggregate" not in head):
-                    bounded = False
+            # it. Tree-anchored detector shared with the plan-guard
+            # test (ADVICE r9: no substring windows).
+            bounded = broadcast_subtrees_bounded(plan)
             rows_tbl[factor] = (n_docs, be, bf, bn, n_bc, bounded)
             print(
                 f"x{factor}: {n_docs:,} docs  embed-once {be:.2f}s  "
