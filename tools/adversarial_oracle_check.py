@@ -124,6 +124,11 @@ PINNED = [
     # capture-group emulation (queries.py _PII_IP_B) must hold on the
     # letter-adjacent IP salts that CONFIRMED the old skew in r9.
     "ts_pii_scrub",
+    # r10 registration: the leakage-safe split reads only documents
+    # and its oracle is built from the pinned minhash CTEs — the full
+    # cluster-route-check chain must hold on salted text (duplicate
+    # clusters are planted by make_docs, so the check is non-vacuous).
+    "pipe_leakage_safe_split",
 ]
 
 #: Entries whose oracle twins a Python UDF that SQL cannot fully
