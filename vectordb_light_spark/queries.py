@@ -6885,82 +6885,83 @@ _SOLO_COST_S = {
     'dd_containment_pairs': 1.494,
     'dd_cross_corpus_candidates': 1.365,
     'dd_duplicate_clusters': 4.103,
-    'dd_duplicate_groups': 0.427,
+    'dd_duplicate_groups': 0.364,
     'dd_embedding_near_dups': 0.961,
     'dd_exact_dedup': 0.674,
     'dd_image_near_dups': 3.522,
-    'dd_jaccard_pairs': 0.608,
+    'dd_jaccard_pairs': 0.565,
     'dd_line_dedup': 0.673,
     'dd_minhash_candidates': 1.143,
-    'dd_remove_boilerplate': 0.856,
-    'dd_repeated_spans': 0.998,
+    'dd_remove_boilerplate': 0.847,
+    'dd_repeated_spans': 0.906,
     'dd_semantic_dedup': 2.065,
     'dd_simhash_near_dups': 2.502,
-    'dd_strip_repeated_spans': 1.292,
+    'dd_strip_repeated_spans': 1.291,
     'dq_events_constraints': 0.448,
-    'emb_doc_mean_pool': 0.269,
-    'emb_feature_hash_topk': 0.845,
-    'emb_mini_encoder_topk': 1.136,
-    'kw_bm25_topk': 0.657,
-    'kw_hybrid_rrf': 1.009,
-    'mm_audio_features': 1.411,
-    'mm_audio_windows': 0.234,
-    'mm_frame_counts': 0.236,
+    'emb_doc_mean_pool': 0.266,
+    'emb_feature_hash_topk': 0.75,
+    'emb_mini_encoder_topk': 1.07,
+    'kw_bm25_topk': 0.559,
+    'kw_hybrid_rrf': 0.913,
+    'mm_audio_features': 1.265,
+    'mm_audio_windows': 0.222,
+    'mm_frame_counts': 0.219,
     'mm_image_decode': 1.523,
     'mm_image_pipeline': 0.92,
-    'mm_jpeg_decode': 1.422,
+    'mm_jpeg_decode': 1.367,
     'mm_video_frames': 2.021,
     'pipe_bloom_decontaminate': 1.112,
     'pipe_bpe_encode': 3.46,
     'pipe_bpe_merges': 3.603,
     'pipe_cdc_chunks': 1.343,
     'pipe_chunk_fixed': 0.546,
-    'pipe_chunk_normalized': 1.023,
-    'pipe_corpus_mix': 0.15,
-    'pipe_corpus_shuffle': 0.375,
+    'pipe_chunk_normalized': 0.991,
+    'pipe_corpus_mix': 0.149,
+    'pipe_corpus_shuffle': 0.324,
     'pipe_corpus_split': 0.138,
     'pipe_curate_chain': 3.891,
     'pipe_curriculum_order': 0.954,
     'pipe_decontaminate': 0.687,
-    'pipe_doc_hash': 0.357,
+    'pipe_doc_hash': 0.289,
     'pipe_domain_mix': 1.043,
     'pipe_dsir_select': 0.705,
     'pipe_hash_embed_topk': 1.007,
+    'pipe_leakage_safe_split': 4.553,
     'pipe_negative_samples': 0.471,
     'pipe_pdf_page_chunks': 1.04,
     'pipe_semantic_decontaminate': 2.18,
     'pipe_sequence_pack': 0.5,
-    'pipe_stratified_take': 0.25,
+    'pipe_stratified_take': 0.241,
     'pipe_temperature_mix': 0.42,
-    'pipe_token_budget_mix': 0.35,
-    'pipe_token_windows': 0.431,
+    'pipe_token_budget_mix': 0.331,
+    'pipe_token_windows': 0.393,
     'pipe_training_corpus': 1.162,
     'pipe_url_dedup': 0.939,
     'pipe_weighted_sample': 0.146,
     'prof_corpus_quantiles': 0.178,
     'prof_events_corr': 0.394,
     'prof_events_cube': 0.206,
-    'prof_events_pivot': 0.283,
-    'prof_events_rollup': 0.266,
+    'prof_events_pivot': 0.247,
+    'prof_events_rollup': 0.223,
     'prof_events_sketch': 0.839,
     'prof_sketch_accuracy': 3.115,
-    'prof_value_histogram': 0.133,
+    'prof_value_histogram': 0.131,
     'rel_big_orders': 0.403,
     'rel_customer_activity': 0.286,
     'rel_events_asof': 0.452,
     'rel_events_cohorts': 0.37,
     'rel_events_funnel': 0.356,
     'rel_events_gapfill': 0.258,
-    'rel_events_gaps': 0.33,
-    'rel_events_interval': 0.349,
-    'rel_events_json': 0.364,
+    'rel_events_gaps': 0.291,
+    'rel_events_interval': 0.326,
+    'rel_events_json': 0.343,
     'rel_events_moving_avg': 0.417,
-    'rel_events_scd2': 0.185,
-    'rel_forecast_revenue': 0.133,
+    'rel_events_scd2': 0.161,
+    'rel_forecast_revenue': 0.129,
     'rel_join_nation_customers': 0.19,
     'rel_orders_pareto': 0.36,
-    'rel_pricing_summary': 0.296,
-    'rel_region_volume': 0.355,
+    'rel_pricing_summary': 0.277,
+    'rel_region_volume': 0.345,
     'rel_scd2_merge': 0.366,
     'rel_sessions_overlap': 0.636,
     'rel_shipping_priority': 0.341,
@@ -6972,33 +6973,33 @@ _SOLO_COST_S = {
     'skew_salted_user_join': 0.264,
     'src_binary_roundtrip': 1.172,
     'src_markup_roundtrip': 1.281,
-    'src_office_roundtrip': 1.327,
+    'src_office_roundtrip': 1.204,
     'st_clicks_attribution': 2.336,
     'st_events_dedup': 0.307,
-    'st_events_sessions': 1.205,
+    'st_events_sessions': 1.175,
     'st_events_sliding': 0.23,
     'st_events_window': 0.21,
     'st_heavy_hitters': 0.984,
     'st_user_running_totals': 1.665,
     'st_windowed_quantiles': 1.193,
     'ts_bigram_lm_score': 1.128,
-    'ts_c4_filter': 0.503,
-    'ts_gopher_filter': 0.68,
+    'ts_c4_filter': 0.429,
+    'ts_gopher_filter': 0.672,
     'ts_lang_id': 0.716,
     'ts_pii_scrub': 0.496,
-    'ts_quality_classifier': 0.504,
+    'ts_quality_classifier': 0.477,
     'ts_quality_score': 0.484,
     'ts_readability': 0.492,
-    'ts_repetition_filter': 0.488,
-    'ts_text_stats': 0.378,
+    'ts_repetition_filter': 0.456,
+    'ts_text_stats': 0.349,
     'ts_tfidf_top_terms': 0.713,
-    'ts_vocab_topk': 0.328,
+    'ts_vocab_topk': 0.312,
     'ts_winnow_fingerprints': 0.903,
     'vq_batch_topk': 0.435,
-    'vq_chunks_only': 0.481,
+    'vq_chunks_only': 0.419,
     'vq_citations': 0.304,
     'vq_filtered_topk': 0.265,
-    'vq_grouped_topk': 0.265,
+    'vq_grouped_topk': 0.258,
     'vq_mmr_rerank': 0.884,
     'vq_postfilters': 0.342,
     'vq_rag_prompt': 0.391,
