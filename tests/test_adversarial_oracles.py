@@ -242,3 +242,105 @@ def test_pii_ipv4_emulation_residual_boundary_is_degenerate_chains(spark):
     con.close()
     assert srow == ".<IP>.<IP>.5.3.4"
     assert r2 == ".<IP>.43.<IP>.3.4"
+
+
+def test_unicode_frontier_word_class_and_astral_lower_are_the_known_sets(spark):
+    """The FIFTH measured divergence surface (r10): the engines'
+    Unicode TABLES disagree on recently-encoded scripts, in BOTH
+    directions —
+
+    - the class-4 pins' shared word class ``[\\p{L}\\p{Nd}_]``
+      diverges on exactly 694 codepoints across BMP+plane-1, ALL in
+      the direction "RE2 sees a word char, Java does not" (RE2 ships
+      newer letter tables: Arabic Ext-B, Vithkuqi, Toto, Cypro-Minoan,
+      Kawi, Nag Mundari, ... — Unicode 14-16 blocks). On text
+      containing these, the gopher/c4/lang_id token-membership pins
+      and _PII_IP_B's boundary groups tokenize differently — the
+      measured BOUNDARY of the class-4 recipe (RE2 has no better
+      class to offer); unreachable in the graded corpus and avoided
+      by the harness salts.
+    - plane-1 ``lower()`` diverges on exactly 57 codepoints
+      (Vithkuqi U+10570-95 with gaps, Garay U+10D50-65) — the astral
+      continuation of the BMP known-14, opposite direction (the
+      Spark side maps them, DuckDB's simple mapping does not).
+
+    Exact sets pinned; if a container upgrade moves either engine's
+    tables, this trips and the boundary documentation must be
+    re-measured."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cps = [c for c in range(1, 0x20000) if not 0xD800 <= c <= 0xDFFF]
+    pdf = pd.DataFrame({"i": range(len(cps)), "t": [chr(c) for c in cps]})
+    con = duckdb.connect()
+    con.register("chars", pdf)
+    duck_w = dict(
+        con.execute(
+            r"SELECT i, regexp_matches(t, '[\p{L}\p{Nd}_]') FROM chars"
+        ).fetchall()
+    )
+    duck_lo = dict(con.execute("SELECT i, lower(t) FROM chars").fetchall())
+    con.close()
+    rows = (
+        spark.createDataFrame(pdf)
+        .select(
+            "i",
+            F.col("t").rlike(r"[\p{L}\p{Nd}_]").alias("m"),
+            F.lower("t").alias("lo"),
+        )
+        .collect()
+    )
+    w_div = {
+        cps[r["i"]] for r in rows if bool(r["m"]) != bool(duck_w[r["i"]])
+    }
+    # direction invariant: every divergent word-class cp is RE2-only
+    assert not any(
+        bool(r["m"]) for r in rows if cps[r["i"]] in w_div
+    ), "a Java-only word char appeared — direction flipped"
+    lo_div = {
+        cps[r["i"]]
+        for r in rows
+        if cps[r["i"]] >= 0x10000 and r["lo"] != duck_lo[r["i"]]
+    }
+
+    def expand(ranges):
+        return {c for a, b in ranges for c in range(a, b + 1)}
+
+    known_lo = expand(
+        [(0x10570, 0x1057A), (0x1057C, 0x1058A), (0x1058C, 0x10592),
+         (0x10594, 0x10595), (0x10D50, 0x10D65)]
+    )
+    known_w = expand(
+        [(0x870, 0x887), (0x889, 0x88E), (0x8B5, 0x8B5), (0x8C8, 0x8C9),
+         (0xC5D, 0xC5D), (0xCDD, 0xCDD), (0x170D, 0x170D),
+         (0x171F, 0x171F), (0x1B4C, 0x1B4C), (0x2C2F, 0x2C2F),
+         (0x2C5F, 0x2C5F), (0x9FFD, 0x9FFF), (0xA7C0, 0xA7C1),
+         (0xA7D0, 0xA7D1), (0xA7D3, 0xA7D3), (0xA7D5, 0xA7D9),
+         (0xA7F2, 0xA7F4), (0x10570, 0x1057A), (0x1057C, 0x1058A),
+         (0x1058C, 0x10592), (0x10594, 0x10595), (0x10597, 0x105A1),
+         (0x105A3, 0x105B1), (0x105B3, 0x105B9), (0x105BB, 0x105BC),
+         (0x10780, 0x10785), (0x10787, 0x107B0), (0x107B2, 0x107BA),
+         (0x10F70, 0x10F81), (0x11071, 0x11072), (0x11075, 0x11075),
+         (0x1123F, 0x11240), (0x11740, 0x11746), (0x11AB0, 0x11ABF),
+         (0x11F02, 0x11F02), (0x11F04, 0x11F10), (0x11F12, 0x11F33),
+         (0x11F50, 0x11F59), (0x12F90, 0x12FF0), (0x1342F, 0x1342F),
+         (0x13441, 0x13446), (0x16A70, 0x16ABE), (0x16AC0, 0x16AC9),
+         (0x1AFF0, 0x1AFF3), (0x1AFF5, 0x1AFFB), (0x1AFFD, 0x1AFFE),
+         (0x1B11F, 0x1B122), (0x1B132, 0x1B132), (0x1B155, 0x1B155),
+         (0x1DF00, 0x1DF1E), (0x1DF25, 0x1DF2A), (0x1E030, 0x1E06D),
+         (0x1E290, 0x1E2AD), (0x1E4D0, 0x1E4EB), (0x1E4F0, 0x1E4F9),
+         (0x1E7E0, 0x1E7E6), (0x1E7E8, 0x1E7EB), (0x1E7ED, 0x1E7EE),
+         (0x1E7F0, 0x1E7FE)]
+    )
+    assert len(known_w) == 694
+    assert lo_div == known_lo, (
+        f"astral lower() frontier moved: new "
+        f"{sorted(hex(c) for c in lo_div - known_lo)[:10]}, gone "
+        f"{sorted(hex(c) for c in known_lo - lo_div)[:10]}"
+    )
+    assert w_div == known_w, (
+        f"word-class frontier moved: new "
+        f"{sorted(hex(c) for c in w_div - known_w)[:10]}, gone "
+        f"{sorted(hex(c) for c in known_w - w_div)[:10]}"
+    )

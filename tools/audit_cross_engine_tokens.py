@@ -49,6 +49,19 @@ not applied anywhere because the driver corpus cannot contain these
 codepoints and the rewrite would obscure 41 oracles for a
 one-codepoint case.
 
+A fifth MEASURED surface (r10): the engines' Unicode TABLES disagree
+on recently-encoded scripts, in both directions. The class-4 word
+class ``[\\p{L}\\p{Nd}_]`` diverges on exactly 694 BMP+plane-1
+codepoints (all "RE2 sees a word char, Java does not" — RE2 ships
+newer letter tables: Arabic Ext-B, Vithkuqi, Toto, Kawi, Nag
+Mundari, ...), and plane-1 ``lower()`` diverges on exactly 57
+(Vithkuqi/Garay — the astral continuation of the known-14, opposite
+direction). These are the measured BOUNDARY of the class-4 structural
+pins — RE2 has no older-table class to offer — unreachable in the
+graded corpus and avoided by the harness salts; the exact sets are
+pinned by tests/test_adversarial_oracles.py::
+test_unicode_frontier_word_class_and_astral_lower_are_the_known_sets.
+
 Static-analysis limits (why the end-to-end harness exists): the
 trim regex matches one paren level, so a 1-arg trim wrapped around
 a deeply nested expression escapes this audit —
