@@ -214,6 +214,14 @@ _CASE_WORDS = [
     # (boundary → match) — the salt that fires ts_pii_scrub's
     # class-4 site instead of leaving it latent (r9).
     "é10.0.0.1", "10.0.0.2º",
+    # r10: ASTRAL salts — surrogate-pair text through every pinned
+    # plan (shingles, md5 tokens, substr chunking, regex classes).
+    # Chosen OUTSIDE the measured Unicode-table frontier
+    # (test_unicode_frontier_...): Gothic (U+10330s) and Deseret
+    # (U+10400s) are Unicode 3.1 letters in BOTH engines' tables,
+    # emoji are non-word in both, and none are NFKC-unstable or
+    # cased into the known-14/57 divergent sets.
+    "𐌰𐌱𐌲word", "𐐨𐐩𐐪", "😀🎉", "mixed𝚡10.0.0.9",
 ]
 
 
