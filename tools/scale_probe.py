@@ -2295,9 +2295,10 @@ def main_ccjump() -> None:
         " rounds beat many short ones because each round's fixed cost"
         " (checkpoint job + convergence aggregate) dominates at this"
         " SF and is exactly the jitter-amplification the r9 verdict"
-        " flagged. Wired r10 (slot-free) into the two already-changed"
-        " CC consumers (pipe_leakage_safe_split, dd_semantic_dedup);"
-        " dd_duplicate_clusters itself is r9-fresh, so its flip waits"
+        " flagged. Wired r10 (slot-free) into pipe_leakage_safe_split"
+        " (its graph IS this minhash pair graph); dd_semantic_dedup's"
+        " embedding-clique graph A/B'd wash-to-slower and stays"
+        " plain; dd_duplicate_clusters is r9-fresh, so its flip waits"
         " for the r11 rotation per the verdict's deferral.",
         "",
     ]

@@ -2815,12 +2815,12 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="vector",
         threshold=0.95,
         tier="exact",
-        # r10 (SCALING.md 'pointer jumping'): label-jumping reaches
-        # the same fixed point in O(log D) rounds and measured FASTER
-        # on the real sf0.1 pair graphs (12 -> 5 rounds, 1.6x wall);
-        # flipped here while the entry's slot is already being
-        # re-graded. The oracle's recursive CTE is round-agnostic.
-        pointer_jumping=True,
+        # pointer_jumping deliberately OFF: the r10 A/B on THIS
+        # entry's embedding pair graph (tiny 0.95-threshold cliques,
+        # few plain rounds) measured jumping as a wash-to-slower
+        # (3.8/3.2 s plain vs 3.8/4.0 s jump, warm) — unlike the
+        # 12-round minhash graph where it wins 1.6x (SCALING.md
+        # 'pointer jumping'; pipe_leakage_safe_split keeps the flip).
         assume_normalized=False,
     )
     return (
