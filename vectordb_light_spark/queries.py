@@ -6889,7 +6889,7 @@ _SOLO_COST_S = {
     'dd_embedding_near_dups': 0.961,
     'dd_exact_dedup': 0.674,
     'dd_image_near_dups': 3.522,
-    'dd_jaccard_pairs': 0.565,
+    'dd_jaccard_pairs': 0.553,
     'dd_line_dedup': 0.673,
     'dd_minhash_candidates': 1.143,
     'dd_remove_boilerplate': 0.847,
@@ -6920,7 +6920,7 @@ _SOLO_COST_S = {
     'pipe_corpus_shuffle': 0.324,
     'pipe_corpus_split': 0.138,
     'pipe_curate_chain': 3.891,
-    'pipe_curriculum_order': 0.954,
+    'pipe_curriculum_order': 0.922,
     'pipe_decontaminate': 0.687,
     'pipe_doc_hash': 0.289,
     'pipe_domain_mix': 1.043,
@@ -6949,12 +6949,12 @@ _SOLO_COST_S = {
     'rel_big_orders': 0.403,
     'rel_customer_activity': 0.286,
     'rel_events_asof': 0.452,
-    'rel_events_cohorts': 0.37,
-    'rel_events_funnel': 0.356,
+    'rel_events_cohorts': 0.363,
+    'rel_events_funnel': 0.342,
     'rel_events_gapfill': 0.258,
     'rel_events_gaps': 0.291,
     'rel_events_interval': 0.326,
-    'rel_events_json': 0.343,
+    'rel_events_json': 0.34,
     'rel_events_moving_avg': 0.417,
     'rel_events_scd2': 0.161,
     'rel_forecast_revenue': 0.129,
@@ -6969,7 +6969,7 @@ _SOLO_COST_S = {
     'rel_user_retention': 0.362,
     'rel_window_order_rank': 0.543,
     'sim_cosine_pairs_exact': 0.691,
-    'sim_sparse_cosine_pairs': 0.952,
+    'sim_sparse_cosine_pairs': 0.926,
     'skew_salted_user_join': 0.264,
     'src_binary_roundtrip': 1.172,
     'src_markup_roundtrip': 1.281,
@@ -6984,7 +6984,7 @@ _SOLO_COST_S = {
     'st_windowed_quantiles': 1.193,
     'ts_bigram_lm_score': 1.128,
     'ts_c4_filter': 0.429,
-    'ts_gopher_filter': 0.672,
+    'ts_gopher_filter': 0.657,
     'ts_lang_id': 0.716,
     'ts_pii_scrub': 0.496,
     'ts_quality_classifier': 0.477,
