@@ -2165,7 +2165,7 @@ def main_contract(factors: tuple[int, ...] = (1, 4, 16)) -> None:
     lines = [
         CONTRACT_MARKER.strip("\n"),
         "",
-        "r9 measurement (tools/scale_probe.py --contract; hashing-"
+        "r10 measurement (tools/scale_probe.py --contract; hashing-"
         "embed entry shape, best-of-2 warm):",
         "",
         "| scale | docs | embed-once s | entry+persist s |"
