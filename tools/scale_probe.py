@@ -335,6 +335,7 @@ def _all_markers():
         CHAIN_MARKER,
         CONTRACT_MARKER,
         CCJUMP_MARKER,
+        LEAKAGE_MARKER,
     )
 
 
@@ -2309,6 +2310,115 @@ def main_ccjump() -> None:
 
 
 
+LEAKAGE_MARKER = "\n## leakage-safe split end-to-end at x1/x4/x16"
+
+
+def main_leakage() -> None:
+    """The r10-registered entry's own scale curve: minhash candidate
+    pairs -> pointer-jumping CC -> cluster-routed split -> the 0-leaky
+    -clusters self-check, end-to-end over ``replicate_unique`` data
+    (bounded cluster density — true pairs grow linearly). Reports
+    best-of-2 warm wall AND asserts the leak invariant at every
+    factor: a scale-dependent routing bug (e.g. a cluster split
+    across partitions getting two labels) would fail the assert, not
+    just slow down."""
+    spark = get_spark("scale-probe-leakage")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vectordb_light_spark.operators.components import (
+        duplicate_clusters,
+    )
+    from vectordb_light_spark.operators.dedup import (
+        canonical_text,
+        minhash_lsh_candidates,
+    )
+    from vectordb_light_spark.operators.sampling import leakage_safe_split
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    results = {}
+    try:
+        for factor in SCALES:
+            d = os.path.join(WORK, f"docs_uq_x{factor}")
+            replicate_unique(spark, factor, d)
+            docs = (
+                spark.read.parquet(d)
+                .select("doc_id", "text", F.length("text").alias("n_chars"))
+            )
+            base = docs.where(F.length(canonical_text("text")) > 0)
+
+            def run():
+                # capped hot buckets (the DEFAULT and the documented
+                # 100 TB path) — the registered entry's max_bucket=None
+                # exists only for recursive-CTE oracle parity, and the
+                # uncapped bucket join grows quadratically across
+                # replicated copies (measured: x4 went 7.8x on wall
+                # and x16 OOM'd the 8g heap before this cap)
+                pairs = minhash_lsh_candidates(
+                    base, num_hashes=16, bands=4, hash_family="poly31",
+                ).where(F.col("est_jaccard") >= 0.75)
+                clusters = duplicate_clusters(
+                    pairs, left_id="id_a", right_id="id_b",
+                    pointer_jumping=True,
+                ).select("doc_id", "cluster_id")
+                routed = leakage_safe_split(
+                    docs, clusters, weights, id_col="doc_id",
+                    cluster_col="cluster_id", seed=0,
+                )
+                leaky = (
+                    routed.join(clusters, "doc_id")
+                    .groupBy("cluster_id")
+                    .agg(F.count_distinct("split").alias("ns"))
+                    .where(F.col("ns") > 1)
+                    .count()
+                )
+                n = routed.count()
+                return n, leaky
+
+            run()  # warm-up
+            best = float("inf")
+            leaky = None
+            for _ in range(2):
+                t0 = time.time()
+                n, leaky = run()
+                best = min(best, time.time() - t0)
+            assert leaky == 0, f"x{factor}: {leaky} leaky clusters!"
+            results[factor] = (n, round(best, 2))
+            print(f"x{factor}: {n:,} docs routed, 0 leaky, {best:.2f}s",
+                  flush=True)
+    finally:
+        shutil.rmtree(WORK, ignore_errors=True)
+    lines = [
+        LEAKAGE_MARKER.strip("\n"),
+        "",
+        "r10 measurement (tools/scale_probe.py --leakage; bounded-"
+        "cluster-density replication, best-of-2 warm, pointer-jumping"
+        " CC, DEFAULT hot-bucket cap — the registered entry's"
+        " max_bucket=None is oracle-parity-only and grows"
+        " quadratically across replicated copies; the"
+        " 0-leaky-clusters invariant ASSERTED at every factor):",
+        "",
+        "| scale | docs routed | wall s | leaky clusters |",
+        "|---|---|---|---|",
+    ]
+    for f, (n, w) in sorted(results.items()):
+        lines.append(f"| x{f} | {n:,} | {w} | 0 |")
+    lines += [
+        "",
+        "Reading: the curve is the minhash-pairs curve plus a fixed"
+        " number of CC rounds (pointer-jumping keeps rounds at"
+        " O(log D) regardless of factor) plus a map-side routing"
+        " CASE — no stage grows super-linearly, and the self-check"
+        " proves the router's correctness property AT scale rather"
+        " than assuming sf0.01 behavior transfers.",
+        "",
+    ]
+    out = "\n".join(lines)
+    if "--write" in sys.argv:
+        _write_section(LEAKAGE_MARKER, out)
+    print(out)
+
+
+
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
@@ -2345,5 +2455,7 @@ if __name__ == "__main__":
         main_contract((1, 4, 16, 64) if "--x64" in sys.argv else (1, 4, 16))
     elif "--ccjump" in sys.argv:
         main_ccjump()
+    elif "--leakage" in sys.argv:
+        main_leakage()
     else:
         main()
