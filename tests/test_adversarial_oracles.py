@@ -344,3 +344,68 @@ def test_unicode_frontier_word_class_and_astral_lower_are_the_known_sets(spark):
         f"{sorted(hex(c) for c in w_div - known_w)[:10]}, gone "
         f"{sorted(hex(c) for c in known_w - w_div)[:10]}"
     )
+
+
+def test_pii_ipv4_emulation_fuzz_on_reachable_shapes(spark):
+    """Seeded randomized sweep of the 2-pass emulation over the
+    REACHABLE shape space: word-shaped tokens (ASCII/é/astral),
+    separators (space/NBSP/comma/punct), IPs adjacent to any of them,
+    string edges — but never two IPs fused into one dotted-digit
+    chain (the documented residual, pinned by its own test). 300
+    random compositions must agree exactly on replace AND count."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.queries import _PII_IP_B
+
+    rng = random.Random(42)
+    words = ["the", "fox", "é", "Ñandú", "𐌰𐌱", "x1", "_a", "über"]
+    seps = [" ", "\xa0", ", ", ". ", " «", "» ", "; ", ":"]
+    ips = ["10.0.0.1", "192.168.255.7", "1.2.3.4", "999.999.999.999"]
+    cases = []
+    for _ in range(300):
+        parts = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            if r < 0.35:
+                parts.append(rng.choice(ips))
+            else:
+                parts.append(rng.choice(words))
+            parts.append(rng.choice(seps))
+        # sometimes glue an IP directly to a word (the é10.0.0.1
+        # class) — but never to another IP or a bare digit run
+        case = "".join(parts[:-1] if rng.random() < 0.5 else parts)
+        if rng.random() < 0.3:
+            case = rng.choice(words) + rng.choice(ips) + case
+        cases.append(case)
+
+    jp = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    srows = (
+        spark.createDataFrame(list(enumerate(cases)), "i int, t string")
+        .select(
+            "i",
+            F.regexp_replace("t", jp, "<IP>").alias("r"),
+            F.size(F.regexp_extract_all("t", F.lit(jp), F.lit(0))).alias("n"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    bad = []
+    for t, s in zip(cases, srows):
+        r1, c1 = con.execute(
+            "SELECT regexp_replace(?, ?, '\\1<IP>\\3', 'g'),"
+            " len(regexp_extract_all(?, ?))",
+            [t, _PII_IP_B, t, _PII_IP_B],
+        ).fetchone()
+        r2, c2 = con.execute(
+            "SELECT regexp_replace(?, ?, '\\1<IP>\\3', 'g'),"
+            " len(regexp_extract_all(?, ?))",
+            [r1, _PII_IP_B, r1, _PII_IP_B],
+        ).fetchone()
+        if (r2, c1 + c2) != (s["r"], s["n"]):
+            bad.append((t, r2, c1 + c2, s["r"], s["n"]))
+    con.close()
+    assert not bad, bad[:3]
