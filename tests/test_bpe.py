@@ -197,8 +197,8 @@ def test_pinned_ws_class_identical_across_engines(spark):
 
 
 def test_word_vocab_uses_pinned_class(spark):
-    """word_vocab must count \x0B-separated words separately (Java \s
-    did this implicitly; the pin makes DuckDB twins agree)."""
+    r"""word_vocab must count \x0B-separated words separately (Java
+    ``\s`` did this implicitly; the pin makes DuckDB twins agree)."""
     df = spark.createDataFrame([("aa\x0bbb aa",), ("bb\xa0cc",)], "text string")
     got = {r["word"]: r["freq"] for r in word_vocab(df).collect()}
     assert got == {"aa": 2, "bb": 1, "bb\xa0cc": 1}

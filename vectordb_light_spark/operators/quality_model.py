@@ -61,7 +61,7 @@ def _bucket_py(token: str, n_buckets: int) -> int:
 def hashed_count_features(
     texts: list[str], n_buckets: int = DEFAULT_N_BUCKETS
 ) -> np.ndarray:
-    """Hashed-unigram count matrix [n_docs, n_buckets] (float64).
+    r"""Hashed-unigram count matrix [n_docs, n_buckets] (float64).
 
     Tokenization is the engine-wide contract, pinned to the EXPLICIT
     class ``[ \t\n\x0b\f\r]+`` (r6 ADVICE): Python ``str.split()``
@@ -149,8 +149,8 @@ def quality_logit_column(
 
 
 def _quality_tokens(text_col: str) -> Column:
-    """The pinned tokenization all three engines share (explicit
-    Java-\s class; see hashed_count_features)."""
+    r"""The pinned tokenization all three engines share (explicit
+    Java-``\s`` class; see hashed_count_features)."""
     return F.filter(
         F.split(
             F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
