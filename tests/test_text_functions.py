@@ -455,3 +455,79 @@ def test_gopher_rules_custom_stopword_set(spark):
         gopher_rules("text", GOPHER_STOPWORDS)["keep"].alias("k")
     ).head()["k"]
     assert explicit == default_keep
+
+
+def test_luhn_valid_matches_reference_implementation(spark):
+    """luhn_valid (JVM higher-order fold) vs the textbook Python Luhn
+    on real-format test numbers and mutations."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.functions.text import luhn_valid
+
+    def luhn_py(s):
+        ds = [int(c) for c in s]
+        total = 0
+        for i, d in enumerate(reversed(ds)):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return len(s) >= 12 and total % 10 == 0
+
+    cases = [
+        "4111111111111111",   # classic Visa test number (valid)
+        "5500005555555559",   # MC test (valid)
+        "378282246310005",    # Amex test, 15 digits (valid)
+        "4111111111111112",   # one digit off (invalid)
+        "1234567890123456",   # invalid
+        "79927398713",        # valid Luhn but 11 digits -> too short
+        "000000000000",       # 12 zeros (valid checksum)
+    ]
+    rows = (
+        spark.createDataFrame([(c,) for c in cases], "s string")
+        .select("s", luhn_valid("s").alias("ok"))
+        .collect()
+    )
+    for r in rows:
+        assert bool(r.ok) == luhn_py(r.s), r.s
+
+
+def test_scrub_card_numbers_redacts_only_luhn_valid(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.functions.text import scrub_pii
+
+    text = (
+        "pay 4111 1111 1111 1111 or 5500-0055-5555-5559 but keep "
+        "order 1234567890123456 and id 4111111111111112, ssn "
+        "123-45-6789 stays too"
+    )
+    out = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(scrub_pii("t", extended=True).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert "<CARD>" in out
+    assert "4111 1111 1111 1111" not in out
+    assert "5500-0055-5555-5559" not in out
+    # Luhn-invalid digit runs survive untouched
+    assert "1234567890123456" in out
+    assert "4111111111111112" in out
+    assert "<SSN>" in out and "123-45-6789" not in out
+
+
+def test_scrub_pii_extended_keeps_default_behavior(spark):
+    """extended=False must stay byte-identical to the registered
+    entry's behavior (the oracle twin depends on it)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.functions.text import scrub_pii
+
+    text = "a@b.com +1-555-0142 10.0.0.1 4111111111111111 123-45-6789"
+    out = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(scrub_pii("t").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert out == "<EMAIL> <PHONE> <IP> 4111111111111111 123-45-6789"

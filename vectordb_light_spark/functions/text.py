@@ -579,14 +579,99 @@ PII_PATTERNS = (
 )
 
 
-def scrub_pii(col: Column | str) -> Column:
-    """Replace emails / phone numbers / IPv4 literals with typed
-    placeholder tokens — the standard pre-training redaction pass.
-    Pure JVM regexp_replace chain: map-only, pushdown-friendly, no
-    Python in the hot path."""
+#: Opt-in extended patterns (r10). Candidate-match shapes in the
+#: common dialect; the card pattern is deliberately BROAD (13-19
+#: digits with optional space/dash groupings) because real redaction
+#: must pair it with the Luhn verifier below — redacting every long
+#: digit run would destroy order ids and timestamps.
+PII_PATTERNS_EXTENDED = PII_PATTERNS + (
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("card", r"\b[0-9](?:[0-9 -]{11,17})[0-9]\b", "<CARD>"),
+)
+
+
+def luhn_valid(col: Column | str) -> Column:
+    """True iff the digit string in ``col`` passes the Luhn mod-10
+    check (the checksum every real payment-card number satisfies —
+    ISO/IEC 7812). Pure JVM higher-order functions over the digit
+    array, right-to-left doubling via the position parity:
+
+        sum(d_i, doubling every second digit from the RIGHT,
+            9-folding two-digit products) % 10 == 0
+
+    Non-digit characters must be stripped by the caller. Map-only,
+    codegen-friendly, no UDF."""
+    s = _c(col)
+    n = F.length(s)
+    digits = F.split(s, "")
+    # position from the right (1-based): parity decides doubling
+    summed = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda d, i: F.when(
+                ((n - i) % 2) == 1,
+                # doubled digit, 9-folded: 2d if 2d<10 else 2d-9
+                F.when(d.cast("int") * 2 < 10, d.cast("int") * 2)
+                .otherwise(d.cast("int") * 2 - 9),
+            ).otherwise(d.cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0)),
+    )
+    return (n >= 12) & (summed % 10 == 0)
+
+
+def scrub_card_numbers(col: Column | str, token: str = "<CARD>") -> Column:
+    """Replace LUHN-VALID payment-card numbers (13-19 digits, with or
+    without space/dash groupings) with ``token``, leaving Luhn-invalid
+    digit runs (order ids, tracking numbers) untouched.
+
+    Plan shape: split the text on the candidate pattern, extract the
+    candidate matches, verify each with :func:`luhn_valid` on the
+    digit-stripped form, and stitch the text back with the original
+    candidate or the token — one zip_with over two bounded arrays,
+    all JVM builtins, no UDF, map-only."""
+    s = _c(col)
+    pat = PII_PATTERNS_EXTENDED[-1][1]
+    pieces = F.split(s, pat)
+    cands = F.regexp_extract_all(s, F.lit(pat), F.lit(0))
+    kept = F.transform(
+        cands,
+        lambda c: F.when(
+            luhn_valid(F.regexp_replace(c, r"[ -]", "")), F.lit(token)
+        ).otherwise(c),
+    )
+    # text == pieces[0] + kept[0] + pieces[1] + kept[1] + ... +
+    # pieces[-1]; zip_with pads the shorter array with NULLs.
+    return F.concat(
+        F.array_join(
+            F.zip_with(
+                pieces,
+                kept,
+                lambda p, c: F.concat(p, F.coalesce(c, F.lit(""))),
+            ),
+            "",
+        )
+    )
+
+
+def scrub_pii(col: Column | str, *, extended: bool = False) -> Column:
+    """Replace emails / phone numbers / IPv4 literals (and, with
+    ``extended=True``, SSNs and Luhn-verified card numbers) with
+    typed placeholder tokens — the standard pre-training redaction
+    pass. Pure JVM regexp_replace chain: map-only, pushdown-friendly,
+    no Python in the hot path. The registered oracle entry covers the
+    default patterns; the extended tier is unit-tested
+    (tests/test_text_functions.py)."""
     out = _c(col)
-    for _, pattern, token in PII_PATTERNS:
-        out = F.regexp_replace(out, pattern, token)
+    for kind, pattern, token in (
+        PII_PATTERNS_EXTENDED if extended else PII_PATTERNS
+    ):
+        if kind == "card":
+            out = scrub_card_numbers(out, token)
+        else:
+            out = F.regexp_replace(out, pattern, token)
     return out
 
 
