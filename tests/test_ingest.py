@@ -450,6 +450,36 @@ def test_facade_semantic_dedup_keeps_one_per_cluster(built_db, spark):
         )
 
 
+def test_facade_train_val_test_split_is_leakage_safe(built_db, spark):
+    """The r10 facade: every stored chunk gets exactly one split, the
+    weights land in the right ballpark, and NO semantic near-dup
+    cluster straddles two splits (the property the method exists
+    for)."""
+    root, _, _ = built_db
+    db = VectorDB.open(spark, root, "testdb", cache=False)
+    out = db.train_val_test_split(threshold=0.95)
+    rows = out.collect()
+    n_vectors = db.vectors.count()
+    assert len(rows) == n_vectors
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # the train bucket dominates under the default 0.8/0.1/0.1
+    from collections import Counter
+
+    counts = Counter(r["split"] for r in rows)
+    assert counts["train"] > counts["val"] + counts["test"]
+    # leak check: join the splits back onto the same clusters
+    clusters = db.dedup_semantic(threshold=0.95).select(
+        "id", "cluster_id"
+    )
+    split_by_id = {r["id"]: r["split"] for r in rows}
+    leaks = {}
+    for r in clusters.collect():
+        leaks.setdefault(r["cluster_id"], set()).add(
+            split_by_id[r["id"]]
+        )
+    assert all(len(s) == 1 for s in leaks.values())
+
+
 def test_read_jsonl_corpus_quarantines_bad_lines(spark, tmp_path):
     """JSONL source: valid docs parse with the declared schema;
     corrupt lines and empty-text docs quarantine as rejects; nothing

@@ -630,6 +630,51 @@ class VectorDB:
             **{**self._size_hints(), **kw},
         )
 
+    def train_val_test_split(
+        self,
+        weights: dict[str, float] | None = None,
+        *,
+        threshold: float = 0.9,
+        seed: int = 0,
+        pointer_jumping: bool = True,
+        **kw,
+    ) -> DataFrame:
+        """Leakage-safe split of the stored chunks: semantic near-dup
+        clusters (the :meth:`dedup_semantic` machinery) route every
+        chunk by its CLUSTER label through a deterministic
+        md5-threshold CASE, so a test chunk can never have a near-copy
+        in train — the eval-contamination guard
+        (operators/sampling.py leakage_safe_split; registry twin
+        ``pipe_leakage_safe_split``). Returns ``(id, split)`` for
+        every stored chunk. Pointer-jumping CC is on by default (the
+        SCALING.md-measured O(log D) path); pass
+        ``pointer_jumping=False`` for shallow clique-only corpora
+        where plain propagation's lighter rounds win."""
+        from vectordb_light_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+        from vectordb_light_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+        clusters = semantic_dedup(
+            self.vectors,
+            id_col="id",
+            vec_col="vector",
+            threshold=threshold,
+            pointer_jumping=pointer_jumping,
+            **{**self._size_hints(), **kw},
+        ).select("id", "cluster_id")
+        return leakage_safe_split(
+            self.vectors.select("id"),
+            clusters,
+            weights,
+            id_col="id",
+            cluster_col="cluster_id",
+            seed=seed,
+        )
+
     @property
     def last_search_stats(self) -> dict:
         """Metrics of the most recent search AFTER its action ran:
