@@ -197,3 +197,29 @@ def test_cli_curate_r8_stages_and_no_report(spark, tmp_path, capsys):
     assert lines[-1]["rows_out"] == 2          # doc 3 gated out
     survivors = spark.read.parquet(out).collect()
     assert sorted(r["doc_id"] for r in survivors) == [1, 2]
+
+
+def test_cli_split_writes_leakage_safe_assignments(
+    spark, corpus_dir, tmp_path, capsys
+):
+    root = str(tmp_path / "dbs")
+    out = str(tmp_path / "splits")
+    assert main([
+        "ingest", "--src", corpus_dir, "--db-root", root,
+        "--name", "splitdb", "--chunk-size", "200",
+        "--chunk-overlap", "50",
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "split", "--db-root", root, "--name", "splitdb",
+        "--weights", "train:0.7,test:0.3", "--threshold", "0.95",
+        "--output", out,
+    ]) == 0
+    summary = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )
+    assert summary["output"] == out
+    assert set(summary["splits"]) <= {"train", "test"}
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == sum(summary["splits"].values())
+    assert {r["split"] for r in rows} <= {"train", "test"}

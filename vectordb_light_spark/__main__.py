@@ -114,6 +114,15 @@ def main(argv: list[str] | None = None) -> int:
     common(p)
     p.add_argument("--backup-root", required=True)
     common(sub.add_parser("delete"))
+    p = sub.add_parser("split")
+    common(p)
+    p.add_argument("--weights", default="train:0.8,val:0.1,test:0.1",
+                   help="name:frac pairs, comma-separated")
+    p.add_argument("--threshold", type=float, default=0.9,
+                   help="near-dup cosine threshold for cluster routing")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", required=True,
+                   help="parquet destination for (id, split)")
 
     a = ap.parse_args(argv)
 
@@ -230,6 +239,25 @@ def main(argv: list[str] | None = None) -> int:
         db.build_ivf_index()
         _emit({"ivf_index": db.meta["ivf_index"]})
         return 0
+    if a.cmd == "split":
+        weights = {
+            kv.split(":")[0]: float(kv.split(":")[1])
+            for kv in a.weights.split(",") if kv.strip()
+        }
+        out = db.train_val_test_split(
+            weights, threshold=a.threshold, seed=a.seed
+        )
+        out.write.mode("overwrite").parquet(a.output)
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["split"]: r["n"]
+            for r in spark.read.parquet(a.output)
+            .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        _emit({"output": a.output, "splits": counts})
+        return 0
+
     if a.cmd == "search":
         out = db.search(
             a.query,
