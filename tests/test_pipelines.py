@@ -284,3 +284,35 @@ def test_bloom_stage_prebuilt_words_and_curriculum_score_col(spark):
     rows = out.collect()
     assert [r["doc_id"] for r in rows] == [2, 3, 1]  # ascending difficulty
     assert set(out.columns) == {"doc_id", "text", "difficulty"}
+
+
+def test_run_curation_split_stage_is_leakage_safe(spark):
+    """The terminal 'split' stage annotates survivors with a
+    leakage-safe split column: near-dup pairs land in ONE split, the
+    row count is unchanged, and weights are honored in shape."""
+    from vectordb_light_spark.operators.curate_pipeline import run_curation
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and it was that "
+        "kind of day for everyone involved in the field trial across "
+        "many categories of the ongoing longitudinal study period "
+    )
+    rows = [(i, base + f"variant {i}") for i in range(40)]
+    # two near-dup pairs: same text modulo one token
+    rows += [(100, base + "variant 7 "), (101, base + "variant 13 ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, _ = run_curation(
+        df,
+        ("split",),
+        report=False,
+        split_weights={"train": 0.5, "test": 0.5},
+        split_jaccard=0.8,
+    )
+    got = out.collect()
+    assert len(got) == len(rows)
+    assert set(out.columns) == {"doc_id", "text", "split"}
+    by_id = {r["doc_id"]: r["split"] for r in got}
+    assert set(by_id.values()) <= {"train", "test"}
+    # the planted near-dup pairs must not straddle splits
+    assert by_id[100] == by_id[7]
+    assert by_id[101] == by_id[13]

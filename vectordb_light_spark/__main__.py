@@ -98,6 +98,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="curriculum stage count (easy-first ordering)")
     p.add_argument("--curriculum-seed", type=int, default=0,
                    help="curriculum within-stage shuffle seed")
+    p.add_argument("--split-weights", default=None,
+                   help="name:frac pairs for the terminal 'split' stage "
+                   "(e.g. train:0.8,val:0.1,test:0.1)")
     p.add_argument("--no-report", action="store_true",
                    help="skip per-stage counts: the chain stays one lazy "
                    "plan and costs exactly the final write")
@@ -203,6 +206,11 @@ def main(argv: list[str] | None = None) -> int:
             ]
         if a.bench:
             ctx["bench"] = spark.read.parquet(a.bench)
+        if a.split_weights:
+            ctx["split_weights"] = {
+                kv.split(":")[0]: float(kv.split(":")[1])
+                for kv in a.split_weights.split(",") if kv.strip()
+            }
         survivors, reports = run_curation(
             docs, stages, report=not a.no_report, **ctx
         )

@@ -228,6 +228,45 @@ def _stage_curriculum(df: DataFrame, ctx: dict) -> DataFrame:
     )
 
 
+def _stage_split(df: DataFrame, ctx: dict) -> DataFrame:
+    """Terminal ANNOTATION stage (drops nothing): add a leakage-safe
+    ``split`` column — near-dup clusters from the MinHash->CC fixed
+    point (pointer-jumping, O(log D) rounds) route every document by
+    its CLUSTER label through the deterministic md5-threshold CASE,
+    so a test document can never have a near-copy in train (the
+    registered `pipe_leakage_safe_split` machinery; the store-level
+    twin is VectorDB.train_val_test_split). Weights come from
+    ``ctx['split_weights']`` ({name: frac}, default 0.8/0.1/0.1);
+    ``ctx['split_jaccard']`` (default 0.75) sets the near-dup bar.
+    Put it LAST so every earlier gate has already run."""
+    from vectordb_light_spark.operators.components import (
+        duplicate_clusters,
+    )
+    from vectordb_light_spark.operators.dedup import (
+        canonical_text,
+        minhash_lsh_candidates,
+    )
+    from vectordb_light_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    weights = ctx.get("split_weights") or {
+        "train": 0.8, "val": 0.1, "test": 0.1,
+    }
+    base = df.where(F.length(canonical_text("text")) > 0)
+    pairs = minhash_lsh_candidates(base.select("doc_id", "text")).where(
+        F.col("est_jaccard") >= float(ctx.get("split_jaccard", 0.75))
+    )
+    clusters = duplicate_clusters(
+        pairs, left_id="id_a", right_id="id_b", pointer_jumping=True
+    ).select("doc_id", "cluster_id")
+    routed = leakage_safe_split(
+        df.select("doc_id"), clusters, weights, id_col="doc_id",
+        cluster_col="cluster_id", seed=int(ctx.get("split_seed", 0)),
+    )
+    return df.join(routed.select("doc_id", "split"), "doc_id")
+
+
 #: name -> stage callable. Order in a pipeline is the caller's choice;
 #: the conventional cheap-to-expensive chain is the `DEFAULT_STAGES`.
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
@@ -241,6 +280,7 @@ STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "bloom_decontaminate": _stage_bloom_decontaminate,
     "readability": _stage_readability,
     "curriculum": _stage_curriculum,
+    "split": _stage_split,
 }
 
 DEFAULT_STAGES = ("exact_dedup", "repetition", "gopher", "quality")
