@@ -9,10 +9,13 @@ best/median against the committed `_SOLO_COST_S` floor and the driver
 reading. A floor-level best = host jitter; a floor that moved = real
 regression to profile.
 
-    python tools/solo_study.py [sf_dir] <entry> [iterations=10]
+    python tools/solo_study.py [sf_dir] <entry> [entry ...] [iterations=10]
 
-Prints one line per run plus best/median/floor and the load average
-before and after (the documented host-contention control).
+Several entries share one warmed session (an adjudication should
+always re-time 1-2 UNTOUCHED control entries in the same session —
+the r10 ann_topk_join playbook). Prints one line per run plus
+best/median/floor and the load average before and after (the
+documented host-contention control).
 """
 
 from __future__ import annotations
@@ -33,36 +36,48 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.1"
     rest = [a for a in args if "/" not in a]
-    name = rest[0]
-    iters = int(rest[1]) if len(rest) > 1 else 10
+    names = [a for a in rest if not a.isdigit()]
+    iters = next((int(a) for a in rest if a.isdigit()), 10)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown or not names:
+        raise SystemExit(f"unknown entries: {unknown or '(none given)'}")
 
     load0 = open("/proc/loadavg").read().split()[0]
     spark = get_spark("solo-study")
     spark.sparkContext.setLogLevel("ERROR")
     _warm_session(spark, sf_dir)
 
-    fn = QUERIES[name]
-    t0 = time.time()
-    fn(spark, sf_dir).collect()
-    print(f"warm-up: {time.time() - t0:.3f}s", flush=True)
-
-    samples = []
-    for i in range(iters):
+    summaries = []
+    for name in names:
+        fn = QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).collect()
-        dt = time.time() - t0
-        samples.append(dt)
-        print(f"run {i + 1}: {dt:.3f}s", flush=True)
+        print(f"{name} warm-up: {time.time() - t0:.3f}s", flush=True)
+
+        samples = []
+        for i in range(iters):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            dt = time.time() - t0
+            samples.append(dt)
+            print(f"{name} run {i + 1}: {dt:.3f}s", flush=True)
+        floor = _SOLO_COST_S.get(name)
+        summaries.append(
+            f"{name} @ {sf_dir}: best {min(samples):.3f}s  "
+            f"median {statistics.median(samples):.3f}s  "
+            f"mean {statistics.mean(samples):.3f}s  "
+            f"worst {max(samples):.3f}s  floor {floor}"
+            + (
+                f"  best/floor {min(samples) / floor:.2f}x"
+                if floor
+                else ""
+            )
+        )
 
     load1 = open("/proc/loadavg").read().split()[0]
-    floor = _SOLO_COST_S.get(name)
-    print(
-        f"\n{name} @ {sf_dir}: best {min(samples):.3f}s  "
-        f"median {statistics.median(samples):.3f}s  "
-        f"mean {statistics.mean(samples):.3f}s  "
-        f"worst {max(samples):.3f}s  "
-        f"floor {floor}  loadavg {load0}->{load1}"
-    )
+    print(f"\nloadavg {load0}->{load1}")
+    for s in summaries:
+        print(s)
 
 
 if __name__ == "__main__":
