@@ -473,15 +473,16 @@ def test_luhn_valid_matches_reference_implementation(spark):
                 if d > 9:
                     d -= 9
             total += d
-        return len(s) >= 12 and total % 10 == 0
+        return len(s) >= 1 and total % 10 == 0
 
     cases = [
         "4111111111111111",   # classic Visa test number (valid)
         "5500005555555559",   # MC test (valid)
         "378282246310005",    # Amex test, 15 digits (valid)
+        "6221260123456789016",  # 19-digit UnionPay shape (valid)
         "4111111111111112",   # one digit off (invalid)
         "1234567890123456",   # invalid
-        "79927398713",        # valid Luhn but 11 digits -> too short
+        "79927398713",        # 11 digits, valid checksum (pure check)
         "000000000000",       # 12 zeros (valid checksum)
     ]
     rows = (
@@ -499,8 +500,10 @@ def test_scrub_card_numbers_redacts_only_luhn_valid(spark):
     from vectordb_light_spark.functions.text import scrub_pii
 
     text = (
-        "pay 4111 1111 1111 1111 or 5500-0055-5555-5559 but keep "
-        "order 1234567890123456 and id 4111111111111112, ssn "
+        "pay 4111 1111 1111 1111 or 5500-0055-5555-5559 or the "
+        "19-digit 6221 2601 2345 6789 016 but keep "
+        "order 1234567890123456 and id 4111111111111112, the "
+        "12-digit Luhn-valid reference 0000-0000-0000, ssn "
         "123-45-6789 stays too"
     )
     out = (
@@ -511,9 +514,15 @@ def test_scrub_card_numbers_redacts_only_luhn_valid(spark):
     assert "<CARD>" in out
     assert "4111 1111 1111 1111" not in out
     assert "5500-0055-5555-5559" not in out
+    # 17-19 digit grouped PANs must redact too (r10 review catch:
+    # the old 17-char window let them escape whole)
+    assert "6221 2601 2345 6789 016" not in out
     # Luhn-invalid digit runs survive untouched
     assert "1234567890123456" in out
     assert "4111111111111112" in out
+    # ...and so do sub-13-digit Luhn-VALID references (the
+    # order-id-preservation contract)
+    assert "0000-0000-0000" in out
     assert "<SSN>" in out and "123-45-6789" not in out
 
 

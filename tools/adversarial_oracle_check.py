@@ -219,9 +219,12 @@ _CASE_WORDS = [
     # Chosen OUTSIDE the measured Unicode-table frontier
     # (test_unicode_frontier_...): Gothic (U+10330s) and Deseret
     # (U+10400s) are Unicode 3.1 letters in BOTH engines' tables,
-    # emoji are non-word in both, and none are NFKC-unstable or
-    # cased into the known-14/57 divergent sets.
-    "𐌰𐌱𐌲word", "𐐨𐐩𐐪", "😀🎉", "mixed𝚡10.0.0.9",
+    # NFKC-stable (unlike e.g. the math alphanumerics, which NFKC
+    # folds to ASCII), and not cased into the known-14/57 divergent
+    # sets; emoji are non-word in both. The Gothic-adjacent IPv4
+    # exercises the class-4 boundary emulation with an astral word
+    # char on its left.
+    "𐌰𐌱𐌲word", "𐐨𐐩𐐪", "😀🎉", "mixed𐌸10.0.0.9",
 ]
 
 

@@ -28,6 +28,19 @@ import os
 import sys
 
 
+
+def _parse_weights(s: str) -> dict[str, float]:
+    """'name:frac,name:frac' -> {name: frac} (shared by curate
+    --split-weights and the split subcommand)."""
+    out = {}
+    for kv in s.split(","):
+        if not kv.strip():
+            continue
+        name, _, frac = kv.partition(":")
+        out[name.strip()] = float(frac)
+    return out
+
+
 def _emit(obj) -> None:
     print(json.dumps(obj, default=str))
 
@@ -207,10 +220,7 @@ def main(argv: list[str] | None = None) -> int:
         if a.bench:
             ctx["bench"] = spark.read.parquet(a.bench)
         if a.split_weights:
-            ctx["split_weights"] = {
-                kv.split(":")[0]: float(kv.split(":")[1])
-                for kv in a.split_weights.split(",") if kv.strip()
-            }
+            ctx["split_weights"] = _parse_weights(a.split_weights)
         survivors, reports = run_curation(
             docs, stages, report=not a.no_report, **ctx
         )
@@ -248,10 +258,7 @@ def main(argv: list[str] | None = None) -> int:
         _emit({"ivf_index": db.meta["ivf_index"]})
         return 0
     if a.cmd == "split":
-        weights = {
-            kv.split(":")[0]: float(kv.split(":")[1])
-            for kv in a.weights.split(",") if kv.strip()
-        }
+        weights = _parse_weights(a.weights)
         out = db.train_val_test_split(
             weights, threshold=a.threshold, seed=a.seed
         )

@@ -658,14 +658,23 @@ class VectorDB:
         )
 
         weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
-        clusters = semantic_dedup(
-            self.vectors,
-            id_col="id",
-            vec_col="vector",
-            threshold=threshold,
-            pointer_jumping=pointer_jumping,
-            **{**self._size_hints(), **kw},
-        ).select("id", "cluster_id")
+        # only rows that HAVE near-dups enter the routing join:
+        # semantic_dedup coalesces singletons to their own id, and
+        # leakage_safe_split's design contract is a broadcast-sized
+        # cluster table (singletons route by id anyway) — shipping
+        # the full corpus as the build side would defeat it at scale.
+        clusters = (
+            semantic_dedup(
+                self.vectors,
+                id_col="id",
+                vec_col="vector",
+                threshold=threshold,
+                pointer_jumping=pointer_jumping,
+                **{**self._size_hints(), **kw},
+            )
+            .where(F.col("cluster_size") > 1)
+            .select("id", "cluster_id")
+        )
         return leakage_safe_split(
             self.vectors.select("id"),
             clusters,

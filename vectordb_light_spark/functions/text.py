@@ -586,15 +586,22 @@ PII_PATTERNS = (
 #: digit run would destroy order ids and timestamps.
 PII_PATTERNS_EXTENDED = PII_PATTERNS + (
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-    ("card", r"\b[0-9](?:[0-9 -]{11,17})[0-9]\b", "<CARD>"),
+    # the window bounds CHARS (13-23: up to 19 digits + 4 separators),
+    # NOT digits — scrub_card_numbers enforces the 13-19 DIGIT rule on
+    # the stripped form before Luhn (r10 review catch: the previous
+    # {11,17} char window let grouped 17-19-digit PANs escape whole).
+    ("card", r"\b[0-9](?:[0-9 -]{11,21})[0-9]\b", "<CARD>"),
 )
 
 
 def luhn_valid(col: Column | str) -> Column:
     """True iff the digit string in ``col`` passes the Luhn mod-10
     check (the checksum every real payment-card number satisfies —
-    ISO/IEC 7812). Pure JVM higher-order functions over the digit
-    array, right-to-left doubling via the position parity:
+    ISO/IEC 7812). PURE checksum — length policy (e.g. the 13-19
+    digits of real PANs) belongs to the caller
+    (:func:`scrub_card_numbers` enforces it). Pure JVM higher-order
+    functions over the digit array, right-to-left doubling via the
+    position parity:
 
         sum(d_i, doubling every second digit from the RIGHT,
             9-folding two-digit products) % 10 == 0
@@ -619,13 +626,14 @@ def luhn_valid(col: Column | str) -> Column:
         F.lit(0),
         lambda acc, x: acc + F.coalesce(x, F.lit(0)),
     )
-    return (n >= 12) & (summed % 10 == 0)
+    return (n >= 1) & (summed % 10 == 0)
 
 
 def scrub_card_numbers(col: Column | str, token: str = "<CARD>") -> Column:
-    """Replace LUHN-VALID payment-card numbers (13-19 digits, with or
+    """Replace LUHN-VALID payment-card numbers (13-19 DIGITS, with or
     without space/dash groupings) with ``token``, leaving Luhn-invalid
-    digit runs (order ids, tracking numbers) untouched.
+    or out-of-range digit runs (order ids, tracking numbers, 12-digit
+    references) untouched.
 
     Plan shape: split the text on the candidate pattern, extract the
     candidate matches, verify each with :func:`luhn_valid` on the
@@ -636,11 +644,15 @@ def scrub_card_numbers(col: Column | str, token: str = "<CARD>") -> Column:
     pat = PII_PATTERNS_EXTENDED[-1][1]
     pieces = F.split(s, pat)
     cands = F.regexp_extract_all(s, F.lit(pat), F.lit(0))
+    def _verify(c):
+        d = F.regexp_replace(c, r"[ -]", "")
+        return (
+            (F.length(d) >= 13) & (F.length(d) <= 19) & luhn_valid(d)
+        )
+
     kept = F.transform(
         cands,
-        lambda c: F.when(
-            luhn_valid(F.regexp_replace(c, r"[ -]", "")), F.lit(token)
-        ).otherwise(c),
+        lambda c: F.when(_verify(c), F.lit(token)).otherwise(c),
     )
     # text == pieces[0] + kept[0] + pieces[1] + kept[1] + ... +
     # pieces[-1]; zip_with pads the shorter array with NULLs.

@@ -238,7 +238,10 @@ def _stage_split(df: DataFrame, ctx: dict) -> DataFrame:
     twin is VectorDB.train_val_test_split). Weights come from
     ``ctx['split_weights']`` ({name: frac}, default 0.8/0.1/0.1);
     ``ctx['split_jaccard']`` (default 0.75) sets the near-dup bar.
-    Put it LAST so every earlier gate has already run."""
+    Put it AFTER every gate but BEFORE `curriculum`: the annotation
+    join reshuffles rows, so running it after an ORDERING stage would
+    silently discard the curriculum order (curriculum's sort is the
+    terminal contract; this stage only adds a column)."""
     from vectordb_light_spark.operators.components import (
         duplicate_clusters,
     )

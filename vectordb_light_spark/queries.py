@@ -7039,7 +7039,9 @@ _CHANGED_THIS_ROUND = {
     # (3) ADVICE r9: oracle parse window aligned to Spark's
     "pipe_temperature_mix",
     # (4) free r7-stale tokenization pins (rule 5: already in the
-    # cut by staleness; audit inventory -> 1 latent entry afterwards)
+    # cut by staleness; audit inventory reads 0 afterwards — the
+    # UDF-bounded pipe_chunk_normalized is a harness group, not an
+    # audit site)
     "dd_embedding_near_dups",
     "dd_line_dedup",
     "dd_semantic_dedup",
