@@ -199,6 +199,36 @@ def test_cli_curate_r8_stages_and_no_report(spark, tmp_path, capsys):
     assert sorted(r["doc_id"] for r in survivors) == [1, 2]
 
 
+def test_cli_curate_split_weights_implies_split_stage(
+    spark, tmp_path, capsys
+):
+    """--split-weights without 'split' in --stages was a silent no-op
+    (ADVICE r10): the run completed with no split column. The flag now
+    auto-appends the terminal split stage and says so on stderr."""
+    src = str(tmp_path / "corpus_sw")
+    out = str(tmp_path / "curated_sw")
+    spark.createDataFrame(
+        [(i, f"document number {i} with plenty of words " * 5)
+         for i in range(8)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+
+    assert main([
+        "curate", "--input", src, "--output", out,
+        "--stages", "exact_dedup",
+        "--split-weights", "train:0.8,test:0.2",
+    ]) == 0
+    captured = capsys.readouterr()
+    assert "implies the 'split' stage" in captured.err
+    lines = [json.loads(l) for l in captured.out.strip().splitlines()]
+    assert lines[-1]["stages"] == ["exact_dedup", "split"]
+    survivors = spark.read.parquet(out)
+    assert "split" in survivors.columns
+    assert set(
+        r["split"] for r in survivors.select("split").distinct().collect()
+    ) <= {"train", "test"}
+
+
 def test_cli_split_writes_leakage_safe_assignments(
     spark, corpus_dir, tmp_path, capsys
 ):

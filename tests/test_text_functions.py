@@ -526,6 +526,31 @@ def test_scrub_card_numbers_redacts_only_luhn_valid(spark):
     assert "<SSN>" in out and "123-45-6789" not in out
 
 
+def test_scrub_card_numbers_adjacent_digit_runs(spark):
+    """ADVICE r10: the greedy candidate window absorbs ADJACENT digit
+    runs, the merged string fails the 13-19/Luhn verify, and the
+    genuine card used to escape unredacted. The separator-aligned
+    sub-run rescan must redact the card and keep the neighbors."""
+    from vectordb_light_spark.functions.text import scrub_pii
+
+    cases = {
+        "pay 4111111111111111 123 now": "pay <CARD> 123 now",
+        "code 12 4111111111111111 end": "code 12 <CARD> end",
+        "card 4111 1111 1111 1111 12 x": "card <CARD> 12 x",
+        # dash-glued neighbors ride the same window
+        "ref 4111111111111111-20 done": "ref <CARD>-20 done",
+        # no valid sub-run anywhere: window survives verbatim
+        "order 1234567890123456 789 x": "order 1234567890123456 789 x",
+    }
+    rows = (
+        spark.createDataFrame([(t,) for t in cases], "t string")
+        .select("t", scrub_pii("t", extended=True).alias("s"))
+        .collect()
+    )
+    for r in rows:
+        assert r.s == cases[r.t], (r.t, r.s)
+
+
 def test_scrub_pii_extended_keeps_default_behavior(spark):
     """extended=False must stay byte-identical to the registered
     entry's behavior (the oracle twin depends on it)."""

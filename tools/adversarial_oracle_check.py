@@ -129,6 +129,13 @@ PINNED = [
     # cluster-route-check chain must hold on salted text (duplicate
     # clusters are planted by make_docs, so the check is non-vacuous).
     "pipe_leakage_safe_split",
+    # r11 registration: extended PII tier — SSN Java-\b via the
+    # 2-pass capture-group emulation (_PII_SSN_B) must hold on the
+    # letter/astral-adjacent SSN salts; the card stage is
+    # boundary-FREE (identical regex both engines) so its salts
+    # (adjacent digit runs, glued runs) exercise the sub-run rescan,
+    # not a boundary class.
+    "ts_pii_scrub_extended",
 ]
 
 #: Entries whose oracle twins a Python UDF that SQL cannot fully
@@ -225,6 +232,14 @@ _CASE_WORDS = [
     # exercises the class-4 boundary emulation with an astral word
     # char on its left.
     "𐌰𐌱𐌲word", "𐐨𐐩𐐪", "😀🎉", "mixed𐌸10.0.0.9",
+    # r11: extended-PII salts. Letter- and astral-adjacent SSNs fire
+    # the _PII_SSN_B class-4 emulation (Java \b sees é/𐌸 as word
+    # chars → no match; the RE2 twin must agree); the card salts are
+    # a valid PAN with an adjacent digit run (the ADVICE r10 merged-
+    # window shape, exercising the sub-run rescan in BOTH engines)
+    # and a glued Luhn-invalid run (must survive verbatim).
+    "é123-45-6789", "𐌸123-45-6780", "555-12-3456",
+    "pay4111111111111111", "4111111111111111 77", "id1234567890123456",
 ]
 
 

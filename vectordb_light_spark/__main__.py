@@ -221,6 +221,17 @@ def main(argv: list[str] | None = None) -> int:
             ctx["bench"] = spark.read.parquet(a.bench)
         if a.split_weights:
             ctx["split_weights"] = _parse_weights(a.split_weights)
+            # --split-weights without the split stage was a silent
+            # no-op (ADVICE r10): the ctx key was set but never read.
+            # The flag is an unambiguous ask for the stage — append
+            # it (terminal, its contractual position) and say so.
+            if "split" not in stages:
+                stages.append("split")
+                print(
+                    "curate: --split-weights implies the 'split' stage; "
+                    "appending it (pass --stages ...,split to silence)",
+                    file=sys.stderr,
+                )
         survivors, reports = run_curation(
             docs, stages, report=not a.no_report, **ctx
         )

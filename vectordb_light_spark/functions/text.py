@@ -590,7 +590,15 @@ PII_PATTERNS_EXTENDED = PII_PATTERNS + (
     # NOT digits — scrub_card_numbers enforces the 13-19 DIGIT rule on
     # the stripped form before Luhn (r10 review catch: the previous
     # {11,17} char window let grouped 17-19-digit PANs escape whole).
-    ("card", r"\b[0-9](?:[0-9 -]{11,21})[0-9]\b", "<CARD>"),
+    # BOUNDARY-FREE by design (r11): the pattern is a CANDIDATE
+    # window, not the final match — scrub_card_numbers rescans each
+    # window for a separator-aligned Luhn-valid sub-run, so `\b`
+    # anchoring adds nothing (a glued digit run still deserves the
+    # verify pass) and dropping it keeps the regex in the exact
+    # Java-regex ∩ RE2 dialect (Java \b is Unicode-word-aware; RE2's
+    # is ASCII — the one skew class the migration couldn't spell
+    # identically for split semantics).
+    ("card", r"[0-9](?:[0-9 -]{11,21})[0-9]", "<CARD>"),
 )
 
 
@@ -629,31 +637,104 @@ def luhn_valid(col: Column | str) -> Column:
     return (n >= 1) & (summed % 10 == 0)
 
 
+def _card_best_range(c: Column) -> Column:
+    """Leftmost-longest separator-aligned Luhn-valid sub-run of a
+    candidate window: split the candidate on ``[ -]`` into digit
+    groups g1..gk, enumerate contiguous group ranges [i..j] in
+    (i ASC, j DESC) order, and return the first struct<i,j> whose
+    concatenated digits are 13-19 long and Luhn-valid — NULL if none.
+
+    This is the ADVICE-r10 fix: the greedy candidate window absorbs
+    ADJACENT digit runs ('pay 4111111111111111 123'), the merged
+    digit string then fails the 13-19/Luhn verify, and without the
+    rescan the genuine card inside the window escaped unredacted.
+    The whole window is itself range [1..k] and sorts first, so a
+    clean candidate costs one extra struct, nothing else. A ≤23-char
+    window can hold at most one 13+-digit card (2·13+1 > 23), so
+    returning a single range is exhaustive, not a heuristic."""
+    groups = F.split(c, r"[ -]")
+    k = F.size(groups)
+    ranges = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.transform(
+                # Spark sequence(start, stop, -1) is INCLUSIVE of stop
+                F.sequence(k, i, F.lit(-1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.array_join(
+                        F.slice(groups, i, j - i + 1), ""
+                    ).alias("d"),
+                ),
+            ),
+        )
+    )
+    valid = F.filter(
+        ranges,
+        lambda r: (F.length(r["d"]) >= 13)
+        & (F.length(r["d"]) <= 19)
+        & luhn_valid(r["d"]),
+    )
+    return F.get(valid, 0)
+
+
 def scrub_card_numbers(col: Column | str, token: str = "<CARD>") -> Column:
     """Replace LUHN-VALID payment-card numbers (13-19 DIGITS, with or
     without space/dash groupings) with ``token``, leaving Luhn-invalid
     or out-of-range digit runs (order ids, tracking numbers, 12-digit
-    references) untouched.
+    references) untouched — including runs merely ADJACENT to a real
+    card ('pay 4111111111111111 123' keeps the 123; ADVICE r10).
 
     Plan shape: split the text on the candidate pattern, extract the
-    candidate matches, verify each with :func:`luhn_valid` on the
-    digit-stripped form, and stitch the text back with the original
-    candidate or the token — one zip_with over two bounded arrays,
-    all JVM builtins, no UDF, map-only."""
+    candidate matches, find each window's separator-aligned Luhn-valid
+    sub-run (:func:`_card_best_range`), and stitch the text back with
+    the sub-run replaced by ``token`` (groups outside it survive with
+    their original separators) or the window verbatim when no sub-run
+    verifies — all JVM higher-order builtins, no UDF, map-only."""
     s = _c(col)
     pat = PII_PATTERNS_EXTENDED[-1][1]
     pieces = F.split(s, pat)
     cands = F.regexp_extract_all(s, F.lit(pat), F.lit(0))
-    def _verify(c):
-        d = F.regexp_replace(c, r"[ -]", "")
-        return (
-            (F.length(d) >= 13) & (F.length(d) <= 19) & luhn_valid(d)
+
+    def _rewrite(c):
+        groups = F.split(c, r"[ -]")
+        seps = F.regexp_extract_all(c, F.lit(r"[ -]"), F.lit(0))
+        k = F.size(groups)
+        best = _card_best_range(c)
+        i, j = best["i"], best["j"]
+        # original window = g1 s1 g2 s2 ... s(k-1) gk; redacting
+        # [i..j] keeps g/s pairs left of i and s/g pairs right of j.
+        # (guards matter: Spark sequence(1, 0) counts DOWN)
+        prefix = F.when(
+            i > 1,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), i - 1),
+                    lambda t: F.concat(
+                        F.element_at(groups, t), F.element_at(seps, t)
+                    ),
+                ),
+                "",
+            ),
+        ).otherwise(F.lit(""))
+        suffix = F.when(
+            j < k,
+            F.array_join(
+                F.transform(
+                    F.sequence(j, k - 1),
+                    lambda t: F.concat(
+                        F.element_at(seps, t), F.element_at(groups, t + 1)
+                    ),
+                ),
+                "",
+            ),
+        ).otherwise(F.lit(""))
+        return F.when(best.isNull(), c).otherwise(
+            F.concat(prefix, F.lit(token), suffix)
         )
 
-    kept = F.transform(
-        cands,
-        lambda c: F.when(_verify(c), F.lit(token)).otherwise(c),
-    )
+    kept = F.transform(cands, _rewrite)
     # text == pieces[0] + kept[0] + pieces[1] + kept[1] + ... +
     # pieces[-1]; zip_with pads the shorter array with NULLs.
     return F.concat(
@@ -666,6 +747,15 @@ def scrub_card_numbers(col: Column | str, token: str = "<CARD>") -> Column:
             "",
         )
     )
+
+
+def count_card_numbers(col: Column | str) -> Column:
+    """Number of candidate windows in ``col`` containing a verified
+    (13-19 digit, Luhn-valid) card — the redaction count
+    :func:`scrub_card_numbers` would perform. Map-only."""
+    pat = PII_PATTERNS_EXTENDED[-1][1]
+    cands = F.regexp_extract_all(_c(col), F.lit(pat), F.lit(0))
+    return F.size(F.filter(cands, lambda c: _card_best_range(c).isNotNull()))
 
 
 def scrub_pii(col: Column | str, *, extended: bool = False) -> Column:

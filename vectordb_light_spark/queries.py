@@ -4940,13 +4940,17 @@ def _clusters_oracle_sql() -> str:
 @register("dd_duplicate_clusters", oracle=_clusters_oracle_sql())
 def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (operators/components.py): MinHash candidate
-    pairs → connected components via iterative min-label propagation
-    (pairs alone under-merge transitive duplicates), with canonical
-    keep-one-per-cluster flags. The engine side is iterative
-    (O(diameter) rounds, localCheckpoint per round — the 100 TB
-    path); the oracle reaches the same fixed point via a DuckDB
-    recursive CTE over the poly31 candidate pairs. Also equivalence-
-    tested vs a Python union-find in tests/test_components.py."""
+    pairs → connected components via min-label propagation with
+    POINTER JUMPING (pairs alone under-merge transitive duplicates),
+    with canonical keep-one-per-cluster flags. r11 flips
+    ``pointer_jumping=True`` (VERDICT r10 item 1): the r10 A/B on
+    exactly this minhash pair graph measured 12 plain rounds vs 5
+    jumped (2.92 vs 4.74 s, 1.6×) — O(log D) rounds is the 100 TB
+    path for this graph shape. The oracle reaches the same fixed
+    point via a DuckDB recursive CTE over the poly31 candidate pairs
+    (round-count-agnostic, so the flip is plan-only). Also
+    equivalence-tested vs a Python union-find in
+    tests/test_components.py."""
     from vectordb_light_spark.operators.components import duplicate_clusters
     from vectordb_light_spark.operators.dedup import (
         canonical_text,
@@ -4961,7 +4965,9 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_hashes=16, bands=4, hash_family="poly31", max_bucket=None
     ).where(F.col("est_jaccard") >= 0.75)
     return (
-        duplicate_clusters(pairs, left_id="id_a", right_id="id_b")
+        duplicate_clusters(
+            pairs, left_id="id_a", right_id="id_b", pointer_jumping=True
+        )
         .withColumn("keep", F.col("keep").cast("int"))
         .orderBy("doc_id")
     )
@@ -6262,6 +6268,16 @@ def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pins the reachable-shape agreement).
 _PII_IP_B = r"(^|[^\p{L}\p{Nd}_])((?:[0-9]{1,3}\.){3}[0-9]{1,3})($|[^\p{L}\p{Nd}_])"
 
+#: Same class-4 recipe for the SSN pattern's Java ``\b`` (r11,
+#: ts_pii_scrub_extended): consumed capture groups over the Java word
+#: class, 2-pass replace + 2-pass count. The SSN shape (fixed 11
+#: chars, digits/dashes) has the same residual-boundary argument as
+#: the IPv4 pin: a missed leftmost match needs its left separator
+#: consumed by an overlapping earlier match, impossible in the graded
+#: corpus's ' ssn 123-45-NNNN ' injection and absent from word-shaped
+#: organic text.
+_PII_SSN_B = r"(^|[^\p{L}\p{Nd}_])([0-9]{3}-[0-9]{2}-[0-9]{4})($|[^\p{L}\p{Nd}_])"
+
 
 @register(
     "ts_pii_scrub",
@@ -6325,6 +6341,181 @@ def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["email"].alias("n_email"),
         counts["phone"].alias("n_phone"),
         counts["ipv4"].alias("n_ipv4"),
+    ).orderBy("doc_id")
+
+
+#: boundary-free card candidate window (functions/text.py
+#: PII_PATTERNS_EXTENDED) — identical regex, identical semantics in
+#: both engines, so no \b emulation needed for the split/extract
+#: stages.
+_PII_CARD = r"[0-9](?:[0-9 -]{11,21})[0-9]"
+
+
+@register(
+    "ts_pii_scrub_extended",
+    oracle=rf"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-0142 from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' card 4111 1111 1111 1111 ref '
+                    || CAST(doc_id AS VARCHAR)
+                    || ' pay 4111111111111111 '
+                    || CAST(doc_id % 97 AS VARCHAR)
+                    || ' order 1234567890123456 end' AS t
+        FROM documents
+    ),
+    ep AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\+?[0-9]{{1,3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '<PHONE>', 'g') AS s0
+        FROM aug
+    ),
+    ip AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(s0,
+                   '{_PII_IP_B}', '\1<IP>\3', 'g'),
+                   '{_PII_IP_B}', '\1<IP>\3', 'g') AS s1
+        FROM ep
+    ),
+    sn AS (
+        SELECT doc_id, s1,
+               regexp_replace(s1, '{_PII_SSN_B}', '\1<SSN>\3', 'g') AS s1a,
+               regexp_replace(regexp_replace(s1,
+                   '{_PII_SSN_B}', '\1<SSN>\3', 'g'),
+                   '{_PII_SSN_B}', '\1<SSN>\3', 'g') AS s2
+        FROM ip
+    ),
+    tok AS (
+        SELECT doc_id, s1, s1a, s2,
+               string_split_regex(s2, '{_PII_CARD}') AS pieces,
+               regexp_extract_all(s2, '{_PII_CARD}') AS cands
+        FROM sn
+    ),
+    cand AS (
+        SELECT doc_id, unnest(cands) AS c,
+               unnest(range(1, len(cands) + 1)) AS ord
+        FROM tok
+    ),
+    grp AS (
+        SELECT doc_id, ord, c,
+               string_split_regex(c, '[ -]') AS g,
+               regexp_extract_all(c, '[ -]') AS sp
+        FROM cand
+    ),
+    rng AS (
+        SELECT doc_id, ord, c, g, sp, len(g) AS k,
+               unnest(flatten(list_transform(range(1, len(g) + 1), ri ->
+                   list_transform(range(len(g), ri - 1, -1), rj ->
+                       {{'i': ri, 'j': rj}})))) AS r
+        FROM grp
+    ),
+    ver AS (
+        SELECT doc_id, ord, c, g, sp, k, r.i AS ri, r.j AS rj,
+               array_to_string(g[r.i:r.j], '') AS d
+        FROM rng
+    ),
+    ok AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, ord ORDER BY ri ASC, rj DESC) AS rk
+        FROM ver
+        WHERE length(d) BETWEEN 13 AND 19
+          AND list_sum(list_transform(range(1, length(d) + 1), li ->
+                CASE WHEN (length(d) - li) % 2 = 1
+                     THEN CASE WHEN CAST(d[li] AS INT) * 2 < 10
+                               THEN CAST(d[li] AS INT) * 2
+                               ELSE CAST(d[li] AS INT) * 2 - 9 END
+                     ELSE CAST(d[li] AS INT) END)) % 10 = 0
+    ),
+    best AS (SELECT * FROM ok WHERE rk = 1),
+    rewritten AS (
+        SELECT cand.doc_id, cand.ord,
+               CASE WHEN b.ri IS NULL THEN cand.c ELSE
+                 COALESCE(CASE WHEN b.ri > 1 THEN array_to_string(
+                   list_transform(range(1, b.ri), t -> b.g[t] || b.sp[t]),
+                   '') END, '')
+                 || '<CARD>' ||
+                 COALESCE(CASE WHEN b.rj < b.k THEN array_to_string(
+                   list_transform(range(b.rj, b.k), t -> b.sp[t] || b.g[t + 1]),
+                   '') END, '')
+               END AS rc,
+               CASE WHEN b.ri IS NULL THEN 0 ELSE 1 END AS hit
+        FROM cand LEFT JOIN best b
+          ON cand.doc_id = b.doc_id AND cand.ord = b.ord
+    ),
+    reasm AS (
+        SELECT doc_id, list(rc ORDER BY ord) AS rcs,
+               CAST(SUM(hit) AS INT) AS n_card
+        FROM rewritten GROUP BY doc_id
+    )
+    SELECT tok.doc_id,
+           array_to_string(list_transform(range(1, len(pieces) + 1),
+               pi -> pieces[pi] || COALESCE(rcs[pi], '')), '') AS text,
+           CAST(len(regexp_extract_all(s1, '{_PII_SSN_B}'))
+              + len(regexp_extract_all(s1a, '{_PII_SSN_B}')) AS INT) AS n_ssn,
+           CAST(COALESCE(n_card, 0) AS INT) AS n_card
+    FROM tok LEFT JOIN reasm USING (doc_id)
+    ORDER BY tok.doc_id
+    """,
+)
+def ts_pii_scrub_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-tier PII redaction (functions/text.py scrub_pii
+    extended=True, VERDICT r10 item 4): email / phone / IPv4, plus
+    SSNs and LUHN-VERIFIED card numbers — redaction that keeps
+    Luhn-invalid order ids and digit runs merely adjacent to a card
+    (the ADVICE r10 sub-run rescan). The injection plants, per
+    document: a grouped valid card, an ungrouped valid card with an
+    ADJACENT doc_id-derived digit run (the merged-window regression
+    shape), a Luhn-invalid 16-digit order id, and a doc_id-derived
+    SSN. The card candidate pattern is boundary-free (exact common
+    dialect); the SSN Java-\\b is pinned via the 2-pass consumed
+    capture-group emulation (`_PII_SSN_B`, the `_PII_IP_B` recipe).
+    The DuckDB twin re-runs the separator-aligned sub-run search
+    row-wise (unnest candidates → enumerate group ranges → Luhn via
+    list_transform/list_sum → stitch); Spark runs it as nested JVM
+    higher-order functions. Map-only either way: no shuffle, no
+    Python, scales as a pure scan."""
+    from vectordb_light_spark.functions.text import (
+        PII_PATTERNS_EXTENDED,
+        count_card_numbers,
+        scrub_card_numbers,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0142 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" card 4111 1111 1111 1111 ref "),
+            F.col("doc_id").cast("string"),
+            F.lit(" pay 4111111111111111 "),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(" order 1234567890123456 end"),
+        ).alias("t"),
+    )
+    patterns = {k: (p, tok) for k, p, tok in PII_PATTERNS_EXTENDED}
+    s1 = F.col("t")
+    for kind in ("email", "phone", "ipv4"):
+        pat, token = patterns[kind]
+        s1 = F.regexp_replace(s1, pat, token)
+    ssn_pat, ssn_token = patterns["ssn"]
+    s2 = F.regexp_replace(s1, ssn_pat, ssn_token)
+    return aug.select(
+        "doc_id",
+        scrub_card_numbers(s2).alias("text"),
+        F.size(
+            F.regexp_extract_all(s1, F.lit(ssn_pat), F.lit(0))
+        ).alias("n_ssn"),
+        count_card_numbers(s2).alias("n_card"),
     ).orderBy("doc_id")
 
 
@@ -6744,33 +6935,33 @@ _LAST_GRADED = {
     'ann_opq_topk': 9,
     'ann_pca_topk': 9,
     'ann_pq_topk': 8,
-    'ann_recall_contract': 7,
-    'ann_srp_topk': 7,
-    'ann_topk_join': 7,
-    'dd_containment_pairs': 7,
+    'ann_recall_contract': 10,
+    'ann_srp_topk': 10,
+    'ann_topk_join': 10,
+    'dd_containment_pairs': 10,
     'dd_cross_corpus_candidates': 8,
     'dd_duplicate_clusters': 9,
     'dd_duplicate_groups': 9,
-    'dd_embedding_near_dups': 7,
+    'dd_embedding_near_dups': 10,
     'dd_exact_dedup': 8,
     'dd_image_near_dups': 9,
     'dd_jaccard_pairs': 9,
-    'dd_line_dedup': 7,
+    'dd_line_dedup': 10,
     'dd_minhash_candidates': 8,
     'dd_remove_boilerplate': 9,
     'dd_repeated_spans': 8,
-    'dd_semantic_dedup': 7,
+    'dd_semantic_dedup': 10,
     'dd_simhash_near_dups': 9,
     'dd_strip_repeated_spans': 8,
-    'dq_events_constraints': 7,
+    'dq_events_constraints': 10,
     'emb_doc_mean_pool': 8,
     'emb_feature_hash_topk': 9,
     'emb_mini_encoder_topk': 9,
     'kw_bm25_topk': 9,
     'kw_hybrid_rrf': 9,
     'mm_audio_features': 8,
-    'mm_audio_windows': 8,
-    'mm_frame_counts': 8,
+    'mm_audio_windows': 10,
+    'mm_frame_counts': 10,
     'mm_image_decode': 8,
     'mm_image_pipeline': 9,
     'mm_jpeg_decode': 8,
@@ -6778,41 +6969,42 @@ _LAST_GRADED = {
     'pipe_bloom_decontaminate': 8,
     'pipe_bpe_encode': 8,
     'pipe_bpe_merges': 8,
-    'pipe_cdc_chunks': 7,
-    'pipe_chunk_fixed': 7,
-    'pipe_chunk_normalized': 7,
-    'pipe_corpus_mix': 8,
+    'pipe_cdc_chunks': 10,
+    'pipe_chunk_fixed': 10,
+    'pipe_chunk_normalized': 10,
+    'pipe_corpus_mix': 10,
     'pipe_corpus_shuffle': 9,
-    'pipe_corpus_split': 8,
+    'pipe_corpus_split': 10,
     'pipe_curate_chain': 9,
     'pipe_curriculum_order': 9,
     'pipe_decontaminate': 8,
     'pipe_doc_hash': 9,
-    'pipe_domain_mix': 7,
-    'pipe_dsir_select': 7,
+    'pipe_domain_mix': 10,
+    'pipe_dsir_select': 10,
     'pipe_hash_embed_topk': 9,
-    'pipe_negative_samples': 7,
-    'pipe_pdf_page_chunks': 7,
+    'pipe_leakage_safe_split': 10,
+    'pipe_negative_samples': 10,
+    'pipe_pdf_page_chunks': 10,
     'pipe_semantic_decontaminate': 9,
-    'pipe_sequence_pack': 7,
+    'pipe_sequence_pack': 10,
     'pipe_stratified_take': 8,
-    'pipe_temperature_mix': 9,
+    'pipe_temperature_mix': 10,
     'pipe_token_budget_mix': 8,
     'pipe_token_windows': 9,
     'pipe_training_corpus': 9,
-    'pipe_url_dedup': 7,
-    'pipe_weighted_sample': 8,
-    'prof_corpus_quantiles': 8,
+    'pipe_url_dedup': 10,
+    'pipe_weighted_sample': 10,
+    'prof_corpus_quantiles': 10,
     'prof_events_corr': 9,
-    'prof_events_cube': 8,
+    'prof_events_cube': 10,
     'prof_events_pivot': 8,
-    'prof_events_rollup': 8,
+    'prof_events_rollup': 10,
     'prof_events_sketch': 8,
-    'prof_sketch_accuracy': 7,
-    'prof_value_histogram': 8,
-    'rel_big_orders': 7,
+    'prof_sketch_accuracy': 10,
+    'prof_value_histogram': 10,
+    'rel_big_orders': 10,
     'rel_customer_activity': 9,
-    'rel_events_asof': 7,
+    'rel_events_asof': 10,
     'rel_events_cohorts': 9,
     'rel_events_funnel': 9,
     'rel_events_gapfill': 8,
@@ -6821,192 +7013,192 @@ _LAST_GRADED = {
     'rel_events_json': 9,
     'rel_events_moving_avg': 9,
     'rel_events_scd2': 9,
-    'rel_forecast_revenue': 8,
-    'rel_join_nation_customers': 8,
+    'rel_forecast_revenue': 10,
+    'rel_join_nation_customers': 10,
     'rel_orders_pareto': 9,
     'rel_pricing_summary': 8,
     'rel_region_volume': 9,
     'rel_scd2_merge': 8,
-    'rel_sessions_overlap': 7,
+    'rel_sessions_overlap': 10,
     'rel_shipping_priority': 9,
     'rel_top_orders_by_revenue': 9,
     'rel_user_retention': 8,
-    'rel_window_order_rank': 7,
+    'rel_window_order_rank': 10,
     'sim_cosine_pairs_exact': 9,
     'sim_sparse_cosine_pairs': 9,
     'skew_salted_user_join': 8,
-    'src_binary_roundtrip': 7,
-    'src_markup_roundtrip': 7,
-    'src_office_roundtrip': 7,
-    'st_clicks_attribution': 7,
+    'src_binary_roundtrip': 10,
+    'src_markup_roundtrip': 10,
+    'src_office_roundtrip': 10,
+    'st_clicks_attribution': 10,
     'st_events_dedup': 8,
     'st_events_sessions': 9,
-    'st_events_sliding': 8,
-    'st_events_window': 8,
-    'st_heavy_hitters': 7,
-    'st_user_running_totals': 7,
+    'st_events_sliding': 10,
+    'st_events_window': 10,
+    'st_heavy_hitters': 10,
+    'st_user_running_totals': 10,
     'st_windowed_quantiles': 9,
-    'ts_bigram_lm_score': 7,
+    'ts_bigram_lm_score': 10,
     'ts_c4_filter': 9,
     'ts_gopher_filter': 9,
     'ts_lang_id': 9,
-    'ts_pii_scrub': 8,
+    'ts_pii_scrub': 10,
     'ts_quality_classifier': 9,
     'ts_quality_score': 9,
-    'ts_readability': 7,
+    'ts_readability': 10,
     'ts_repetition_filter': 8,
     'ts_text_stats': 9,
-    'ts_tfidf_top_terms': 7,
+    'ts_tfidf_top_terms': 10,
     'ts_vocab_topk': 8,
-    'ts_winnow_fingerprints': 7,
+    'ts_winnow_fingerprints': 10,
     'vq_batch_topk': 9,
     'vq_chunks_only': 9,
     'vq_citations': 8,
     'vq_filtered_topk': 8,
     'vq_grouped_topk': 9,
-    'vq_mmr_rerank': 7,
+    'vq_mmr_rerank': 10,
     'vq_postfilters': 8,
     'vq_rag_prompt': 9,
-    'vq_range_search': 7,
+    'vq_range_search': 10,
     'vq_threshold_after_topk': 8,
     'vq_topk_cosine': 9,
     'vq_topk_quantized': 8,
 }
 
 _SOLO_COST_S = {
-    'ann_ivf_topk': 0.712,
-    'ann_ivfpq_topk': 1.22,
-    'ann_opq_topk': 1.246,
-    'ann_pca_topk': 0.698,
-    'ann_pq_topk': 1.264,
-    'ann_recall_contract': 6.207,
-    'ann_srp_topk': 0.651,
+    'ann_ivf_topk': 0.743,
+    'ann_ivfpq_topk': 1.234,
+    'ann_opq_topk': 1.198,
+    'ann_pca_topk': 0.823,
+    'ann_pq_topk': 1.278,
+    'ann_recall_contract': 5.89,
+    'ann_srp_topk': 0.708,
     'ann_topk_join': 1.472,
-    'dd_containment_pairs': 1.494,
-    'dd_cross_corpus_candidates': 1.365,
-    'dd_duplicate_clusters': 4.103,
+    'dd_containment_pairs': 1.764,
+    'dd_cross_corpus_candidates': 1.387,
+    'dd_duplicate_clusters': 3.933,
     'dd_duplicate_groups': 0.364,
-    'dd_embedding_near_dups': 0.961,
-    'dd_exact_dedup': 0.674,
-    'dd_image_near_dups': 3.522,
-    'dd_jaccard_pairs': 0.553,
-    'dd_line_dedup': 0.673,
-    'dd_minhash_candidates': 1.143,
+    'dd_embedding_near_dups': 1.004,
+    'dd_exact_dedup': 0.721,
+    'dd_image_near_dups': 3.544,
+    'dd_jaccard_pairs': 0.489,
+    'dd_line_dedup': 0.923,
+    'dd_minhash_candidates': 1.19,
     'dd_remove_boilerplate': 0.847,
     'dd_repeated_spans': 0.906,
-    'dd_semantic_dedup': 2.065,
-    'dd_simhash_near_dups': 2.502,
+    'dd_semantic_dedup': 2.228,
+    'dd_simhash_near_dups': 2.772,
     'dd_strip_repeated_spans': 1.291,
-    'dq_events_constraints': 0.448,
+    'dq_events_constraints': 0.469,
     'emb_doc_mean_pool': 0.266,
     'emb_feature_hash_topk': 0.75,
-    'emb_mini_encoder_topk': 1.07,
+    'emb_mini_encoder_topk': 0.986,
     'kw_bm25_topk': 0.559,
     'kw_hybrid_rrf': 0.913,
     'mm_audio_features': 1.265,
-    'mm_audio_windows': 0.222,
-    'mm_frame_counts': 0.219,
-    'mm_image_decode': 1.523,
-    'mm_image_pipeline': 0.92,
+    'mm_audio_windows': 0.21,
+    'mm_frame_counts': 0.214,
+    'mm_image_decode': 1.388,
+    'mm_image_pipeline': 0.935,
     'mm_jpeg_decode': 1.367,
-    'mm_video_frames': 2.021,
-    'pipe_bloom_decontaminate': 1.112,
-    'pipe_bpe_encode': 3.46,
-    'pipe_bpe_merges': 3.603,
-    'pipe_cdc_chunks': 1.343,
-    'pipe_chunk_fixed': 0.546,
+    'mm_video_frames': 2.776,
+    'pipe_bloom_decontaminate': 1.141,
+    'pipe_bpe_encode': 3.645,
+    'pipe_bpe_merges': 3.837,
+    'pipe_cdc_chunks': 1.33,
+    'pipe_chunk_fixed': 0.665,
     'pipe_chunk_normalized': 0.991,
     'pipe_corpus_mix': 0.149,
     'pipe_corpus_shuffle': 0.324,
-    'pipe_corpus_split': 0.138,
-    'pipe_curate_chain': 3.891,
-    'pipe_curriculum_order': 0.922,
-    'pipe_decontaminate': 0.687,
+    'pipe_corpus_split': 0.139,
+    'pipe_curate_chain': 4.337,
+    'pipe_curriculum_order': 0.946,
+    'pipe_decontaminate': 0.797,
     'pipe_doc_hash': 0.289,
-    'pipe_domain_mix': 1.043,
-    'pipe_dsir_select': 0.705,
-    'pipe_hash_embed_topk': 1.007,
-    'pipe_leakage_safe_split': 4.553,
-    'pipe_negative_samples': 0.471,
-    'pipe_pdf_page_chunks': 1.04,
-    'pipe_semantic_decontaminate': 2.18,
-    'pipe_sequence_pack': 0.5,
+    'pipe_domain_mix': 1.188,
+    'pipe_dsir_select': 0.849,
+    'pipe_hash_embed_topk': 1.235,
+    'pipe_leakage_safe_split': 3.954,
+    'pipe_negative_samples': 0.502,
+    'pipe_pdf_page_chunks': 1.107,
+    'pipe_semantic_decontaminate': 2.439,
+    'pipe_sequence_pack': 0.52,
     'pipe_stratified_take': 0.241,
-    'pipe_temperature_mix': 0.42,
+    'pipe_temperature_mix': 0.528,
     'pipe_token_budget_mix': 0.331,
     'pipe_token_windows': 0.393,
-    'pipe_training_corpus': 1.162,
-    'pipe_url_dedup': 0.939,
-    'pipe_weighted_sample': 0.146,
-    'prof_corpus_quantiles': 0.178,
-    'prof_events_corr': 0.394,
-    'prof_events_cube': 0.206,
+    'pipe_training_corpus': 1.175,
+    'pipe_url_dedup': 1.317,
+    'pipe_weighted_sample': 0.156,
+    'prof_corpus_quantiles': 0.175,
+    'prof_events_corr': 0.378,
+    'prof_events_cube': 0.22,
     'prof_events_pivot': 0.247,
     'prof_events_rollup': 0.223,
     'prof_events_sketch': 0.839,
-    'prof_sketch_accuracy': 3.115,
-    'prof_value_histogram': 0.131,
-    'rel_big_orders': 0.403,
-    'rel_customer_activity': 0.286,
-    'rel_events_asof': 0.452,
-    'rel_events_cohorts': 0.363,
-    'rel_events_funnel': 0.342,
-    'rel_events_gapfill': 0.258,
+    'prof_sketch_accuracy': 3.229,
+    'prof_value_histogram': 0.127,
+    'rel_big_orders': 0.404,
+    'rel_customer_activity': 0.289,
+    'rel_events_asof': 0.474,
+    'rel_events_cohorts': 0.385,
+    'rel_events_funnel': 0.348,
+    'rel_events_gapfill': 0.297,
     'rel_events_gaps': 0.291,
     'rel_events_interval': 0.326,
-    'rel_events_json': 0.34,
-    'rel_events_moving_avg': 0.417,
+    'rel_events_json': 0.343,
+    'rel_events_moving_avg': 0.429,
     'rel_events_scd2': 0.161,
-    'rel_forecast_revenue': 0.129,
-    'rel_join_nation_customers': 0.19,
-    'rel_orders_pareto': 0.36,
+    'rel_forecast_revenue': 0.118,
+    'rel_join_nation_customers': 0.187,
+    'rel_orders_pareto': 0.384,
     'rel_pricing_summary': 0.277,
     'rel_region_volume': 0.345,
-    'rel_scd2_merge': 0.366,
-    'rel_sessions_overlap': 0.636,
-    'rel_shipping_priority': 0.341,
-    'rel_top_orders_by_revenue': 0.357,
-    'rel_user_retention': 0.362,
-    'rel_window_order_rank': 0.543,
-    'sim_cosine_pairs_exact': 0.691,
-    'sim_sparse_cosine_pairs': 0.926,
-    'skew_salted_user_join': 0.264,
-    'src_binary_roundtrip': 1.172,
-    'src_markup_roundtrip': 1.281,
-    'src_office_roundtrip': 1.204,
-    'st_clicks_attribution': 2.336,
-    'st_events_dedup': 0.307,
+    'rel_scd2_merge': 0.383,
+    'rel_sessions_overlap': 0.629,
+    'rel_shipping_priority': 0.363,
+    'rel_top_orders_by_revenue': 0.382,
+    'rel_user_retention': 0.398,
+    'rel_window_order_rank': 0.552,
+    'sim_cosine_pairs_exact': 0.808,
+    'sim_sparse_cosine_pairs': 0.829,
+    'skew_salted_user_join': 0.34,
+    'src_binary_roundtrip': 1.122,
+    'src_markup_roundtrip': 1.162,
+    'src_office_roundtrip': 1.168,
+    'st_clicks_attribution': 2.324,
+    'st_events_dedup': 0.331,
     'st_events_sessions': 1.175,
-    'st_events_sliding': 0.23,
-    'st_events_window': 0.21,
-    'st_heavy_hitters': 0.984,
-    'st_user_running_totals': 1.665,
-    'st_windowed_quantiles': 1.193,
-    'ts_bigram_lm_score': 1.128,
+    'st_events_sliding': 0.263,
+    'st_events_window': 0.192,
+    'st_heavy_hitters': 0.948,
+    'st_user_running_totals': 1.598,
+    'st_windowed_quantiles': 1.211,
+    'ts_bigram_lm_score': 1.13,
     'ts_c4_filter': 0.429,
-    'ts_gopher_filter': 0.657,
-    'ts_lang_id': 0.716,
-    'ts_pii_scrub': 0.496,
-    'ts_quality_classifier': 0.477,
-    'ts_quality_score': 0.484,
-    'ts_readability': 0.492,
+    'ts_gopher_filter': 0.627,
+    'ts_lang_id': 0.699,
+    'ts_pii_scrub': 0.53,
+    'ts_quality_classifier': 0.428,
+    'ts_quality_score': 0.478,
+    'ts_readability': 0.511,
     'ts_repetition_filter': 0.456,
     'ts_text_stats': 0.349,
-    'ts_tfidf_top_terms': 0.713,
+    'ts_tfidf_top_terms': 0.823,
     'ts_vocab_topk': 0.312,
-    'ts_winnow_fingerprints': 0.903,
-    'vq_batch_topk': 0.435,
+    'ts_winnow_fingerprints': 1.047,
+    'vq_batch_topk': 0.384,
     'vq_chunks_only': 0.419,
-    'vq_citations': 0.304,
-    'vq_filtered_topk': 0.265,
+    'vq_citations': 0.344,
+    'vq_filtered_topk': 0.328,
     'vq_grouped_topk': 0.258,
-    'vq_mmr_rerank': 0.884,
+    'vq_mmr_rerank': 0.913,
     'vq_postfilters': 0.342,
-    'vq_rag_prompt': 0.391,
-    'vq_range_search': 0.395,
-    'vq_threshold_after_topk': 0.282,
-    'vq_topk_cosine': 0.267,
-    'vq_topk_quantized': 0.283,
+    'vq_rag_prompt': 0.411,
+    'vq_range_search': 0.488,
+    'vq_threshold_after_topk': 0.308,
+    'vq_topk_cosine': 0.29,
+    'vq_topk_quantized': 0.367,
 }
 
 
@@ -7016,45 +7208,22 @@ _SOLO_COST_S = {
 _PRE_ORACLE_STALE: set = set()
 
 
-#: r10 cut (grading-budget protocol, COVERAGE.md): 3 distinct
-#: additions + 34 r7-stale (13 of them pinned free in place) + 13
-#: cheapest-r8 fill = 50, clearing the entire r7 tail. Changes this
-#: round: (1) register the staged `pipe_leakage_safe_split` (r8
-#: verdict item 8 / r9 item 1 — new entry, 1 slot); (2) pin
-#: ts_pii_scrub's harness-CONFIRMED IPv4-`\b` boundary skew (r8-fresh
-#: headroom spend, the ts_gopher_filter precedent: confirmed skew
-#: outranks freshness); (3) the ADVICE r9 parse-window alignment in
-#: pipe_temperature_mix's oracle (substr(source,4) -> 4,8 to match
-#: Spark — output-identical on the graded srcNN corpus, marked per
-#: the conservative rule-6 default); (4) the standing migration rule:
-#: all 13 r7-stale audit-inventory entries pin their bare-`\s` /
-#: 1-arg-trim sites for FREE while their slots are already being
-#: re-graded (rule 5 — class (c) -> (b), same cut set).
+#: r11 cut (grading-budget protocol, COVERAGE.md): 2 changed (one of
+#: them a new entry) + 34 r8-stale + 14 cheapest-r9 fill = 50,
+#: clearing the entire r8 tail (VERDICT r10 item 2). Changes this
+#: round: (1) flip `dd_duplicate_clusters` to `pointer_jumping=True`
+#: (VERDICT r10 item 1 — the r10 A/B measured 12->5 CC rounds / 1.6x
+#: wall on exactly its minhash pair graph; the oracle is
+#: round-agnostic, so this is a plan-only change, marked per the
+#: conservative rule-6 default); (2) register the extended PII tier
+#: as its own entry `ts_pii_scrub_extended` (VERDICT r10 item 4 —
+#: SSN + Luhn-verified card redaction; the Luhn fold has an exact
+#: DuckDB list_reduce twin; new entry, 1 slot).
 _CHANGED_THIS_ROUND = {
-    # (1) new entry (r9 verdict item 1): staged oracle + parity test
-    # landed in r9; registration is the only r10 delta.
-    "pipe_leakage_safe_split",
-    # (2) confirmed-skew headroom spend (r9 verdict item 3)
-    "ts_pii_scrub",
-    # (3) ADVICE r9: oracle parse window aligned to Spark's
-    "pipe_temperature_mix",
-    # (4) free r7-stale tokenization pins (rule 5: already in the
-    # cut by staleness; audit inventory reads 0 afterwards — the
-    # UDF-bounded pipe_chunk_normalized is a harness group, not an
-    # audit site)
-    "dd_embedding_near_dups",
-    "dd_line_dedup",
-    "dd_semantic_dedup",
-    "pipe_chunk_fixed",
-    "pipe_chunk_normalized",
-    "pipe_domain_mix",
-    "pipe_dsir_select",
-    "pipe_pdf_page_chunks",
-    "pipe_url_dedup",
-    "src_binary_roundtrip",
-    "src_markup_roundtrip",
-    "src_office_roundtrip",
-    "ts_winnow_fingerprints",
+    # (1) plan flip to the measured-faster CC strategy (r10 item 1)
+    "dd_duplicate_clusters",
+    # (2) new entry: extended PII tier (r10 item 4)
+    "ts_pii_scrub_extended",
 }
 
 
