@@ -128,3 +128,57 @@ def test_pointer_jumping_equivalent_on_cliqueish_dedup_shapes(spark):
         edges += [(a, b) for a in ids for b in ids if a < b]
     edges += [(100, 101), (101, 102), (200, 201)]
     _check_jumping(spark, edges)
+
+
+def test_auto_mode_runs_plain_on_shallow_graphs(spark):
+    """pointer_jumping='auto' (r11): a clique-shaped graph converges
+    inside the plain prefix — no escalation, identical round count to
+    plain propagation, union-find-correct labels."""
+    edges = []
+    for base in range(0, 30, 5):
+        ids = [base + i for i in range(4)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = _union_find(edges)
+    sp, sa = {}, {}
+    plain = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=40, stats=sp).collect()
+    }
+    auto = {
+        r.node: r.component
+        for r in connected_components(
+            df, pointer_jumping="auto", max_iter=40, stats=sa
+        ).collect()
+    }
+    assert plain == want and auto == want
+    assert sa["escalated"] is False
+    assert sa["rounds"] == sp["rounds"] <= 3
+
+
+def test_auto_mode_escalates_on_deep_graphs(spark):
+    """pointer_jumping='auto': a chain deeper than the plain prefix
+    escalates to jumping and converges in far fewer rounds than plain
+    would need (~3 + O(log D) vs O(D)), same labels."""
+    n = 48
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = _union_find(edges)
+    sa = {}
+    auto = {
+        r.node: r.component
+        for r in connected_components(
+            df, pointer_jumping="auto", max_iter=40, stats=sa
+        ).collect()
+    }
+    assert auto == want
+    assert sa["escalated"] is True
+    # plain would need ~n/2 rounds on this chain; 3 plain + log-ish
+    # jumped rounds must land far below that
+    assert sa["rounds"] <= 12, sa
+
+
+def test_pointer_jumping_rejects_unknown_mode(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="auto"):
+        connected_components(df, pointer_jumping="always")

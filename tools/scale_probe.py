@@ -2256,8 +2256,10 @@ def main_ccjump() -> None:
 
     rows_tbl = []
 
-    def run(tag, edges_df, variants=(False, True), max_iter=96):
+    def run(tag, edges_df, variants=(False, True, "auto"),
+            max_iter=96):
         for jump in variants:
+            name = {False: "plain", True: "jump", "auto": "auto"}[jump]
             stats: dict = {}
             best = float("inf")
             connected_components(
@@ -2271,9 +2273,11 @@ def main_ccjump() -> None:
                     pointer_jumping=jump, stats=stats,
                 ).count()
                 best = min(best, time.time() - t0)
-            rows_tbl.append((tag, "jump" if jump else "plain",
-                             stats["rounds"], round(best, 2)))
-            print(f"{tag} {'jump' if jump else 'plain'}: "
+            if stats.get("escalated"):
+                name = "auto(escalated)"
+            rows_tbl.append((tag, name, stats["rounds"],
+                             round(best, 2)))
+            print(f"{tag} {name}: "
                   f"{stats['rounds']} rounds, {best:.2f}s", flush=True)
 
     def chain(n):
@@ -2286,7 +2290,7 @@ def main_ccjump() -> None:
     # thousands of ~0.3 s rounds — the pathology this flag insures
     # against, recorded as a table note instead of burned wall-clock).
     run("chain-64", chain(64))
-    run("chain-8192", chain(8_192), variants=(True,))
+    run("chain-8192", chain(8_192), variants=(True, "auto"))
     run("chain-65536", chain(65_536), variants=(True,))
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -2304,10 +2308,10 @@ def main_ccjump() -> None:
     lines = [
         CCJUMP_MARKER.strip("\n"),
         "",
-        "r10 measurement (tools/scale_probe.py --ccjump, best-of-2"
-        " warm; chain graphs force the O(diameter) worst case, the"
-        " sf0.1 minhash pair graph is the registered entry's real"
-        " edge shape):",
+        "r10 measurement, auto column added r11 (tools/scale_probe.py"
+        " --ccjump, best-of-2 warm; chain graphs force the"
+        " O(diameter) worst case, the sf0.1 minhash pair graph is the"
+        " registered entry's real edge shape):",
         "",
         "| graph | variant | rounds to fixpoint | wall s |",
         "|---|---|---|---|",
@@ -2329,8 +2333,14 @@ def main_ccjump() -> None:
         " flagged. Wired r10 (slot-free) into pipe_leakage_safe_split"
         " (its graph IS this minhash pair graph); dd_semantic_dedup's"
         " embedding-clique graph A/B'd wash-to-slower and stays"
-        " plain; dd_duplicate_clusters is r9-fresh, so its flip waits"
-        " for the r11 rotation per the verdict's deferral.",
+        " plain; dd_duplicate_clusters flipped to jumping in its r11"
+        " rotation. r11 adds pointer_jumping='auto' (plain rounds,"
+        " escalate to jumping only if the fixed point is still open"
+        " after the prefix): on shallow graphs it IS plain (zero"
+        " extra cost), on deep graphs it pays the prefix then jumps"
+        " — the default for production surfaces whose graph shape is"
+        " corpus-dependent (VectorDB.train_val_test_split), while"
+        " registered entries keep their A/B-measured explicit flags.",
         "",
     ]
     out = "\n".join(lines)

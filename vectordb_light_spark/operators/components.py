@@ -40,7 +40,8 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
-    pointer_jumping: bool = False,
+    pointer_jumping: bool | str = False,
+    escalate_after: int = 3,
     stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
@@ -64,9 +65,25 @@ def connected_components(
     decrease under jumping, so the exact-sum convergence check is
     unchanged.
 
-    ``stats``, when a dict, receives ``{"rounds": n}`` on return —
-    the measurement hook for the probe and the equivalence tests.
+    ``pointer_jumping="auto"`` (r11) escalates instead of choosing:
+    the first ``escalate_after`` rounds run plain (clique-shaped
+    near-dup graphs converge there at the cheapest per-round cost,
+    and the r10 A/B showed jumping is a wash-to-slower on them), and
+    only if the fixed point is still open does jumping switch on for
+    the remaining rounds (deep graphs pay ~escalate_after extra plain
+    rounds, then O(log D)). This is the default for production
+    surfaces whose graph shape is corpus-dependent; registered
+    entries keep their explicitly A/B-measured flags.
+
+    ``stats``, when a dict, receives ``{"rounds": n, "escalated":
+    bool}`` on return — the measurement hook for the probe and the
+    equivalence tests.
     """
+    if pointer_jumping not in (True, False, "auto"):
+        raise ValueError(
+            f"pointer_jumping must be True/False/'auto', "
+            f"got {pointer_jumping!r}"
+        )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -107,7 +124,14 @@ def connected_components(
         return row["s"]
 
     prev_sum = label_sum(comp)
+    escalated = False
     for rounds in range(1, max_iter + 1):
+        jump_now = pointer_jumping is True or (
+            pointer_jumping == "auto" and rounds > escalate_after
+        )
+        escalated = escalated or (
+            pointer_jumping == "auto" and jump_now
+        )
         # propagate: node's label ← min(own, neighbors' labels) — the
         # current labels UNION into the same min-aggregate, so each
         # round is ONE join + ONE groupBy (both shuffling on the node
@@ -119,7 +143,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        if pointer_jumping:
+        if jump_now:
             # jump: label ← label's label. Every label IS a node id
             # present in comp (labels are mins over node ids and
             # every sym endpoint is a comp node), so the left join's
@@ -137,6 +161,7 @@ def connected_components(
         if cur_sum == prev_sum:
             if stats is not None:
                 stats["rounds"] = rounds
+                stats["escalated"] = escalated
             return comp
         prev_sum = cur_sum
     raise RuntimeError(
@@ -150,7 +175,7 @@ def duplicate_clusters(
     left_id: str = "doc_id_a",
     right_id: str = "doc_id_b",
     max_iter: int = 20,
-    pointer_jumping: bool = False,
+    pointer_jumping: bool | str = False,
 ) -> DataFrame:
     """Cluster near-dup candidate pairs into groups: returns
     ``(doc_id, cluster_id, cluster_size, keep)`` where ``keep`` marks

@@ -444,7 +444,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     tier: str = "auto",
     max_iter: int = 20,
-    pointer_jumping: bool = False,
+    pointer_jumping: bool | str = False,
     **tier_kwargs,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
