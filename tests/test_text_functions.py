@@ -565,3 +565,92 @@ def test_scrub_pii_extended_keeps_default_behavior(spark):
         .collect()[0]["s"]
     )
     assert out == "<EMAIL> <PHONE> <IP> 4111111111111111 123-45-6789"
+
+
+def test_scrub_card_numbers_fuzz_vs_python_reference(spark):
+    """300-case fuzz of the card pipeline (candidate window regex →
+    separator-aligned leftmost-longest Luhn-valid sub-run → stitch)
+    against an independent Python reference over a degenerate
+    digit/separator alphabet — the shapes where the r10 ADVICE bug
+    lived (merged windows, glued runs, dash chains)."""
+    import random
+    import re
+
+    from vectordb_light_spark.functions.text import scrub_card_numbers
+
+    CARD_PAT = re.compile(r"[0-9](?:[0-9 -]{11,21})[0-9]")
+
+    def luhn(d):
+        total = 0
+        for i, ch in enumerate(reversed(d)):
+            v = int(ch)
+            if i % 2 == 1:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            total += v
+        return len(d) >= 1 and total % 10 == 0
+
+    def rewrite(c):
+        groups = re.split(r"[ -]", c)
+        seps = re.findall(r"[ -]", c)
+        k = len(groups)
+        for i in range(1, k + 1):          # leftmost ...
+            for j in range(k, i - 1, -1):  # ... longest
+                d = "".join(groups[i - 1:j])
+                if 13 <= len(d) <= 19 and luhn(d):
+                    prefix = "".join(
+                        groups[t] + seps[t] for t in range(i - 1)
+                    )
+                    suffix = "".join(
+                        seps[t] + groups[t + 1] for t in range(j - 1, k - 1)
+                    )
+                    return prefix + "<CARD>" + suffix
+        return c
+
+    def reference(text):
+        out, last = [], 0
+        for m in CARD_PAT.finditer(text):
+            out.append(text[last:m.start()])
+            out.append(rewrite(m.group(0)))
+            last = m.end()
+        out.append(text[last:])
+        return "".join(out)
+
+    rng = random.Random(11)
+    valid_cards = [
+        "4111111111111111", "5500005555555559", "378282246310005",
+        "6221260123456789016",
+    ]
+    cases = []
+    for _ in range(300):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            roll = rng.random()
+            if roll < 0.3:
+                card = rng.choice(valid_cards)
+                if rng.random() < 0.5:  # random grouping
+                    gs, s, sep = [], 0, rng.choice(" -")
+                    while s < len(card):
+                        g = rng.randint(2, 6)
+                        gs.append(card[s:s + g])
+                        s += g
+                    card = sep.join(gs)
+                parts.append(card)
+            elif roll < 0.7:
+                parts.append(
+                    "".join(rng.choice("0123456789")
+                            for _ in range(rng.randint(1, 22)))
+                )
+            else:
+                parts.append(rng.choice(["pay", "x", "ref", "end"]))
+            parts.append(rng.choice([" ", " ", "-", "  ", ""]))
+        cases.append("".join(parts))
+
+    rows = (
+        spark.createDataFrame([(c,) for c in cases], "t string")
+        .select("t", scrub_card_numbers("t").alias("s"))
+        .collect()
+    )
+    for r in rows:
+        assert r.s == reference(r.t), (r.t, r.s, reference(r.t))
