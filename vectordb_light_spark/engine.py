@@ -619,9 +619,15 @@ class VectorDB:
         cluster_size, keep)`` for EVERY stored chunk; filter ``keep``
         for the deduplicated corpus. Same metadata size hints as
         :meth:`near_duplicates` (the transitive-closure rounds
-        themselves do run jobs — they are iterative by nature)."""
+        themselves do run jobs — they are iterative by nature).
+        CC strategy defaults to ``pointer_jumping="auto"`` here (r11):
+        a user store's cluster-graph depth is corpus-dependent, so the
+        facade escalates only if the graph turns out deep — the
+        registered ``dd_semantic_dedup`` entry keeps its A/B-measured
+        plain propagation on the known-shallow benchmark cliques."""
         from vectordb_light_spark.operators.similarity import semantic_dedup
 
+        kw.setdefault("pointer_jumping", "auto")
         return semantic_dedup(
             self.vectors,
             id_col="id",
