@@ -228,6 +228,19 @@ def test_cli_curate_split_weights_implies_split_stage(
         r["split"] for r in survivors.select("split").distinct().collect()
     ) <= {"train", "test"}
 
+    # with curriculum present the implied split must insert BEFORE it
+    # (_stage_split's contract: the routing join would discard the
+    # curriculum output order if it ran after; r11 review finding)
+    out2 = str(tmp_path / "curated_sw2")
+    assert main([
+        "curate", "--input", src, "--output", out2,
+        "--stages", "exact_dedup,curriculum",
+        "--split-weights", "train:0.8,test:0.2",
+    ]) == 0
+    captured = capsys.readouterr()
+    lines = [json.loads(l) for l in captured.out.strip().splitlines()]
+    assert lines[-1]["stages"] == ["exact_dedup", "split", "curriculum"]
+
 
 def test_cli_split_writes_leakage_safe_assignments(
     spark, corpus_dir, tmp_path, capsys

@@ -182,3 +182,7 @@ def test_pointer_jumping_rejects_unknown_mode(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="auto"):
         connected_components(df, pointer_jumping="always")
+    # truthy non-bools must raise, not silently run plain (1 == True
+    # passes an equality check but misses the `is True` dispatch)
+    with pytest.raises(ValueError, match="auto"):
+        connected_components(df, pointer_jumping=1)

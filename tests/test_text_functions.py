@@ -541,6 +541,14 @@ def test_scrub_card_numbers_adjacent_digit_runs(spark):
         "ref 4111111111111111-20 done": "ref <CARD>-20 done",
         # no valid sub-run anywhere: window survives verbatim
         "order 1234567890123456 789 x": "order 1234567890123456 789 x",
+        # r11 review: a 7+-digit neighbor must not truncate the card
+        # out of a char-capped window (candidates are maximal runs)
+        "ref 20260816 4111111111111111 ok": "ref 20260816 <CARD> ok",
+        "long 123456789012345678901234 4111111111111111 t":
+            "long 123456789012345678901234 <CARD> t",
+        # multi-card single run: every card redacts
+        "two 4111111111111111 5500005555555559 end":
+            "two <CARD> <CARD> end",
     }
     rows = (
         spark.createDataFrame([(t,) for t in cases], "t string")
@@ -578,7 +586,7 @@ def test_scrub_card_numbers_fuzz_vs_python_reference(spark):
 
     from vectordb_light_spark.functions.text import scrub_card_numbers
 
-    CARD_PAT = re.compile(r"[0-9](?:[0-9 -]{11,21})[0-9]")
+    CARD_PAT = re.compile(r"[0-9][0-9 -]{11,}[0-9]")
 
     def luhn(d):
         total = 0
@@ -595,18 +603,34 @@ def test_scrub_card_numbers_fuzz_vs_python_reference(spark):
         groups = re.split(r"[ -]", c)
         seps = re.findall(r"[ -]", c)
         k = len(groups)
-        for i in range(1, k + 1):          # leftmost ...
-            for j in range(k, i - 1, -1):  # ... longest
-                d = "".join(groups[i - 1:j])
-                if 13 <= len(d) <= 19 and luhn(d):
-                    prefix = "".join(
-                        groups[t] + seps[t] for t in range(i - 1)
-                    )
-                    suffix = "".join(
-                        seps[t] + groups[t + 1] for t in range(j - 1, k - 1)
-                    )
-                    return prefix + "<CARD>" + suffix
-        return c
+        valid = [
+            (i, j)
+            for i in range(1, k + 1)
+            for j in range(i, min(i + 18, k) + 1)
+            if 13 <= len("".join(groups[i - 1:j])) <= 19
+            and luhn("".join(groups[i - 1:j]))
+        ]
+        # order-free dominance: overlaps resolve leftmost-longest,
+        # disjoint chosen ranges all redact
+        chosen = [
+            r for r in valid
+            if not any(
+                q[0] <= r[1] and r[0] <= q[1]
+                and (q[0] < r[0] or (q[0] == r[0] and q[1] > r[1]))
+                for q in valid
+            )
+        ]
+        if not chosen:
+            return c
+        out = []
+        for t in range(1, k + 1):
+            if any(r[0] == t for r in chosen):
+                out.append("<CARD>")
+            elif not any(r[0] < t <= r[1] for r in chosen):
+                out.append(groups[t - 1])
+            if t < k and not any(r[0] <= t < r[1] for r in chosen):
+                out.append(seps[t - 1])
+        return "".join(out)
 
     def reference(text):
         out, last = [], 0

@@ -223,13 +223,22 @@ def main(argv: list[str] | None = None) -> int:
             ctx["split_weights"] = _parse_weights(a.split_weights)
             # --split-weights without the split stage was a silent
             # no-op (ADVICE r10): the ctx key was set but never read.
-            # The flag is an unambiguous ask for the stage — append
-            # it (terminal, its contractual position) and say so.
+            # The flag is an unambiguous ask for the stage — insert
+            # it at its contractual position (after every gate,
+            # BEFORE curriculum: the split's routing join would
+            # otherwise discard the curriculum output order) and say
+            # so.
             if "split" not in stages:
-                stages.append("split")
+                at = (
+                    stages.index("curriculum")
+                    if "curriculum" in stages
+                    else len(stages)
+                )
+                stages.insert(at, "split")
                 print(
                     "curate: --split-weights implies the 'split' stage; "
-                    "appending it (pass --stages ...,split to silence)",
+                    "inserting it before any curriculum ordering (pass "
+                    "--stages ...,split to place it yourself)",
                     file=sys.stderr,
                 )
         survivors, reports = run_curation(

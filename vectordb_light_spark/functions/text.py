@@ -586,19 +586,20 @@ PII_PATTERNS = (
 #: digit run would destroy order ids and timestamps.
 PII_PATTERNS_EXTENDED = PII_PATTERNS + (
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-    # the window bounds CHARS (13-23: up to 19 digits + 4 separators),
-    # NOT digits — scrub_card_numbers enforces the 13-19 DIGIT rule on
-    # the stripped form before Luhn (r10 review catch: the previous
-    # {11,17} char window let grouped 17-19-digit PANs escape whole).
-    # BOUNDARY-FREE by design (r11): the pattern is a CANDIDATE
-    # window, not the final match — scrub_card_numbers rescans each
-    # window for a separator-aligned Luhn-valid sub-run, so `\b`
-    # anchoring adds nothing (a glued digit run still deserves the
-    # verify pass) and dropping it keeps the regex in the exact
-    # Java-regex ∩ RE2 dialect (Java \b is Unicode-word-aware; RE2's
-    # is ASCII — the one skew class the migration couldn't spell
-    # identically for split semantics).
-    ("card", r"[0-9](?:[0-9 -]{11,21})[0-9]", "<CARD>"),
+    # MAXIMAL digit/separator runs of >=13 chars (r11, second
+    # iteration after the round's review): the candidate is the WHOLE
+    # contiguous run, never a char-capped window — any fixed cap lets
+    # a long-enough neighbor truncate the card's tail digits out of
+    # the window and shield it (the old {11,21} cap failed exactly so
+    # on 'ref 20260816 4111111111111111'). scrub_card_numbers then
+    # finds ALL separator-aligned Luhn-valid sub-runs inside the run.
+    # BOUNDARY-FREE by design: the pattern is a candidate domain, not
+    # the final match — a glued digit run still deserves the verify
+    # pass, and `\b` is the one skew class the migration couldn't
+    # spell identically for split semantics (Java's is Unicode-aware,
+    # RE2's ASCII). Runs shorter than 13 chars cannot hold a card and
+    # never match, so prose numbers stay out of the machinery.
+    ("card", r"[0-9][0-9 -]{11,}[0-9]", "<CARD>"),
 )
 
 
@@ -637,46 +638,94 @@ def luhn_valid(col: Column | str) -> Column:
     return (n >= 1) & (summed % 10 == 0)
 
 
-def _card_best_range(c: Column) -> Column:
-    """Leftmost-longest separator-aligned Luhn-valid sub-run of a
-    candidate window: split the candidate on ``[ -]`` into digit
-    groups g1..gk, enumerate contiguous group ranges [i..j] in
-    (i ASC, j DESC) order, and return the first struct<i,j> whose
-    concatenated digits are 13-19 long and Luhn-valid — NULL if none.
+def _bind(expr, fn):
+    """Evaluate ``expr`` ONCE per row and pass the materialized value
+    into ``fn`` — higher-order lambda binding as common-subexpression
+    elimination (interpreted HOF expressions have no CSE of their
+    own, so a subtree referenced N times would otherwise run N
+    times)."""
+    return F.get(F.transform(F.array(expr), fn), 0)
 
-    This is the ADVICE-r10 fix: the greedy candidate window absorbs
-    ADJACENT digit runs ('pay 4111111111111111 123'), the merged
-    digit string then fails the 13-19/Luhn verify, and without the
-    rescan the genuine card inside the window escaped unredacted.
-    The whole window is itself range [1..k] and sorts first, so a
-    clean candidate costs one extra struct, nothing else. A ≤23-char
-    window can hold at most one 13+-digit card (2·13+1 > 23), so
-    returning a single range is exhaustive, not a heuristic."""
-    groups = F.split(c, r"[ -]")
-    k = F.size(groups)
-    ranges = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.transform(
-                # Spark sequence(start, stop, -1) is INCLUSIVE of stop
-                F.sequence(k, i, F.lit(-1)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    F.array_join(
-                        F.slice(groups, i, j - i + 1), ""
-                    ).alias("d"),
+
+#: A card has at most 19 digits, so a Luhn-valid sub-run spans at
+#: most 19 separator-aligned groups — the enumeration bound that
+#: keeps the range set LINEAR in run length (≤19 ranges per start
+#: index) on arbitrarily long digit/separator runs.
+_CARD_MAX_SPAN = 19
+
+
+def _card_chosen_ranges(groups: Column) -> Column:
+    """All separator-aligned Luhn-valid sub-runs to redact inside one
+    candidate run, as ``array<struct<i,j>>`` (1-based inclusive group
+    ranges, pairwise disjoint).
+
+    Enumeration: every contiguous group range spanning ≤
+    `_CARD_MAX_SPAN` groups whose concatenated digits are 13-19 long
+    and Luhn-valid. Digit LENGTH is pre-checked from a bound
+    lengths array, so the digit string only materializes for ranges
+    already in the 13-19 window.
+
+    Conflict policy (ORDER-FREE, so both engines spell it as a plain
+    filter): a valid range is chosen iff no other valid range
+    overlapping it strictly precedes it in (i ASC, j DESC) order —
+    i.e. overlapping candidates resolve leftmost-longest, while
+    DISJOINT valid ranges are ALL chosen (multi-card runs redact
+    every card; the single-best policy of the first r11 iteration
+    leaked the second card once runs stopped being char-capped). Any
+    overlapping pair has exactly one dominator, so the chosen set is
+    pairwise disjoint by construction."""
+    return _bind(
+        groups,
+        lambda g: _bind(
+            F.transform(g, lambda x: F.length(x)),
+            lambda lens: _bind(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(g)),
+                            lambda i: F.transform(
+                                F.sequence(
+                                    i,
+                                    F.least(
+                                        i + (_CARD_MAX_SPAN - 1),
+                                        F.size(g),
+                                    ),
+                                ),
+                                lambda j: F.struct(
+                                    i.alias("i"),
+                                    j.alias("j"),
+                                    F.aggregate(
+                                        F.slice(lens, i, j - i + 1),
+                                        F.lit(0),
+                                        lambda a, x: a + x,
+                                    ).alias("dl"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda r: (r["dl"] >= 13)
+                    & (r["dl"] <= 19)
+                    & luhn_valid(
+                        F.array_join(
+                            F.slice(g, r["i"], r["j"] - r["i"] + 1), ""
+                        )
+                    ),
+                ),
+                lambda valid: F.filter(
+                    valid,
+                    lambda r: ~F.exists(
+                        valid,
+                        lambda q: (q["i"] <= r["j"])
+                        & (r["i"] <= q["j"])
+                        & (
+                            (q["i"] < r["i"])
+                            | ((q["i"] == r["i"]) & (q["j"] > r["j"]))
+                        ),
+                    ),
                 ),
             ),
-        )
+        ),
     )
-    valid = F.filter(
-        ranges,
-        lambda r: (F.length(r["d"]) >= 13)
-        & (F.length(r["d"]) <= 19)
-        & luhn_valid(r["d"]),
-    )
-    return F.get(valid, 0)
 
 
 def scrub_card_numbers(col: Column | str, token: str = "<CARD>") -> Column:
@@ -684,14 +733,16 @@ def scrub_card_numbers(col: Column | str, token: str = "<CARD>") -> Column:
     without space/dash groupings) with ``token``, leaving Luhn-invalid
     or out-of-range digit runs (order ids, tracking numbers, 12-digit
     references) untouched — including runs merely ADJACENT to a real
-    card ('pay 4111111111111111 123' keeps the 123; ADVICE r10).
+    card ('pay 4111111111111111 123' keeps the 123, 'ref 20260816
+    4111111111111111' keeps the date; ADVICE r10 + the round's review)
+    — and redacting EVERY card when one run holds several.
 
-    Plan shape: split the text on the candidate pattern, extract the
-    candidate matches, find each window's separator-aligned Luhn-valid
-    sub-run (:func:`_card_best_range`), and stitch the text back with
-    the sub-run replaced by ``token`` (groups outside it survive with
-    their original separators) or the window verbatim when no sub-run
-    verifies — all JVM higher-order builtins, no UDF, map-only."""
+    Plan shape: split the text on the maximal-run candidate pattern,
+    find each run's chosen sub-runs (:func:`_card_chosen_ranges`),
+    and stitch the text back group-by-group — token at each chosen
+    start, covered groups and their internal separators dropped,
+    everything else verbatim. All JVM higher-order builtins, each
+    subtree bound once (`_bind`), no UDF, map-only."""
     s = _c(col)
     pat = PII_PATTERNS_EXTENDED[-1][1]
     pieces = F.split(s, pat)
@@ -700,38 +751,49 @@ def scrub_card_numbers(col: Column | str, token: str = "<CARD>") -> Column:
     def _rewrite(c):
         groups = F.split(c, r"[ -]")
         seps = F.regexp_extract_all(c, F.lit(r"[ -]"), F.lit(0))
-        k = F.size(groups)
-        best = _card_best_range(c)
-        i, j = best["i"], best["j"]
-        # original window = g1 s1 g2 s2 ... s(k-1) gk; redacting
-        # [i..j] keeps g/s pairs left of i and s/g pairs right of j.
-        # (guards matter: Spark sequence(1, 0) counts DOWN)
-        prefix = F.when(
-            i > 1,
-            F.array_join(
-                F.transform(
-                    F.sequence(F.lit(1), i - 1),
-                    lambda t: F.concat(
-                        F.element_at(groups, t), F.element_at(seps, t)
-                    ),
-                ),
-                "",
+        return _bind(
+            F.struct(
+                groups.alias("g"),
+                seps.alias("sp"),
+                _card_chosen_ranges(groups).alias("ch"),
             ),
-        ).otherwise(F.lit(""))
-        suffix = F.when(
-            j < k,
-            F.array_join(
-                F.transform(
-                    F.sequence(j, k - 1),
-                    lambda t: F.concat(
-                        F.element_at(seps, t), F.element_at(groups, t + 1)
+            lambda b: F.when(F.size(b["ch"]) == 0, c).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(b["g"])),
+                        lambda t: F.concat(
+                            # group slot: token at a chosen start,
+                            # empty inside a chosen range, else verbatim
+                            F.when(
+                                F.exists(b["ch"], lambda r: r["i"] == t),
+                                F.lit(token),
+                            )
+                            .when(
+                                F.exists(
+                                    b["ch"],
+                                    lambda r: (r["i"] < t) & (t <= r["j"]),
+                                ),
+                                F.lit(""),
+                            )
+                            .otherwise(F.element_at(b["g"], t)),
+                            # separator slot sep(t) sits between group
+                            # t and t+1: dropped only INSIDE a chosen
+                            # range
+                            F.when(
+                                (t < F.size(b["g"]))
+                                & ~F.exists(
+                                    b["ch"],
+                                    lambda r: (r["i"] <= t) & (t < r["j"]),
+                                ),
+                                F.coalesce(
+                                    F.element_at(b["sp"], t), F.lit("")
+                                ),
+                            ).otherwise(F.lit("")),
+                        ),
                     ),
-                ),
-                "",
+                    "",
+                )
             ),
-        ).otherwise(F.lit(""))
-        return F.when(best.isNull(), c).otherwise(
-            F.concat(prefix, F.lit(token), suffix)
         )
 
     kept = F.transform(cands, _rewrite)
@@ -750,12 +812,19 @@ def scrub_card_numbers(col: Column | str, token: str = "<CARD>") -> Column:
 
 
 def count_card_numbers(col: Column | str) -> Column:
-    """Number of candidate windows in ``col`` containing a verified
-    (13-19 digit, Luhn-valid) card — the redaction count
-    :func:`scrub_card_numbers` would perform. Map-only."""
+    """Number of card redactions :func:`scrub_card_numbers` would
+    perform on ``col`` — chosen sub-runs summed across candidate runs
+    (a run holding two cards counts 2). Map-only."""
     pat = PII_PATTERNS_EXTENDED[-1][1]
     cands = F.regexp_extract_all(_c(col), F.lit(pat), F.lit(0))
-    return F.size(F.filter(cands, lambda c: _card_best_range(c).isNotNull()))
+    return F.aggregate(
+        F.transform(
+            cands,
+            lambda c: F.size(_card_chosen_ranges(F.split(c, r"[ -]"))),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
 
 
 def scrub_pii(col: Column | str, *, extended: bool = False) -> Column:

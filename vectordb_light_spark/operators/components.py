@@ -79,7 +79,15 @@ def connected_components(
     bool}`` on return — the measurement hook for the probe and the
     equivalence tests.
     """
-    if pointer_jumping not in (True, False, "auto"):
+    # IDENTITY checks, not equality: 1 == True and numpy.bool_(True)
+    # == True would pass an `in (True, False, 'auto')` test yet miss
+    # the later `is True` dispatch and silently run PLAIN rounds —
+    # reject anything that isn't the exact contract (r11 review).
+    if not (
+        pointer_jumping is True
+        or pointer_jumping is False
+        or pointer_jumping == "auto"
+    ):
         raise ValueError(
             f"pointer_jumping must be True/False/'auto', "
             f"got {pointer_jumping!r}"

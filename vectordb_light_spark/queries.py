@@ -4943,9 +4943,10 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs → connected components via min-label propagation with
     POINTER JUMPING (pairs alone under-merge transitive duplicates),
     with canonical keep-one-per-cluster flags. r11 flips
-    ``pointer_jumping=True`` (VERDICT r10 item 1): the r10 A/B on
+    ``pointer_jumping=True`` (VERDICT r10 item 1): the A/B on
     exactly this minhash pair graph measured 12 plain rounds vs 5
-    jumped (2.92 vs 4.74 s, 1.6×) — O(log D) rounds is the 100 TB
+    jumped (4.74 vs 2.92 s, 1.6×; r11 re-measure 3.42 vs 2.04) —
+    O(log D) rounds is the 100 TB
     path for this graph shape. The oracle reaches the same fixed
     point via a DuckDB recursive CTE over the poly31 candidate pairs
     (round-count-agnostic, so the flip is plan-only). Also
@@ -6344,11 +6345,12 @@ def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-#: boundary-free card candidate window (functions/text.py
+#: boundary-free MAXIMAL-run card candidate (functions/text.py
 #: PII_PATTERNS_EXTENDED) — identical regex, identical semantics in
 #: both engines, so no \b emulation needed for the split/extract
-#: stages.
-_PII_CARD = r"[0-9](?:[0-9 -]{11,21})[0-9]"
+#: stages; unbounded upper so a long neighbor can never truncate a
+#: card out of the window (the round's review finding).
+_PII_CARD = r"[0-9][0-9 -]{11,}[0-9]"
 
 
 @register(
@@ -6407,10 +6409,13 @@ _PII_CARD = r"[0-9](?:[0-9 -]{11,21})[0-9]"
         FROM cand
     ),
     rng AS (
+        -- span-bounded ascending enumeration: a card has <=19 digits
+        -- so a valid sub-run spans <=19 groups — ranges stay LINEAR
+        -- in run length
         SELECT doc_id, ord, c, g, sp, len(g) AS k,
                unnest(flatten(list_transform(range(1, len(g) + 1), ri ->
-                   list_transform(range(len(g), ri - 1, -1), rj ->
-                       {{'i': ri, 'j': rj}})))) AS r
+                   list_transform(range(ri, least(ri + 18, len(g)) + 1),
+                       rj -> {{'i': ri, 'j': rj}})))) AS r
         FROM grp
     ),
     ver AS (
@@ -6419,8 +6424,7 @@ _PII_CARD = r"[0-9](?:[0-9 -]{11,21})[0-9]"
         FROM rng
     ),
     ok AS (
-        SELECT *, ROW_NUMBER() OVER (
-                   PARTITION BY doc_id, ord ORDER BY ri ASC, rj DESC) AS rk
+        SELECT *
         FROM ver
         WHERE length(d) BETWEEN 13 AND 19
           AND list_sum(list_transform(range(1, length(d) + 1), li ->
@@ -6430,21 +6434,55 @@ _PII_CARD = r"[0-9](?:[0-9 -]{11,21})[0-9]"
                                ELSE CAST(d[li] AS INT) * 2 - 9 END
                      ELSE CAST(d[li] AS INT) END)) % 10 = 0
     ),
-    best AS (SELECT * FROM ok WHERE rk = 1),
+    -- ORDER-FREE conflict policy (the Spark twin's exact rule): a
+    -- valid range is chosen iff no other valid range overlapping it
+    -- strictly precedes it in (i ASC, j DESC) order — overlaps
+    -- resolve leftmost-longest, disjoint cards ALL redact
+    chosen AS (
+        SELECT a.* FROM ok a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ok b
+            WHERE b.doc_id = a.doc_id AND b.ord = a.ord
+              AND b.ri <= a.rj AND a.ri <= b.rj
+              AND (b.ri < a.ri OR (b.ri = a.ri AND b.rj > a.rj))
+        )
+    ),
+    slots AS (
+        SELECT doc_id, ord, c, g, sp, len(g) AS k,
+               unnest(range(1, len(g) + 1)) AS t
+        FROM grp
+    ),
+    parts AS (
+        SELECT s.doc_id, s.ord, s.t,
+               CASE WHEN EXISTS (SELECT 1 FROM chosen c2
+                       WHERE c2.doc_id = s.doc_id AND c2.ord = s.ord
+                         AND c2.ri = s.t) THEN '<CARD>'
+                    WHEN EXISTS (SELECT 1 FROM chosen c2
+                       WHERE c2.doc_id = s.doc_id AND c2.ord = s.ord
+                         AND c2.ri < s.t AND s.t <= c2.rj) THEN ''
+                    ELSE s.g[s.t] END
+               ||
+               CASE WHEN s.t < s.k AND NOT EXISTS (SELECT 1 FROM chosen c2
+                       WHERE c2.doc_id = s.doc_id AND c2.ord = s.ord
+                         AND c2.ri <= s.t AND s.t < c2.rj)
+                    THEN COALESCE(s.sp[s.t], '') ELSE '' END AS part
+        FROM slots s
+    ),
+    nhit AS (
+        SELECT doc_id, ord, COUNT(*) AS hits
+        FROM chosen GROUP BY doc_id, ord
+    ),
     rewritten AS (
         SELECT cand.doc_id, cand.ord,
-               CASE WHEN b.ri IS NULL THEN cand.c ELSE
-                 COALESCE(CASE WHEN b.ri > 1 THEN array_to_string(
-                   list_transform(range(1, b.ri), t -> b.g[t] || b.sp[t]),
-                   '') END, '')
-                 || '<CARD>' ||
-                 COALESCE(CASE WHEN b.rj < b.k THEN array_to_string(
-                   list_transform(range(b.rj, b.k), t -> b.sp[t] || b.g[t + 1]),
-                   '') END, '')
+               CASE WHEN COALESCE(nhit.hits, 0) = 0 THEN cand.c
+                    ELSE (SELECT string_agg(p.part, '' ORDER BY p.t)
+                          FROM parts p
+                          WHERE p.doc_id = cand.doc_id
+                            AND p.ord = cand.ord)
                END AS rc,
-               CASE WHEN b.ri IS NULL THEN 0 ELSE 1 END AS hit
-        FROM cand LEFT JOIN best b
-          ON cand.doc_id = b.doc_id AND cand.ord = b.ord
+               COALESCE(nhit.hits, 0) AS hit
+        FROM cand LEFT JOIN nhit
+          ON cand.doc_id = nhit.doc_id AND cand.ord = nhit.ord
     ),
     reasm AS (
         SELECT doc_id, list(rc ORDER BY ord) AS rcs,
@@ -6470,12 +6508,15 @@ def ts_pii_scrub_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     document: a grouped valid card, an ungrouped valid card with an
     ADJACENT doc_id-derived digit run (the merged-window regression
     shape), a Luhn-invalid 16-digit order id, and a doc_id-derived
-    SSN. The card candidate pattern is boundary-free (exact common
-    dialect); the SSN Java-\\b is pinned via the 2-pass consumed
-    capture-group emulation (`_PII_SSN_B`, the `_PII_IP_B` recipe).
-    The DuckDB twin re-runs the separator-aligned sub-run search
-    row-wise (unnest candidates → enumerate group ranges → Luhn via
-    list_transform/list_sum → stitch); Spark runs it as nested JVM
+    SSN. The card candidate pattern is a boundary-free MAXIMAL run
+    (exact common dialect, no char cap — a long neighbor can never
+    truncate a card out of the window); the SSN Java-\\b is pinned
+    via the 2-pass consumed capture-group emulation (`_PII_SSN_B`,
+    the `_PII_IP_B` recipe). The DuckDB twin re-runs the
+    separator-aligned multi-sub-run search row-wise (unnest
+    candidates → span-bounded range enumeration → Luhn via
+    list_transform/list_sum → order-free dominance filter → per-slot
+    stitch); Spark runs the identical policy as nested JVM
     higher-order functions. Map-only either way: no shuffle, no
     Python, scales as a pure scan."""
     from vectordb_light_spark.functions.text import (
