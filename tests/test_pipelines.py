@@ -316,3 +316,40 @@ def test_run_curation_split_stage_is_leakage_safe(spark):
     # the planted near-dup pairs must not straddle splits
     assert by_id[100] == by_id[7]
     assert by_id[101] == by_id[13]
+
+
+def test_split_straddle_counter_detects_planted_leak(spark):
+    """Negative control for the chain probe's leak invariant
+    (tools/scale_probe.py count_split_straddlers): on the stage's own
+    output it reads 0, and flipping ONE near-dup's split assignment
+    must be detected — proving the counter is not vacuous (the
+    broadcast-detector precedent)."""
+    from pyspark.sql import functions as F
+
+    from tools.scale_probe import count_split_straddlers
+    from vectordb_light_spark.operators.curate_pipeline import run_curation
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and it was that "
+        "kind of day for everyone involved in the field trial across "
+        "many categories of the ongoing longitudinal study period "
+    )
+    rows = [(i, base + f"variant {i}") for i in range(30)]
+    rows += [(100, base + "variant 7 "), (101, base + "variant 13 ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, _ = run_curation(
+        df, ("split",), report=False,
+        split_weights={"train": 0.5, "test": 0.5}, split_jaccard=0.8,
+    )
+    assert count_split_straddlers(out) == 0
+
+    # plant a leak: move doc 100 (near-dup of doc 7) to the other side
+    other = out.where(F.col("doc_id") == 7).head()["split"]
+    flipped = "test" if other == "train" else "train"
+    corrupted = out.withColumn(
+        "split",
+        F.when(F.col("doc_id") == 100, F.lit(flipped)).otherwise(
+            F.col("split")
+        ),
+    )
+    assert count_split_straddlers(corrupted) > 0

@@ -1890,6 +1890,43 @@ def main_linededup(factors: tuple[int, ...] = (1, 4, 16)) -> None:
 CHAIN_MARKER = "\n## curate CLI chain incl. the r8 stages, composed at x1/x4/x16"
 
 
+def count_split_straddlers(out_df) -> int:
+    """Number of near-dup candidate pairs in a split-annotated corpus
+    whose two sides landed in DIFFERENT splits — the leak invariant's
+    violation count (0 on any output of the `split` stage).
+
+    Pairs are re-derived with EXACTLY the stage's candidate
+    parameters (curate_pipeline._stage_split: minhash_lsh_candidates
+    library defaults + jaccard 0.75) — a different banding would
+    "find" pairs the stage never clustered and false-alarm (measured:
+    a 16/4/poly31 re-derivation reported 11 phantom straddlers on a
+    leak-free x1 output). Negative-controlled by
+    tests/test_pipelines.py::test_split_straddle_counter_detects_planted_leak.
+    """
+    from vectordb_light_spark.operators.dedup import (
+        canonical_text,
+        minhash_lsh_candidates,
+    )
+
+    survivors_txt = out_df.select(
+        F.col("doc_id"), F.col("text"), F.col("split")
+    ).where(F.length(canonical_text("text")) > 0)
+    pairs = minhash_lsh_candidates(
+        survivors_txt.select("doc_id", "text")
+    ).where(F.col("est_jaccard") >= 0.75)
+    sides = survivors_txt.select(F.col("doc_id"), F.col("split"))
+    return (
+        pairs.join(
+            sides.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("split", "split_a"), "id_a")
+        .join(
+            sides.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("split", "split_b"), "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+
+
 def main_curatechain(factors: tuple[int, ...] = (1, 4, 16)) -> None:
     """r8: the PRODUCT curation surface (operators/curate_pipeline
     run_curation, report=False — one lazy plan) measured with the r8
@@ -1956,35 +1993,9 @@ def main_curatechain(factors: tuple[int, ...] = (1, 4, 16)) -> None:
             # timed runs (the check re-derives near-dup pairs — it
             # must not pollute the wall numbers): no surviving
             # near-dup pair may straddle splits
-            from vectordb_light_spark.operators.dedup import (
-                canonical_text,
-                minhash_lsh_candidates,
-            )
             out_df = spark.read.parquet(out_dir)
             assert "split" in out_df.columns
-            survivors_txt = out_df.select(
-                F.col("doc_id"), F.col("text"), F.col("split")
-            ).where(F.length(canonical_text("text")) > 0)
-            # EXACTLY the stage's candidate parameters
-            # (curate_pipeline._stage_split: library defaults +
-            # jaccard 0.75) — a different banding would "find" pairs
-            # the stage never clustered
-            pairs = minhash_lsh_candidates(
-                survivors_txt.select("doc_id", "text")
-            ).where(F.col("est_jaccard") >= 0.75)
-            sides = survivors_txt.select(
-                F.col("doc_id"), F.col("split")
-            )
-            straddlers = (
-                pairs.join(
-                    sides.withColumnRenamed("doc_id", "id_a")
-                    .withColumnRenamed("split", "split_a"), "id_a")
-                .join(
-                    sides.withColumnRenamed("doc_id", "id_b")
-                    .withColumnRenamed("split", "split_b"), "id_b")
-                .where(F.col("split_a") != F.col("split_b"))
-                .count()
-            )
+            straddlers = count_split_straddlers(out_df)
             assert straddlers == 0, (
                 f"x{factor}: {straddlers} near-dup pairs straddle "
                 f"splits in the composed chain output"
