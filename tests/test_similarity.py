@@ -1034,6 +1034,16 @@ def test_semantic_dedup_chains_singletons_and_survivors(spark):
         for r in semantic_dedup(df, threshold=0.95, tier="exact").collect()
     }
     assert again == {i: (got[i]["cluster_id"], got[i]["keep"]) for i in got}
+    # the facade's pointer_jumping="auto" pass-through reaches the
+    # same fixed point (r11: VectorDB.dedup_semantic /
+    # train_val_test_split default)
+    auto = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(
+            df, threshold=0.95, tier="exact", pointer_jumping="auto"
+        ).collect()
+    }
+    assert auto == again
 
 
 def test_sparse_cosine_matches_cross_corpus(spark):

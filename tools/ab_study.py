@@ -1,0 +1,187 @@
+"""Interleaved A/B study: time VARIANTS of one operation in a single
+warmed session, alternating A,B,A,B,... per iteration.
+
+    python tools/ab_study.py <spec> [iterations]   # default 5
+    python tools/ab_study.py ddc_jump_vs_plain 5
+    python tools/ab_study.py facade_split_jump_vs_plain
+
+Why interleaved, not solo-vs-floor: host-band drift moves BOTH
+variants together, so alternating runs cancel it — the r11
+`dd_duplicate_clusters` flip read **0.99× against its r10 floor** on
+a slow-band day (solo comparison) while the interleaved A/B in the
+same session read **jump median 4.01 s vs plain 5.76 s = 1.44×**,
+matching the CC-stage probe. Floors answer "did the code regress
+since the committed bench?"; interleaved A/Bs answer "which of two
+plans is faster?" — don't use one for the other (the r10
+`ann_topk_join` adjudication learned the same lesson from the other
+direction). Complements `tools/solo_study.py` (same warm-session +
+load-average discipline).
+
+A spec is a no-arg function in THIS module returning
+``dict[name, callable(spark) -> DataFrame]``; each callable builds
+the full lazy plan (cold, per run) and the study times
+``.collect()``.
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def ddc_jump_vs_plain():
+    """The r11 flip's evidence: the full dd_duplicate_clusters entry
+    body under pointer-jumping vs plain propagation (queries.py runs
+    jumping since r11)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.components import (
+        duplicate_clusters,
+    )
+    from vectordb_light_spark.operators.dedup import (
+        canonical_text,
+        minhash_lsh_candidates,
+    )
+    from vectordb_light_spark.queries import load_docs
+
+    def entry(spark, flag):
+        docs = load_docs(spark, SF_DIR).where(
+            F.length(canonical_text("text")) > 0
+        )
+        pairs = minhash_lsh_candidates(
+            docs, num_hashes=16, bands=4, hash_family="poly31",
+            max_bucket=None,
+        ).where(F.col("est_jaccard") >= 0.75)
+        return (
+            duplicate_clusters(
+                pairs, left_id="id_a", right_id="id_b",
+                pointer_jumping=flag,
+            )
+            .withColumn("keep", F.col("keep").cast("int"))
+            .orderBy("doc_id")
+        )
+
+    return {
+        "jump": lambda spark: entry(spark, True),
+        "plain": lambda spark: entry(spark, False),
+        "auto": lambda spark: entry(spark, "auto"),
+    }
+
+
+def facade_split_jump_vs_plain():
+    """VERDICT r10 item 8's measurement: VectorDB.train_val_test_split
+    on a bench-shaped store under each CC strategy. Builds the store
+    once (module-level memo) so only the split is timed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.engine import VectorDB
+    from vectordb_light_spark.operators.ingest import (
+        IngestConfig,
+        create_database,
+    )
+
+    state: dict = {}
+
+    def db(spark):
+        if "db" not in state:
+            docs = (
+                spark.read.parquet(
+                    os.path.join(SF_DIR, "documents.parquet")
+                ).select(
+                    F.sha2(F.coalesce("text", F.lit("")), 256).alias(
+                        "hash"
+                    ),
+                    "text",
+                    F.lit(".txt").alias("file_type"),
+                    F.col("doc_id"),
+                )
+            )
+            root = tempfile.mkdtemp(prefix="ab-split-")
+            cfg = IngestConfig(
+                chunk_size=1200, chunk_overlap=600,
+                embedder_spec={
+                    "encoder": "hashing", "dim": 64, "seed": 0,
+                },
+                target_files=8,
+            )
+            create_database(spark, docs, root, "abdb", cfg)
+            state["db"] = VectorDB(spark, os.path.join(root, "abdb"))
+            state["root"] = root
+            import atexit
+
+            atexit.register(
+                lambda: shutil.rmtree(root, ignore_errors=True)
+            )
+        return state["db"]
+
+    return {
+        "jump": lambda spark: db(spark).train_val_test_split(
+            threshold=0.9, pointer_jumping=True
+        ),
+        "plain": lambda spark: db(spark).train_val_test_split(
+            threshold=0.9, pointer_jumping=False
+        ),
+        "auto": lambda spark: db(spark).train_val_test_split(
+            threshold=0.9, pointer_jumping="auto"
+        ),
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.isdigit()]
+    iters = next((int(a) for a in sys.argv[1:] if a.isdigit()), 5)
+    if len(args) != 1 or args[0].startswith("-"):
+        raise SystemExit(__doc__)
+    spec_fn = globals().get(args[0])
+    if spec_fn is None or not callable(spec_fn):
+        specs = [
+            k for k, v in globals().items()
+            if callable(v) and k not in ("main",)
+            and not k.startswith("_") and v.__module__ == __name__
+        ]
+        raise SystemExit(f"unknown spec {args[0]!r}; have: {specs}")
+
+    from bench import _warm_session
+    from vectordb_light_spark.session import get_spark
+
+    load0 = open("/proc/loadavg").read().split()[0]
+    spark = get_spark("ab-study")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm_session(spark, SF_DIR)
+
+    variants = spec_fn()
+    samples: dict[str, list[float]] = {name: [] for name in variants}
+    for name, fn in variants.items():  # warm each variant once
+        t0 = time.time()
+        fn(spark).collect()
+        print(f"{name} warm-up: {time.time() - t0:.3f}s", flush=True)
+    for i in range(iters):
+        for name, fn in variants.items():
+            t0 = time.time()
+            fn(spark).collect()
+            dt = time.time() - t0
+            samples[name].append(dt)
+            print(f"iter{i} {name}: {dt:.3f}s", flush=True)
+    load1 = open("/proc/loadavg").read().split()[0]
+    for name, xs in samples.items():
+        print(
+            f"{name}: best {min(xs):.3f}s  "
+            f"median {statistics.median(xs):.3f}s  "
+            f"mean {statistics.mean(xs):.3f}s  worst {max(xs):.3f}s"
+        )
+    print(f"loadavg {load0} -> {load1}")
+
+
+if __name__ == "__main__":
+    main()
