@@ -610,6 +610,7 @@ def test_scrub_card_numbers_fuzz_vs_python_reference(spark):
             if 13 <= len("".join(groups[i - 1:j])) <= 19
             and luhn("".join(groups[i - 1:j]))
         ]
+        valid = valid[:64]  # the adversarial-soup bound (both engines)
         # order-free dominance: overlaps resolve leftmost-longest,
         # disjoint chosen ranges all redact
         chosen = [
@@ -678,3 +679,30 @@ def test_scrub_card_numbers_fuzz_vs_python_reference(spark):
     )
     for r in rows:
         assert r.s == reference(r.t), (r.t, r.s, reference(r.t))
+
+
+def test_scrub_card_numbers_caps_adversarial_valid_ranges(spark):
+    """Adversarial digit soup: all-zero 13-digit groups are Luhn-valid,
+    so a long run could make the dominance filter quadratic — only the
+    first 64 valid ranges redact (both engines spell the same cap),
+    bounding the worst row while real documents are unaffected."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.functions.text import (
+        count_card_numbers,
+        scrub_card_numbers,
+    )
+
+    soup = " ".join(["0000000000000"] * 70)
+    row = (
+        spark.createDataFrame([(soup,)], "t string")
+        .select(
+            scrub_card_numbers("t").alias("s"),
+            count_card_numbers("t").alias("n"),
+        )
+        .head()
+    )
+    assert row.n == 64
+    assert row.s.count("<CARD>") == 64
+    # the 6 past-the-cap groups survive verbatim
+    assert row.s.count("0000000000000") == 6

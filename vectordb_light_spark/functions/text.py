@@ -653,6 +653,16 @@ def _bind(expr, fn):
 #: index) on arbitrarily long digit/separator runs.
 _CARD_MAX_SPAN = 19
 
+#: Dominance resolution is O(|valid|²) per run; real runs hold a
+#: handful of valid ranges, but ADVERSARIAL digit soup (all-zero
+#: 13-digit groups are Luhn-valid) could make |valid| grow with run
+#: length and hand one executor a quadratic row — so only the first
+#: 64 valid ranges (enumeration order: i ASC, j ASC) enter the
+#: dominance filter, bounding the worst row at 64² checks. 64
+#: disjoint cards in ONE contiguous run is far past any real
+#: document; the cap is spelled identically in the DuckDB twin.
+_CARD_MAX_VALID = 64
+
 
 def _card_chosen_ranges(groups: Column) -> Column:
     """All separator-aligned Luhn-valid sub-runs to redact inside one
@@ -711,15 +721,24 @@ def _card_chosen_ranges(groups: Column) -> Column:
                         )
                     ),
                 ),
-                lambda valid: F.filter(
-                    valid,
-                    lambda r: ~F.exists(
+                lambda valid_all: _bind(
+                    F.slice(
+                        valid_all,
+                        1,
+                        F.least(
+                            F.size(valid_all), F.lit(_CARD_MAX_VALID)
+                        ),
+                    ),
+                    lambda valid: F.filter(
                         valid,
-                        lambda q: (q["i"] <= r["j"])
-                        & (r["i"] <= q["j"])
-                        & (
-                            (q["i"] < r["i"])
-                            | ((q["i"] == r["i"]) & (q["j"] > r["j"]))
+                        lambda r: ~F.exists(
+                            valid,
+                            lambda q: (q["i"] <= r["j"])
+                            & (r["i"] <= q["j"])
+                            & (
+                                (q["i"] < r["i"])
+                                | ((q["i"] == r["i"]) & (q["j"] > r["j"]))
+                            ),
                         ),
                     ),
                 ),

@@ -6423,7 +6423,7 @@ _PII_CARD = r"[0-9][0-9 -]{11,}[0-9]"
                array_to_string(g[r.i:r.j], '') AS d
         FROM rng
     ),
-    ok AS (
+    ok0 AS (
         SELECT *
         FROM ver
         WHERE length(d) BETWEEN 13 AND 19
@@ -6433,6 +6433,14 @@ _PII_CARD = r"[0-9][0-9 -]{11,}[0-9]"
                                THEN CAST(d[li] AS INT) * 2
                                ELSE CAST(d[li] AS INT) * 2 - 9 END
                      ELSE CAST(d[li] AS INT) END)) % 10 = 0
+    ),
+    -- the Spark twin's adversarial-soup bound: only the first 64
+    -- valid ranges (enumeration order: i ASC, j ASC) enter the
+    -- dominance filter
+    ok AS (
+        SELECT * FROM ok0
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY doc_id, ord ORDER BY ri ASC, rj ASC) <= 64
     ),
     -- ORDER-FREE conflict policy (the Spark twin's exact rule): a
     -- valid range is chosen iff no other valid range overlapping it
