@@ -341,7 +341,9 @@ def test_split_straddle_counter_detects_planted_leak(spark):
         df, ("split",), report=False,
         split_weights={"train": 0.5, "test": 0.5}, split_jaccard=0.8,
     )
-    assert count_split_straddlers(out) == 0
+    # jaccard must mirror the run's split_jaccard — a looser counter
+    # threshold would surface pairs the stage never clustered
+    assert count_split_straddlers(out, jaccard=0.8) == 0
 
     # plant a leak: move doc 100 (near-dup of doc 7) to the other side
     other = out.where(F.col("doc_id") == 7).head()["split"]
@@ -352,4 +354,4 @@ def test_split_straddle_counter_detects_planted_leak(spark):
             F.col("split")
         ),
     )
-    assert count_split_straddlers(corrupted) > 0
+    assert count_split_straddlers(corrupted, jaccard=0.8) > 0

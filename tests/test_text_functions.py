@@ -610,7 +610,9 @@ def test_scrub_card_numbers_fuzz_vs_python_reference(spark):
             if 13 <= len("".join(groups[i - 1:j])) <= 19
             and luhn("".join(groups[i - 1:j]))
         ]
-        valid = valid[:64]  # the adversarial-soup bound (both engines)
+        from vectordb_light_spark.functions.text import _CARD_MAX_VALID
+
+        valid = valid[:_CARD_MAX_VALID]  # adversarial-soup bound
         # order-free dominance: overlaps resolve leftmost-longest,
         # disjoint chosen ranges all redact
         chosen = [
@@ -693,7 +695,9 @@ def test_scrub_card_numbers_caps_adversarial_valid_ranges(spark):
         scrub_card_numbers,
     )
 
-    soup = " ".join(["0000000000000"] * 70)
+    from vectordb_light_spark.functions.text import _CARD_MAX_VALID
+
+    soup = " ".join(["0000000000000"] * (_CARD_MAX_VALID + 6))
     row = (
         spark.createDataFrame([(soup,)], "t string")
         .select(
@@ -702,7 +706,7 @@ def test_scrub_card_numbers_caps_adversarial_valid_ranges(spark):
         )
         .head()
     )
-    assert row.n == 64
-    assert row.s.count("<CARD>") == 64
+    assert row.n == _CARD_MAX_VALID
+    assert row.s.count("<CARD>") == _CARD_MAX_VALID
     # the 6 past-the-cap groups survive verbatim
     assert row.s.count("0000000000000") == 6

@@ -20,19 +20,25 @@ load-average discipline).
 A spec is a no-arg function in THIS module returning
 ``dict[name, callable(spark) -> DataFrame]``; each callable builds
 the full lazy plan (cold, per run) and the study times
-``.collect()``.
+``.collect()``. Session/warm-up/summary scaffolding is SHARED with
+tools/solo_study.py (warmed_session / summary_stats / loadavg) so the
+two tools cannot drift apart.
 """
 
 from __future__ import annotations
 
-import statistics
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import os
+from tools.solo_study import (  # noqa: E402
+    loadavg,
+    summary_stats,
+    warmed_session,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -78,8 +84,11 @@ def ddc_jump_vs_plain():
 
 def facade_split_jump_vs_plain():
     """VERDICT r10 item 8's measurement: VectorDB.train_val_test_split
-    on a bench-shaped store under each CC strategy. Builds the store
-    once (module-level memo) so only the split is timed."""
+    on a bench-shaped store under each CC strategy. The store builds
+    LAZILY on the first variant's first call (per spec_fn() call, not
+    per module) — that one create_database cost lands inside the first
+    variant's printed warm-up line, which is untimed scaffolding:
+    compare only the iterN rows."""
     import shutil
     import tempfile
 
@@ -152,13 +161,7 @@ def main() -> None:
         ]
         raise SystemExit(f"unknown spec {args[0]!r}; have: {specs}")
 
-    from bench import _warm_session
-    from vectordb_light_spark.session import get_spark
-
-    load0 = open("/proc/loadavg").read().split()[0]
-    spark = get_spark("ab-study")
-    spark.sparkContext.setLogLevel("ERROR")
-    _warm_session(spark, SF_DIR)
+    spark, load0 = warmed_session("ab-study", SF_DIR)
 
     variants = spec_fn()
     samples: dict[str, list[float]] = {name: [] for name in variants}
@@ -173,13 +176,9 @@ def main() -> None:
             dt = time.time() - t0
             samples[name].append(dt)
             print(f"iter{i} {name}: {dt:.3f}s", flush=True)
-    load1 = open("/proc/loadavg").read().split()[0]
+    load1 = loadavg()
     for name, xs in samples.items():
-        print(
-            f"{name}: best {min(xs):.3f}s  "
-            f"median {statistics.median(xs):.3f}s  "
-            f"mean {statistics.mean(xs):.3f}s  worst {max(xs):.3f}s"
-        )
+        print(f"{name}: {summary_stats(xs)}")
     print(f"loadavg {load0} -> {load1}")
 
 

@@ -1890,18 +1890,20 @@ def main_linededup(factors: tuple[int, ...] = (1, 4, 16)) -> None:
 CHAIN_MARKER = "\n## curate CLI chain incl. the r8 stages, composed at x1/x4/x16"
 
 
-def count_split_straddlers(out_df) -> int:
+def count_split_straddlers(out_df, *, jaccard: float = 0.75) -> int:
     """Number of near-dup candidate pairs in a split-annotated corpus
     whose two sides landed in DIFFERENT splits — the leak invariant's
     violation count (0 on any output of the `split` stage).
 
     Pairs are re-derived with EXACTLY the stage's candidate
     parameters (curate_pipeline._stage_split: minhash_lsh_candidates
-    library defaults + jaccard 0.75) — a different banding would
-    "find" pairs the stage never clustered and false-alarm (measured:
-    a 16/4/poly31 re-derivation reported 11 phantom straddlers on a
-    leak-free x1 output). Negative-controlled by
-    tests/test_pipelines.py::test_split_straddle_counter_detects_planted_leak.
+    library defaults; pass the run's ``split_jaccard`` as ``jaccard``
+    when it isn't the 0.75 default) — a mismatched banding or
+    threshold would "find" pairs the stage never clustered and
+    false-alarm (measured: a 16/4/poly31 re-derivation reported 11
+    phantom straddlers on a leak-free x1 output).
+    Negative-controlled by tests/test_pipelines.py::
+    test_split_straddle_counter_detects_planted_leak.
     """
     from vectordb_light_spark.operators.dedup import (
         canonical_text,
@@ -1913,7 +1915,7 @@ def count_split_straddlers(out_df) -> int:
     ).where(F.length(canonical_text("text")) > 0)
     pairs = minhash_lsh_candidates(
         survivors_txt.select("doc_id", "text")
-    ).where(F.col("est_jaccard") >= 0.75)
+    ).where(F.col("est_jaccard") >= jaccard)
     sides = survivors_txt.select(F.col("doc_id"), F.col("split"))
     return (
         pairs.join(

@@ -32,6 +32,31 @@ from vectordb_light_spark.queries import QUERIES, _SOLO_COST_S  # noqa: E402
 from vectordb_light_spark.session import get_spark  # noqa: E402
 
 
+def loadavg() -> str:
+    return open("/proc/loadavg").read().split()[0]
+
+
+def warmed_session(app_name: str, sf_dir: str):
+    """The shared study discipline (solo_study + ab_study): quiet
+    session + bench.py's full warm-up, bracketed by /proc/loadavg.
+    Returns ``(spark, load0)``; read :func:`loadavg` again at the end
+    for the contention control."""
+    load0 = loadavg()
+    spark = get_spark(app_name)
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm_session(spark, sf_dir)
+    return spark, load0
+
+
+def summary_stats(samples: list[float]) -> str:
+    return (
+        f"best {min(samples):.3f}s  "
+        f"median {statistics.median(samples):.3f}s  "
+        f"mean {statistics.mean(samples):.3f}s  "
+        f"worst {max(samples):.3f}s"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.1"
@@ -42,10 +67,7 @@ def main() -> None:
     if unknown or not names:
         raise SystemExit(f"unknown entries: {unknown or '(none given)'}")
 
-    load0 = open("/proc/loadavg").read().split()[0]
-    spark = get_spark("solo-study")
-    spark.sparkContext.setLogLevel("ERROR")
-    _warm_session(spark, sf_dir)
+    spark, load0 = warmed_session("solo-study", sf_dir)
 
     summaries = []
     for name in names:
@@ -63,10 +85,7 @@ def main() -> None:
             print(f"{name} run {i + 1}: {dt:.3f}s", flush=True)
         floor = _SOLO_COST_S.get(name)
         summaries.append(
-            f"{name} @ {sf_dir}: best {min(samples):.3f}s  "
-            f"median {statistics.median(samples):.3f}s  "
-            f"mean {statistics.mean(samples):.3f}s  "
-            f"worst {max(samples):.3f}s  floor {floor}"
+            f"{name} @ {sf_dir}: {summary_stats(samples)}  floor {floor}"
             + (
                 f"  best/floor {min(samples) / floor:.2f}x"
                 if floor
@@ -74,7 +93,7 @@ def main() -> None:
             )
         )
 
-    load1 = open("/proc/loadavg").read().split()[0]
+    load1 = loadavg()
     print(f"\nloadavg {load0}->{load1}")
     for s in summaries:
         print(s)

@@ -6345,6 +6345,10 @@ def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+from vectordb_light_spark.functions.text import (
+    _CARD_MAX_VALID as _PII_CARD_CAP,
+)
+
 #: boundary-free MAXIMAL-run card candidate (functions/text.py
 #: PII_PATTERNS_EXTENDED) — identical regex, identical semantics in
 #: both engines, so no \b emulation needed for the split/extract
@@ -6434,13 +6438,15 @@ _PII_CARD = r"[0-9][0-9 -]{11,}[0-9]"
                                ELSE CAST(d[li] AS INT) * 2 - 9 END
                      ELSE CAST(d[li] AS INT) END)) % 10 = 0
     ),
-    -- the Spark twin's adversarial-soup bound: only the first 64
-    -- valid ranges (enumeration order: i ASC, j ASC) enter the
-    -- dominance filter
+    -- the Spark twin's adversarial-soup bound (_CARD_MAX_VALID,
+    -- interpolated so the spellings cannot drift): only the first
+    -- {_PII_CARD_CAP} valid ranges (enumeration order: i ASC, j ASC)
+    -- enter the dominance filter
     ok AS (
         SELECT * FROM ok0
         QUALIFY ROW_NUMBER() OVER (
-            PARTITION BY doc_id, ord ORDER BY ri ASC, rj ASC) <= 64
+            PARTITION BY doc_id, ord ORDER BY ri ASC, rj ASC)
+            <= {_PII_CARD_CAP}
     ),
     -- ORDER-FREE conflict policy (the Spark twin's exact rule): a
     -- valid range is chosen iff no other valid range overlapping it
