@@ -549,6 +549,16 @@ def test_scrub_card_numbers_adjacent_digit_runs(spark):
         # multi-card single run: every card redacts
         "two 4111111111111111 5500005555555559 end":
             "two <CARD> <CARD> end",
+        # ADVICE r11 high: GROUPED multi-card run where a Luhn-valid
+        # straddling decoy range (groups 4-7) is dominated by card 1
+        # yet — under the r11 order-free filter — still shadowed
+        # card 2 (groups 5-8), leaking it unredacted. The greedy
+        # fold judges dominance against CHOSEN ranges only.
+        "two 4111 1111 1111 1111 5500 0055 5555 5559 end":
+            "two <CARD> <CARD> end",
+        # same shape, dash-grouped
+        "d 4111-1111-1111-1111-5500-0055-5555-5559 d":
+            "d <CARD>-<CARD> d",
     }
     rows = (
         spark.createDataFrame([(t,) for t in cases], "t string")
@@ -613,16 +623,17 @@ def test_scrub_card_numbers_fuzz_vs_python_reference(spark):
         from vectordb_light_spark.functions.text import _CARD_MAX_VALID
 
         valid = valid[:_CARD_MAX_VALID]  # adversarial-soup bound
-        # order-free dominance: overlaps resolve leftmost-longest,
-        # disjoint chosen ranges all redact
-        chosen = [
-            r for r in valid
-            if not any(
-                q[0] <= r[1] and r[0] <= q[1]
-                and (q[0] < r[0] or (q[0] == r[0] and q[1] > r[1]))
-                for q in valid
-            )
-        ]
+        # INTENDED-BEHAVIOR spec (ADVICE r11 medium: the reference
+        # must not re-implement the engine's conflict policy):
+        # greedy leftmost-longest — sort (i ASC, j DESC), keep each
+        # range whose start clears the last KEPT range's end, so
+        # dominance is judged against chosen ranges only and a
+        # dominated decoy can never shadow a later card.
+        chosen, last_j = [], 0
+        for r in sorted(valid, key=lambda r: (r[0], -r[1])):
+            if r[0] > last_j:
+                chosen.append(r)
+                last_j = r[1]
         if not chosen:
             return c
         out = []

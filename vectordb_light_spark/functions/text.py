@@ -653,14 +653,16 @@ def _bind(expr, fn):
 #: index) on arbitrarily long digit/separator runs.
 _CARD_MAX_SPAN = 19
 
-#: Dominance resolution is O(|valid|²) per run; real runs hold a
-#: handful of valid ranges, but ADVERSARIAL digit soup (all-zero
-#: 13-digit groups are Luhn-valid) could make |valid| grow with run
-#: length and hand one executor a quadratic row — so only the first
-#: 64 valid ranges (enumeration order: i ASC, j ASC) enter the
-#: dominance filter, bounding the worst row at 64² checks. 64
+#: ADVERSARIAL digit soup (all-zero 13-digit groups are Luhn-valid)
+#: could make |valid| grow with run length — so only the first 64
+#: valid ranges (enumeration order: i ASC, j ASC) enter conflict
+#: resolution, bounding the per-row sort/fold/stitch work. 64
 #: disjoint cards in ONE contiguous run is far past any real
 #: document; the cap is spelled identically in the DuckDB twin.
+#: (The r11 dominance filter this cap originally guarded was
+#: O(|valid|²); the r12 greedy fold is O(|valid| log |valid|) — the
+#: cap stays as defense-in-depth and because its spelling is
+#: test-pinned in both engines.)
 _CARD_MAX_VALID = 64
 
 
@@ -675,15 +677,19 @@ def _card_chosen_ranges(groups: Column) -> Column:
     lengths array, so the digit string only materializes for ranges
     already in the 13-19 window.
 
-    Conflict policy (ORDER-FREE, so both engines spell it as a plain
-    filter): a valid range is chosen iff no other valid range
-    overlapping it strictly precedes it in (i ASC, j DESC) order —
-    i.e. overlapping candidates resolve leftmost-longest, while
-    DISJOINT valid ranges are ALL chosen (multi-card runs redact
-    every card; the single-best policy of the first r11 iteration
-    leaked the second card once runs stopped being char-capped). Any
-    overlapping pair has exactly one dominator, so the chosen set is
-    pairwise disjoint by construction."""
+    Conflict policy (SEQUENTIAL GREEDY, ADVICE r11): sort valid
+    ranges by (i ASC, j DESC) and fold left-to-right, keeping each
+    range whose start exceeds the last KEPT range's end — overlaps
+    resolve leftmost-longest against the CHOSEN set only, and
+    disjoint valid ranges are ALL chosen (multi-card runs redact
+    every card). The r11 order-free dominance filter tested overlap
+    against ALL valid ranges including already-dominated ones, so a
+    Luhn-valid straddling decoy could shadow a real card (valid
+    (1,4),(4,7),(5,8): (4,7) is dominated by (1,4) yet still
+    dominated (5,8), leaking the second card); the greedy fold is
+    immune because a dominated range never enters the chosen set.
+    The chosen set is pairwise disjoint by construction of the
+    fold."""
     return _bind(
         groups,
         lambda g: _bind(
@@ -729,17 +735,27 @@ def _card_chosen_ranges(groups: Column) -> Column:
                             F.size(valid_all), F.lit(_CARD_MAX_VALID)
                         ),
                     ),
-                    lambda valid: F.filter(
-                        valid,
-                        lambda r: ~F.exists(
+                    # greedy leftmost-longest fold: sort (i ASC,
+                    # j DESC), keep r iff r.i clears the last KEPT
+                    # range's j (F.get is the total element access —
+                    # NULL on the empty accumulator, never a throw,
+                    # and the size==0 arm short-circuits it anyway)
+                    lambda valid: F.aggregate(
+                        F.array_sort(
                             valid,
-                            lambda q: (q["i"] <= r["j"])
-                            & (r["i"] <= q["j"])
-                            & (
-                                (q["i"] < r["i"])
-                                | ((q["i"] == r["i"]) & (q["j"] > r["j"]))
-                            ),
+                            lambda a, b: F.when(
+                                a["i"] != b["i"], a["i"] - b["i"]
+                            ).otherwise(b["j"] - a["j"]),
                         ),
+                        F.slice(valid, 1, 0),
+                        lambda acc, r: F.when(
+                            (F.size(acc) == 0)
+                            | (
+                                r["i"]
+                                > F.get(acc, F.size(acc) - 1)["j"]
+                            ),
+                            F.array_append(acc, r),
+                        ).otherwise(acc),
                     ),
                 ),
             ),

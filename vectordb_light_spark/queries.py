@@ -6346,6 +6346,7 @@ def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from vectordb_light_spark.functions.text import (
+    _CARD_MAX_SPAN as _PII_CARD_SPAN,
     _CARD_MAX_VALID as _PII_CARD_CAP,
 )
 
@@ -6415,10 +6416,11 @@ _PII_CARD = r"[0-9][0-9 -]{11,}[0-9]"
     rng AS (
         -- span-bounded ascending enumeration: a card has <=19 digits
         -- so a valid sub-run spans <=19 groups — ranges stay LINEAR
-        -- in run length
+        -- in run length (_CARD_MAX_SPAN interpolated, ADVICE r11 low:
+        -- the span constant must not drift from the Spark twin's)
         SELECT doc_id, ord, c, g, sp, len(g) AS k,
                unnest(flatten(list_transform(range(1, len(g) + 1), ri ->
-                   list_transform(range(ri, least(ri + 18, len(g)) + 1),
+                   list_transform(range(ri, least(ri + {_PII_CARD_SPAN - 1}, len(g)) + 1),
                        rj -> {{'i': ri, 'j': rj}})))) AS r
         FROM grp
     ),
@@ -6441,25 +6443,44 @@ _PII_CARD = r"[0-9][0-9 -]{11,}[0-9]"
     -- the Spark twin's adversarial-soup bound (_CARD_MAX_VALID,
     -- interpolated so the spellings cannot drift): only the first
     -- {_PII_CARD_CAP} valid ranges (enumeration order: i ASC, j ASC)
-    -- enter the dominance filter
+    -- enter conflict resolution
     ok AS (
         SELECT * FROM ok0
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY doc_id, ord ORDER BY ri ASC, rj ASC)
             <= {_PII_CARD_CAP}
     ),
-    -- ORDER-FREE conflict policy (the Spark twin's exact rule): a
-    -- valid range is chosen iff no other valid range overlapping it
-    -- strictly precedes it in (i ASC, j DESC) order — overlaps
-    -- resolve leftmost-longest, disjoint cards ALL redact
+    -- SEQUENTIAL GREEDY conflict policy (ADVICE r11, the Spark
+    -- twin's exact rule): sort valid ranges (i ASC, j DESC) and
+    -- fold left-to-right keeping each range whose start clears the
+    -- last KEPT range's end — dominance against CHOSEN ranges only,
+    -- so a dominated straddling decoy can no longer shadow a real
+    -- card. list_sort's natural struct order gives (i ASC, nj ASC)
+    -- = (i ASC, j DESC); list_reduce has no initial value in this
+    -- engine, so each element is lifted to the accumulator shape
+    -- {{'j': last-kept-end, 'ch': chosen-so-far}} first.
+    gsel AS (
+        SELECT doc_id, ord,
+               list_reduce(
+                   list_transform(
+                       list_sort(list_transform(
+                           list({{'i': ri, 'j': rj}}),
+                           r -> {{'i': r.i, 'nj': -r.j}})),
+                       s -> {{'j': -s.nj,
+                              'ch': [{{'i': s.i, 'j': -s.nj}}]}}
+                   ),
+                   (acc, x) -> CASE WHEN x.ch[1].i > acc.j
+                       THEN {{'j': x.ch[1].j,
+                              'ch': list_append(acc.ch, x.ch[1])}}
+                       ELSE acc END
+               ).ch AS ch
+        FROM ok GROUP BY doc_id, ord
+    ),
+    gu AS (
+        SELECT doc_id, ord, unnest(ch) AS u FROM gsel
+    ),
     chosen AS (
-        SELECT a.* FROM ok a
-        WHERE NOT EXISTS (
-            SELECT 1 FROM ok b
-            WHERE b.doc_id = a.doc_id AND b.ord = a.ord
-              AND b.ri <= a.rj AND a.ri <= b.rj
-              AND (b.ri < a.ri OR (b.ri = a.ri AND b.rj > a.rj))
-        )
+        SELECT doc_id, ord, u.i AS ri, u.j AS rj FROM gu
     ),
     slots AS (
         SELECT doc_id, ord, c, g, sp, len(g) AS k,
@@ -6529,7 +6550,8 @@ def ts_pii_scrub_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     the `_PII_IP_B` recipe). The DuckDB twin re-runs the
     separator-aligned multi-sub-run search row-wise (unnest
     candidates → span-bounded range enumeration → Luhn via
-    list_transform/list_sum → order-free dominance filter → per-slot
+    list_transform/list_sum → sequential-greedy fold (ADVICE r11:
+    leftmost-longest against CHOSEN ranges only) → per-slot
     stitch); Spark runs the identical policy as nested JVM
     higher-order functions. Map-only either way: no shuffle, no
     Python, scales as a pure scan."""
@@ -6986,54 +7008,54 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LAST_GRADED = {
     'ann_ivf_topk': 9,
-    'ann_ivfpq_topk': 8,
+    'ann_ivfpq_topk': 11,
     'ann_opq_topk': 9,
     'ann_pca_topk': 9,
-    'ann_pq_topk': 8,
+    'ann_pq_topk': 11,
     'ann_recall_contract': 10,
     'ann_srp_topk': 10,
     'ann_topk_join': 10,
     'dd_containment_pairs': 10,
-    'dd_cross_corpus_candidates': 8,
-    'dd_duplicate_clusters': 9,
-    'dd_duplicate_groups': 9,
+    'dd_cross_corpus_candidates': 11,
+    'dd_duplicate_clusters': 11,
+    'dd_duplicate_groups': 11,
     'dd_embedding_near_dups': 10,
-    'dd_exact_dedup': 8,
+    'dd_exact_dedup': 11,
     'dd_image_near_dups': 9,
     'dd_jaccard_pairs': 9,
     'dd_line_dedup': 10,
-    'dd_minhash_candidates': 8,
+    'dd_minhash_candidates': 11,
     'dd_remove_boilerplate': 9,
-    'dd_repeated_spans': 8,
+    'dd_repeated_spans': 11,
     'dd_semantic_dedup': 10,
     'dd_simhash_near_dups': 9,
-    'dd_strip_repeated_spans': 8,
+    'dd_strip_repeated_spans': 11,
     'dq_events_constraints': 10,
-    'emb_doc_mean_pool': 8,
+    'emb_doc_mean_pool': 11,
     'emb_feature_hash_topk': 9,
     'emb_mini_encoder_topk': 9,
     'kw_bm25_topk': 9,
     'kw_hybrid_rrf': 9,
-    'mm_audio_features': 8,
+    'mm_audio_features': 11,
     'mm_audio_windows': 10,
     'mm_frame_counts': 10,
-    'mm_image_decode': 8,
+    'mm_image_decode': 11,
     'mm_image_pipeline': 9,
-    'mm_jpeg_decode': 8,
-    'mm_video_frames': 8,
-    'pipe_bloom_decontaminate': 8,
-    'pipe_bpe_encode': 8,
-    'pipe_bpe_merges': 8,
+    'mm_jpeg_decode': 11,
+    'mm_video_frames': 11,
+    'pipe_bloom_decontaminate': 11,
+    'pipe_bpe_encode': 11,
+    'pipe_bpe_merges': 11,
     'pipe_cdc_chunks': 10,
     'pipe_chunk_fixed': 10,
     'pipe_chunk_normalized': 10,
     'pipe_corpus_mix': 10,
-    'pipe_corpus_shuffle': 9,
+    'pipe_corpus_shuffle': 11,
     'pipe_corpus_split': 10,
     'pipe_curate_chain': 9,
     'pipe_curriculum_order': 9,
-    'pipe_decontaminate': 8,
-    'pipe_doc_hash': 9,
+    'pipe_decontaminate': 11,
+    'pipe_doc_hash': 11,
     'pipe_domain_mix': 10,
     'pipe_dsir_select': 10,
     'pipe_hash_embed_topk': 9,
@@ -7042,51 +7064,51 @@ _LAST_GRADED = {
     'pipe_pdf_page_chunks': 10,
     'pipe_semantic_decontaminate': 9,
     'pipe_sequence_pack': 10,
-    'pipe_stratified_take': 8,
+    'pipe_stratified_take': 11,
     'pipe_temperature_mix': 10,
-    'pipe_token_budget_mix': 8,
+    'pipe_token_budget_mix': 11,
     'pipe_token_windows': 9,
     'pipe_training_corpus': 9,
     'pipe_url_dedup': 10,
     'pipe_weighted_sample': 10,
     'prof_corpus_quantiles': 10,
-    'prof_events_corr': 9,
+    'prof_events_corr': 11,
     'prof_events_cube': 10,
-    'prof_events_pivot': 8,
+    'prof_events_pivot': 11,
     'prof_events_rollup': 10,
-    'prof_events_sketch': 8,
+    'prof_events_sketch': 11,
     'prof_sketch_accuracy': 10,
     'prof_value_histogram': 10,
     'rel_big_orders': 10,
-    'rel_customer_activity': 9,
+    'rel_customer_activity': 11,
     'rel_events_asof': 10,
     'rel_events_cohorts': 9,
-    'rel_events_funnel': 9,
-    'rel_events_gapfill': 8,
-    'rel_events_gaps': 8,
-    'rel_events_interval': 9,
-    'rel_events_json': 9,
+    'rel_events_funnel': 11,
+    'rel_events_gapfill': 11,
+    'rel_events_gaps': 11,
+    'rel_events_interval': 11,
+    'rel_events_json': 11,
     'rel_events_moving_avg': 9,
-    'rel_events_scd2': 9,
+    'rel_events_scd2': 11,
     'rel_forecast_revenue': 10,
     'rel_join_nation_customers': 10,
     'rel_orders_pareto': 9,
-    'rel_pricing_summary': 8,
-    'rel_region_volume': 9,
-    'rel_scd2_merge': 8,
+    'rel_pricing_summary': 11,
+    'rel_region_volume': 11,
+    'rel_scd2_merge': 11,
     'rel_sessions_overlap': 10,
-    'rel_shipping_priority': 9,
+    'rel_shipping_priority': 11,
     'rel_top_orders_by_revenue': 9,
-    'rel_user_retention': 8,
+    'rel_user_retention': 11,
     'rel_window_order_rank': 10,
     'sim_cosine_pairs_exact': 9,
     'sim_sparse_cosine_pairs': 9,
-    'skew_salted_user_join': 8,
+    'skew_salted_user_join': 11,
     'src_binary_roundtrip': 10,
     'src_markup_roundtrip': 10,
     'src_office_roundtrip': 10,
     'st_clicks_attribution': 10,
-    'st_events_dedup': 8,
+    'st_events_dedup': 11,
     'st_events_sessions': 9,
     'st_events_sliding': 10,
     'st_events_window': 10,
@@ -7098,26 +7120,27 @@ _LAST_GRADED = {
     'ts_gopher_filter': 9,
     'ts_lang_id': 9,
     'ts_pii_scrub': 10,
+    'ts_pii_scrub_extended': 11,
     'ts_quality_classifier': 9,
     'ts_quality_score': 9,
     'ts_readability': 10,
-    'ts_repetition_filter': 8,
-    'ts_text_stats': 9,
+    'ts_repetition_filter': 11,
+    'ts_text_stats': 11,
     'ts_tfidf_top_terms': 10,
-    'ts_vocab_topk': 8,
+    'ts_vocab_topk': 11,
     'ts_winnow_fingerprints': 10,
     'vq_batch_topk': 9,
     'vq_chunks_only': 9,
-    'vq_citations': 8,
-    'vq_filtered_topk': 8,
-    'vq_grouped_topk': 9,
+    'vq_citations': 11,
+    'vq_filtered_topk': 11,
+    'vq_grouped_topk': 11,
     'vq_mmr_rerank': 10,
-    'vq_postfilters': 8,
+    'vq_postfilters': 11,
     'vq_rag_prompt': 9,
     'vq_range_search': 10,
-    'vq_threshold_after_topk': 8,
-    'vq_topk_cosine': 9,
-    'vq_topk_quantized': 8,
+    'vq_threshold_after_topk': 11,
+    'vq_topk_cosine': 11,
+    'vq_topk_quantized': 11,
 }
 
 _SOLO_COST_S = {
@@ -7128,17 +7151,17 @@ _SOLO_COST_S = {
     'ann_pq_topk': 1.278,
     'ann_recall_contract': 5.89,
     'ann_srp_topk': 0.708,
-    'ann_topk_join': 1.472,
+    'ann_topk_join': 1.416,
     'dd_containment_pairs': 1.764,
     'dd_cross_corpus_candidates': 1.387,
     'dd_duplicate_clusters': 3.933,
     'dd_duplicate_groups': 0.364,
-    'dd_embedding_near_dups': 1.004,
-    'dd_exact_dedup': 0.721,
+    'dd_embedding_near_dups': 1.12,
+    'dd_exact_dedup': 0.771,
     'dd_image_near_dups': 3.544,
     'dd_jaccard_pairs': 0.489,
     'dd_line_dedup': 0.923,
-    'dd_minhash_candidates': 1.19,
+    'dd_minhash_candidates': 1.214,
     'dd_remove_boilerplate': 0.847,
     'dd_repeated_spans': 0.906,
     'dd_semantic_dedup': 2.228,
@@ -7146,9 +7169,9 @@ _SOLO_COST_S = {
     'dd_strip_repeated_spans': 1.291,
     'dq_events_constraints': 0.469,
     'emb_doc_mean_pool': 0.266,
-    'emb_feature_hash_topk': 0.75,
+    'emb_feature_hash_topk': 0.92,
     'emb_mini_encoder_topk': 0.986,
-    'kw_bm25_topk': 0.559,
+    'kw_bm25_topk': 0.728,
     'kw_hybrid_rrf': 0.913,
     'mm_audio_features': 1.265,
     'mm_audio_windows': 0.21,
@@ -7168,7 +7191,7 @@ _SOLO_COST_S = {
     'pipe_corpus_split': 0.139,
     'pipe_curate_chain': 4.337,
     'pipe_curriculum_order': 0.946,
-    'pipe_decontaminate': 0.797,
+    'pipe_decontaminate': 0.954,
     'pipe_doc_hash': 0.289,
     'pipe_domain_mix': 1.188,
     'pipe_dsir_select': 0.849,
@@ -7177,25 +7200,25 @@ _SOLO_COST_S = {
     'pipe_negative_samples': 0.502,
     'pipe_pdf_page_chunks': 1.107,
     'pipe_semantic_decontaminate': 2.439,
-    'pipe_sequence_pack': 0.52,
+    'pipe_sequence_pack': 0.936,
     'pipe_stratified_take': 0.241,
     'pipe_temperature_mix': 0.528,
     'pipe_token_budget_mix': 0.331,
     'pipe_token_windows': 0.393,
-    'pipe_training_corpus': 1.175,
+    'pipe_training_corpus': 1.428,
     'pipe_url_dedup': 1.317,
     'pipe_weighted_sample': 0.156,
     'prof_corpus_quantiles': 0.175,
     'prof_events_corr': 0.378,
     'prof_events_cube': 0.22,
     'prof_events_pivot': 0.247,
-    'prof_events_rollup': 0.223,
+    'prof_events_rollup': 0.307,
     'prof_events_sketch': 0.839,
     'prof_sketch_accuracy': 3.229,
     'prof_value_histogram': 0.127,
     'rel_big_orders': 0.404,
     'rel_customer_activity': 0.289,
-    'rel_events_asof': 0.474,
+    'rel_events_asof': 0.53,
     'rel_events_cohorts': 0.385,
     'rel_events_funnel': 0.348,
     'rel_events_gapfill': 0.297,
@@ -7207,23 +7230,23 @@ _SOLO_COST_S = {
     'rel_forecast_revenue': 0.118,
     'rel_join_nation_customers': 0.187,
     'rel_orders_pareto': 0.384,
-    'rel_pricing_summary': 0.277,
+    'rel_pricing_summary': 0.319,
     'rel_region_volume': 0.345,
     'rel_scd2_merge': 0.383,
     'rel_sessions_overlap': 0.629,
-    'rel_shipping_priority': 0.363,
+    'rel_shipping_priority': 0.38,
     'rel_top_orders_by_revenue': 0.382,
     'rel_user_retention': 0.398,
-    'rel_window_order_rank': 0.552,
+    'rel_window_order_rank': 0.79,
     'sim_cosine_pairs_exact': 0.808,
-    'sim_sparse_cosine_pairs': 0.829,
+    'sim_sparse_cosine_pairs': 0.94,
     'skew_salted_user_join': 0.34,
     'src_binary_roundtrip': 1.122,
     'src_markup_roundtrip': 1.162,
     'src_office_roundtrip': 1.168,
     'st_clicks_attribution': 2.324,
     'st_events_dedup': 0.331,
-    'st_events_sessions': 1.175,
+    'st_events_sessions': 1.611,
     'st_events_sliding': 0.263,
     'st_events_window': 0.192,
     'st_heavy_hitters': 0.948,
@@ -7232,7 +7255,7 @@ _SOLO_COST_S = {
     'ts_bigram_lm_score': 1.13,
     'ts_c4_filter': 0.429,
     'ts_gopher_filter': 0.627,
-    'ts_lang_id': 0.699,
+    'ts_lang_id': 0.858,
     'ts_pii_scrub': 0.53,
     'ts_quality_classifier': 0.428,
     'ts_quality_score': 0.478,
@@ -7242,7 +7265,7 @@ _SOLO_COST_S = {
     'ts_tfidf_top_terms': 0.823,
     'ts_vocab_topk': 0.312,
     'ts_winnow_fingerprints': 1.047,
-    'vq_batch_topk': 0.384,
+    'vq_batch_topk': 0.485,
     'vq_chunks_only': 0.419,
     'vq_citations': 0.344,
     'vq_filtered_topk': 0.328,
@@ -7252,7 +7275,7 @@ _SOLO_COST_S = {
     'vq_rag_prompt': 0.411,
     'vq_range_search': 0.488,
     'vq_threshold_after_topk': 0.308,
-    'vq_topk_cosine': 0.29,
+    'vq_topk_cosine': 0.314,
     'vq_topk_quantized': 0.367,
 }
 
@@ -7263,21 +7286,16 @@ _SOLO_COST_S = {
 _PRE_ORACLE_STALE: set = set()
 
 
-#: r11 cut (grading-budget protocol, COVERAGE.md): 2 changed (one of
-#: them a new entry) + 34 r8-stale + 14 cheapest-r9 fill = 50,
-#: clearing the entire r8 tail (VERDICT r10 item 2). Changes this
-#: round: (1) flip `dd_duplicate_clusters` to `pointer_jumping=True`
-#: (VERDICT r10 item 1 — the r10 A/B measured 12->5 CC rounds / 1.6x
-#: wall on exactly its minhash pair graph; the oracle is
-#: round-agnostic, so this is a plan-only change, marked per the
-#: conservative rule-6 default); (2) register the extended PII tier
-#: as its own entry `ts_pii_scrub_extended` (VERDICT r10 item 4 —
-#: SSN + Luhn-verified card redaction; the Luhn fold has an exact
-#: DuckDB list_reduce twin; new entry, 1 slot).
+#: r12 cut (grading-budget protocol, COVERAGE.md): changed entries +
+#: 34 r9-stale + cheapest-r10 fill = 50, clearing the entire r9 tail
+#: (VERDICT r11 item 2). Changes this round: (1) `ts_pii_scrub_extended`
+#: — ADVICE r11 high: the order-free dominance filter let a dominated
+#: Luhn-valid straddling decoy shadow a real card; conflict policy
+#: rebuilt as sequential greedy leftmost-longest (sorted fold,
+#: dominance against CHOSEN ranges only) in BOTH engines, plus the
+#: low-severity `_CARD_MAX_SPAN` interpolation into the oracle.
 _CHANGED_THIS_ROUND = {
-    # (1) plan flip to the measured-faster CC strategy (r10 item 1)
-    "dd_duplicate_clusters",
-    # (2) new entry: extended PII tier (r10 item 4)
+    # (1) greedy conflict policy (ADVICE r11 high)
     "ts_pii_scrub_extended",
 }
 
