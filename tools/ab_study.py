@@ -147,6 +147,89 @@ def facade_split_jump_vs_plain():
     }
 
 
+def leak_split_instrumented():
+    """VERDICT r11 item 1: falsify-or-confirm the 'CC-round swing'
+    attribution for pipe_leakage_safe_split's 2.2-2.7x same-code wall
+    band. Each call rebuilds the EXACT registered body but passes the
+    stats hook through duplicate_clusters and prints, per iteration,
+    the candidate-pipeline setup wall, the CC round count, and each
+    round's wall — so a wall spike can be attributed to (a) the
+    upstream minhash band join (setup), (b) extra CC rounds (the
+    CHANGELOG r11 claim), (c) slower same-count rounds (scheduling /
+    GC jitter), or (d) the post-CC routing+aggregate collect (the
+    remainder of the iterN line)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.components import (
+        duplicate_clusters,
+    )
+    from vectordb_light_spark.operators.dedup import (
+        canonical_text,
+        minhash_lsh_candidates,
+    )
+    from vectordb_light_spark.operators.sampling import assign_split
+    from vectordb_light_spark.queries import _SPLIT_WEIGHTS, load_docs
+
+    def entry(spark):
+        t0 = time.time()
+        docs = load_docs(spark, SF_DIR)
+        base = docs.where(F.length(canonical_text("text")) > 0)
+        pairs = minhash_lsh_candidates(
+            base, num_hashes=16, bands=4, hash_family="poly31",
+            max_bucket=None,
+        ).where(F.col("est_jaccard") >= 0.75)
+        cc_stats: dict = {}
+        clusters = duplicate_clusters(
+            pairs, left_id="id_a", right_id="id_b",
+            pointer_jumping=True, stats=cc_stats,
+        ).select("doc_id", "cluster_id")
+        routed = assign_split(
+            docs.join(clusters, "doc_id", "left")
+            .withColumn(
+                "_route", F.coalesce("cluster_id", F.col("doc_id"))
+            ),
+            _SPLIT_WEIGHTS, id_col="_route", seed=0,
+        ).drop("_route")
+        g = (
+            routed.groupBy("split", "cluster_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum("n_chars").cast("long").alias("_chars"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        leaky = (
+            g.where(F.col("cluster_id").isNotNull())
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("__ns"))
+            .agg(
+                F.count(F.when(F.col("__ns") > 1, 1))
+                .cast("long")
+                .alias("n_leaky_clusters")
+            )
+        )
+        walls = " ".join(
+            f"{w:.2f}" for w in cc_stats.get("round_walls", [])
+        )
+        print(
+            f"    cc: setup={cc_stats.get('setup_wall', 0):.2f}s"
+            f" rounds={cc_stats.get('rounds')} walls=[{walls}]"
+            f" build_total={time.time() - t0:.2f}s",
+            flush=True,
+        )
+        return (
+            g.groupBy("split")
+            .agg(
+                F.sum("_n").cast("long").alias("n_docs"),
+                F.sum("_chars").cast("long").alias("total_chars"),
+            )
+            .crossJoin(F.broadcast(leaky))
+            .orderBy("split")
+        )
+
+    return {"entry": entry}
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.isdigit()]
     iters = next((int(a) for a in sys.argv[1:] if a.isdigit()), 5)
@@ -165,10 +248,19 @@ def main() -> None:
 
     variants = spec_fn()
     samples: dict[str, list[float]] = {name: [] for name in variants}
-    for name, fn in variants.items():  # warm each variant once
-        t0 = time.time()
-        fn(spark).collect()
-        print(f"{name} warm-up: {time.time() - t0:.3f}s", flush=True)
+    # Warm each variant TWICE (r12): one pass leaves the first timed
+    # iteration paying residual C2/codegen JIT — both r12 instrumented
+    # runs showed a monotone cool-down through iter1-2 with constant
+    # work (CC round counts pinned), so a single warm-up under-warms
+    # and inflates the spread with scaffolding noise, not signal.
+    for name, fn in variants.items():
+        for w in range(2):
+            t0 = time.time()
+            fn(spark).collect()
+            print(
+                f"{name} warm-up {w}: {time.time() - t0:.3f}s",
+                flush=True,
+            )
     for i in range(iters):
         for name, fn in variants.items():
             t0 = time.time()

@@ -19,7 +19,10 @@ graphs are overwhelmingly tiny cliques/chains (diameter ≤ ~3), so
 3-5 rounds close almost everything; convergence is CHECKED, not
 assumed. Each round materializes via localCheckpoint to cut the
 exponentially deepening lineage (the standard iterative-DataFrame
-pattern; eager=True runs the round's job immediately).
+pattern; LAZY as of r12 — the round's convergence aggregate
+materializes the checkpoint in the same job, so each round is ONE
+job, halving the scheduling overhead that dominates on tiny
+post-threshold graphs).
 
 Not SQL-expressible (no recursion in the oracle dialect) → the
 registry entry is rows-only; correctness is tested against a Python
@@ -76,9 +79,16 @@ def connected_components(
     entries keep their explicitly A/B-measured flags.
 
     ``stats``, when a dict, receives ``{"rounds": n, "escalated":
-    bool}`` on return — the measurement hook for the probe and the
-    equivalence tests.
+    bool, "round_walls": [s, ...], "setup_wall": s}`` on return — the
+    measurement hook for the probe, the equivalence tests, and the
+    r12 wall-variance instrumentation (VERDICT r11 item 1: each
+    entry in ``round_walls`` is one propagation round's driver wall
+    including its localCheckpoint job and the exact-sum convergence
+    aggregate; ``setup_wall`` covers sym+seed materialization, which
+    executes the ENTIRE upstream candidate pipeline and is where
+    corpus-sized variance lives).
     """
+    import time as _time
     # IDENTITY checks, not equality: 1 == True and numpy.bool_(True)
     # == True would pass an `in (True, False, 'auto')` test yet miss
     # the later `is True` dispatch and silently run PLAIN rounds —
@@ -92,6 +102,7 @@ def connected_components(
             f"pointer_jumping must be True/False/'auto', "
             f"got {pointer_jumping!r}"
         )
+    t_setup = _time.time()
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -102,14 +113,22 @@ def connected_components(
     )
     # materialize ONCE: every round joins against sym, and without
     # this the whole upstream candidate-generation pipeline (MinHash,
-    # banding, …) would re-execute per round through the lineage
-    sym = sym.localCheckpoint(eager=True)
+    # banding, …) would re-execute per round through the lineage.
+    # LAZY checkpoints (r12, VERDICT r11 item 1): the convergence
+    # aggregate below materializes sym + the seed in the SAME job —
+    # eager=True ran a separate job per checkpoint, and on the tiny
+    # post-threshold graphs of the registered entries the per-JOB
+    # scheduling overhead, not data, dominated the wall (the r12
+    # instrumented study measured constant round counts with
+    # uniformly host-band-inflated walls; halving the job count
+    # shrinks the steal-exposure per round).
+    sym = sym.localCheckpoint(eager=False)
     # start: every node's component is its smallest direct neighbor
     # (or itself) — one groupBy seeds AND performs round 1
     comp = sym.groupBy("a").agg(
         F.least(F.min("b"), F.col("a")).alias("c")
     ).select(F.col("a").alias("node"), F.col("c").alias("component"))
-    comp = comp.localCheckpoint(eager=True)
+    comp = comp.localCheckpoint(eager=False)
 
     # convergence via the exact label SUM (decimal — no overflow):
     # labels only ever DECREASE, so an unchanged sum ⇔ no label moved
@@ -132,8 +151,11 @@ def connected_components(
         return row["s"]
 
     prev_sum = label_sum(comp)
+    setup_wall = _time.time() - t_setup
+    round_walls: list = []
     escalated = False
     for rounds in range(1, max_iter + 1):
+        t_round = _time.time()
         jump_now = pointer_jumping is True or (
             pointer_jumping == "auto" and rounds > escalate_after
         )
@@ -164,12 +186,17 @@ def connected_components(
                 "node",
                 F.coalesce("__cc", "component").alias("component"),
             )
-        comp = nxt.localCheckpoint(eager=True)
+        # lazy: label_sum's aggregate action materializes the round's
+        # checkpoint in the same job (1 job/round instead of 2)
+        comp = nxt.localCheckpoint(eager=False)
         cur_sum = label_sum(comp)
+        round_walls.append(_time.time() - t_round)
         if cur_sum == prev_sum:
             if stats is not None:
                 stats["rounds"] = rounds
                 stats["escalated"] = escalated
+                stats["round_walls"] = round_walls
+                stats["setup_wall"] = setup_wall
             return comp
         prev_sum = cur_sum
     raise RuntimeError(
@@ -184,15 +211,18 @@ def duplicate_clusters(
     right_id: str = "doc_id_b",
     max_iter: int = 20,
     pointer_jumping: bool | str = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster near-dup candidate pairs into groups: returns
     ``(doc_id, cluster_id, cluster_size, keep)`` where ``keep`` marks
     the canonical survivor (min id) of each cluster — the row set to
     retain for dedup is ``keep = true`` plus all unpaired documents.
+    ``stats`` passes through to :func:`connected_components` (round
+    count / per-round walls — the r12 variance instrumentation).
     """
     comp = connected_components(
         candidate_pairs, src=left_id, dst=right_id, max_iter=max_iter,
-        pointer_jumping=pointer_jumping,
+        pointer_jumping=pointer_jumping, stats=stats,
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
     from pyspark.sql import Window
 

@@ -4081,13 +4081,24 @@ def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     count of clusters spanning more than one split, pinned to 0 by
     the oracle (a routing regression flips the hash). The cluster
     table joins in broadcast-sized (only docs WITH duplicates); the
-    routing itself is map-side."""
+    routing itself is map-side.
+
+    SINGLE-PASS plan (r12, VERDICT r11 item 1): the r11 body read
+    the routed corpus TWICE — once for the per-split totals, once
+    re-joined against the cluster table for the leak check. Both now
+    derive from ONE ``groupBy(split, cluster_id)`` over the routed
+    scan (cluster_id retained through routing): per-split totals are
+    sums over the tiny grouped frame, and the leak count is the
+    number of non-null cluster_ids appearing under more than one
+    (split, cluster) group. At 100 TB that halves the corpus reads;
+    the grouped frame is lazily checkpointed so the scan runs once
+    and both consumers reuse it."""
     from vectordb_light_spark.operators.components import duplicate_clusters
     from vectordb_light_spark.operators.dedup import (
         canonical_text,
         minhash_lsh_candidates,
     )
-    from vectordb_light_spark.operators.sampling import leakage_safe_split
+    from vectordb_light_spark.operators.sampling import assign_split
 
     docs = load_docs(spark, sf_dir)
     base = docs.where(F.length(canonical_text("text")) > 0)
@@ -4099,14 +4110,25 @@ def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = duplicate_clusters(
         pairs, left_id="id_a", right_id="id_b", pointer_jumping=True
     ).select("doc_id", "cluster_id")
-    routed = leakage_safe_split(
-        docs, clusters, _SPLIT_WEIGHTS, id_col="doc_id",
-        cluster_col="cluster_id", seed=0,
+    # leakage_safe_split's routing, inlined with cluster_id RETAINED
+    # (the facade drops it; the leak self-check needs it)
+    routed = assign_split(
+        docs.join(clusters, "doc_id", "left")
+        .withColumn("_route", F.coalesce("cluster_id", F.col("doc_id"))),
+        _SPLIT_WEIGHTS, id_col="_route", seed=0,
+    ).drop("_route")
+    g = (
+        routed.groupBy("split", "cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("n_chars").cast("long").alias("_chars"),
+        )
+        .localCheckpoint(eager=False)
     )
     leaky = (
-        routed.join(clusters, "doc_id")
+        g.where(F.col("cluster_id").isNotNull())
         .groupBy("cluster_id")
-        .agg(F.count_distinct("split").alias("__ns"))
+        .agg(F.count(F.lit(1)).alias("__ns"))
         .agg(
             F.count(F.when(F.col("__ns") > 1, 1))
             .cast("long")
@@ -4114,10 +4136,10 @@ def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        routed.groupBy("split")
+        g.groupBy("split")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("_n").cast("long").alias("n_docs"),
+            F.sum("_chars").cast("long").alias("total_chars"),
         )
         .crossJoin(F.broadcast(leaky))
         .orderBy("split")
@@ -7294,9 +7316,28 @@ _PRE_ORACLE_STALE: set = set()
 #: rebuilt as sequential greedy leftmost-longest (sorted fold,
 #: dominance against CHOSEN ranges only) in BOTH engines, plus the
 #: low-severity `_CARD_MAX_SPAN` interpolation into the oracle.
+#: (2) `pipe_leakage_safe_split` — VERDICT r11 item 1 (the round's
+#: one weak mark): instrumentation falsified the "CC-round swing"
+#: claim (rounds are CONSTANT at 5 across every iteration; walls
+#: inflate uniformly with the host band), so the fix is structural:
+#: connected_components now uses LAZY localCheckpoints (1 job/round
+#: instead of 2 — less steal exposure) and the entry derives BOTH
+#: its per-split totals and the leak self-check from ONE
+#: groupBy(split, cluster_id) pass (the r11 body scanned the routed
+#: corpus twice). (3)-(4) `dd_duplicate_clusters` /
+#: `dd_semantic_dedup` — marked because the shared
+#: connected_components checkpoint strategy changed under them
+#: (plan-affecting, conservative rule-6 default; outputs unchanged).
+#: `pipe_curate_chain` shares the same change but is r9-stale and
+#: already inside the cut.
 _CHANGED_THIS_ROUND = {
     # (1) greedy conflict policy (ADVICE r11 high)
     "ts_pii_scrub_extended",
+    # (2) single-pass aggregate + fused-checkpoint CC (r11 item 1)
+    "pipe_leakage_safe_split",
+    # (3)/(4) shared CC checkpoint strategy changed underneath
+    "dd_duplicate_clusters",
+    "dd_semantic_dedup",
 }
 
 
