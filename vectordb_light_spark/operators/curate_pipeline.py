@@ -241,7 +241,17 @@ def _stage_split(df: DataFrame, ctx: dict) -> DataFrame:
     Put it AFTER every gate but BEFORE `curriculum`: the annotation
     join reshuffles rows, so running it after an ORDERING stage would
     silently discard the curriculum order (curriculum's sort is the
-    terminal contract; this stage only adds a column)."""
+    terminal contract; this stage only adds a column).
+
+    IN-PLACE routing (r12, VERDICT r11 item 5): the r11 draft built a
+    full-size (doc_id, split) routing table from ``df`` and
+    inner-joined it back — a second full-data exchange right before
+    the curriculum range sort (the chain+split probe's ~1.4x-above-
+    linear x16 increment). The split column is now computed on ``df``
+    directly: one LEFT join against the (small, dup-docs-only)
+    cluster table, then the map-side md5-threshold CASE — so +split
+    adds no full-data exchange of its own and the curriculum sort
+    stays the chain's only range exchange."""
     from vectordb_light_spark.operators.components import (
         duplicate_clusters,
     )
@@ -249,25 +259,36 @@ def _stage_split(df: DataFrame, ctx: dict) -> DataFrame:
         canonical_text,
         minhash_lsh_candidates,
     )
-    from vectordb_light_spark.operators.sampling import (
-        leakage_safe_split,
-    )
+    from vectordb_light_spark.operators.sampling import assign_split
 
     weights = ctx.get("split_weights") or {
         "train": 0.8, "val": 0.1, "test": 0.1,
     }
+    # The stage consumes its input TWICE (candidate generation and the
+    # routing join), and in a composed chain that input is the whole
+    # gate pipeline — lazily checkpoint it so the gates run once (the
+    # CC setup job materializes it; the final action reuses it).
+    df = df.localCheckpoint(eager=False)
     base = df.where(F.length(canonical_text("text")) > 0)
-    pairs = minhash_lsh_candidates(base.select("doc_id", "text")).where(
+    # ctx['split_lsh']: optional kwargs forwarded to the candidate
+    # generator — the registered chain+split entry pins the oracle's
+    # family/geometry (16 hashes / 4 bands / poly31, uncapped) here
+    pairs = minhash_lsh_candidates(
+        base.select("doc_id", "text"), **(ctx.get("split_lsh") or {})
+    ).where(
         F.col("est_jaccard") >= float(ctx.get("split_jaccard", 0.75))
     )
     clusters = duplicate_clusters(
         pairs, left_id="id_a", right_id="id_b", pointer_jumping=True
-    ).select("doc_id", "cluster_id")
-    routed = leakage_safe_split(
-        df.select("doc_id"), clusters, weights, id_col="doc_id",
-        cluster_col="cluster_id", seed=int(ctx.get("split_seed", 0)),
-    )
-    return df.join(routed.select("doc_id", "split"), "doc_id")
+    ).select("doc_id", F.col("cluster_id").alias("_split_route"))
+    return assign_split(
+        df.join(clusters, "doc_id", "left").withColumn(
+            "_split_route", F.coalesce("_split_route", F.col("doc_id"))
+        ),
+        weights,
+        id_col="_split_route",
+        seed=int(ctx.get("split_seed", 0)),
+    ).drop("_split_route")
 
 
 #: name -> stage callable. Order in a pipeline is the caller's choice;

@@ -1421,15 +1421,12 @@ def ts_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _curate_chain_oracle_sql() -> str:
-    """DuckDB twin of pipe_curate_chain: the three stages are pure
-    filters, so the composed survivor set is the INTERSECTION of the
-    per-stage keep sets — each expressed with the SAME shared CTE text
-    as its standalone oracle (quality logits via _quality_logit_ctes,
-    exact dedup and repetition as the dd_exact_dedup /
-    ts_repetition_filter shapes)."""
-    return f"""
-    WITH {_quality_logit_ctes()},
+def _curate_gate_ctes() -> str:
+    """The curate chain's gate CTEs (exact dedup ``d1``, repetition
+    ``rep``, quality ``q`` — each the SAME shared CTE text as its
+    standalone oracle), factored so the composed chain oracle and the
+    r12 chain+split oracle share one spelling and cannot drift."""
+    return f"""{_quality_logit_ctes()},
     keyed AS (
         SELECT doc_id,
                sha256(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))) AS k2
@@ -1455,7 +1452,18 @@ def _curate_chain_oracle_sql() -> str:
         SELECT doc_id FROM g3
         WHERE 1.0 - len(list_distinct(grams))::DOUBLE / len(grams) <= 0.05
     ),
-    q AS (SELECT doc_id FROM s WHERE logit_q > 0)
+    q AS (SELECT doc_id FROM s WHERE logit_q > 0)"""
+
+
+def _curate_chain_oracle_sql() -> str:
+    """DuckDB twin of pipe_curate_chain: the three stages are pure
+    filters, so the composed survivor set is the INTERSECTION of the
+    per-stage keep sets — each expressed with the SAME shared CTE text
+    as its standalone oracle (quality logits via _quality_logit_ctes,
+    exact dedup and repetition as the dd_exact_dedup /
+    ts_repetition_filter shapes)."""
+    return f"""
+    WITH {_curate_gate_ctes()}
     SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars
     FROM documents d
     JOIN d1 ON d.doc_id = d1.doc_id
@@ -1874,7 +1882,9 @@ def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_hash_cte(n: int, pinned: bool = False) -> str:
+def _shingle_hash_cte(
+    n: int, pinned: bool = False, source: str = "documents"
+) -> str:
     """DuckDB CTE fragment computing, per document, the SAME 31-bit
     polynomial char-shingle hashes as ``dedup._np_shingle_hashes``
     (finalize=False): window n, base 257, mod 2^31-1 over canonical
@@ -1894,7 +1904,7 @@ def _shingle_hash_cte(n: int, pinned: bool = False) -> str:
     return f"""
     c AS (
         SELECT doc_id, {canon} AS t
-        FROM documents
+        FROM {source}
     ),
     h AS (
         SELECT doc_id,
@@ -1913,6 +1923,7 @@ def _shingle_hash_cte(n: int, pinned: bool = False) -> str:
 def _minhash_cand_ctes(
     pair_cond: str = "a.doc_id < bb.doc_id",
     pinned: bool = False,
+    source: str = "documents",
 ) -> str:
     """Shared CTE chain ending in ``cand`` = MinHash-LSH candidate
     pairs (poly31 family, 16 hashes / 4 bands, n_eq ≥ 12): signature
@@ -1934,7 +1945,7 @@ def _minhash_cand_ctes(
         f" % {p61} + {b}) % {p61} AS BIGINT)))"
         for a, b in zip(a_list, b_list)
     )
-    return f"""{_shingle_hash_cte(5, pinned=pinned)},
+    return f"""{_shingle_hash_cte(5, pinned=pinned, source=source)},
     sig AS (
         SELECT doc_id,
                [{sig_items}] AS sig
@@ -4142,6 +4153,97 @@ def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_chars").cast("long").alias("total_chars"),
         )
         .crossJoin(F.broadcast(leaky))
+        .orderBy("split")
+    )
+
+
+def _curate_split_chain_oracle_sql() -> str:
+    """DuckDB twin of pipe_curate_split_chain (VERDICT r11 item 7):
+    the chain's gate intersection (the EXACT `_curate_gate_ctes`
+    text pipe_curate_chain grades) defines the survivor set, then the
+    leakage-split machinery runs OVER THE SURVIVORS — the same
+    minhash CTE chain as the pipe_leakage_safe_split oracle but
+    sourced from ``surv``, the same recursive-CTE cluster fixed
+    point, and the same md5-threshold routing CASE — aggregated to
+    per-split doc/char totals. A routing regression (or a gate
+    regression changing the survivor set) flips the value hash."""
+    return f"""
+    WITH RECURSIVE {_curate_gate_ctes()},
+    surv AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM documents d
+        JOIN d1 ON d.doc_id = d1.doc_id
+        JOIN rep ON d.doc_id = rep.doc_id
+        JOIN q ON d.doc_id = q.doc_id
+    ),
+    {_minhash_cand_ctes(pinned=True, source="surv")},
+    edges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION
+        SELECT id_b AS a, id_a AS b FROM cand
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    routed AS (
+        SELECT sv.doc_id, length(sv.text) AS n_chars,
+               {split_case_sql("COALESCE(comp.cluster_id, sv.doc_id)", _SPLIT_WEIGHTS)} AS split
+        FROM surv sv LEFT JOIN comp ON sv.doc_id = comp.doc_id
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM routed
+    GROUP BY split
+    ORDER BY split
+    """
+
+
+@register(
+    "pipe_curate_split_chain", oracle=_curate_split_chain_oracle_sql()
+)
+def pipe_curate_split_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curate chain COMPOSED with its terminal leakage-safe split
+    stage (VERDICT r11 item 7): exact dedup → repetition gate →
+    learned quality gate → `split` annotation, run through the
+    PRODUCT runner (operators/curate_pipeline.py run_curation,
+    report=False) exactly as `curate --split-weights` composes it,
+    then aggregated to per-split doc/char totals. The split stage is
+    the newest stage and previously had only probe+CLI coverage of
+    its composed behavior — this entry puts the composition itself
+    under the driver oracle. ctx pins the oracle's LSH family and
+    geometry (16 hashes / 4 bands / poly31, uncapped — the
+    registered pipe_leakage_safe_split machinery); the r12 stage
+    routes IN PLACE (one LEFT join against the dup-docs-only cluster
+    table + the map-side md5 CASE), so the composed plan adds no
+    full-data exchange beyond the gates' own."""
+    from vectordb_light_spark.operators.curate_pipeline import run_curation
+
+    docs = load_docs(spark, sf_dir, "doc_id", "text")
+    out, _ = run_curation(
+        docs,
+        ("exact_dedup", "repetition", "quality", "split"),
+        report=False,
+        repetition_bar=0.05,
+        split_weights=_SPLIT_WEIGHTS,
+        split_seed=0,
+        split_lsh=dict(
+            num_hashes=16, bands=4, hash_family="poly31",
+            max_bucket=None,
+        ),
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
         .orderBy("split")
     )
 
@@ -7329,7 +7431,10 @@ _PRE_ORACLE_STALE: set = set()
 #: connected_components checkpoint strategy changed under them
 #: (plan-affecting, conservative rule-6 default; outputs unchanged).
 #: `pipe_curate_chain` shares the same change but is r9-stale and
-#: already inside the cut.
+#: already inside the cut. (5) `pipe_curate_split_chain` is NEW
+#: (VERDICT r11 item 7 — the composed chain+split product plan) and
+#: lands in class (b) automatically. Cut: 5 class-b + 34 r9-stale +
+#: 11 cheapest-r10 fill = 50, the whole r9 tail inside.
 _CHANGED_THIS_ROUND = {
     # (1) greedy conflict policy (ADVICE r11 high)
     "ts_pii_scrub_extended",
