@@ -198,6 +198,13 @@ def _stage_curriculum(df: DataFrame, ctx: dict) -> DataFrame:
     order."""
     from vectordb_light_spark.operators.sampling import curriculum_order
 
+    # The stage consumes its input TWICE (the scoring projection and
+    # the final order join-back) — lazily checkpoint it so the
+    # upstream gate chain runs once (same rationale as _stage_split;
+    # the r12 chain probe measured the split stage's checkpoint
+    # making the +split chain FASTER than the base chain, because the
+    # base chain was paying the gates twice through this stage).
+    df = df.localCheckpoint(eager=False)
     score_col = ctx.get("curriculum_score_col")
     if score_col is not None:
         scored = df.select("doc_id", F.col(score_col).alias("score"))
