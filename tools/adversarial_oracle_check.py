@@ -136,6 +136,11 @@ PINNED = [
     # (adjacent digit runs, glued runs) exercise the sub-run rescan,
     # not a boundary class.
     "ts_pii_scrub_extended",
+    # r12 registration: the composed chain+split — gates are the
+    # pinned pipe_curate_chain CTEs, the split machinery the pinned
+    # minhash/cluster/routing chain sourced from the survivor set;
+    # the whole composition must hold on salted text.
+    "pipe_curate_split_chain",
 ]
 
 #: Entries whose oracle twins a Python UDF that SQL cannot fully

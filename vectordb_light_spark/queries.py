@@ -7268,139 +7268,141 @@ _LAST_GRADED = {
 }
 
 _SOLO_COST_S = {
-    'ann_ivf_topk': 0.743,
-    'ann_ivfpq_topk': 1.234,
-    'ann_opq_topk': 1.198,
-    'ann_pca_topk': 0.823,
-    'ann_pq_topk': 1.278,
-    'ann_recall_contract': 5.89,
-    'ann_srp_topk': 0.708,
-    'ann_topk_join': 1.416,
-    'dd_containment_pairs': 1.764,
-    'dd_cross_corpus_candidates': 1.387,
-    'dd_duplicate_clusters': 3.933,
-    'dd_duplicate_groups': 0.364,
-    'dd_embedding_near_dups': 1.12,
-    'dd_exact_dedup': 0.771,
-    'dd_image_near_dups': 3.544,
-    'dd_jaccard_pairs': 0.489,
-    'dd_line_dedup': 0.923,
-    'dd_minhash_candidates': 1.214,
-    'dd_remove_boilerplate': 0.847,
-    'dd_repeated_spans': 0.906,
-    'dd_semantic_dedup': 2.228,
-    'dd_simhash_near_dups': 2.772,
-    'dd_strip_repeated_spans': 1.291,
-    'dq_events_constraints': 0.469,
-    'emb_doc_mean_pool': 0.266,
-    'emb_feature_hash_topk': 0.92,
-    'emb_mini_encoder_topk': 0.986,
-    'kw_bm25_topk': 0.728,
-    'kw_hybrid_rrf': 0.913,
-    'mm_audio_features': 1.265,
-    'mm_audio_windows': 0.21,
-    'mm_frame_counts': 0.214,
-    'mm_image_decode': 1.388,
-    'mm_image_pipeline': 0.935,
-    'mm_jpeg_decode': 1.367,
-    'mm_video_frames': 2.776,
-    'pipe_bloom_decontaminate': 1.141,
-    'pipe_bpe_encode': 3.645,
-    'pipe_bpe_merges': 3.837,
-    'pipe_cdc_chunks': 1.33,
-    'pipe_chunk_fixed': 0.665,
-    'pipe_chunk_normalized': 0.991,
-    'pipe_corpus_mix': 0.149,
-    'pipe_corpus_shuffle': 0.324,
-    'pipe_corpus_split': 0.139,
-    'pipe_curate_chain': 4.337,
-    'pipe_curriculum_order': 0.946,
-    'pipe_decontaminate': 0.954,
-    'pipe_doc_hash': 0.289,
-    'pipe_domain_mix': 1.188,
-    'pipe_dsir_select': 0.849,
-    'pipe_hash_embed_topk': 1.235,
-    'pipe_leakage_safe_split': 3.954,
-    'pipe_negative_samples': 0.502,
-    'pipe_pdf_page_chunks': 1.107,
-    'pipe_semantic_decontaminate': 2.439,
-    'pipe_sequence_pack': 0.936,
-    'pipe_stratified_take': 0.241,
-    'pipe_temperature_mix': 0.528,
-    'pipe_token_budget_mix': 0.331,
-    'pipe_token_windows': 0.393,
-    'pipe_training_corpus': 1.428,
-    'pipe_url_dedup': 1.317,
-    'pipe_weighted_sample': 0.156,
-    'prof_corpus_quantiles': 0.175,
-    'prof_events_corr': 0.378,
-    'prof_events_cube': 0.22,
-    'prof_events_pivot': 0.247,
-    'prof_events_rollup': 0.307,
-    'prof_events_sketch': 0.839,
-    'prof_sketch_accuracy': 3.229,
-    'prof_value_histogram': 0.127,
-    'rel_big_orders': 0.404,
-    'rel_customer_activity': 0.289,
-    'rel_events_asof': 0.53,
-    'rel_events_cohorts': 0.385,
-    'rel_events_funnel': 0.348,
-    'rel_events_gapfill': 0.297,
-    'rel_events_gaps': 0.291,
-    'rel_events_interval': 0.326,
-    'rel_events_json': 0.343,
-    'rel_events_moving_avg': 0.429,
-    'rel_events_scd2': 0.161,
-    'rel_forecast_revenue': 0.118,
-    'rel_join_nation_customers': 0.187,
-    'rel_orders_pareto': 0.384,
-    'rel_pricing_summary': 0.319,
-    'rel_region_volume': 0.345,
-    'rel_scd2_merge': 0.383,
-    'rel_sessions_overlap': 0.629,
-    'rel_shipping_priority': 0.38,
-    'rel_top_orders_by_revenue': 0.382,
-    'rel_user_retention': 0.398,
-    'rel_window_order_rank': 0.79,
-    'sim_cosine_pairs_exact': 0.808,
-    'sim_sparse_cosine_pairs': 0.94,
-    'skew_salted_user_join': 0.34,
-    'src_binary_roundtrip': 1.122,
-    'src_markup_roundtrip': 1.162,
-    'src_office_roundtrip': 1.168,
-    'st_clicks_attribution': 2.324,
-    'st_events_dedup': 0.331,
-    'st_events_sessions': 1.611,
-    'st_events_sliding': 0.263,
-    'st_events_window': 0.192,
-    'st_heavy_hitters': 0.948,
-    'st_user_running_totals': 1.598,
-    'st_windowed_quantiles': 1.211,
-    'ts_bigram_lm_score': 1.13,
-    'ts_c4_filter': 0.429,
-    'ts_gopher_filter': 0.627,
-    'ts_lang_id': 0.858,
-    'ts_pii_scrub': 0.53,
-    'ts_quality_classifier': 0.428,
-    'ts_quality_score': 0.478,
-    'ts_readability': 0.511,
-    'ts_repetition_filter': 0.456,
-    'ts_text_stats': 0.349,
-    'ts_tfidf_top_terms': 0.823,
-    'ts_vocab_topk': 0.312,
-    'ts_winnow_fingerprints': 1.047,
-    'vq_batch_topk': 0.485,
-    'vq_chunks_only': 0.419,
-    'vq_citations': 0.344,
-    'vq_filtered_topk': 0.328,
-    'vq_grouped_topk': 0.258,
-    'vq_mmr_rerank': 0.913,
-    'vq_postfilters': 0.342,
-    'vq_rag_prompt': 0.411,
-    'vq_range_search': 0.488,
-    'vq_threshold_after_topk': 0.308,
-    'vq_topk_cosine': 0.314,
-    'vq_topk_quantized': 0.367,
+    'ann_ivf_topk': 0.715,
+    'ann_ivfpq_topk': 1.41,
+    'ann_opq_topk': 1.615,
+    'ann_pca_topk': 0.855,
+    'ann_pq_topk': 1.498,
+    'ann_recall_contract': 6.442,
+    'ann_srp_topk': 0.684,
+    'ann_topk_join': 1.598,
+    'dd_containment_pairs': 1.855,
+    'dd_cross_corpus_candidates': 1.646,
+    'dd_duplicate_clusters': 3.961,
+    'dd_duplicate_groups': 0.423,
+    'dd_embedding_near_dups': 1.423,
+    'dd_exact_dedup': 0.701,
+    'dd_image_near_dups': 4.257,
+    'dd_jaccard_pairs': 0.579,
+    'dd_line_dedup': 0.803,
+    'dd_minhash_candidates': 1.169,
+    'dd_remove_boilerplate': 1.031,
+    'dd_repeated_spans': 1.036,
+    'dd_semantic_dedup': 2.608,
+    'dd_simhash_near_dups': 2.922,
+    'dd_strip_repeated_spans': 1.436,
+    'dq_events_constraints': 0.484,
+    'emb_doc_mean_pool': 0.313,
+    'emb_feature_hash_topk': 0.968,
+    'emb_mini_encoder_topk': 1.212,
+    'kw_bm25_topk': 0.684,
+    'kw_hybrid_rrf': 1.103,
+    'mm_audio_features': 1.44,
+    'mm_audio_windows': 0.228,
+    'mm_frame_counts': 0.222,
+    'mm_image_decode': 1.582,
+    'mm_image_pipeline': 1.119,
+    'mm_jpeg_decode': 1.604,
+    'mm_video_frames': 3.551,
+    'pipe_bloom_decontaminate': 1.134,
+    'pipe_bpe_encode': 3.897,
+    'pipe_bpe_merges': 4.547,
+    'pipe_cdc_chunks': 1.437,
+    'pipe_chunk_fixed': 0.657,
+    'pipe_chunk_normalized': 1.339,
+    'pipe_corpus_mix': 0.166,
+    'pipe_corpus_shuffle': 0.405,
+    'pipe_corpus_split': 0.155,
+    'pipe_curate_chain': 4.975,
+    'pipe_curate_split_chain': 10.593,
+    'pipe_curriculum_order': 1.129,
+    'pipe_decontaminate': 0.771,
+    'pipe_doc_hash': 0.413,
+    'pipe_domain_mix': 1.346,
+    'pipe_dsir_select': 0.832,
+    'pipe_hash_embed_topk': 1.359,
+    'pipe_leakage_safe_split': 3.957,
+    'pipe_negative_samples': 0.546,
+    'pipe_pdf_page_chunks': 1.373,
+    'pipe_semantic_decontaminate': 2.872,
+    'pipe_sequence_pack': 0.666,
+    'pipe_stratified_take': 0.192,
+    'pipe_temperature_mix': 0.406,
+    'pipe_token_budget_mix': 0.341,
+    'pipe_token_windows': 0.546,
+    'pipe_training_corpus': 1.37,
+    'pipe_url_dedup': 1.152,
+    'pipe_weighted_sample': 0.18,
+    'prof_corpus_quantiles': 0.186,
+    'prof_events_corr': 0.433,
+    'prof_events_cube': 0.228,
+    'prof_events_pivot': 0.283,
+    'prof_events_rollup': 0.305,
+    'prof_events_sketch': 0.968,
+    'prof_sketch_accuracy': 3.68,
+    'prof_value_histogram': 0.137,
+    'rel_big_orders': 0.425,
+    'rel_customer_activity': 0.358,
+    'rel_events_asof': 0.428,
+    'rel_events_cohorts': 0.479,
+    'rel_events_funnel': 0.379,
+    'rel_events_gapfill': 0.295,
+    'rel_events_gaps': 0.339,
+    'rel_events_interval': 0.364,
+    'rel_events_json': 0.368,
+    'rel_events_moving_avg': 0.456,
+    'rel_events_scd2': 0.159,
+    'rel_forecast_revenue': 0.125,
+    'rel_join_nation_customers': 0.22,
+    'rel_orders_pareto': 0.497,
+    'rel_pricing_summary': 0.325,
+    'rel_region_volume': 0.424,
+    'rel_scd2_merge': 0.442,
+    'rel_sessions_overlap': 0.615,
+    'rel_shipping_priority': 0.337,
+    'rel_top_orders_by_revenue': 0.41,
+    'rel_user_retention': 0.363,
+    'rel_window_order_rank': 0.652,
+    'sim_cosine_pairs_exact': 0.734,
+    'sim_sparse_cosine_pairs': 1.133,
+    'skew_salted_user_join': 0.306,
+    'src_binary_roundtrip': 1.518,
+    'src_markup_roundtrip': 1.373,
+    'src_office_roundtrip': 1.374,
+    'st_clicks_attribution': 2.65,
+    'st_events_dedup': 0.315,
+    'st_events_sessions': 1.375,
+    'st_events_sliding': 0.248,
+    'st_events_window': 0.215,
+    'st_heavy_hitters': 1.304,
+    'st_user_running_totals': 1.803,
+    'st_windowed_quantiles': 1.506,
+    'ts_bigram_lm_score': 1.433,
+    'ts_c4_filter': 0.516,
+    'ts_gopher_filter': 0.727,
+    'ts_lang_id': 0.849,
+    'ts_pii_scrub': 0.484,
+    'ts_pii_scrub_extended': 1.746,
+    'ts_quality_classifier': 0.579,
+    'ts_quality_score': 0.513,
+    'ts_readability': 0.609,
+    'ts_repetition_filter': 0.527,
+    'ts_text_stats': 0.467,
+    'ts_tfidf_top_terms': 0.932,
+    'ts_vocab_topk': 0.38,
+    'ts_winnow_fingerprints': 1.183,
+    'vq_batch_topk': 0.506,
+    'vq_chunks_only': 0.463,
+    'vq_citations': 0.301,
+    'vq_filtered_topk': 0.284,
+    'vq_grouped_topk': 0.253,
+    'vq_mmr_rerank': 1.178,
+    'vq_postfilters': 0.343,
+    'vq_rag_prompt': 0.489,
+    'vq_range_search': 0.516,
+    'vq_threshold_after_topk': 0.326,
+    'vq_topk_cosine': 0.298,
+    'vq_topk_quantized': 0.341,
 }
 
 
