@@ -178,6 +178,38 @@ def test_auto_mode_escalates_on_deep_graphs(spark):
     assert sa["rounds"] <= 12, sa
 
 
+def test_stats_hook_reports_round_walls(spark):
+    """r12 variance instrumentation (VERDICT r11 item 1): the stats
+    dict carries one wall per round plus the setup wall, through
+    duplicate_clusters and the semantic_dedup cc_stats passthrough —
+    the hook adjudications read to attribute a wall swing to round
+    count vs host band."""
+    from vectordb_light_spark.operators.components import (
+        duplicate_clusters,
+    )
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    st: dict = {}
+    duplicate_clusters(
+        df, left_id="src", right_id="dst", stats=st
+    ).collect()
+    assert st["rounds"] >= 1
+    assert len(st["round_walls"]) == st["rounds"]
+    assert all(w >= 0 for w in st["round_walls"])
+    assert st["setup_wall"] >= 0
+
+    from vectordb_light_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)] + [(9, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    st2: dict = {}
+    semantic_dedup(vecs, threshold=0.95, cc_stats=st2).collect()
+    assert len(st2["round_walls"]) == st2["rounds"] >= 1
+
+
 def test_pointer_jumping_rejects_unknown_mode(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="auto"):

@@ -445,6 +445,7 @@ def semantic_dedup(
     tier: str = "auto",
     max_iter: int = 20,
     pointer_jumping: bool | str = False,
+    cc_stats: dict | None = None,
     **tier_kwargs,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -470,6 +471,11 @@ def semantic_dedup(
     anywhere), CC runs O(cluster diameter) rounds on the pair set
     only, and the final left join ships the compact cluster table
     (paired ids only) against the input ids.
+
+    ``cc_stats``, when a dict, receives the clustering stage's round
+    count / per-round walls (components.connected_components stats —
+    the r12 variance-instrumentation hook, surfaced so facade users
+    can attribute wall swings to rounds vs host band).
     """
     from vectordb_light_spark.operators.components import duplicate_clusters
 
@@ -484,6 +490,7 @@ def semantic_dedup(
     clusters = duplicate_clusters(
         pairs.select("id_a", "id_b"), left_id="id_a", right_id="id_b",
         max_iter=max_iter, pointer_jumping=pointer_jumping,
+        stats=cc_stats,
     ).withColumnRenamed("doc_id", id_col)
     return (
         df.select(id_col)
