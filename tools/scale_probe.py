@@ -18,6 +18,7 @@ multi-partition layout a real corpus would have.
     python tools/scale_probe.py --spans [--write]    # exact-substring adversarial
     python tools/scale_probe.py --bpe [--write]      # BPE round cost vs corpus
     python tools/scale_probe.py --linededup [--write] # line dedup, boilerplate-heavy
+    python tools/scale_probe.py --cardscrub [--write] # PII card scrub, digit-soup adversarial
     python tools/scale_probe.py --curatechain [--write] # 7-stage curate chain e2e
     python tools/scale_probe.py --contract [--write] # flipped top-k contract bounds
 """
@@ -1887,6 +1888,133 @@ def main_linededup(factors: tuple[int, ...] = (1, 4, 16)) -> None:
 
 
 
+CARDSCRUB_MARKER = (
+    "\n## extended PII card scrub: adversarial digit soup at x1/x4/x16"
+)
+
+
+def main_cardscrub(factors: tuple[int, ...] = (1, 4, 16)) -> None:
+    """r12: the Luhn card stage (ts_pii_scrub_extended's heavy tier)
+    under the adversarial shapes its design bounds were built for —
+    per doc: a grouped card whose run also holds a Luhn-valid
+    straddling DECOY range (the ADVICE r11 multi-card shape), an
+    ungrouped card glued to a date-like neighbor (the r11 review's
+    cap-truncation shape), a Luhn-invalid 16-digit order id, and a
+    32-group all-zero digit-soup run (every 13-digit group is
+    Luhn-valid — the enumeration-pressure shape); plus ONE mega-soup
+    doc per corpus carrying 512 groups (the _CARD_MAX_VALID=64 cap's
+    reason to exist). The redaction count has a closed form, so the
+    probe asserts exact correctness at every factor while timing the
+    map-only scan. Appends its SCALING.md section with --write."""
+    from vectordb_light_spark.functions.text import (
+        _CARD_MAX_VALID,
+        count_card_numbers,
+        scrub_card_numbers,
+    )
+
+    spark = get_spark("scale-probe-cardscrub")
+    spark.sparkContext.setLogLevel("ERROR")
+    base_docs = int(os.environ.get("CARDSCRUB_BASE", "20000"))
+    soup_groups = 32
+    mega_groups = 512
+    soup = " ".join(["0000000000000"] * soup_groups)
+    mega = " ".join(["0000000000000"] * mega_groups)
+    rows_tbl: dict[int, tuple] = {}
+    for factor in factors:
+        n_docs = base_docs * factor
+        df = (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"))
+            .repartition(max(4, factor * 8))
+            .select(
+                "doc_id",
+                F.concat(
+                    F.lit("invoice "),
+                    F.col("doc_id").cast("string"),
+                    # grouped two-card run w/ straddling decoy (2 hits)
+                    F.lit(" pay 4111 1111 1111 1111 5500 0055 5555 5559"
+                          " ref "),
+                    F.col("doc_id").cast("string"),
+                    # date-glued ungrouped card (1 hit, date survives)
+                    F.lit(" on 20260816 4111111111111111 order"
+                          " 1234567890123456 soup "),
+                    # soup run: one hit per all-zero group
+                    F.when(
+                        F.col("doc_id") == 0, F.lit(mega)
+                    ).otherwise(F.lit(soup)),
+                    F.lit(" end"),
+                ).alias("text"),
+            )
+        )
+        df = df.persist()
+        df.count()  # materialize input off the clock
+
+        def run(df=df):
+            return (
+                df.select(
+                    count_card_numbers("text").alias("n"),
+                    F.length(scrub_card_numbers("text")).alias("len"),
+                )
+                .agg(
+                    F.sum("n").alias("hits"),
+                    F.sum("len").alias("chars_out"),
+                )
+                .collect()[0]
+            )
+
+        r = run()  # warm-up
+        wall = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            r = run()
+            wall = min(wall, time.time() - t0)
+        # closed form: 3 real-card hits per doc + soup singles (capped
+        # for the mega doc)
+        want = (
+            n_docs * 3
+            + (n_docs - 1) * soup_groups
+            + min(mega_groups, _CARD_MAX_VALID)
+        )
+        assert int(r["hits"]) == want, (int(r["hits"]), want)
+        rows_tbl[factor] = (n_docs, int(r["hits"]), wall)
+        print(
+            f"x{factor}: {n_docs:,} docs, {int(r['hits']):,} redactions "
+            f"(exact), {wall:.2f}s",
+            flush=True,
+        )
+        df.unpersist()
+    w1 = rows_tbl[factors[0]][2]
+    lines = [
+        "",
+        CARDSCRUB_MARKER.strip(),
+        "",
+        "| corpus | docs | redactions | wall | wall ratio |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| x{f} | {nd:,} | {hits:,} | {w:.2f}s | {w / w1:.1f}x |"
+        for f, (nd, hits, w) in sorted(rows_tbl.items())
+    ] + [
+        "",
+        "Every document carries the three measured failure shapes (a",
+        "grouped two-card run with a Luhn-valid straddling decoy, a",
+        "date-glued ungrouped card, a Luhn-invalid order id) plus a",
+        "32-group all-zero soup run, and one document per corpus",
+        "carries 512 soup groups. The redaction count is asserted",
+        "EXACTLY per factor (3 real hits/doc + one per soup group,",
+        "capped at _CARD_MAX_VALID=64 for the mega doc — the greedy",
+        "fold redacts every disjoint valid range, the cap bounds the",
+        "per-row work). The stage is a map-only JVM HOF scan — no",
+        "shuffle, no UDF — so the wall must track the corpus",
+        "~linearly; a quadratic per-row blowup on the soup shapes",
+        "(what the span-bounded enumeration + cap prevent) would blow",
+        "the ratio column apart.",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if "--write" in sys.argv:
+        _write_section(CARDSCRUB_MARKER, out)
+
+
 CHAIN_MARKER = "\n## curate CLI chain incl. the r8 stages, composed at x1/x4/x16"
 
 
@@ -2545,6 +2673,8 @@ if __name__ == "__main__":
         main_bpe()
     elif "--linededup" in sys.argv:
         main_linededup()
+    elif "--cardscrub" in sys.argv:
+        main_cardscrub()
     elif "--curatechain" in sys.argv:
         main_curatechain()
     elif "--contract" in sys.argv:
