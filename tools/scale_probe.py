@@ -333,6 +333,7 @@ def _all_markers():
         BLOOM_MARKER,
         BPE_MARKER,
         LINEDEDUP_MARKER,
+        CARDSCRUB_MARKER,
         CHAIN_MARKER,
         CONTRACT_MARKER,
         CCJUMP_MARKER,
@@ -2534,10 +2535,10 @@ def main_ccjump() -> None:
 
 
 
-LEAKAGE_MARKER = "\n## leakage-safe split end-to-end at x1/x4/x16"
+LEAKAGE_MARKER = "\n## leakage-safe split end-to-end at x1/x4/x16/x64"
 
 
-def main_leakage() -> None:
+def main_leakage(factors: tuple[int, ...] = SCALES) -> None:
     """The r10-registered entry's own scale curve: minhash candidate
     pairs -> pointer-jumping CC -> cluster-routed split -> the 0-leaky
     -clusters self-check, end-to-end over ``replicate_unique`` data
@@ -2561,7 +2562,7 @@ def main_leakage() -> None:
     weights = {"train": 0.8, "val": 0.1, "test": 0.1}
     results = {}
     try:
-        for factor in SCALES:
+        for factor in factors:
             d = os.path.join(WORK, f"docs_uq_x{factor}")
             replicate_unique(spark, factor, d)
             docs = (
@@ -2614,7 +2615,8 @@ def main_leakage() -> None:
     lines = [
         LEAKAGE_MARKER.strip("\n"),
         "",
-        "r10 measurement (tools/scale_probe.py --leakage; bounded-"
+        "r12 re-measure (tools/scale_probe.py --leakage [--x64]; r12"
+        " lazy-checkpoint CC, 1 job/round; bounded-"
         "cluster-density replication, best-of-2 warm, pointer-jumping"
         " CC, DEFAULT hot-bucket cap — the registered entry's"
         " max_bucket=None is oracle-parity-only and grows"
@@ -2682,6 +2684,6 @@ if __name__ == "__main__":
     elif "--ccjump" in sys.argv:
         main_ccjump()
     elif "--leakage" in sys.argv:
-        main_leakage()
+        main_leakage((1, 4, 16, 64) if "--x64" in sys.argv else SCALES)
     else:
         main()
