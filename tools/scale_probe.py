@@ -2380,7 +2380,7 @@ def main_contract(factors: tuple[int, ...] = (1, 4, 16)) -> None:
     lines = [
         CONTRACT_MARKER.strip("\n"),
         "",
-        "r10 measurement (tools/scale_probe.py --contract; hashing-"
+        "r12 re-measure incl. x64 (tools/scale_probe.py --contract [--x64]; hashing-"
         "embed entry shape, best-of-2 warm):",
         "",
         "| scale | docs | embed-once s | entry+persist s |"
