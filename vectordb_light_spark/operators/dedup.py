@@ -157,13 +157,27 @@ def exact_dedup(
     """Keep one row per distinct text (min id wins — deterministic,
     unlike dropDuplicates whose survivor is partition-order dependent).
 
-    Plan: sha2 key → hash-partition shuffle on the key → min(id) per
-    group → join winners back. The aggregation exchange carries only
-    (key, id); wide text columns never shuffle."""
+    Plan (r12, optimization round): sha2 key → ONE hash-partition
+    shuffle on the key → per-group ``row_number`` over ``id`` → keep
+    rank 1. The r11 form (groupBy min(id) → join winners back) read
+    the corpus twice and shuffled it twice (probe by (key, id), build
+    through the aggregate) and its join inferred an
+    ``isnotnull(sha2(canonical_text(..)))`` predicate that Catalyst
+    pushed into the scan stage — at sf that serialized a full
+    canonicalization pass onto the single-split scan task, and at
+    scale the winners "broadcast" side is corpus-sized. The window
+    form shuffles the corpus ONCE, computes the key once, infers no
+    scan predicate, and needs no join at any scale."""
+    from pyspark.sql import Window
+
     key = F.sha2(canonical_text(text_col) if canonicalize else F.col(text_col), 256)
-    keyed = df.withColumn("__key", key)
-    winners = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
-    return keyed.join(winners, ["__key", id_col], "inner").drop("__key")
+    w = Window.partitionBy("__key").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__key", "__rn")
+    )
 
 
 def duplicate_groups(

@@ -44,6 +44,22 @@ def get_spark(app_name: str = "vectordb_light_spark", cpus: int | None = None) -
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE parallelism-first coalescing only splits post-shuffle
+        # stages down to minPartitionSize (default 1 MB). Several
+        # stages here are CPU-bound text/HOF work over a few MB of
+        # shuffle bytes — a 1 MB floor coalesces them to 1-3 tasks,
+        # serializing per-row compute that bytes-based sizing cannot
+        # see (r12 measurement: the curate gate stage and the
+        # sketch-accuracy merge both ran 1-2 tasks; interleaved A/B
+        # 1m vs 256k: pipe_curate_chain 5.99→1.81 s,
+        # prof_sketch_accuracy 2.56→1.00 s, CC-iterative entries
+        # within band). At cluster byte sizes post-shuffle partitions
+        # are far above 1 MB, so the floor only engages where data is
+        # small relative to the cores — scale-adaptive by
+        # construction, not a local[32] constant.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
@@ -101,6 +117,11 @@ def _tune_session(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # see get_spark: keep CPU-heavy small-byte post-shuffle stages
+        # parallel (no effect at cluster byte sizes)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
+        )
         if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
             spark.conf.set(
                 "spark.sql.shuffle.partitions",
