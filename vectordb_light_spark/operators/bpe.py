@@ -170,12 +170,21 @@ def learn_bpe_merges(
     tables.
     """
     spark = docs.sparkSession
+    # LAZY checkpoints throughout (r12 optimization round): each
+    # round's argmax action materializes every checkpoint still
+    # pending in its lineage — counts_i directly, and state_{i-1}
+    # through the delta feeding counts_i — so one round costs ONE
+    # driver action instead of three (argmax + two eager checkpoint
+    # jobs). The r12 profile measured 45 jobs for the 8-round entry
+    # with per-job scheduling overhead dominating the vocab-sized
+    # data; lazy fusion cuts it to ~1 job per round. Lineage depth
+    # stays bounded at one round between materializations.
     state = (
         word_vocab(docs, text_col=text_col)
         .select(F.col("word"), F.col("freq"), word_symbols().alias("syms"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    counts = pair_counts(state).localCheckpoint()
+    counts = pair_counts(state).localCheckpoint(eager=False)
 
     merges: list[dict] = []
     for i in range(n_merges):
@@ -231,11 +240,11 @@ def learn_bpe_merges(
             .groupBy("a", "b")
             .agg(F.sum("cnt").alias("cnt"))
             .where(F.col("cnt") > 0)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         state = state.withColumn(
             "syms", F.when(has, apply_merge("syms", a, b)).otherwise(F.col("syms"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     # the checkpointed RDDs are session-managed; nothing to clean here
     _ = spark
     return merges
