@@ -199,12 +199,11 @@ def _stage_curriculum(df: DataFrame, ctx: dict) -> DataFrame:
     from vectordb_light_spark.operators.sampling import curriculum_order
 
     # The stage consumes its input TWICE (the scoring projection and
-    # the final order join-back) — lazily checkpoint it so the
-    # upstream gate chain runs once (same rationale as _stage_split;
-    # the r12 chain probe measured the split stage's checkpoint
-    # making the +split chain FASTER than the base chain, because the
-    # base chain was paying the gates twice through this stage).
-    df = df.localCheckpoint(eager=False)
+    # the final order join-back) — checkpoint it so the upstream gate
+    # chain runs once. EAGER (r12): concurrent AQE query-stage
+    # materialization defeats a lazy checkpoint's run-once intent
+    # (see _stage_split).
+    df = df.localCheckpoint(eager=True)
     score_col = ctx.get("curriculum_score_col")
     if score_col is not None:
         scored = df.select("doc_id", F.col(score_col).alias("score"))
@@ -271,11 +270,17 @@ def _stage_split(df: DataFrame, ctx: dict) -> DataFrame:
     weights = ctx.get("split_weights") or {
         "train": 0.8, "val": 0.1, "test": 0.1,
     }
-    # The stage consumes its input TWICE (candidate generation and the
-    # routing join), and in a composed chain that input is the whole
-    # gate pipeline — lazily checkpoint it so the gates run once (the
-    # CC setup job materializes it; the final action reuses it).
-    df = df.localCheckpoint(eager=False)
+    # The stage consumes its input several times (candidate
+    # generation, the routing join), and in a composed chain that
+    # input is the whole gate pipeline. EAGER checkpoint (r12): with
+    # eager=False, AQE materializes the consumers' independent query
+    # stages CONCURRENTLY, and jobs racing before the first completes
+    # each recompute the full gate chain (measured: four identical
+    # ~5.3 s stages inside one run of pipe_curate_split_chain — at
+    # scale that is four corpus passes the checkpoint was meant to
+    # prevent). Eager materialization runs the gates exactly once;
+    # every consumer then reads the checkpointed blocks.
+    df = df.localCheckpoint(eager=True)
     base = df.where(F.length(canonical_text("text")) > 0)
     # ctx['split_lsh']: optional kwargs forwarded to the candidate
     # generator — the registered chain+split entry pins the oracle's

@@ -359,14 +359,16 @@ def minhash_lsh_candidates(
     ``hash_family="poly31"`` switches signature AND band keys to the
     DuckDB-replicable family (see :func:`add_minhash_signature`).
     """
-    from vectordb_light_spark.session import persist_if_batch
+    from vectordb_light_spark.session import materialize_if_batch
 
     rows_per_band = num_hashes // bands
     key_family = "poly31" if hash_family == "poly31" else "xxhash64"
-    # Persisted: the banded stream feeds the bucket-count aggregate
-    # and both self-join sides; without it the shingle+minhash UDF
-    # would run once per consumer.
-    banded = persist_if_batch(
+    # Materialized EAGERLY (r12): the banded stream feeds the
+    # bucket-count aggregate and both self-join sides, and AQE
+    # submits those query stages concurrently — a lazy persist let
+    # the racing jobs each recompute the shingle+minhash UDF
+    # (measured twice per run; at scale that is two corpus passes).
+    banded = materialize_if_batch(
         add_minhash_signature(
             df,
             text_col=text_col,
@@ -791,8 +793,6 @@ def simhash_near_dups(
     If ``max_hamming`` is too wide for a guaranteed scheme
     (≥ total_bits/2), blocking degrades to the classic lossy
     single-block keys — wider bounds trade recall, as before."""
-    from vectordb_light_spark.session import persist_if_batch
-
     total_bits = 31 if hash_family == "poly31" else 64
     if n_docs_hint == "auto":
         # Only priced when the adaptive scheme is actually consulted;
@@ -803,16 +803,16 @@ def simhash_near_dups(
             df.count() if needs_hint and not df.isStreaming else None
         )
     m, k = resolve_block_scheme(max_hamming, total_bits, n_docs_hint, blocks, combo)
-    # Persisted: both self-join sides consume the sketch stage.
-    keyed = persist_if_batch(
-        add_simhash64(
-            df,
-            text_col=text_col,
-            id_col=id_col,
-            shingle_n=shingle_n,
-            hash_family=hash_family,
-        ).select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sim"))
-    )
+    # NOT persisted here: hamming_near_dup_pairs eagerly materializes
+    # the sketch stage (r12) — a persist on top would only copy the
+    # same blocks twice.
+    keyed = add_simhash64(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
+    ).select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sim"))
     return hamming_near_dup_pairs(
         keyed,
         total_bits=total_bits,
@@ -845,15 +845,16 @@ def hamming_near_dup_pairs(
     :func:`resolve_block_scheme`). ``max_cluster`` is the identical-
     sketch star collapse documented on :func:`simhash_near_dups`;
     ``None`` keeps exact clique semantics (the oracle-twin config)."""
-    from vectordb_light_spark.session import persist_if_batch
+    from vectordb_light_spark.session import materialize_if_batch
 
     if m is None or k is None:
         m, k = simhash_block_scheme(max_hamming, total_bits, n_docs_hint)
     # Both self-join sides (and the hot-cluster probes) consume the
-    # sketch stage — persist so an expensive upstream fingerprint
-    # (e.g. image decode + dHash) computes once. No-op if the caller
-    # already persisted.
-    keyed = persist_if_batch(keyed)
+    # sketch stage, and AQE materializes those query stages
+    # concurrently — eager materialization (r12) so an expensive
+    # upstream fingerprint (e.g. image decode + dHash) computes once
+    # instead of once per racing consumer stage.
+    keyed = materialize_if_batch(keyed)
     stars = None
     if max_cluster is not None:
         # Hot-sketch split BEFORE the C(m,k) explode: the group count
