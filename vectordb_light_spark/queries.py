@@ -2148,12 +2148,13 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_light_spark.operators.dedup import canonical_text, simhash_near_dups
 
     docs = load_docs(spark, sf_dir).where(F.length(canonical_text("text")) > 0)
-    return (
+    # r12: ordered_once — the range sampling otherwise runs the combo
+    # self-join + Hamming verify twice (two ~8 s-executor stages).
+    return ordered_once(
         simhash_near_dups(
             docs, max_hamming=2, hash_family="poly31", max_cluster=None
-        )
-        .withColumn("hamming", F.col("hamming").cast("int"))
-        .orderBy("id_a", "id_b")
+        ).withColumn("hamming", F.col("hamming").cast("int")),
+        "id_a", "id_b",
     )
 
 
@@ -2272,9 +2273,15 @@ def dd_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = image_dhash(media).select(
         F.col("media_id").alias("__id"), F.col("dhash").alias("__sim")
     )
-    return hamming_near_dup_pairs(
-        hashed, total_bits=64, max_hamming=6, max_cluster=None
-    ).orderBy("id_a", "id_b")
+    # r12: ordered_once — the range sampling otherwise runs the combo
+    # self-join + Hamming verify twice (measured: two ~8-10 s-executor
+    # stages of identical shape inside one run).
+    return ordered_once(
+        hamming_near_dup_pairs(
+            hashed, total_bits=64, max_hamming=6, max_cluster=None
+        ),
+        "id_a", "id_b",
+    )
 
 
 @register(
@@ -7014,7 +7021,9 @@ def pipe_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_matches"),
         F.round(F.max("cosine"), 6).alias("max_cosine"),
     )
-    return (
+    # r12: ordered_once — the range sampling otherwise re-runs the
+    # dot-aggregation → norms-join → hits pipeline a second time.
+    return ordered_once(
         corpus.select("doc_id")
         .join(hits.withColumnRenamed("id_a", "doc_id"), "doc_id", "left")
         .select(
@@ -7022,8 +7031,8 @@ def pipe_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
             F.coalesce("max_cosine", F.lit(0.0)).alias("max_cosine"),
             F.col("n_matches").isNull().alias("keep"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
