@@ -285,10 +285,12 @@ def _stage_split(df: DataFrame, ctx: dict) -> DataFrame:
     # ctx['split_lsh']: optional kwargs forwarded to the candidate
     # generator — the registered chain+split entry pins the oracle's
     # family/geometry (16 hashes / 4 bands / poly31, uncapped) here
+    # min_est pushes the Jaccard threshold below the pair-dedup
+    # exchange (r12): sub-threshold candidates never shuffle.
     pairs = minhash_lsh_candidates(
-        base.select("doc_id", "text"), **(ctx.get("split_lsh") or {})
-    ).where(
-        F.col("est_jaccard") >= float(ctx.get("split_jaccard", 0.75))
+        base.select("doc_id", "text"),
+        min_est=float(ctx.get("split_jaccard", 0.75)),
+        **(ctx.get("split_lsh") or {}),
     )
     clusters = duplicate_clusters(
         pairs, left_id="id_a", right_id="id_b", pointer_jumping=True

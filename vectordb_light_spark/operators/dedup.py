@@ -171,10 +171,22 @@ def exact_dedup(
     from pyspark.sql import Window
 
     key = F.sha2(canonical_text(text_col) if canonicalize else F.col(text_col), 256)
+    keyed = df.withColumn("__key", key)
+    # Small-input regime only: when the scan has fewer partitions than
+    # cores, the window's ENSURE_REQUIREMENTS exchange gets
+    # AQE-coalesced by BYTES, serializing the CPU-bound gate
+    # expressions that chains stack on top of the dedup output. An
+    # explicit key repartition to the core count keeps them parallel;
+    # at scale the input has far more partitions than cores and the
+    # guard leaves the exchange to AQE (same contract as
+    # session.rebalance).
+    if not keyed.isStreaming:
+        sc = keyed.sparkSession.sparkContext
+        if keyed.rdd.getNumPartitions() < sc.defaultParallelism:
+            keyed = keyed.repartition(sc.defaultParallelism, "__key")
     w = Window.partitionBy("__key").orderBy(F.col(id_col).asc())
     return (
-        df.withColumn("__key", key)
-        .withColumn("__rn", F.row_number().over(w))
+        keyed.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__key", "__rn")
     )
@@ -335,9 +347,13 @@ def minhash_lsh_candidates(
     seed: int = DEFAULT_SEED,
     hash_family: str = "splitmix64",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    min_est: float | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash
-    LSH, annotated with the signature-estimated Jaccard.
+    LSH, annotated with the signature-estimated Jaccard. ``min_est``
+    applies the caller's Jaccard threshold MAP-SIDE, before the
+    pair-dedup exchange — equivalent to filtering the returned frame,
+    minus the shuffle of the sub-threshold candidates (r12).
 
     Plan: per-row signature (narrow, no shuffle) → explode band keys →
     self-equi-join on (band_idx, band_key) — shuffle carries only
@@ -413,16 +429,33 @@ def minhash_lsh_candidates(
         F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
         *keys,
     )
+    # est_jaccard computed PER MATCHED BAND ROW, before the pair-dedup
+    # exchange (r12, guide §2.3 shuffle fewer bytes): signatures are
+    # unique per id so the estimate is copy-invariant, and the dedup
+    # exchange then carries (id_a, id_b, est) — 24 bytes — instead of
+    # two num_hashes-long signature arrays per candidate row. A
+    # ``min_est`` threshold additionally drops non-candidates map-side
+    # BEFORE they ever shuffle.
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
     pairs = (
         a.join(b, keys)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
     )
+    if min_est is not None:
+        pairs = pairs.where(F.col("est_jaccard") >= float(min_est))
     if hot is not None:
         # Duplicates-by-signature star: within a hot bucket, group on
         # the full signature (array equi-key — one shuffle, output
         # linear in bucket size) and link members to the group min.
         # Singleton-signature members of hot buckets emit nothing.
+        # Identical signatures agree on every hash, so the estimate is
+        # exactly 16/16 = 1.0 — never filtered by any min_est ≤ 1.
         mins = hot.groupBy(*keys, "__sig").agg(F.min("__id").alias("id_a"))
         stars = (
             hot.join(mins, [*keys, "__sig"])
@@ -430,19 +463,11 @@ def minhash_lsh_candidates(
             .select(
                 "id_a",
                 F.col("__id").alias("id_b"),
-                F.col("__sig").alias("sig_a"),
-                F.col("__sig").alias("sig_b"),
+                F.lit(1.0).alias("est_jaccard"),
             )
         )
         pairs = pairs.unionByName(stars)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    ) / F.lit(float(num_hashes))
-    return pairs.withColumn("est_jaccard", est).drop("sig_a", "sig_b")
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_lsh_candidates_cross(
@@ -574,12 +599,11 @@ def minhash_dedup(
     LOWER-id row exceeds ``threshold`` is removed (greedy min-id
     survivor — direct pairs, one pass; iterate for transitive
     closure if chains matter)."""
-    cand = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
-    losers = (
-        cand.where(F.col("est_jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+    cand = minhash_lsh_candidates(
+        df, text_col=text_col, id_col=id_col,
+        min_est=threshold, **lsh_kwargs,
     )
+    losers = cand.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

@@ -4188,9 +4188,12 @@ def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_docs(spark, sf_dir)
     base = docs.where(F.length(canonical_text("text")) > 0)
+    # min_est pushes the 0.75 threshold below the pair-dedup exchange
+    # (r12): sub-threshold candidates never shuffle.
     pairs = minhash_lsh_candidates(
-        base, num_hashes=16, bands=4, hash_family="poly31", max_bucket=None
-    ).where(F.col("est_jaccard") >= 0.75)
+        base, num_hashes=16, bands=4, hash_family="poly31",
+        max_bucket=None, min_est=0.75,
+    )
     # pointer_jumping: same fixed point in O(log D) rounds — measured
     # faster on this exact sf0.1 pair graph (SCALING.md r10 section)
     clusters = duplicate_clusters(
@@ -5161,9 +5164,12 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket=None: the recursive-CTE oracle models the uncapped
     # pair graph (see dd_minhash_candidates); the capped default is
     # scale-probe-tested separately.
+    # min_est pushes the 0.75 threshold below the pair-dedup exchange
+    # (r12): sub-threshold candidates never shuffle.
     pairs = minhash_lsh_candidates(
-        docs, num_hashes=16, bands=4, hash_family="poly31", max_bucket=None
-    ).where(F.col("est_jaccard") >= 0.75)
+        docs, num_hashes=16, bands=4, hash_family="poly31",
+        max_bucket=None, min_est=0.75,
+    )
     return (
         duplicate_clusters(
             pairs, left_id="id_a", right_id="id_b", pointer_jumping=True
