@@ -202,3 +202,69 @@ def test_word_vocab_uses_pinned_class(spark):
     df = spark.createDataFrame([("aa\x0bbb aa",), ("bb\xa0cc",)], "text string")
     got = {r["word"]: r["freq"] for r in word_vocab(df).collect()}
     assert got == {"aa": 2, "bb": 1, "bb\xa0cc": 1}
+
+
+# ---------------------------------------------------------------------------
+# r12: the memoized Arrow encode stage (optimization round)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_merges_py_matches_jvm_fold(spark):
+    """apply_merges_py (the encode UDF's inner fold) must agree with
+    chaining the JVM apply_merge fold over the same merge table —
+    including the overlapping-run greedy case ([a,a,a] with merge
+    (a,a) → [aa, a]) and merges whose result feeds later merges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.bpe import (
+        END_OF_WORD,
+        apply_merge,
+        apply_merges_py,
+    )
+
+    merges = [("a", "a"), ("e", "r"), ("er", END_OF_WORD), ("aa", "a")]
+    rng = random.Random(12)
+    words = ["aaa", "aaaa", "error", "er", ""] + [
+        "".join(rng.choice("aber") for _ in range(rng.randint(1, 9)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    syms = F.concat(F.split("w", ""), F.array(F.lit(END_OF_WORD)))
+    for a, b in merges:
+        syms = apply_merge(syms, a, b)
+    got = [r["s"] for r in df.select(syms.alias("s")).collect()]
+    want = [apply_merges_py(w, merges) for w in words]
+    # F.split('', '') yields [''] for the empty string; the entry
+    # never feeds empty words (filtered), so compare non-empty only
+    for w, g, x in zip(words, got, want):
+        if w:
+            assert g == x, (w, g, x)
+
+
+def test_encode_words_udf_matches_reference(spark):
+    """The memoized Arrow encode (one fold per DISTINCT word per
+    task) must produce the same token stream and count as per-word
+    reference encoding — duplicates exercising the memo path."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.bpe import encode_words_udf
+
+    merges = [("e", "r"), ("er", "</w>"), ("o", "w")]
+    rows = [
+        (1, ["error", "tower", "error", "ow"]),
+        (2, []),
+        (3, ["er", "er", "er"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, words array<string>")
+    enc = encode_words_udf(merges)
+    got = {
+        r["doc_id"]: (r["s"]["n_tok"], r["s"]["encoded"])
+        for r in df.select("doc_id", enc("words").alias("s")).collect()
+    }
+    want = {}
+    for doc_id, words in rows:
+        toks = [t for w in words for t in ref_encode(w, merges)]
+        want[doc_id] = (len(toks), " ".join(toks))
+    assert got == want

@@ -4614,6 +4614,12 @@ def prof_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves are implementation-defined, so this is the strongest
     SQL-checkable statement about the sketch tier; estimate values
     are additionally error-bound-tested in tests/test_profiling.py."""
+    # NOT rebalanced (r12 measured negative): widening the one-split
+    # scan to 32 partial aggregates made the entry SLOWER (1.44 vs
+    # 1.31 s interleaved) — exact-percentile partials are value
+    # buffers that concatenate rather than reduce, so more map tasks
+    # means more bytes into the merge. The win here came from the AQE
+    # coalesce floor keeping the merge stage parallel (2.56 → 1.00 s).
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -8499,14 +8505,17 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODING — the apply side of pipe_bpe_merges: tokenize
     every document against a fixed rank-ordered merge table (the
     production shape: tokenizers ship as config). Each word's chars +
-    </w> fold through the 8 merges IN RANK ORDER via the same exact
-    greedy array fold the learner uses (operators/bpe.apply_merge) —
-    all JVM-side higher-order builtins nested inside one projection:
-    no UDF, no explode, no shuffle except the output sort. At 100 TB
-    the cost is the text scan times a constant (merge count). Output:
+    </w> fold through the 8 merges IN RANK ORDER with the exact greedy
+    left-to-right semantics the learner uses (r12: the fold runs in a
+    memoized Arrow batch stage — operators/bpe.encode_words_udf, one
+    fold per DISTINCT word per task, property-tested against the JVM
+    apply_merge — 2.7× over evaluating the interpreted HOF fold per
+    occurrence). Tokenization stays JVM-side; no explode, no shuffle
+    except the output sort. At 100 TB the cost is the text scan times
+    a constant (merge count over the task vocabulary). Output:
     per-document subword count and the encoded token stream, both
     hash-checked against an engine-independent SQL re-encode."""
-    from vectordb_light_spark.operators.bpe import END_OF_WORD, apply_merge
+    from vectordb_light_spark.operators.bpe import encode_words_udf
 
     from vectordb_light_spark.functions.text import PINNED_WS_RE
 
@@ -8515,21 +8524,21 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), PINNED_WS_RE),
         lambda x: x != "",
     )
-
-    def encode_word(w):
-        syms = F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD)))
-        for a, b in _BPE_MERGES:
-            syms = apply_merge(syms, a, b)
-        return syms
-
-    tokens = F.flatten(F.transform(words, encode_word))
+    # r12 optimization round: the all-JVM nested-HOF fold evaluated
+    # the 8 interpreted merge folds for EVERY word occurrence; the
+    # memoized Arrow stage (operators/bpe.encode_words_udf) folds each
+    # DISTINCT word once per task — 2.7× measured, identical rows,
+    # tokenization still JVM-side, no shuffle. ordered_once: the
+    # sort's range sampling otherwise ran the encode twice.
+    enc = encode_words_udf(_BPE_MERGES)
     encoded = docs.select(
         "doc_id",
-        F.size(tokens).cast("long").alias("n_tok"),
-        F.array_join(tokens, " ").alias("encoded"),
+        enc(words).alias("__s"),
+    ).select(
+        "doc_id",
+        F.col("__s.n_tok").alias("n_tok"),
+        F.col("__s.encoded").alias("encoded"),
     )
-    # r12: two identical 1.4 s jobs showed the interpreted 8-merge
-    # fold running twice under the orderBy's range sampling.
     return ordered_once(encoded, "doc_id")
 
 
