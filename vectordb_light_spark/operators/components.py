@@ -122,6 +122,11 @@ def connected_components(
     # instrumented study measured constant round counts with
     # uniformly host-band-inflated walls; halving the job count
     # shrinks the steal-exposure per round).
+    # (r12 measured negative: hash-partitioning sym by the probe key
+    # before the checkpoint — so rounds reuse the partitioning — read
+    # a wash-to-slower interleaved A/B (leak-split 3.94 vs 3.98,
+    # clusters 2.66 vs 2.42): AQE already shrinks the tiny per-round
+    # exchanges, and the setup repartition costs an extra exchange.)
     sym = sym.localCheckpoint(eager=False)
     # start: every node's component is its smallest direct neighbor
     # (or itself) — one groupBy seeds AND performs round 1

@@ -544,20 +544,31 @@ def minhash_lsh_candidates_cross(
 
     ref_b = banded(ref, "ref")
     new_b = banded(new, "new")
-    if max_bucket is not None:
-        def over_cap(side_df: DataFrame) -> DataFrame:
-            return (
-                side_df.groupBy(*keys)
-                .agg(F.count(F.lit(1)).alias("__bc"))
-                .where(F.col("__bc") > max_bucket)
-                .select(*keys)
-            )
+    def over_cap(side_df: DataFrame) -> DataFrame:
+        return (
+            side_df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .where(F.col("__bc") > max_bucket)
+            .select(*keys)
+        )
 
+    # est_jaccard computed per matched band row BEFORE the pair-dedup
+    # exchange (r12, same as the self-join variant): signatures are
+    # unique per id so the estimate is copy-invariant, and the dedup
+    # exchange carries (ref_id, new_id, est) instead of two signature
+    # arrays per candidate row.
+    est = F.size(
+        F.filter(
+            F.zip_with("ref_sig", "new_sig", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    if max_bucket is not None:
         hot_keys = over_cap(ref_b).unionByName(over_cap(new_b)).distinct()
         cold_pairs = (
             ref_b.join(hot_keys, keys, "left_anti")
             .join(new_b.join(hot_keys, keys, "left_anti"), keys)
-            .select("ref_id", "new_id", "ref_sig", "new_sig")
+            .select("ref_id", "new_id", est.alias("est_jaccard"))
         )
         # Hot path: per (bucket, signature) min ref id, joined to hot
         # new rows on the FULL signature — output linear in the hot
@@ -574,23 +585,15 @@ def minhash_lsh_candidates_cross(
             .select(
                 "ref_id",
                 "new_id",
-                F.col("__sig").alias("ref_sig"),
-                F.col("__sig").alias("new_sig"),
+                F.lit(1.0).alias("est_jaccard"),
             )
         )
         pairs = cold_pairs.unionByName(stars)
     else:
         pairs = ref_b.join(new_b, keys).select(
-            "ref_id", "new_id", "ref_sig", "new_sig"
+            "ref_id", "new_id", est.alias("est_jaccard")
         )
-    pairs = pairs.dropDuplicates(["ref_id", "new_id"])
-    est = F.size(
-        F.filter(
-            F.zip_with("ref_sig", "new_sig", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    ) / F.lit(float(num_hashes))
-    return pairs.withColumn("est_jaccard", est).drop("ref_sig", "new_sig")
+    return pairs.dropDuplicates(["ref_id", "new_id"])
 
 
 def minhash_dedup(
