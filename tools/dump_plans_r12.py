@@ -11,6 +11,8 @@ breakdown in OPTIMIZATION_r12.md.
 from __future__ import annotations
 
 import sys
+import os
+os.environ['SPARK_GRAFT_EXPLAIN_FULL'] = '1'  # show full child plans under ordered_once
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))

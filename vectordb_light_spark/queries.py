@@ -80,9 +80,25 @@ def ordered_once(df: DataFrame, *cols: str) -> DataFrame:
     twice). The lazy localCheckpoint cuts the plan so the sampling
     pass materializes the child once and the write pass re-reads the
     materialized partitions (guide §3.3: materialize an intermediate
-    rather than recompute a heavy subtree). Use ONLY above expensive
+    rather than recompute a heavy subtree). Deliberately NOT a
+    ``persist``: Spark's cache manager substitutes cached plans into
+    LATER structurally-equal queries, so a persisted final output
+    would make a re-run of the same entry read the previous run's
+    cache — a measured 0.40 s "run" that computes nothing. The
+    checkpoint RDD is private to one build, so every invocation
+    recomputes from the parquet inputs. Use ONLY above expensive
     map-side children — for cheap children the extra materialization
-    costs more than the recompute."""
+    costs more than the recompute.
+
+    ``SPARK_GRAFT_EXPLAIN_FULL=1`` (plan-dump transparency mode, used
+    by tools/gen_plans.py and tools/dump_plans_r12.py) skips the
+    checkpoint so explain shows the full child plan instead of the
+    checkpoint's opaque ``Scan ExistingRDD``; timing paths never set
+    it."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_EXPLAIN_FULL"):
+        return df.orderBy(*cols)
     return df.localCheckpoint(eager=False).orderBy(*cols)
 
 
@@ -7534,6 +7550,7 @@ _PRE_ORACLE_STALE: set = set()
 #: lands in class (b) automatically. Cut: 5 class-b + 34 r9-stale +
 #: 11 cheapest-r10 fill = 50, the whole r9 tail inside.
 _CHANGED_THIS_ROUND = {
+    # --- r12 build phase ---
     # (1) greedy conflict policy (ADVICE r11 high)
     "ts_pii_scrub_extended",
     # (2) single-pass aggregate + fused-checkpoint CC (r11 item 1)
@@ -7541,6 +7558,38 @@ _CHANGED_THIS_ROUND = {
     # (3)/(4) shared CC checkpoint strategy changed underneath
     "dd_duplicate_clusters",
     "dd_semantic_dedup",
+    # --- r12 OPTIMIZATION phase (OPTIMIZATION_r12.md; every entry
+    # below had its registered body or a shared operator under it
+    # change plan shape — outputs oracle-verified identical) ---
+    # window-form exact_dedup (shared operator)
+    "dd_exact_dedup",
+    "pipe_curate_chain",
+    # est_jaccard map-side + min_est pushdown in minhash LSH
+    "dd_minhash_candidates",
+    "dd_cross_corpus_candidates",
+    # memoized Arrow encode / lazy round checkpoints
+    "pipe_bpe_encode",
+    "pipe_bpe_merges",
+    # thread-pooled independent tier jobs
+    "ann_recall_contract",
+    # ordered_once (checkpoint-before-sort) entries
+    "mm_jpeg_decode",
+    "mm_video_frames",
+    "mm_image_decode",
+    "mm_audio_features",
+    "src_binary_roundtrip",
+    "src_markup_roundtrip",
+    "src_office_roundtrip",
+    "pipe_cdc_chunks",
+    "pipe_chunk_normalized",
+    "pipe_pdf_page_chunks",
+    "ts_lang_id",
+    "dd_strip_repeated_spans",
+    "ts_bigram_lm_score",
+    "ts_winnow_fingerprints",
+    "dd_image_near_dups",
+    "dd_simhash_near_dups",
+    "pipe_semantic_decontaminate",
 }
 
 
