@@ -2554,16 +2554,15 @@ def dd_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_docs=2,
         min_span_tokens=16,
     )
-    # r12: ordered_once — the range sampling otherwise runs the span
-    # strip (anchor grams + rebuild) twice.
-    return ordered_once(
-        out.select(
-            "doc_id",
-            "removed_tokens",
-            F.md5("text").alias("kept_md5"),
-        ),
+    # NOT ordered_once (r12 measured negative, 1.72 vs 1.67 s
+    # interleaved): the span mining rides exchanges below this point,
+    # so the sort's sampling pass only re-runs a cheap tail — the
+    # checkpoint materialization costs more than it saves.
+    return out.select(
         "doc_id",
-    )
+        "removed_tokens",
+        F.md5("text").alias("kept_md5"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -6262,9 +6261,10 @@ def ts_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_light_spark.operators.profiling import bigram_lm_scores
 
     docs = load_docs(spark, sf_dir, "doc_id", "text", "lang")
-    # r12: ordered_once — the range sampling otherwise runs the
-    # bigram-LM scoring expression twice.
-    return ordered_once(bigram_lm_scores(docs, extra_cols=("lang",)), "doc_id")
+    # NOT ordered_once (r12 measured negative, 1.25 vs 1.20 s
+    # interleaved): the bucket-LM scoring re-enters via broadcast
+    # below an exchange, so the sort's sampling pass is already cheap.
+    return bigram_lm_scores(docs, extra_cols=("lang",)).orderBy("doc_id")
 
 
 @register("ann_pca_topk", oracle=_ANN_POOL_ORACLE)
@@ -7584,8 +7584,9 @@ _CHANGED_THIS_ROUND = {
     "pipe_chunk_normalized",
     "pipe_pdf_page_chunks",
     "ts_lang_id",
-    "dd_strip_repeated_spans",
-    "ts_bigram_lm_score",
+    # (dd_strip_repeated_spans / ts_bigram_lm_score: ordered_once was
+    # tried, measured negative, and reverted — net diff vs the round
+    # open is comments only, so they are NOT marked changed)
     "ts_winnow_fingerprints",
     "dd_image_near_dups",
     "dd_simhash_near_dups",
