@@ -166,16 +166,53 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+#: Frames persisted by :func:`persist_if_batch` since the last
+#: :func:`release_persisted` call — the r13 bench-integrity ledger
+#: (VERDICT r12 item 1). Never-unpersisted frames stay registered in
+#: Spark's CacheManager, which substitutes a cached plan into any
+#: LATER structurally-equal query — so a bench warm-up run's
+#: materialized intermediates could silently serve the timed runs
+#: (cross-run result caching, which the bench rules forbid). The
+#: registry wrapper (queries.register) drains this ledger at the
+#: start of every top-level entry build, so each invocation computes
+#: its persisted frames from the parquet inputs.
+_PERSISTED_FRAMES: list[DataFrame] = []
+
+
 def persist_if_batch(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK-persist a DataFrame consumed by multiple
     downstream branches (e.g. both sides of a self-join), so a derived
     input pipeline — a signature UDF, an embedding stage — computes
-    once instead of once per branch. No-op for streaming inputs."""
+    once instead of once per branch. No-op for streaming inputs.
+    Every persisted frame is recorded for :func:`release_persisted`
+    (r13: per-build cache hygiene — see `_PERSISTED_FRAMES`)."""
     if df.isStreaming:
         return df
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_FRAMES.append(out)
+    return out
+
+
+def release_persisted() -> int:
+    """Unpersist every frame :func:`persist_if_batch` recorded since
+    the last call, returning how many were released. Called by the
+    query-registry wrapper at the start of each top-level entry build
+    so no cached block from a PREVIOUS build (warm-up or earlier
+    entry) can be substituted into the new build's plan (r13 cache-
+    substitution audit: the pre-fix tool run measured 11 cached RDDs
+    carried into a timed build; with this, 0). ``blocking=False`` —
+    the async drop never stalls the next build."""
+    n = 0
+    while _PERSISTED_FRAMES:
+        df = _PERSISTED_FRAMES.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:  # pragma: no cover - session already gone
+            pass
+    return n
 
 
 def materialize_if_batch(df: DataFrame) -> DataFrame:

@@ -396,10 +396,10 @@ def load_directory(spark: SparkSession, source_dir: str) -> tuple[DataFrame, Dat
     both branches consume it, and without the persist each branch
     would re-read and re-parse every source file.
     """
-    from pyspark import StorageLevel
+    from vectordb_light_spark.session import persist_if_batch
 
-    extracted = extract_documents(scan_documents(spark, source_dir)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    extracted = persist_if_batch(
+        extract_documents(scan_documents(spark, source_dir))
     )
     docs = extracted.where(F.col("reject_reason").isNull()).drop("reject_reason")
     rejects = extracted.where(F.col("reject_reason").isNotNull()).select(
