@@ -230,6 +230,74 @@ def leak_split_instrumented():
     return {"entry": entry}
 
 
+def containment_old_vs_new():
+    """r13: containment_pairs rewrite A/B — the r12 form (string
+    shingle keys, rare-set equi-join prefilter, sizes aggregate +
+    join-back) vs the r13 form (xxhash64 keys, broadcast-anti hot
+    set, map-side |A| carried through the pair exchange). The old
+    form is inlined here verbatim from the r12 tree."""
+    from pyspark.sql import functions as F
+
+    from vectordb_light_spark.operators.dedup import containment_pairs
+    from vectordb_light_spark.queries import load_docs
+    from vectordb_light_spark.session import persist_if_batch
+
+    def old(spark):
+        df = load_docs(spark, SF_DIR, "doc_id", "text")
+        id_col, text_col, shingle, max_df, threshold = (
+            "doc_id", "text", 3, 20, 0.1
+        )
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+        )
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("_t") - (shingle - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at("_t", (i + j).cast("int"))
+                    for j in range(shingle)
+                ],
+            ),
+        )
+        shingles = persist_if_batch(
+            df.select(F.col(id_col), toks.alias("_t"))
+            .where(F.size("_t") >= shingle)
+            .select(
+                F.col(id_col), F.explode(F.array_distinct(grams)).alias("s")
+            )
+        )
+        sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+        dfreq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("_dfc"))
+        rare = dfreq.where(F.col("_dfc") <= max_df).select("s")
+        p1 = shingles.join(rare, "s").select(F.col(id_col).alias("doc_a"), "s")
+        p2 = shingles.join(rare, "s").select(F.col(id_col).alias("doc_b"), "s")
+        shared = (
+            p1.join(p2, "s")
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
+        return (
+            shared.join(sizes.withColumnRenamed(id_col, "doc_a"), "doc_a")
+            .withColumn("containment", F.col("_shared") / F.col("_n"))
+            .where(F.col("containment") >= threshold)
+            .select(
+                "doc_a", "doc_b",
+                F.round("containment", 6).alias("containment"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+
+    def new(spark):
+        docs = load_docs(spark, SF_DIR, "doc_id", "text")
+        return containment_pairs(docs, threshold=0.1, max_df=20).orderBy(
+            "doc_a", "doc_b"
+        )
+
+    return {"old": old, "new": new}
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.isdigit()]
     iters = next((int(a) for a in sys.argv[1:] if a.isdigit()), 5)

@@ -157,7 +157,16 @@ def apply_merges_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Reference Python twin of chaining :func:`apply_merge` over a
     rank-ordered merge table: chars + END_OF_WORD, then per merge the
     exact left-to-right greedy non-overlapping fold. Property-tested
-    against the Spark fold (tests/test_bpe.py)."""
+    against the Spark fold (tests/test_bpe.py).
+
+    Equivalence scope (ADVICE r12): ``list(word)`` splits at Unicode
+    CODE POINTS while the JVM ``F.split(w, '')`` path splits at UTF-16
+    CODE UNITS, so a non-BMP character (emoji, astral CJK) is one
+    initial symbol here but a surrogate pair there. The two folds are
+    exactly equivalent for BMP text — which is all the corpus
+    generator and the merge tables (learned over [a-z ]) ever
+    produce — and the per-character Python form matches the DuckDB
+    oracle's per-character substr semantics on the SQL side."""
     syms = list(word) + [END_OF_WORD]
     for a, b in merges:
         acc: list[str] = []

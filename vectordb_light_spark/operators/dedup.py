@@ -167,7 +167,14 @@ def exact_dedup(
     canonicalization pass onto the single-split scan task, and at
     scale the winners "broadcast" side is corpus-sized. The window
     form shuffles the corpus ONCE, computes the key once, infers no
-    scan predicate, and needs no join at any scale."""
+    scan predicate, and needs no join at any scale.
+
+    Contract note (ADVICE r12): ``id_col`` must be unique per row.
+    The window keeps exactly ONE rank-1 row per key; with duplicate
+    id values the survivor among the tying rows would be partition-
+    order dependent (the old join-back form instead kept EVERY row
+    tying on (key, min_id)). Every caller keys on a unique doc_id /
+    media_id, where the two forms are identical."""
     from pyspark.sql import Window
 
     key = F.sha2(canonical_text(text_col) if canonicalize else F.col(text_col), 256)
@@ -607,7 +614,17 @@ def minhash_dedup(
     """Drop near-duplicates: any row whose estimated Jaccard with a
     LOWER-id row exceeds ``threshold`` is removed (greedy min-id
     survivor — direct pairs, one pass; iterate for transitive
-    closure if chains matter)."""
+    closure if chains matter).
+
+    ``threshold`` IS the LSH ``min_est`` (the map-side pushdown of
+    this function's own filter); passing ``min_est`` via
+    ``lsh_kwargs`` is rejected explicitly rather than surfacing as a
+    duplicate-keyword TypeError (ADVICE r12)."""
+    if "min_est" in lsh_kwargs:
+        raise TypeError(
+            "minhash_dedup derives min_est from threshold; pass "
+            "threshold= instead of min_est="
+        )
     cand = minhash_lsh_candidates(
         df, text_col=text_col, id_col=id_col,
         min_est=threshold, **lsh_kwargs,
@@ -836,9 +853,12 @@ def simhash_near_dups(
             df.count() if needs_hint and not df.isStreaming else None
         )
     m, k = resolve_block_scheme(max_hamming, total_bits, n_docs_hint, blocks, combo)
-    # NOT persisted here: hamming_near_dup_pairs eagerly materializes
-    # the sketch stage (r12) — a persist on top would only copy the
-    # same blocks twice.
+    # NOT persisted here: hamming_near_dup_pairs persist_if_batch-es
+    # the keyed sketch stage itself, so an outer persist would only
+    # register the same pipeline twice (comment fixed per ADVICE r12
+    # — the inner strategy is a lazy persist, not an eager
+    # materialization; the eager A/B was measured slower and
+    # rejected, see hamming_near_dup_pairs).
     keyed = add_simhash64(
         df,
         text_col=text_col,
@@ -1031,36 +1051,96 @@ def containment_pairs(
     prefilter — the same semantics on both engine and oracle sides.
     Output: (doc_a, doc_b, containment of doc_a) — asymmetric, both
     directions emitted when both pass the threshold.
+
+    r13 shape (guide §2.3/§2.4 — the minhash treatment): every
+    exchange carries a lightweight proxy, never shingle text.
+    (1) Postings key on ``xxhash64`` of the shingle — the df
+    aggregate and the pair self-join shuffle 8-byte longs instead of
+    ~20-char strings (same keys-not-payloads move remove_boilerplate
+    and line_dedup already make; a 64-bit collision would need ~2³²
+    distinct shingles to become likely, far above any per-corpus
+    shingle count we run, and the oracle gate pins the test SFs).
+    (2) The per-doc shingle count |A| is computed MAP-SIDE from the
+    distinct-gram array (``size(array_distinct(...))``) and rides the
+    posting rows as an 8-byte column, so the old corpus-sized
+    ``sizes`` aggregate + join-back after the pair aggregate are gone
+    — the containment threshold applies directly on the pair
+    aggregate's output, map-side after its partial agg.
+    (3) Stop-shingles are dropped by broadcast ANTI join against the
+    HOT key set (df > max_df — the tiny Zipf head) instead of an
+    equi-join against the huge rare set: the postings never shuffle
+    for the prefilter, and the hot keys' posting rows are dropped
+    map-side rather than hash-partitioned into one task (§2.5 — the
+    rare-join form shuffled every copy of every stop shingle to a
+    single reducer before discarding it).
     """
     from vectordb_light_spark.session import persist_if_batch
 
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("_t") - (shingle - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("_t", (i + j).cast("int")) for j in range(shingle)]
+    # Total expression even for docs shorter than the shingle width:
+    # the length guard is INSIDE the expression (when → empty array),
+    # not only in the row filter below — InferFiltersFromGenerate
+    # derives an isnotnull(<grams>) predicate from the explode, and
+    # FilterExec evaluates IsNotNull conjuncts FIRST, i.e. before the
+    # size(toks) >= shingle conjunct can short-circuit; an unguarded
+    # sequence(1, size-2) is DESCENDING for short docs and its
+    # element_at raises under ANSI.
+    grams = F.when(
+        F.size("_t") >= shingle,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - (shingle - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at("_t", (i + j).cast("int"))
+                    for j in range(shingle)
+                ],
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
+    # The explode input stays an INLINE (non-cheap) expression on
+    # purpose: InferFiltersFromGenerate skips non-cheap generator
+    # children (SPARK-33544), whereas staging the gram array as an
+    # attribute first made the rule infer `size(_g)>0 AND
+    # isnotnull(_g)`, alias-substitution expanded that to the whole
+    # gram pipeline, and predicate pushdown dragged it below the
+    # rebalance exchange into the single-split scan stage — one core
+    # evaluated every doc's grams while 31 idled (measured 10x; the
+    # same pushed-predicate serialization r12 fixed in exact_dedup).
+    # size(distinct) + explode(distinct) evaluate the gram build
+    # twice per doc, in the PARALLEL post-exchange stage — the lesser
+    # evil by an order of magnitude.
+    distinct_grams = F.array_distinct(grams)
     shingles = persist_if_batch(
         df.select(F.col(id_col), toks.alias("_t"))
         .where(F.size("_t") >= shingle)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("s"))
+        .select(
+            F.col(id_col),
+            F.size(distinct_grams).alias("_n"),
+            F.explode(distinct_grams).alias("_s"),
+        )
+        .select(F.col(id_col), "_n", F.xxhash64("_s").alias("s"))
     )
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    dfreq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("_dfc"))
-    rare = dfreq.where(F.col("_dfc") <= max_df).select("s")
-    p1 = shingles.join(rare, "s").select(F.col(id_col).alias("doc_a"), "s")
-    p2 = shingles.join(rare, "s").select(F.col(id_col).alias("doc_b"), "s")
-    shared = (
-        p1.join(p2, "s")
+    hot = (
+        shingles.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_dfc"))
+        .where(F.col("_dfc") > max_df)
+        .select("s")
+    )
+    posts = shingles.join(F.broadcast(hot), "s", "left_anti")
+    a = posts.select(F.col(id_col).alias("doc_a"), "_n", "s")
+    b = posts.select(F.col(id_col).alias("doc_b"), "s")
+    return (
+        a.join(b, "s")
         .where(F.col("doc_a") != F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .agg(
+            F.count(F.lit(1)).alias("_shared"),
+            # _n is constant per doc_a; min() picks it deterministically
+            F.min("_n").alias("_n"),
+        )
         .withColumn("containment", F.col("_shared") / F.col("_n"))
         .where(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
