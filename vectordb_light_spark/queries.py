@@ -2268,28 +2268,40 @@ def dd_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons per doc), cross-source pairs average ~30.
     ``max_cluster=None`` pins exact clique semantics for the SQL
     twin; the hot-cluster star collapse (production default) is
-    unit-tested for identical-image clusters. 100 TB shape: decode +
-    hash are one map-side Arrow stage over the binary scan; the join
-    shuffles C(8,2)=28 16-bit combo keys × ~16 bytes per image —
-    never pixels, never pairs outside the Hamming band."""
+    unit-tested for identical-image clusters. 100 TB shape: synth +
+    encode + decode + hash are ONE map-side Arrow stage over the
+    scan (r13, guide §4: the r12 form ran TWO MapInPandas stages —
+    synth→BMP, then decode→dHash — shipping every ~900-byte BMP
+    JVM→Python→JVM→Python for nothing; the fused stage runs the SAME
+    stdlib bmp_encode → decode_image → dHash byte path per image,
+    including image_dhash's md5 fallback for undecodable bytes, and
+    emits only (media_id, dhash) — the binary column never crosses
+    the Arrow boundary at all); the join shuffles C(8,2)=28 16-bit
+    combo keys × ~16 bytes per image — never pixels, never pairs
+    outside the Hamming band."""
     from collections.abc import Iterator as _Iter
 
     import numpy as _np
     import pandas as _pd
 
     from vectordb_light_spark.operators.dedup import hamming_near_dup_pairs
-    from vectordb_light_spark.operators.multimodal import image_dhash
-    from vectordb_light_spark.sources.media import bmp_encode
 
     docs = load_docs(spark, sf_dir, "doc_id", "source")
 
-    def build(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
-        R = _np.arange(16)[:, None]
-        C = _np.arange(18)[None, :]
+    def build_hash(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
         import hashlib as _hl
 
+        from vectordb_light_spark.operators.multimodal import _dhash_bits
+        from vectordb_light_spark.sources.media import (
+            bmp_encode,
+            decode_image,
+        )
+
+        R = _np.arange(16)[:, None]
+        C = _np.arange(18)[None, :]
+
         for pdf in batches:
-            rows = []
+            ids, hashes = [], []
             for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
                 # srcNN parses directly; any other source label gets a
                 # deterministic md5-derived pattern id instead of a
@@ -2313,13 +2325,22 @@ def dd_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = ((s + 3) * (R * 17 + C * 23 + 11)) % 256
                 nr, nc, nv = did % 16, did % 18, did % 97
                 px[nr, nc] = ((s + 3) * (nr * 17 + nc * 23 + 11) + nv) % 256
-                rows.append((did, bmp_encode(px.astype(_np.uint8))))
-            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+                # The REAL codec round trip, unchanged from the
+                # two-stage form: stdlib BMP encode, stdlib decode,
+                # dHash — with image_dhash's exact fallback rule.
+                raw = bmp_encode(px.astype(_np.uint8))
+                dec = decode_image(raw)
+                if dec is not None:
+                    h = _dhash_bits(dec)
+                else:  # pragma: no cover - our own BMPs always decode
+                    h = int.from_bytes(
+                        _hl.md5(raw).digest()[:8], "big", signed=True
+                    )
+                ids.append(did)
+                hashes.append(h)
+            yield _pd.DataFrame({"__id": ids, "__sim": hashes})
 
-    media = docs.mapInPandas(build, schema="media_id long, content binary")
-    hashed = image_dhash(media).select(
-        F.col("media_id").alias("__id"), F.col("dhash").alias("__sim")
-    )
+    hashed = docs.mapInPandas(build_hash, schema="__id long, __sim long")
     # r12: ordered_once — the range sampling otherwise runs the combo
     # self-join + Hamming verify twice (measured: two ~8-10 s-executor
     # stages of identical shape inside one run).
