@@ -159,21 +159,29 @@ def main() -> None:
     # 80-query JSON line overflowed it → "parsed": null). Emit a
     # COMPACT final line — totals + a fixed headline subset — and put
     # the full per-query dict in BENCH_FULL.json next to this script.
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
-    full_path.write_text(
-        json.dumps(
-            {
-                "metric": "all_queries_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "n_queries": len(timings),
-                "queries": timings,
-                **ingest,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            indent=1,
-        )
+    # r13 (VERDICT r12 item 7): BENCH_FULL.json was clobbered by
+    # whatever bench ran last (the committed copy ended up holding
+    # the driver's 8-core scaling run), so a (cpus, sf)-tagged copy
+    # is written alongside; the untagged file stays for the stdout
+    # contract's `queries_full` pointer. The compact stdout line is
+    # UNCHANGED.
+    full_blob = json.dumps(
+        {
+            "metric": "all_queries_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "queries": timings,
+            **ingest,
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        indent=1,
     )
+    here = Path(__file__).resolve().parent
+    (here / "BENCH_FULL.json").write_text(full_blob)
+    tag = f"c{os.environ.get('SPARK_GRAFT_CPUS', '32')}_sf{sf}"
+    (here / f"BENCH_FULL_{tag}.json").write_text(full_blob)
     headline = [
         "vq_topk_cosine",
         "vq_batch_topk",

@@ -7300,67 +7300,68 @@ def pipe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and asserts the policy holds.
 
 _LAST_GRADED = {
-    'ann_ivf_topk': 9,
+    'ann_ivf_topk': 12,
     'ann_ivfpq_topk': 11,
     'ann_opq_topk': 9,
-    'ann_pca_topk': 9,
+    'ann_pca_topk': 12,
     'ann_pq_topk': 11,
-    'ann_recall_contract': 10,
+    'ann_recall_contract': 12,
     'ann_srp_topk': 10,
     'ann_topk_join': 10,
     'dd_containment_pairs': 10,
-    'dd_cross_corpus_candidates': 11,
-    'dd_duplicate_clusters': 11,
+    'dd_cross_corpus_candidates': 12,
+    'dd_duplicate_clusters': 12,
     'dd_duplicate_groups': 11,
     'dd_embedding_near_dups': 10,
-    'dd_exact_dedup': 11,
-    'dd_image_near_dups': 9,
-    'dd_jaccard_pairs': 9,
+    'dd_exact_dedup': 12,
+    'dd_image_near_dups': 12,
+    'dd_jaccard_pairs': 12,
     'dd_line_dedup': 10,
-    'dd_minhash_candidates': 11,
-    'dd_remove_boilerplate': 9,
+    'dd_minhash_candidates': 12,
+    'dd_remove_boilerplate': 12,
     'dd_repeated_spans': 11,
-    'dd_semantic_dedup': 10,
-    'dd_simhash_near_dups': 9,
+    'dd_semantic_dedup': 12,
+    'dd_simhash_near_dups': 12,
     'dd_strip_repeated_spans': 11,
     'dq_events_constraints': 10,
     'emb_doc_mean_pool': 11,
-    'emb_feature_hash_topk': 9,
+    'emb_feature_hash_topk': 12,
     'emb_mini_encoder_topk': 9,
-    'kw_bm25_topk': 9,
-    'kw_hybrid_rrf': 9,
-    'mm_audio_features': 11,
+    'kw_bm25_topk': 12,
+    'kw_hybrid_rrf': 12,
+    'mm_audio_features': 12,
     'mm_audio_windows': 10,
     'mm_frame_counts': 10,
-    'mm_image_decode': 11,
-    'mm_image_pipeline': 9,
-    'mm_jpeg_decode': 11,
-    'mm_video_frames': 11,
+    'mm_image_decode': 12,
+    'mm_image_pipeline': 12,
+    'mm_jpeg_decode': 12,
+    'mm_video_frames': 12,
     'pipe_bloom_decontaminate': 11,
-    'pipe_bpe_encode': 11,
-    'pipe_bpe_merges': 11,
-    'pipe_cdc_chunks': 10,
+    'pipe_bpe_encode': 12,
+    'pipe_bpe_merges': 12,
+    'pipe_cdc_chunks': 12,
     'pipe_chunk_fixed': 10,
-    'pipe_chunk_normalized': 10,
+    'pipe_chunk_normalized': 12,
     'pipe_corpus_mix': 10,
     'pipe_corpus_shuffle': 11,
     'pipe_corpus_split': 10,
-    'pipe_curate_chain': 9,
-    'pipe_curriculum_order': 9,
+    'pipe_curate_chain': 12,
+    'pipe_curate_split_chain': 12,
+    'pipe_curriculum_order': 12,
     'pipe_decontaminate': 11,
     'pipe_doc_hash': 11,
     'pipe_domain_mix': 10,
     'pipe_dsir_select': 10,
     'pipe_hash_embed_topk': 9,
-    'pipe_leakage_safe_split': 10,
+    'pipe_leakage_safe_split': 12,
     'pipe_negative_samples': 10,
-    'pipe_pdf_page_chunks': 10,
-    'pipe_semantic_decontaminate': 9,
+    'pipe_pdf_page_chunks': 12,
+    'pipe_semantic_decontaminate': 12,
     'pipe_sequence_pack': 10,
     'pipe_stratified_take': 11,
     'pipe_temperature_mix': 10,
     'pipe_token_budget_mix': 11,
-    'pipe_token_windows': 9,
+    'pipe_token_windows': 12,
     'pipe_training_corpus': 9,
     'pipe_url_dedup': 10,
     'pipe_weighted_sample': 10,
@@ -7375,31 +7376,31 @@ _LAST_GRADED = {
     'rel_big_orders': 10,
     'rel_customer_activity': 11,
     'rel_events_asof': 10,
-    'rel_events_cohorts': 9,
+    'rel_events_cohorts': 12,
     'rel_events_funnel': 11,
     'rel_events_gapfill': 11,
     'rel_events_gaps': 11,
     'rel_events_interval': 11,
     'rel_events_json': 11,
-    'rel_events_moving_avg': 9,
+    'rel_events_moving_avg': 12,
     'rel_events_scd2': 11,
     'rel_forecast_revenue': 10,
     'rel_join_nation_customers': 10,
-    'rel_orders_pareto': 9,
+    'rel_orders_pareto': 12,
     'rel_pricing_summary': 11,
     'rel_region_volume': 11,
     'rel_scd2_merge': 11,
     'rel_sessions_overlap': 10,
     'rel_shipping_priority': 11,
-    'rel_top_orders_by_revenue': 9,
+    'rel_top_orders_by_revenue': 12,
     'rel_user_retention': 11,
     'rel_window_order_rank': 10,
-    'sim_cosine_pairs_exact': 9,
-    'sim_sparse_cosine_pairs': 9,
+    'sim_cosine_pairs_exact': 12,
+    'sim_sparse_cosine_pairs': 12,
     'skew_salted_user_join': 11,
-    'src_binary_roundtrip': 10,
-    'src_markup_roundtrip': 10,
-    'src_office_roundtrip': 10,
+    'src_binary_roundtrip': 12,
+    'src_markup_roundtrip': 12,
+    'src_office_roundtrip': 12,
     'st_clicks_attribution': 10,
     'st_events_dedup': 11,
     'st_events_sessions': 9,
@@ -7409,27 +7410,27 @@ _LAST_GRADED = {
     'st_user_running_totals': 10,
     'st_windowed_quantiles': 9,
     'ts_bigram_lm_score': 10,
-    'ts_c4_filter': 9,
-    'ts_gopher_filter': 9,
-    'ts_lang_id': 9,
+    'ts_c4_filter': 12,
+    'ts_gopher_filter': 12,
+    'ts_lang_id': 12,
     'ts_pii_scrub': 10,
-    'ts_pii_scrub_extended': 11,
-    'ts_quality_classifier': 9,
-    'ts_quality_score': 9,
+    'ts_pii_scrub_extended': 12,
+    'ts_quality_classifier': 12,
+    'ts_quality_score': 12,
     'ts_readability': 10,
     'ts_repetition_filter': 11,
     'ts_text_stats': 11,
     'ts_tfidf_top_terms': 10,
     'ts_vocab_topk': 11,
-    'ts_winnow_fingerprints': 10,
-    'vq_batch_topk': 9,
-    'vq_chunks_only': 9,
+    'ts_winnow_fingerprints': 12,
+    'vq_batch_topk': 12,
+    'vq_chunks_only': 12,
     'vq_citations': 11,
     'vq_filtered_topk': 11,
     'vq_grouped_topk': 11,
     'vq_mmr_rerank': 10,
     'vq_postfilters': 11,
-    'vq_rag_prompt': 9,
+    'vq_rag_prompt': 12,
     'vq_range_search': 10,
     'vq_threshold_after_topk': 11,
     'vq_topk_cosine': 11,
@@ -7581,73 +7582,42 @@ _SOLO_COST_S = {
 _PRE_ORACLE_STALE: set = set()
 
 
-#: r12 cut (grading-budget protocol, COVERAGE.md): changed entries +
-#: 34 r9-stale + cheapest-r10 fill = 50, clearing the entire r9 tail
-#: (VERDICT r11 item 2). Changes this round: (1) `ts_pii_scrub_extended`
-#: — ADVICE r11 high: the order-free dominance filter let a dominated
-#: Luhn-valid straddling decoy shadow a real card; conflict policy
-#: rebuilt as sequential greedy leftmost-longest (sorted fold,
-#: dominance against CHOSEN ranges only) in BOTH engines, plus the
-#: low-severity `_CARD_MAX_SPAN` interpolation into the oracle.
-#: (2) `pipe_leakage_safe_split` — VERDICT r11 item 1 (the round's
-#: one weak mark): instrumentation falsified the "CC-round swing"
-#: claim (rounds are CONSTANT at 5 across every iteration; walls
-#: inflate uniformly with the host band), so the fix is structural:
-#: connected_components now uses LAZY localCheckpoints (1 job/round
-#: instead of 2 — less steal exposure) and the entry derives BOTH
-#: its per-split totals and the leak self-check from ONE
-#: groupBy(split, cluster_id) pass (the r11 body scanned the routed
-#: corpus twice). (3)-(4) `dd_duplicate_clusters` /
-#: `dd_semantic_dedup` — marked because the shared
-#: connected_components checkpoint strategy changed under them
-#: (plan-affecting, conservative rule-6 default; outputs unchanged).
-#: `pipe_curate_chain` shares the same change but is r9-stale and
-#: already inside the cut. (5) `pipe_curate_split_chain` is NEW
-#: (VERDICT r11 item 7 — the composed chain+split product plan) and
-#: lands in class (b) automatically. Cut: 5 class-b + 34 r9-stale +
-#: 11 cheapest-r10 fill = 50, the whole r9 tail inside.
+#: r13 cut (grading-budget protocol, COVERAGE.md; second optimization
+#: round, OPTIMIZATION_r13.md). `_LAST_GRADED` carries the r12
+#: driver rows (50 entries bumped to 12, incl. the then-new
+#: `pipe_curate_split_chain`), so the r9-stale remainder rotates in
+#: right behind this round's changed set (VERDICT r12 item 8).
+#: Changes this round — every entry below had its registered body or
+#: a shared operator under it change plan shape; outputs
+#: oracle-verified identical (135/135 at sf0.01 plus per-entry
+#: sf0.001 checks):
+#: (1) `dd_containment_pairs` — rewrite per VERDICT r12 item 2:
+#:     xxhash64 shingle keys (8-byte exchanges, never gram text),
+#:     map-side |A| carried through the pair exchange (sizes
+#:     aggregate + join-back eliminated), broadcast-ANTI hot-shingle
+#:     prefilter instead of the rare-set equi-join.
+#: (2) CC entries (`dd_duplicate_clusters`, `dd_semantic_dedup`,
+#:     `pipe_leakage_safe_split`, `pipe_curate_split_chain`) — the
+#:     shared connected_components round loop now runs AQE-off with
+#:     a node-count-derived fixed partition layout (one job per
+#:     2-round block; sym hash-partitioned once).
+#: (3) `dd_image_near_dups` — synth+encode+decode+dHash fused into
+#:     ONE Arrow stage (two MapInPandas → one; the BMP bytes never
+#:     cross the JVM boundary).
+#: (4) `ann_ivf_topk` — the Lloyd-rescan cache routed through the
+#:     released persist ledger (bench integrity; plan unchanged, but
+#:     runtime caching semantics changed — conservative rule-6 mark).
+#: The session-wide per-build cache release (queries.register wrapper)
+#: changes RUNTIME cache lifetime for every entry but no plan shape;
+#: entries are not blanket-marked for it.
 _CHANGED_THIS_ROUND = {
-    # --- r12 build phase ---
-    # (1) greedy conflict policy (ADVICE r11 high)
-    "ts_pii_scrub_extended",
-    # (2) single-pass aggregate + fused-checkpoint CC (r11 item 1)
-    "pipe_leakage_safe_split",
-    # (3)/(4) shared CC checkpoint strategy changed underneath
+    "dd_containment_pairs",
     "dd_duplicate_clusters",
     "dd_semantic_dedup",
-    # --- r12 OPTIMIZATION phase (OPTIMIZATION_r12.md; every entry
-    # below had its registered body or a shared operator under it
-    # change plan shape — outputs oracle-verified identical) ---
-    # window-form exact_dedup (shared operator)
-    "dd_exact_dedup",
-    "pipe_curate_chain",
-    # est_jaccard map-side + min_est pushdown in minhash LSH
-    "dd_minhash_candidates",
-    "dd_cross_corpus_candidates",
-    # memoized Arrow encode / lazy round checkpoints
-    "pipe_bpe_encode",
-    "pipe_bpe_merges",
-    # thread-pooled independent tier jobs
-    "ann_recall_contract",
-    # ordered_once (checkpoint-before-sort) entries
-    "mm_jpeg_decode",
-    "mm_video_frames",
-    "mm_image_decode",
-    "mm_audio_features",
-    "src_binary_roundtrip",
-    "src_markup_roundtrip",
-    "src_office_roundtrip",
-    "pipe_cdc_chunks",
-    "pipe_chunk_normalized",
-    "pipe_pdf_page_chunks",
-    "ts_lang_id",
-    # (dd_strip_repeated_spans / ts_bigram_lm_score: ordered_once was
-    # tried, measured negative, and reverted — net diff vs the round
-    # open is comments only, so they are NOT marked changed)
-    "ts_winnow_fingerprints",
+    "pipe_leakage_safe_split",
+    "pipe_curate_split_chain",
     "dd_image_near_dups",
-    "dd_simhash_near_dups",
-    "pipe_semantic_decontaminate",
+    "ann_ivf_topk",
 }
 
 
