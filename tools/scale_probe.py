@@ -2645,8 +2645,158 @@ def main_leakage(factors: tuple[int, ...] = SCALES) -> None:
 
 
 
+def main_r12x(factors: tuple[int, ...] = (16,)) -> None:
+    """r13 probe of the r12 optimization claims at replicated scale
+    (VERDICT r12 item 5). Three questions, each on `replicate_unique`
+    corpora (per-copy token rewrite — cross-copy near-dup density
+    zero, per-copy density = base):
+
+    (a) Is the AQE coalesce floor (minPartitionSize 1m → 256k, r12
+        config-tier change) a NO-OP once post-shuffle partitions
+        exceed 1 MB? Measured: exact_dedup noop-sink wall + total
+        task count under each floor.
+    (b) Does the r12 window-form exact_dedup still beat the r11
+        groupBy-min + join-back form when the winners side is
+        corpus-sized (far beyond broadcast reach)?
+    (c) Does minhash `min_est` map-side pushdown cut the pair-dedup
+        exchange's shuffled rows/bytes (not just wall)? Measured via
+        the UI REST stage metrics: total shuffle-write records/bytes
+        across the probe window, pushdown vs post-filter.
+
+        python tools/scale_probe.py --r12x [--x64]
+    """
+    import json as _json
+    import urllib.request
+
+    from pyspark.sql import SparkSession
+
+    from vectordb_light_spark.operators.dedup import (
+        canonical_text,
+        exact_dedup,
+        minhash_lsh_candidates,
+    )
+    from vectordb_light_spark.session import _tune_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.appName("r12x-probe")
+        .master(f"local[{cpus}]")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4052")
+        .config("spark.ui.retainedStages", "5000")
+        .config("spark.ui.retainedJobs", "5000")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .getOrCreate()
+    )
+    _tune_session(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = "http://localhost:4052/api/v1"
+    app_id = spark.sparkContext.applicationId
+
+    def stage_totals(t0_ms: float, t1_ms: float) -> tuple[int, int, int]:
+        """(shuffle-write bytes, shuffle-write records, tasks) summed
+        over stages submitted inside the window."""
+        with urllib.request.urlopen(
+            f"{ui}/applications/{app_id}/stages?status=COMPLETE"
+        ) as r:
+            stages = _json.load(r)
+        b = rec = tasks = 0
+        for s in stages:
+            sub = s.get("submissionTime")
+            if not sub:
+                continue
+            ms = (
+                time.mktime(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S"))
+                * 1000
+            )
+            if t0_ms - 500 <= ms <= t1_ms + 500:
+                b += s.get("shuffleWriteBytes", 0)
+                rec += s.get("shuffleWriteRecords", 0)
+                tasks += s.get("numCompleteTasks", 0)
+        return b, rec, tasks
+
+    def timed(fn, label: str) -> tuple[float, tuple[int, int, int]]:
+        fn()  # warm-up
+        best, met = float("inf"), (0, 0, 0)
+        for _ in range(2):
+            t0_ms = time.time() * 1000
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            t1_ms = time.time() * 1000
+            if dt < best:
+                best, met = dt, stage_totals(t0_ms, t1_ms)
+        print(
+            f"  {label}: {best:.2f}s  shuffleWrite "
+            f"{met[0] / 1e6:.1f} MB / {met[1]} rows, {met[2]} tasks",
+            flush=True,
+        )
+        return best, met
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def exact_dedup_join_form(df):
+        # the r11 shape: groupBy-min winners + join-back (winners are
+        # corpus-sized — at this factor far beyond broadcast reach)
+        key = F.sha2(canonical_text("text"), 256)
+        keyed = df.withColumn("__key", key)
+        winners = keyed.groupBy("__key").agg(F.min("doc_id").alias("doc_id"))
+        return keyed.join(winners, ["__key", "doc_id"]).drop("__key")
+
+    try:
+        for factor in factors:
+            d_docs = os.path.join(WORK, f"docs_r12x_{factor}")
+            replicate_unique(spark, factor, d_docs)
+            docs = spark.read.parquet(d_docs).select("doc_id", "text")
+            n = docs.count()
+            print(f"\n=== x{factor}: {n} docs ===", flush=True)
+
+            print("(a) AQE coalesce floor on exact_dedup (noop sink):")
+            for floor in ("1m", "256k"):
+                spark.conf.set(
+                    "spark.sql.adaptive.coalescePartitions."
+                    "minPartitionSize",
+                    floor,
+                )
+                timed(lambda: noop(exact_dedup(docs)), f"floor={floor}")
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "256k",
+            )
+
+            print("(b) exact_dedup window form vs r11 join-back form:")
+            timed(lambda: noop(exact_dedup(docs)), "window form (r12)")
+            timed(
+                lambda: noop(exact_dedup_join_form(docs)),
+                "join-back form (r11)",
+            )
+
+            print("(c) minhash min_est pushdown vs post-filter @0.8:")
+            timed(
+                lambda: minhash_lsh_candidates(docs, min_est=0.8).count(),
+                "min_est pushdown",
+            )
+            timed(
+                lambda: minhash_lsh_candidates(docs)
+                .where(F.col("est_jaccard") >= 0.8)
+                .count(),
+                "post-filter",
+            )
+    finally:
+        shutil.rmtree(WORK, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    if "--big" in sys.argv:
+    if "--r12x" in sys.argv:
+        main_r12x((16, 64) if "--x64" in sys.argv else (16,))
+    elif "--big" in sys.argv:
         main_big()
     elif "--clusters" in sys.argv:
         main_clusters()
