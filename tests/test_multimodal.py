@@ -826,3 +826,36 @@ def test_image_hamming_pairs_star_collapse_parity(spark):
     assert len(exact) == 8 * 7 // 2 + 5 * 4 // 2   # full cliques
     assert len(starred) == 7 + 4                   # star rows only
     assert all(r["hamming"] == 0 for r in starred)
+
+
+def test_decode_image_features_fused_matches_two_stage(spark):
+    """r13 fused stage: decode_image_features must be bit-identical
+    to image_features(decode_images(df)) — same meta columns, same
+    feature vectors, same column order semantics (the fused form is
+    what mm_image_pipeline runs; the two-stage form stays the
+    reference)."""
+    from vectordb_light_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    m = _media(spark, 25)
+    cols = [
+        "media_id", "width", "height", "channels",
+        "px_mean", "px_std", "features",
+    ]
+    fused = {
+        r["media_id"]: r
+        for r in decode_image_features(m, dim=32).select(*cols).collect()
+    }
+    staged = {
+        r["media_id"]: r
+        for r in image_features(decode_images(m), dim=32)
+        .select(*cols)
+        .collect()
+    }
+    assert set(fused) == set(staged) and len(fused) == 25
+    for mid, f in fused.items():
+        s = staged[mid]
+        for c in ("width", "height", "channels", "px_mean", "px_std"):
+            assert f[c] == s[c], (mid, c, f[c], s[c])
+        assert f["features"] == s["features"], mid

@@ -170,6 +170,81 @@ def decode_images(df: DataFrame, *, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def decode_image_features(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    out_col: str = "features",
+    dim: int = 64,
+) -> DataFrame:
+    """Fused decode + feature stage (r13, guide §4): one mapInPandas
+    emits decode_images' width/height/channels/px_mean/px_std AND
+    image_features' L2-normalized array<float> — the binary content
+    column crosses the Arrow boundary ONCE instead of twice and the
+    plan carries one Python stage instead of two. Output is
+    bit-identical to ``image_features(decode_images(df))`` (property-
+    tested): meta keeps decode_images' tiers (PIL → stdlib → fake;
+    when PIL is present the stdlib decode still feeds the features,
+    exactly as the two-stage form), features keep image_features'
+    tiers (stdlib pixels → perceptual thumbnail; else byte-hash
+    fake)."""
+    from vectordb_light_spark.sources.media import decode_image
+
+    pil = _try_pil()
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    )
+    schema = (
+        f"{fields}, width int, height int, channels int, "
+        f"px_mean double, px_std double, `{out_col}` array<float>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            metas, feats = [], []
+            for data in pdf[content_col]:
+                raw = bytes(data) if data is not None else b""
+                px = decode_image(raw)
+                if pil is not None:
+                    img = pil.open(io.BytesIO(raw))
+                    arr = np.asarray(img)
+                    metas.append(
+                        {
+                            "width": img.width,
+                            "height": img.height,
+                            "channels": arr.shape[2] if arr.ndim == 3 else 1,
+                            "px_mean": float(arr.mean()),
+                            "px_std": float(arr.std()),
+                        }
+                    )
+                elif px is not None:
+                    metas.append(
+                        {
+                            "width": int(px.shape[1]),
+                            "height": int(px.shape[0]),
+                            "channels": int(px.shape[2]),
+                            "px_mean": float(px.mean()),
+                            "px_std": float(px.std()),
+                        }
+                    )
+                else:
+                    metas.append(_fake_decode(raw))
+                feats.append(
+                    _pixel_features(px, dim)
+                    if px is not None
+                    else _fake_features(raw, dim)
+                )
+            out = pdf.copy()
+            for k in ("width", "height", "channels", "px_mean", "px_std"):
+                out[k] = [m[k] for m in metas]
+            out[out_col] = feats
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def _pixel_features(px: np.ndarray, dim: int) -> np.ndarray:
     """REAL pixel features for stdlib-decodable images: 16×16
     nearest-resampled grayscale tile, folded into ``dim`` bins and

@@ -2197,9 +2197,17 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_docs(spark, sf_dir).where(F.length(canonical_text("text")) > 0)
     # r12: ordered_once — the range sampling otherwise runs the combo
     # self-join + Hamming verify twice (two ~8 s-executor stages).
+    # r13: the (m=4, k=2) scheme this docstring documents is passed
+    # EXPLICITLY — the "auto" hint ran a df.count() per build, and on
+    # this filtered input that count is a full canonicalization pass
+    # (0.25 s at sf0.1; a corpus pass at 100 TB), for a scheme choice
+    # that cannot differ below ~16·2^14 docs. Output is invariant to
+    # the scheme by pigeonhole + exact verify either way; production
+    # surfaces keep the adaptive hint.
     return ordered_once(
         simhash_near_dups(
-            docs, max_hamming=2, hash_family="poly31", max_cluster=None
+            docs, max_hamming=2, hash_family="poly31", max_cluster=None,
+            blocks=4, combo=2,
         ).withColumn("hamming", F.col("hamming").cast("int")),
         "id_a", "id_b",
     )
@@ -3482,15 +3490,18 @@ def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan and ride the stats reduce — no pool-id broadcast) + the
     decode/feature stage persisted once for its four consumers."""
     from vectordb_light_spark.operators.multimodal import (
-        decode_images,
-        image_features,
+        decode_image_features,
         media_from_documents,
     )
     from vectordb_light_spark.operators.similarity import add_srp_signature, ann_topk_srp
     from vectordb_light_spark.session import persist_if_batch
 
     media = media_from_documents(spark, sf_dir, limit=200)
-    feats = persist_if_batch(image_features(decode_images(media), dim=32))
+    # r13: fused decode+features stage (guide §4) — one mapInPandas,
+    # the binary column crosses the Arrow boundary once (was: decode
+    # stage, then the features stage re-shipping AND re-decoding the
+    # same bytes). Output bit-identical (tests/test_multimodal.py).
+    feats = persist_if_batch(decode_image_features(media, dim=32))
     q_row = feats.where(F.col("media_id") == 0).select("features").first()
     q = [float(x) for x in q_row[0]]
     indexed = add_srp_signature(feats, vec_col="features", n_planes=16, dim=32)
