@@ -56,7 +56,9 @@ def similarity_column(vec_col: Column | str, query: list[float], *, assume_norma
     derived columns; the hot scan path uses :func:`make_query_sim_udf`
     (one BLAS matvec per Arrow batch instead of an interpreted lambda
     fold per row)."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    from vectordb_light_spark.session import literal_array
+
+    q = literal_array(query, "double")
     sim = dot_product(vec_col, q) if assume_normalized else cosine_similarity(vec_col, q)
     return F.least(F.greatest(sim, F.lit(0.0)), F.lit(1.0))
 

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from vectordb_light_spark.functions.vector import cosine_similarity, dot_product
 
+from vectordb_light_spark.session import literal_array
 from vectordb_light_spark.session import persist_if_batch as _persist_if_batch
 
 DEFAULT_PLANES = 16
@@ -68,7 +69,7 @@ def srp_signature_col(vec_col: Column | str, planes: np.ndarray) -> Column:
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = []
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = literal_array(plane, "double")
         weight = -(1 << 63) if i == 63 else (1 << i)
         bits.append(
             F.when(dot_product(v, p) >= 0, F.lit(weight).cast("long")).otherwise(
@@ -166,7 +167,7 @@ def ann_topk_srp(
     cand = indexed.where(
         F.bit_count(F.col(sig_col).bitwiseXOR(F.lit(qsig))) <= probe_hamming
     )
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = literal_array(query, "double")
     sim = dot_product(vec_col, q)
     if not assume_normalized:
         from vectordb_light_spark.functions.vector import cosine_similarity
@@ -231,7 +232,7 @@ def _nearest_centroid_col(vec_col: str, centroids: np.ndarray) -> Column:
     scored = F.array(
         *[
             F.struct(
-                dot_product(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                dot_product(vec_col, literal_array(c, "double")).alias("d"),
                 F.lit(i).alias("i"),
             )
             for i, c in enumerate(centroids)
@@ -291,7 +292,7 @@ def ann_topk_ivf(
     qv = np.asarray(query, dtype=np.float64)
     order = np.argsort(-(centroids @ qv))
     probes = [int(c) for c in order[:nprobe]]
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = literal_array(query, "double")
     return (
         indexed.where(F.col(cluster_col).isin(probes))
         .withColumn(
@@ -1084,9 +1085,10 @@ def ann_topk_pq(
     if qv.shape[0] != m * sub:
         raise ValueError(f"query dim {qv.shape[0]} != m*sub {m * sub}")
     lut_np = np.stack([books[s] @ qv[s * sub : (s + 1) * sub] for s in range(m)])
-    lut = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in lut_np]
-    )
+    # ONE parsed literal per subspace row instead of m*n_codes F.lit
+    # py4j round trips (r13: the 16x64 LUT cost ~0.5 s of plan BUILD
+    # per query - session.literal_array renders bit-identical doubles)
+    lut = F.array(*[literal_array(row, "double") for row in lut_np])
     score = F.aggregate(
         F.zip_with(
             F.sequence(F.lit(1), F.lit(m)),
@@ -1111,7 +1113,7 @@ def ann_topk_pq(
     # store space (OPQ rotates the query for ADC but re-ranks the
     # original vectors with the original query)
     rq = np.asarray(rerank_query, dtype=np.float64) if rerank_query is not None else qv
-    q = F.array(*[F.lit(float(x)) for x in rq])
+    q = literal_array(rq, "double")
     exact = F.least(
         F.greatest(dot_product(vec_col, q), F.lit(0.0)), F.lit(1.0)
     )

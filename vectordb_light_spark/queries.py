@@ -6067,7 +6067,9 @@ def vq_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = _query_vector(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    qcol = F.array(*[F.lit(float(x)) for x in q])
+    from vectordb_light_spark.session import literal_array
+
+    qcol = literal_array(q, "double")
     scored = emb.select(
         "vec_id",
         "label",

@@ -264,6 +264,7 @@ def literal_array(values, sql_type: str = "bigint"):
     from pyspark.sql import functions as F
 
     t = sql_type.lower()
+    values = list(values)  # accept numpy arrays / generators (r13)
     if not values:
         return F.expr(f"CAST(array() AS array<{t}>)")
     if t in ("bigint", "long", "int", "integer", "smallint", "tinyint"):
