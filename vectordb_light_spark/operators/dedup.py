@@ -1563,8 +1563,17 @@ def _anchor_grams(
                 F.sequence(F.lit(0), F.size("__toks") - anchor),
                 lambda i: F.struct(
                     i.cast("int").alias("pos"),
-                    F.md5(
-                        F.array_join(F.slice("__toks", i + 1, anchor), " ")
+                    # 16-byte binary key, not the 32-char hex string:
+                    # gk is internal (equality only — never surfaced),
+                    # and the anchor-gram rows are exactly what the
+                    # hot aggregate and the cover join shuffle, so
+                    # halving the key halves those exchanges (§2.3).
+                    F.unhex(
+                        F.md5(
+                            F.array_join(
+                                F.slice("__toks", i + 1, anchor), " "
+                            )
+                        )
                     ).alias("gk"),
                 ),
             )

@@ -249,7 +249,27 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        from pyspark.sql import functions as F
+
+        # Pushdown BARRIER (r13): PushDownPredicates happily moves a
+        # caller's later .where(...) below the round-robin exchange —
+        # and a small local input is ONE scan task, so an expensive
+        # gate (quality fold, canonicalization, regexp chains) would
+        # serialize on one core while the rest idle (measured r12/r13:
+        # pipe_curate_chain 3.26 s and pipe_training_corpus 2×0.25 s
+        # of 1-task scan-stage gate work). A filter whose condition is
+        # NON-DETERMINISTIC (and vacuously true: monotonically
+        # increasing ids are non-negative by contract) pins every
+        # later deterministic filter ABOVE the exchange, where it runs
+        # at full width. Scale-adaptive by construction: this branch
+        # only runs when the input has fewer partitions than cores —
+        # at corpus scale rebalance is a no-op and scan pushdown is
+        # untouched. Row-set is unchanged; retry safety is unaffected
+        # (the filter sits above the shuffle, and sort-before-
+        # repartition still sees deterministic input).
+        return df.repartition(target).where(
+            F.monotonically_increasing_id() >= 0
+        )
     return df
 
 
