@@ -3061,7 +3061,12 @@ def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier is oracle-checked separately (dd_jaccard_pairs)."""
     from vectordb_light_spark.plans.pipelines import training_corpus_plan
 
-    docs = load_docs(spark, sf_dir, "doc_id", "lang", "text")
+    from vectordb_light_spark.session import pushdown_barrier
+
+    # r13: keep the quality gate ABOVE the rebalance exchange (it was
+    # pushed into the single-split scan task — two 0.25 s 1-task jobs;
+    # interleaved A/B barrier 0.58 s vs pushed 1.15 s).
+    docs = pushdown_barrier(load_docs(spark, sf_dir, "doc_id", "lang", "text"))
     out = training_corpus_plan(
         docs, min_quality=0.5, languages=None, near_dup_threshold=None
     )

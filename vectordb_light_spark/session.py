@@ -249,28 +249,37 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        from pyspark.sql import functions as F
-
-        # Pushdown BARRIER (r13): PushDownPredicates happily moves a
-        # caller's later .where(...) below the round-robin exchange —
-        # and a small local input is ONE scan task, so an expensive
-        # gate (quality fold, canonicalization, regexp chains) would
-        # serialize on one core while the rest idle (measured r12/r13:
-        # pipe_curate_chain 3.26 s and pipe_training_corpus 2×0.25 s
-        # of 1-task scan-stage gate work). A filter whose condition is
-        # NON-DETERMINISTIC (and vacuously true: monotonically
-        # increasing ids are non-negative by contract) pins every
-        # later deterministic filter ABOVE the exchange, where it runs
-        # at full width. Scale-adaptive by construction: this branch
-        # only runs when the input has fewer partitions than cores —
-        # at corpus scale rebalance is a no-op and scan pushdown is
-        # untouched. Row-set is unchanged; retry safety is unaffected
-        # (the filter sits above the shuffle, and sort-before-
-        # repartition still sees deterministic input).
-        return df.repartition(target).where(
-            F.monotonically_increasing_id() >= 0
-        )
+        return df.repartition(target)
     return df
+
+
+def pushdown_barrier(df: DataFrame) -> DataFrame:
+    """Pushdown BARRIER (r13): a vacuously-true NON-DETERMINISTIC
+    filter (monotonically increasing ids are non-negative by
+    contract) that pins every LATER deterministic filter above this
+    point — PushDownPredicates may not reorder across a
+    non-deterministic condition. Row set unchanged at any scale.
+
+    Use it directly above a rebalanced small scan when ONE expensive
+    downstream gate (quality fold, canonicalization chain) would
+    otherwise be pushed below the round-robin exchange into the
+    single-split scan task, serializing per-row compute on one core
+    (r12 measured 3.26 s of 1-task gate work inside
+    pipe_curate_chain; r13 interleaved A/B on pipe_training_corpus:
+    barrier 0.58 s vs pushed 1.15 s).
+
+    Do NOT use above MULTI-consumer persisted pipelines: a filter
+    pushed into the exchange's map side is evaluated once and its
+    result is reused through the shuffle files by every consumer
+    query stage, while a post-exchange filter re-evaluates per racing
+    consumer (r13 interleaved A/B: dd_duplicate_clusters 4.02 s with
+    a blanket barrier vs 3.74 s without — the blanket form was
+    reverted for exactly this)."""
+    if df.isStreaming:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.where(F.monotonically_increasing_id() >= 0)
 
 
 def literal_array(values, sql_type: str = "bigint"):
