@@ -291,11 +291,14 @@ def _dhash_bits(px: np.ndarray) -> int:
                 for r in range(8)
             ]
         )
-    bits = np.uint64(0)
-    for r in range(8):
-        for c in range(8):
-            if grid[r][c] > grid[r][c + 1]:
-                bits |= np.uint64(1) << np.uint64(r * 8 + c)
+    # Vectorized bit pack (r13): identical word to the former
+    # per-bit loop — distinct powers of two, so the uint64 sum is
+    # exact; wrap to signed via the same astype(int64).
+    cmp = np.asarray(grid)[:, :8] > np.asarray(grid)[:, 1:9]
+    weights = np.left_shift(
+        np.uint64(1), np.arange(64, dtype=np.uint64)
+    ).reshape(8, 8)
+    bits = np.uint64((cmp.astype(np.uint64) * weights).sum(dtype=np.uint64))
     return int(bits.astype(np.int64))
 
 

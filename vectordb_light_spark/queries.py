@@ -7628,6 +7628,18 @@ _PRE_ORACLE_STALE: set = set()
 #: The session-wide per-build cache release (queries.register wrapper)
 #: changes RUNTIME cache lifetime for every entry but no plan shape;
 #: entries are not blanket-marked for it.
+#: (5) `dd_simhash_near_dups` — documented (4,2) scheme pinned
+#:     explicitly (kills the per-build canonical-filtered count).
+#: (6) `mm_image_pipeline` — fused decode+features Arrow stage.
+#: (7) `ann_recall_contract` — IVFPQ tier stacked on the cached PQ
+#:     tier (one corpus encode pass).
+#: (8) `pipe_training_corpus` — pushdown barrier keeps the quality
+#:     fold above the rebalance exchange.
+#: (9) `dd_repeated_spans` / `dd_strip_repeated_spans` — binary md5
+#:     anchor keys through the hot aggregate / cover join.
+#: (The literal_array change rebuilds identical literal trees — plans
+#: unchanged — and the dHash bit-pack vectorization is inside an
+#: opaque Python stage; neither is plan-affecting.)
 _CHANGED_THIS_ROUND = {
     "dd_containment_pairs",
     "dd_duplicate_clusters",
@@ -7636,6 +7648,12 @@ _CHANGED_THIS_ROUND = {
     "pipe_curate_split_chain",
     "dd_image_near_dups",
     "ann_ivf_topk",
+    "dd_simhash_near_dups",
+    "mm_image_pipeline",
+    "ann_recall_contract",
+    "pipe_training_corpus",
+    "dd_repeated_spans",
+    "dd_strip_repeated_spans",
 }
 
 
